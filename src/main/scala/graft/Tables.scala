@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table access. Mirrors the reference's catalog-backed table
+  * resolution (`Catalog/Catalog.h` in /root/reference) with plain parquet
+  * reads: Spark's vectorized parquet reader + row-group min/max pruning
+  * replace HeavyDB fragments/chunks (SURVEY.md §1.1).
+  *
+  * At 100 TB these would be partitioned/bucketed managed tables; the read
+  * path (columnar scan, predicate pushdown, column pruning) is identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS); Spark's µs `TimestampType`
+    * can't hold it natively (SURVEY.md §7.4 — reference TIMESTAMP(9),
+    * `Shared/sqltypes.h:77`). We read nanos as long and truncate to µs,
+    * matching DuckDB's ns→µs truncation so oracle comparisons line up.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else df
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
