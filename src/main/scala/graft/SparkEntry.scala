@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val modules: Seq[(Seq[(String, (SparkSession, String) => DataFrame)],
       Seq[(String, String)])] = Seq(
-    (operators.Relational.queries, operators.Relational.oracles)
+    (operators.Relational.queries, operators.Relational.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.Arrays.queries, operators.Arrays.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
