@@ -15,7 +15,9 @@ object SparkEntry {
       Seq[(String, String)])] = Seq(
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
-    (operators.Arrays.queries, operators.Arrays.oracles)
+    (operators.Arrays.queries, operators.Arrays.oracles),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+    (operators.Dedup.queries, operators.Dedup.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deduplication operators for training-data pipelines: exact hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * The reference's nearest hook is tf_feature_similarity
+  * (`QueryEngine/TableFunctions/SystemFunctions/os/
+  * SimilarityTableFunctions.hpp:162` in /root/reference); the dedup
+  * algorithms themselves are the standard published ones (Broder 1997
+  * MinHash/LSH, Charikar 2002 SimHash).
+  *
+  * Scale design (100 TB): every stage is explode → hash → groupBy/join on
+  * a key whose cardinality grows with the corpus (doc_id, band bucket,
+  * shingle) — so work distributes; nothing collects to the driver.
+  *  - MinHash signatures: ONE pass over exploded shingles computing all K
+  *    permutations as K aggregate expressions (map-side partial agg).
+  *  - LSH banding: candidates only form inside a (band, bucket) group —
+  *    sub-quadratic; hot buckets are bounded by banding width.
+  *  - Exact Jaccard verification joins shingle sets only for LSH-candidate
+  *    pairs (semi-join pruning), never all-pairs.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 32          // minhash permutations
+  private val BANDS = 8       // LSH bands (rows per band = K / BANDS = 4)
+
+  /** (doc_id, shingle) pairs: 3-word shingles of the normalized text.
+    * Duplicate shingles within a doc are dropped (set semantics).
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
+          " +").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 1)),
+             i -> concat_ws(' ', element_at(toks, i),
+                            element_at(toks, least(i + 1, size(toks))),
+                            element_at(toks, least(i + 2, size(toks)))))"""))
+          .as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signature per doc: K min-hashes in a single aggregation pass
+    * (each permutation = xxhash64 seeded by its index).
+    */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until K).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until BANDS).map { b =>
+      val rows = (0 until K / BANDS).map(r => col(s"h${b * (K / BANDS) + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    // Exact dedup: group by content hash, keep lowest doc_id
+    // (hash-groupBy; at scale this is one shuffle on the md5 key).
+    "q40_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
+    // Near-dedup via n-gram Jaccard, LSH-pruned: per-doc verdict
+    // (dup_of = smallest similar doc, else itself) — never empty output.
+    "q41_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val sizes = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val cand = lshCandidates(minhashSignatures(sh))
+      // Exact |A∩B| only for candidate pairs.
+      val shA = sh.select(col("doc_id").as("a_id"), col("sh"))
+      val shB = sh.select(col("doc_id").as("b_id"), col("sh"))
+      val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+      // Per-doc verdict: smallest neighbor id (bidirectional) or self.
+      val neigh = jac.select(col("a_id").as("doc_id"),
+          col("b_id").as("nb"))
+        .unionAll(jac.select(col("b_id").as("doc_id"),
+          col("a_id").as("nb")))
+        .groupBy(col("doc_id")).agg(min(col("nb")).as("min_nb"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("min_nb"), col("doc_id")), col("doc_id"))
+            .as("dup_of"))
+    }),
+
+    // MinHash+LSH candidate summary per doc: how many LSH candidates,
+    // representative = min candidate (single-linkage step 1).
+    "q42_dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val cand = lshCandidates(minhashSignatures(sh))
+      val neigh = cand.select(col("a_id").as("doc_id"),
+          col("b_id").as("nb"))
+        .unionAll(cand.select(col("b_id").as("doc_id"),
+          col("a_id").as("nb")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"), min(col("nb")).as("min_nb"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          least(coalesce(col("min_nb"), col("doc_id")), col("doc_id"))
+            .as("rep_id"))
+    }),
+
+    // SimHash (Charikar): 64-bit signature from token hashes — one
+    // aggregation pass with 64 bit-vote sums, reassembled into a long.
+    "q43_dedup_simhash" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(regexp_replace(trim(lower(col("text"))),
+            "[^a-z0-9 ]", ""), " +")).as("tok"))
+        .withColumn("th", xxhash64(col("tok")))
+      val votes = (0 until 64).map(j =>
+        sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L,
+          lit(1)).otherwise(lit(-1))).as(s"v$j"))
+      val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val sig = (0 until 64).map(j =>
+          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+      voted.select(col("doc_id"), sig.as("simhash"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY md5(text)"""
+    // q41-q43 depend on xxhash64 (engine-specific hash) → rows-only check;
+    // cross-validated instead by DedupSpec (planted near-duplicates).
+  )
+}
