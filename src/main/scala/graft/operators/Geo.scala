@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GeoFunctions._
+
+/** Geospatial queries over synthesized point columns (the fixture tables
+  * carry no geometry, so points are derived deterministically from part
+  * attributes). Exercises constructors, accessors, planar + spherical
+  * distance, DWithin, rectangular containment, and a bucketed distance
+  * join (SURVEY §2.3 range join / §2.7 geo functions).
+  */
+object Geo {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** part → deterministic lon/lat points: lon in [-25, 25), lat in
+    * [0, 50) derived from p_size / p_retailprice.
+    */
+  private def points(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      st_point(col("p_size").cast("double") - 25.0,
+        col("p_retailprice") % 50.0).as("pt"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    // Accessors + planar/spherical measures + predicates.
+    "q60_geo_scalar" -> ((s, d) => {
+      val origin = st_point(lit(0.0), lit(25.0))
+      points(s, d).select(
+        col("p_partkey"),
+        st_x(col("pt")).as("x"),
+        st_y(col("pt")).as("y"),
+        st_distance(col("pt"), origin).as("dist"),
+        st_distance_sphere(col("pt"), origin).as("dist_m"),
+        st_dwithin(col("pt"), origin, lit(10.0)).as("within10"),
+        st_contains_rect(lit(-10.0), lit(10.0), lit(10.0), lit(40.0),
+          col("pt")).as("in_box"))
+    }),
+
+    // Distance self-join via grid bucketing: pairs within r, found by
+    // equi-joining 3×3 neighbor cells then exact-filtering — the
+    // Spark-native rewrite of the reference's RangeJoinHashTable
+    // (sub-quadratic; each point only meets its neighborhood).
+    "q61_geo_distance_join" -> ((s, d) => {
+      val r = 1.0
+      val pts = points(s, d)
+      // Assign each point to its cell; probe side replicated to the 9
+      // neighbor cells so every within-r pair co-locates in some cell.
+      val cell = st_grid_cell(col("pt"), lit(r))
+      val build = pts.select(col("p_partkey").as("a_id"),
+        col("pt").as("a_pt"), cell.as("c"))
+      val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+      val probe = pts.select(col("p_partkey").as("b_id"),
+          col("pt").as("b_pt"), cell.as("c0"),
+          explode(offsets).as("o"))
+        .select(col("b_id"), col("b_pt"),
+          struct((col("c0.cx") + col("o.dx")).as("cx"),
+            (col("c0.cy") + col("o.dy")).as("cy")).as("c"))
+      build.join(probe, "c")
+        .filter(col("a_id") < col("b_id") &&
+          st_distance(col("a_pt"), col("b_pt")) < r)
+        .select(col("a_id"), col("b_id"),
+          st_distance(col("a_pt"), col("b_pt")).as("dist"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q60_geo_scalar" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y
+           FROM part)
+         SELECT p_partkey, x, y,
+                sqrt((x - 0.0)^2 + (y - 25.0)^2) AS dist,
+                2.0 * 6371000.0 * asin(sqrt(
+                  sin(radians(25.0 - y) / 2)^2 +
+                  cos(radians(y)) * cos(radians(25.0)) *
+                  sin(radians(0.0 - x) / 2)^2)) AS dist_m,
+                sqrt((x - 0.0)^2 + (y - 25.0)^2) <= 10.0 AS within10,
+                (x BETWEEN -10.0 AND 10.0) AND (y BETWEEN 10.0 AND 40.0)
+                  AS in_box
+         FROM p""",
+    "q61_geo_distance_join" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y
+           FROM part)
+         SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                sqrt((a.x - b.x)^2 + (a.y - b.y)^2) AS dist
+         FROM p a JOIN p b
+           ON a.p_partkey < b.p_partkey
+          AND sqrt((a.x - b.x)^2 + (a.y - b.y)^2) < 1.0"""
+  )
+}

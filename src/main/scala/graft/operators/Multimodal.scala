@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with a decode/feature-extract stage.
+  *
+  * Real pipelines carry images/audio/video as `binary` columns with a
+  * metadata struct; decode runs in batched partition-parallel workers.
+  * The image/audio codecs are NOT in this container, so the decode is a
+  * clearly-marked deterministic fake — but the Spark-side plumbing
+  * (schema, binary column, partition-parallel typed map, batch shape) is
+  * real and is exactly what a libjpeg/ffmpeg-backed decoder would plug
+  * into.
+  *
+  * Scale: decode is mapPartitions-style per-row work after an optional
+  * repartition to match worker parallelism; no shuffle otherwise.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** STUB decode: deterministic pseudo-metadata from payload bytes.
+    * A real implementation decodes the image header here.
+    */
+  private def fakeDims(nBytes: org.apache.spark.sql.Column) = (
+    (lit(320) + nBytes % 320).as("width"),
+    (lit(240) + nBytes % 240).as("height"),
+    (lit(1) + nBytes % 8).as("n_frames"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    // Binary payload + metadata projection (oracle-checked: byte lengths
+    // and derived dims are engine-agnostic).
+    "q80_multimodal_meta" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      val n = octet_length(bin)
+      val (w, h, f) = fakeDims(n)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        n.as("n_bytes"),
+        w, h, f,
+        base64(bin).as("payload_b64"))
+    }),
+
+    // Partition-parallel typed decode stage (Dataset map over binary
+    // payloads → fixed-shape feature batch). Rows-only check: the fake
+    // "feature" is a byte-histogram mean, standing in for a model
+    // embedding; shape/typing is what's under test.
+    "q81_multimodal_decode" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val payloads = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // ??? real decoder goes here (libjpeg/ffmpeg); deterministic
+          // stand-in: mean byte value + 4-bin byte histogram.
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          val hist = new Array[Long](4)
+          bytes.foreach(b => hist((b & 0xff) / 64) += 1)
+          (id, bytes.length, mean, hist.toSeq)
+        }
+      }.toDF("doc_id", "n_bytes", "mean_byte", "byte_hist")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q80_multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text))::INT AS n_bytes,
+                (320 + octet_length(encode(text)) % 320)::INT AS width,
+                (240 + octet_length(encode(text)) % 240)::INT AS height,
+                (1 + octet_length(encode(text)) % 8)::INT AS n_frames,
+                to_base64(encode(text)) AS payload_b64
+         FROM documents"""
+    // q81 is rows-only: its feature payload is the stub's contract.
+  )
+}

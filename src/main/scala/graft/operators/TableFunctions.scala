@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** System table functions (UDTF surface) — SURVEY §2.10.
+  *
+  * Reference inventory (`QueryEngine/TableFunctions/SystemFunctions/os/`
+  * in /root/reference): generate_series (`UtilityTableFunctions.h:28-49`),
+  * tf_compute_dwell_times (`SessionizeTableFunctions.hpp:37`),
+  * tf_feature_similarity (`SimilarityTableFunctions.hpp:162`),
+  * tf_graph_shortest_path(s) (`Graph/GraphTableFunctions.hpp:280-519`).
+  *
+  * Spark-first re-expressions: sequence()+explode for series; window
+  * lag + running-sum for sessionization (one shuffle on user_id); pivoted
+  * count vectors + pair join for feature similarity; iterative DataFrame
+  * BFS (Pregel-style superstep loop) for shortest paths. The BFS loop
+  * runs a bounded number of supersteps — each superstep is a distributed
+  * join, nothing collects to the driver, so it scales to edge lists far
+  * beyond memory (the node-frontier DataFrame is the only growing state).
+  */
+object TableFunctions {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** µs-precision event stream ordered view (ns→µs truncation is applied
+    * by Tables.t; ordering matches the DuckDB oracle's ts::TIMESTAMP).
+    */
+  private def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_us", unix_micros(col("ts")))
+
+  /** Distinct event_type transition edges per user (src → next). */
+  private def transitionEdges(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** BFS shortest hop distances from `source` over an edge DataFrame —
+    * superstep loop, each step one join + min-aggregate. `maxHops` bounds
+    * the loop (supersteps are cheap: frontier × edges join).
+    */
+  def shortestPaths(edges: DataFrame, source: String, maxHops: Int)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0)).toDF("node", "dist")
+    for (_ <- 1 to maxHops) {
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(expanded)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    // generate_series(start, stop, step) — integer domain.
+    "q50_generate_series" -> ((s, d) => {
+      s.range(0, 1000, 7).select(col("id").as("n"))
+    }),
+
+    // generate_series over timestamps with a day interval.
+    "q51_series_timestamp" -> ((s, d) => {
+      s.sql("""SELECT explode(sequence(
+                 TIMESTAMP '2024-01-01 00:00:00',
+                 TIMESTAMP '2024-03-01 00:00:00',
+                 INTERVAL 1 DAY)) AS ts""")
+    }),
+
+    // tf_compute_dwell_times analog: sessionize on 30-min inactivity gap,
+    // emit per-session stats.
+    "q52_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val sessions = events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull, lit(0L))
+            .when(col("ts_us") - col("prev_us") > 1800000000L, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          ((col("end_us") - col("start_us")).cast("double") / 1e6)
+            .as("dwell_s"))
+    }),
+
+    // tf_graph_shortest_path analog: BFS hop counts from 'signup' over
+    // the user-journey transition graph.
+    "q53_graph_shortest_path" -> ((s, d) => {
+      shortestPaths(transitionEdges(s, d), "signup", maxHops = 5)
+        .select(col("node"), col("dist").cast("int").as("dist"))
+    }),
+
+    // tf_feature_similarity analog: users as event_type count vectors,
+    // pairwise cosine via a join on the shared feature key (sparse dot
+    // product — never materializes dense vectors).
+    "q54_feature_similarity" -> ((s, d) => {
+      val counts = events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val norms = counts.groupBy(col("user_id"))
+        .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val a = counts.select(col("user_id").as("u1"),
+        col("event_type"), col("c").as("c1"))
+      val b = counts.select(col("user_id").as("u2"),
+        col("event_type"), col("c").as("c2"))
+      val dots = a.join(b, "event_type")
+        .filter(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(sum(col("c1") * col("c2")).as("dot"))
+      dots
+        .join(norms.select(col("user_id").as("u1"), col("nrm").as("n1")),
+          "u1")
+        .join(norms.select(col("user_id").as("u2"), col("nrm").as("n2")),
+          "u2")
+        .select(col("u1"), col("u2"),
+          (col("dot") / (col("n1") * col("n2"))).as("cos_sim"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q50_generate_series" ->
+      """SELECT generate_series::BIGINT AS n
+         FROM generate_series(0, 999, 7)""",
+    "q51_series_timestamp" ->
+      """SELECT generate_series::TIMESTAMP AS ts
+         FROM generate_series(TIMESTAMP '2024-01-01',
+                              TIMESTAMP '2024-03-01', INTERVAL 1 DAY)""",
+    "q52_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events),
+         marked AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+                       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                       ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM marked)
+         SELECT user_id, session_id::BIGINT AS session_id,
+                count(*) AS n_events,
+                (max(ts_us) - min(ts_us))::DOUBLE / 1e6 AS dwell_s
+         FROM sessions GROUP BY user_id, session_id""",
+    "q53_graph_shortest_path" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events),
+         edges AS (
+           SELECT DISTINCT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS dst
+           FROM e),
+         edges2 AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+         walk(node, dist) AS (
+           SELECT 'signup', 0
+           UNION ALL
+           SELECT e.dst, w.dist + 1
+           FROM walk w JOIN edges2 e ON e.src = w.node
+           WHERE w.dist < 5)
+         SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node""",
+    "q54_feature_similarity" ->
+      """WITH counts AS (
+           SELECT user_id, event_type, count(*)::DOUBLE AS c
+           FROM events WHERE user_id < 30
+           GROUP BY user_id, event_type),
+         norms AS (
+           SELECT user_id, sqrt(sum(c * c)) AS nrm
+           FROM counts GROUP BY user_id),
+         dots AS (
+           SELECT a.user_id AS u1, b.user_id AS u2, sum(a.c * b.c) AS dot
+           FROM counts a JOIN counts b ON a.event_type = b.event_type
+           WHERE a.user_id < b.user_id
+           GROUP BY a.user_id, b.user_id)
+         SELECT u1, u2, dot / (n1.nrm * n2.nrm) AS cos_sim
+         FROM dots
+         JOIN norms n1 ON n1.user_id = u1
+         JOIN norms n2 ON n2.user_id = u2"""
+  )
+}
