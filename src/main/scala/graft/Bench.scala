@@ -1,24 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark harness. Contract: print ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * (also written to BENCH_OUT file so the driver never has to fish it
+  * out of sbt log noise).
+  *
+  * Methodology (fixes the round-1 harness flaws):
+  *  - every query is fully materialized: a `noop`-format write forces
+  *    every column through the executor (a bare .count() lets Catalyst
+  *    prune all projections and benchmarks a metadata row count);
+  *  - one untimed warm-up pass per query (JIT/codegen + parquet footer
+  *    caches), then the median of N timed iterations (default 3) —
+  *    round-1's n=1 cold numbers charged session warm-up to whichever
+  *    query ran first.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs =
+        try {
+          materialize(fn(spark, sfDir)) // warm-up, untimed
+          val times = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            materialize(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          times(times.length / 2) // median
+        } catch { case _: Throwable => -1.0 }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    sys.env.get("BENCH_OUT").orElse(Some("/tmp/graft_bench.json"))
+      .foreach(p => Files.writeString(Paths.get(p), json + "\n"))
+    println(json)
     spark.stop()
   }
 }

@@ -17,7 +17,11 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.Arrays.queries, operators.Arrays.oracles),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
-    (operators.Dedup.queries, operators.Dedup.oracles)
+    (operators.Dedup.queries, operators.Dedup.oracles),
+    (operators.TableFunctions.queries, operators.TableFunctions.oracles),
+    (operators.Geo.queries, operators.Geo.oracles),
+    (operators.Multimodal.queries, operators.Multimodal.oracles),
+    (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -31,7 +31,17 @@ object Tables {
     } else df
   }
 
-  /** Register every fixture table as a temp view (for spark.sql queries). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register every fixture table as a temp view (for spark.sql queries).
+    * Idempotent while the session keeps pointing at the same dir —
+    * repeated calls don't re-read 10 parquet footers each time — but a
+    * dir switch (test fixtures vs sf dirs) re-registers.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (registeredDir.put(key, dir) != dir)
+      names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

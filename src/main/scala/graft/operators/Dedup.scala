@@ -38,12 +38,15 @@ object Dedup {
       .select(col("doc_id"),
         split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
           " +").as("toks"))
+      // Docs with fewer than 3 tokens contribute the whole doc as one
+      // shingle (no degenerate repeated-token shingles from clamping).
       .select(col("doc_id"),
         explode(expr(
-          """transform(sequence(1, greatest(size(toks) - 2, 1)),
-             i -> concat_ws(' ', element_at(toks, i),
-                            element_at(toks, least(i + 1, size(toks))),
-                            element_at(toks, least(i + 2, size(toks)))))"""))
+          """CASE WHEN size(toks) < 3 THEN array(concat_ws(' ', toks))
+             ELSE transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i),
+                              element_at(toks, i + 1),
+                              element_at(toks, i + 2))) END"""))
           .as("sh"))
       .distinct()
   }
@@ -57,6 +60,13 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-(band,bucket) group-size cap: groups up to this size emit all
+    * pairs; larger (hot) buckets — web-crawl boilerplate — emit only
+    * (min-doc, member) star pairs, bounding work at O(m) instead of
+    * O(m²) per bucket while preserving single-linkage connectivity.
+    */
+  private val HOT_BUCKET_CAP = 16
+
   /** LSH candidate pairs (a < b) from banded minhash signatures. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until BANDS).map { b =>
@@ -67,14 +77,23 @@ object Dedup {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
+    // One shuffle computes per-bucket size + representative (min doc).
+    val stats = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m"), min(col("doc_id")).as("rep"))
+    val withStats = banded.join(stats, Seq("band", "bucket"))
+    // Small buckets: all pairs. Hot buckets: star pairs around the rep.
+    val small = withStats.filter(col("m") <= HOT_BUCKET_CAP)
+    val a = small.select(col("band"), col("bucket"),
       col("doc_id").as("a_id"))
-    val b = banded.select(col("band"), col("bucket"),
+    val b = small.select(col("band"), col("bucket"),
       col("doc_id").as("b_id"))
-    a.join(b, Seq("band", "bucket"))
+    val smallPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
+    val hotPairs = withStats.filter(col("m") > HOT_BUCKET_CAP)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    smallPairs.unionAll(hotPairs).distinct()
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -90,7 +109,10 @@ object Dedup {
     // Near-dedup via n-gram Jaccard, LSH-pruned: per-doc verdict
     // (dup_of = smallest similar doc, else itself) — never empty output.
     "q41_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d).cache()
+      // DISK_ONLY: the full shingle set is corpus-sized — memory caching
+      // is unbounded at 100 TB; disk persist still avoids recompute.
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sizes = sh.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"))
       val cand = lshCandidates(minhashSignatures(sh))

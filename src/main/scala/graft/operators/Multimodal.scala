@@ -41,7 +41,9 @@ object Multimodal {
         col("doc_id"),
         n.as("n_bytes"),
         w, h, f,
-        base64(bin).as("payload_b64"))
+        // Spark's base64 MIME-chunks long payloads with \r\n; strip to
+        // the canonical unwrapped form (matches the oracle's to_base64).
+        regexp_replace(base64(bin), "[\\r\\n]", "").as("payload_b64"))
     }),
 
     // Partition-parallel typed decode stage (Dataset map over binary
@@ -76,7 +78,8 @@ object Multimodal {
                 (320 + octet_length(encode(text)) % 320)::INT AS width,
                 (240 + octet_length(encode(text)) % 240)::INT AS height,
                 (1 + octet_length(encode(text)) % 8)::INT AS n_frames,
-                to_base64(encode(text)) AS payload_b64
+                replace(replace(to_base64(encode(text)), chr(13), ''),
+                        chr(10), '') AS payload_b64
          FROM documents"""
     // q81 is rows-only: its feature payload is the stub's contract.
   )

@@ -269,8 +269,10 @@ object Relational {
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_v"),
-        ceil(col("l_extendedprice")).as("ceil_v"),
-        floor(col("l_extendedprice")).as("floor_v"),
+        // ceil/floor return BIGINT in Spark but DOUBLE in DuckDB — pin a
+        // common DOUBLE type so the oracle hash compare is type-stable.
+        ceil(col("l_extendedprice")).cast("double").as("ceil_v"),
+        floor(col("l_extendedprice")).cast("double").as("floor_v"),
         sqrt(col("l_quantity")).as("sqrt_v"),
         log(col("l_extendedprice")).as("ln_v"),
         log10(col("l_extendedprice")).as("log10_v"),
@@ -311,7 +313,10 @@ object Relational {
     "q32_cast_decimal" -> ((s, d) => {
       t(s, d, "orders").select(
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(14,2)").as("dec_price"),
+        // DECIMAL(14,2) is exercised, then compared as DOUBLE: engines
+        // disagree on decimal→pandas object representation, not on value.
+        col("o_totalprice").cast("decimal(14,2)").cast("double")
+          .as("dec_price"),
         col("o_orderkey").cast("string").as("key_str"),
         expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
         expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
@@ -492,7 +497,7 @@ object Relational {
          WHERE rn = 1""",
     "q32_cast_decimal" ->
       """SELECT o_orderkey,
-                o_totalprice::DECIMAL(14,2) AS dec_price,
+                (o_totalprice::DECIMAL(14,2))::DOUBLE AS dec_price,
                 o_orderkey::VARCHAR AS key_str,
                 TRY_CAST(o_orderpriority AS INT) AS prio_int,
                 TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,

@@ -51,11 +51,15 @@ object TableFunctions {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0)).toDF("node", "dist")
-    for (_ <- 1 to maxHops) {
+    for (hop <- 1 to maxHops) {
       val expanded = dist.join(edges, dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.unionAll(expanded)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // Truncate lineage every few supersteps: without this the plan
+      // doubles per hop and recomputation/optimizer cost explodes at
+      // larger hop counts (Pregel-style iteration hygiene).
+      if (hop % 3 == 0) dist = dist.localCheckpoint()
     }
     dist
   }
