@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's public API: SQL string in → DataFrame out.
+  *
+  * Mirrors the reference's only real entry point, `sql_execute`
+  * (`ThriftHandler/DBHandler.cpp:1285` in /root/reference): there the SQL
+  * goes C++ → embedded Calcite (parse/optimize) → RA JSON → JIT'd kernels.
+  * Here the entire lifecycle is Catalyst, in-process: parse → analyze
+  * (against the registered fixture views + extension functions) →
+  * optimize → whole-stage-codegen'd execution.
+  *
+  * Construction registers (once per session):
+  *  - every fixture table as a temp view (`Tables.registerAll`);
+  *  - the full extension-function surface — quarterday, week_sunday/
+  *    week_saturday, truncate, sample_ratio, jarowinkler_similarity,
+  *    dot_product/l2_norm/cosine_similarity, single_value — in the
+  *    session FunctionRegistry (`GraftFunctions.registerAll`), so they
+  *    are first-class SQL functions exactly like the reference's
+  *    extension-function whitelist (`QueryEngine/ExtensionFunctions.hpp`).
+  *
+  * DDL/DML statements Spark SQL can't express natively (COPY, HeavyDB
+  * CREATE TABLE options) go through the `Ddl` layer instead.
+  */
+final class HeavyEngine private (val spark: SparkSession) {
+
+  /** Execute a SQL query over the registered tables. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  def table(name: String): DataFrame = spark.table(name)
+}
+
+object HeavyEngine {
+  /** Engine over `spark` with the fixture tables at `dir` registered. */
+  def apply(spark: SparkSession, dir: String): HeavyEngine = {
+    functions.GraftFunctions.registerAll(spark)
+    Tables.registerAll(spark, dir)
+    new HeavyEngine(spark)
+  }
+}

@@ -21,6 +21,8 @@ object SparkEntry {
     (operators.TableFunctions.queries, operators.TableFunctions.oracles),
     (operators.Geo.queries, operators.Geo.oracles),
     (operators.Multimodal.queries, operators.Multimodal.oracles),
+    (operators.ApproxAggs.queries, operators.ApproxAggs.oracles),
+    (operators.SqlSurface.queries, operators.SqlSurface.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 

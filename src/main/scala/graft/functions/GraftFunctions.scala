@@ -15,8 +15,11 @@ object GraftFunctions {
     * (`QueryEngine/ExtensionFunctions.hpp` in /root/reference).
     * Spark's `round` rounds; this chops: floor for x>=0, ceil for x<0.
     */
-  def truncate_num(x: Column, d: Int): Column = {
-    val scale = pow(lit(10.0), lit(d))
+  def truncate_num(x: Column, d: Int): Column =
+    truncate_num(x, lit(d))
+
+  def truncate_num(x: Column, d: Column): Column = {
+    val scale = pow(lit(10.0), d)
     when(x >= 0, floor(x * scale) / scale)
       .otherwise(ceil(x * scale) / scale)
   }
@@ -53,6 +56,10 @@ object GraftFunctions {
   def sample_ratio(key: Column, ratio: Double): Column =
     (pmod(xxhash64(key), lit(1000000L)) < lit((ratio * 1000000L).toLong))
 
+  def sample_ratio(key: Column, ratio: Column): Column =
+    (pmod(xxhash64(key), lit(1000000L)) <
+      (ratio.cast("double") * 1000000L).cast("long"))
+
   /** Dot product of two numeric arrays (double precision accumulate).
     * Reference: DotProduct operator
     * (`java/calcite/.../HeavyDBSqlOperatorTable.java:531`).
@@ -87,14 +94,91 @@ object GraftFunctions {
         ColumnBridge.expression(b)))
   }
 
-  /** Register SQL-callable names for the extension functions. */
+  /** SINGLE_VALUE aggregate: the group's value if all rows agree, error
+    * if the group has more than one distinct value.
+    * Reference: `Shared/sqldefs.h:85` (kSINGLE_VALUE). Composed from
+    * codegen'd aggregates (stays inside HashAggregate — no UDAF object
+    * serialization): the CASE fires per output group after partial/final
+    * merge, so the distributed plan is the standard two-phase aggregate.
+    */
+  def single_value(c: Column): Column =
+    when(count_distinct(c) <= 1, first(c, ignoreNulls = true))
+      .otherwise(raise_error(
+        lit("single_value: group has more than one distinct value")))
+
+  /** Register SQL-callable names for every extension function, making
+    * the full surface reachable from `HeavyEngine.sql` (the reference
+    * registers these in its Calcite operator table,
+    * `java/calcite/.../HeavyDBSqlOperatorTable.java`).
+    */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
     val reg = spark.sessionState.functionRegistry
+
+    // SQL-macro registration: the body is parsed once per call site and
+    // the `__pN` placeholders replaced by the caller's argument
+    // expressions. The analyzer then resolves the built-in functions
+    // inside the body — so these expand to the SAME codegen'd expression
+    // trees as the Column-API versions above (no UDF black boxes).
+    def registerMacro(name: String, params: Seq[String], body: String): Unit =
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == params.length,
+            s"$name expects ${params.length} arguments, got ${exprs.length}")
+          val sub = params.zip(exprs).toMap
+          spark.sessionState.sqlParser.parseExpression(body).transformUp {
+            case a: UnresolvedAttribute if sub.contains(a.name) => sub(a.name)
+          }
+        })
+
     reg.registerFunction(
       FunctionIdentifier("jarowinkler_similarity"),
       new ExpressionInfo("graft", "jarowinkler_similarity"),
       exprs => JaroWinklerSimilarity(exprs(0), exprs(1)))
+    registerMacro("quarterday", Seq("__p0"),
+      "cast(hour(__p0) / 6 as int) + 1")
+    registerMacro("week_sunday", Seq("__p0"),
+      """cast((dayofyear(__p0)
+              + dayofweek(trunc(cast(__p0 as date), 'year')) - 2)
+             / 7 as int) + 1""")
+    registerMacro("week_saturday", Seq("__p0"),
+      """cast((dayofyear(__p0)
+              + (dayofweek(trunc(cast(__p0 as date), 'year')) % 7) + 1 - 2)
+             / 7 as int) + 1""")
+    registerMacro("truncate", Seq("__p0", "__p1"),
+      """case when __p0 >= 0
+              then floor(__p0 * power(10.0, __p1)) / power(10.0, __p1)
+              else ceil(__p0 * power(10.0, __p1)) / power(10.0, __p1)
+         end""")
+    registerMacro("sample_ratio", Seq("__p0", "__p1"),
+      """pmod(xxhash64(__p0), 1000000)
+         < cast(cast(__p1 as double) * 1000000 as bigint)""")
+    registerMacro("dot_product", Seq("__p0", "__p1"),
+      """aggregate(zip_with(__p0, __p1,
+                            (x, y) -> cast(x as double) * cast(y as double)),
+                   cast(0.0 as double), (acc, v) -> acc + v)""")
+    registerMacro("l2_norm", Seq("__p0"),
+      """sqrt(aggregate(__p0, cast(0.0 as double),
+                        (acc, v) -> acc + cast(v as double)
+                                        * cast(v as double)))""")
+    registerMacro("cosine_similarity", Seq("__p0", "__p1"),
+      """aggregate(zip_with(__p0, __p1,
+                            (x, y) -> cast(x as double) * cast(y as double)),
+                   cast(0.0 as double), (acc, v) -> acc + v)
+         / (sqrt(aggregate(__p0, cast(0.0 as double),
+                           (acc, v) -> acc + cast(v as double)
+                                           * cast(v as double)))
+            * sqrt(aggregate(__p1, cast(0.0 as double),
+                             (acc, v) -> acc + cast(v as double)
+                                             * cast(v as double))))""")
+    registerMacro("single_value", Seq("__p0"),
+      """case when count(distinct __p0) <= 1 then first(__p0, true)
+              else raise_error(
+                'single_value: group has more than one distinct value')
+         end""")
   }
 }

@@ -42,9 +42,14 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
 
   private def jaroWinkler(s1: String, s2: String): Double = {
     val jaro = jaroSim(s1, s2)
-    // Winkler prefix boost: up to 4 common leading chars, p = 0.1.
-    val prefix = s1.zip(s2).take(4).takeWhile { case (x, y) => x == y }.size
-    jaro + prefix * 0.1 * (1.0 - jaro)
+    // Winkler prefix boost: up to 4 common leading chars, p = 0.1,
+    // applied only above the standard 0.7 boost threshold (Winkler 1990;
+    // this is also what common implementations, incl. DuckDB's, do).
+    if (jaro <= 0.7) jaro
+    else {
+      val prefix = s1.zip(s2).take(4).takeWhile { case (x, y) => x == y }.size
+      jaro + prefix * 0.1 * (1.0 - jaro)
+    }
   }
 
   private def jaroSim(s1: String, s2: String): Double = {
@@ -83,7 +88,10 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val m = matches.toDouble
-    (m / len1 + m / len2 + (m - transpositions / 2.0) / m) / 3.0
+    // Half-transpositions are floored (t/2 in integer arithmetic) — the
+    // variant used by common implementations (incl. DuckDB's), and a
+    // no-op for the published Winkler test vectors (even t counts).
+    (m / len1 + m / len2 + (m - transpositions / 2) / m) / 3.0
   }
 
   override protected def withNewChildrenInternal(

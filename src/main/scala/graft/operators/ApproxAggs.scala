@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions.{sample_ratio, single_value}
+
+/** Approximate / statistical aggregates — SURVEY §2.4 rows 27-31.
+  *
+  * Reference: APPROX_COUNT_DISTINCT is HyperLogLog
+  * (`QueryEngine/HyperLogLog.h:88` in /root/reference), APPROX_QUANTILE /
+  * APPROX_MEDIAN are a t-digest (`Shared/quantile.h:184`), SAMPLE /
+  * LAST_SAMPLE keep an arbitrary per-group value (`Shared/sqldefs.h:84`),
+  * SINGLE_VALUE errors on >1 distinct (`sqldefs.h:85`). Spark's
+  * `approx_count_distinct` (HLL++) and `percentile_approx` (a different
+  * sketch, same contract) are drop-in; SAMPLE = `any_value`,
+  * LAST_SAMPLE = `last`; SINGLE_VALUE is composed in GraftFunctions.
+  *
+  * Oracle strategy (FIXTURES contract for nondeterministic aggs): the
+  * sketch value itself is engine-specific, so each query emits the EXACT
+  * aggregate (hash-compared) plus a boolean asserting the approximate
+  * answer lies within its documented error bound — the oracle emits
+  * `true`. SAMPLE/SINGLE_VALUE run on single-valued groups where the
+  * "arbitrary" value is determined, so they compare exactly.
+  *
+  * Scale: all are single-pass partial/final HashAggregates — the sketches
+  * merge associatively map-side, exactly why they exist at 100 TB (an
+  * exact COUNT(DISTINCT) shuffles every distinct key; HLL ships a 1.5 KB
+  * sketch per partition).
+  */
+object ApproxAggs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lineitem ⋈ orders, grouped by order: o_* columns are constant per
+    * group, making SAMPLE/SINGLE_VALUE deterministic.
+    */
+  private def perOrder(s: SparkSession, d: String)
+      : org.apache.spark.sql.RelationalGroupedDataset =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+
+  val queries: Seq[(String, Q)] = Seq(
+    // APPROX_COUNT_DISTINCT vs exact, within 5% (rsd configured 2%).
+    "q55_approx_count_distinct" -> ((s, d) => {
+      val exact = count_distinct(col("l_orderkey"))
+      val approx = approx_count_distinct(col("l_orderkey"), 0.02)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(exact.as("n_exact"),
+          (abs(approx - exact) <=
+            greatest(exact * lit(0.05), lit(10.0))).as("hll_ok"))
+    }),
+
+    // APPROX_MEDIAN vs exact percentile band [p45, p55].
+    "q56_approx_quantile" -> ((s, d) => {
+      val v: Column = col("l_extendedprice")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(v, lit(0.5), lit(10000))
+            .between(percentile(v, lit(0.45)), percentile(v, lit(0.55)))
+            .as("median_ok"))
+    }),
+
+    // SAMPLE / LAST_SAMPLE on single-valued groups (deterministic).
+    "q57_sample" -> ((s, d) => {
+      perOrder(s, d)
+        .agg(count(lit(1)).as("n_items"),
+          any_value(col("o_orderpriority")).as("sample_prio"),
+          last(col("o_orderdate")).as("last_date"))
+    }),
+
+    // SINGLE_VALUE: value when the group agrees, error otherwise
+    // (the error path is unit-tested in ApproxAggsSpec).
+    "q58_single_value" -> ((s, d) => {
+      perOrder(s, d)
+        .agg(single_value(col("o_orderpriority")).as("prio"))
+    }),
+
+    // SAMPLE_RATIO: deterministic hash-based row sampling; the sampled
+    // fraction must match the requested ratio within 2 points.
+    "q59_sample_ratio" -> ((s, d) => {
+      val key = col("l_orderkey") * 10 + col("l_linenumber")
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_total"),
+        (abs(sum(when(sample_ratio(key, 0.25), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double") - 0.25) < 0.02).as("ratio_ok"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q55_approx_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+                true AS hll_ok
+         FROM lineitem GROUP BY l_returnflag""",
+    "q56_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS median_ok
+         FROM lineitem GROUP BY l_returnflag""",
+    "q57_sample" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+                min(o_orderpriority) AS sample_prio,
+                min(o_orderdate) AS last_date
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+    "q58_single_value" ->
+      """SELECT l_orderkey, min(o_orderpriority) AS prio
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+    "q59_sample_ratio" ->
+      """SELECT count(*) AS n_total, true AS ratio_ok FROM lineitem"""
+  )
+}

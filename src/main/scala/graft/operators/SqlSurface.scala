@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.HeavyEngine
+
+/** Queries routed through the `HeavyEngine.sql` facade — the reference's
+  * production entry path (`ThriftHandler/DBHandler.cpp:1285`
+  * `sql_execute` in /root/reference). These exercise, as SQL text:
+  *  - the registered extension functions (quarterday, week_sunday/
+  *    week_saturday extract fields `QueryEngine/ExtractFromTime.h:77-98`,
+  *    TRUNCATE `QueryEngine/ExtensionFunctions.hpp`,
+  *    JAROWINKLER_SIMILARITY / LEVENSHTEIN `StringOps/StringOps.h:213`);
+  *  - the string-op kinds from `Shared/sqldefs.h:92-141` that are Spark
+  *    built-ins (INITCAP, OVERLAY, REPEAT, POSITION, LEFT/RIGHT,
+  *    SPLIT_PART, TRANSLATE, URL_ENCODE, SPACE).
+  *
+  * Everything here is plain Catalyst SQL → the plans are identical to the
+  * DataFrame-API equivalents (scan + project, fully codegen'd, no UDFs).
+  */
+object SqlSurface {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+    // Extract-field extensions over the event stream.
+    "q62_extract_extended" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT event_id,
+                  quarterday(ts) AS qd,
+                  week_sunday(ts) AS wk_sun,
+                  week_saturday(ts) AS wk_sat
+           FROM events""")),
+
+    // String-similarity functions over adjacent part-name pairs.
+    "q63_string_similarity" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT a.p_partkey AS a_key,
+                  jarowinkler_similarity(a.p_name, b.p_name) AS jw,
+                  levenshtein(a.p_name, b.p_name) AS lev
+           FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""")),
+
+    // TRUNCATE with positive / negative digit counts.
+    "q64_truncate" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT l_orderkey, l_linenumber,
+                  truncate(l_extendedprice, 2) AS t2,
+                  truncate(-l_extendedprice, 1) AS tn1,
+                  truncate(l_extendedprice, -2) AS tm2
+           FROM lineitem""")),
+
+    // String-op completeness (built-in kinds the round-1 surface missed).
+    "q65_string_complete" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT c_custkey,
+                  initcap(lower(c_name)) AS ic,
+                  overlay(c_name, 'XX', 2, 2) AS ov,
+                  repeat(c_mktsegment, 2) AS rep2,
+                  instr(c_name, '1') AS pos1,
+                  left(c_name, 4) AS l4,
+                  right(c_name, 3) AS r3,
+                  split_part(c_name, '#', 2) AS nm2,
+                  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+                  url_encode(c_name) AS urlenc,
+                  concat(space(2), c_mktsegment) AS padded
+           FROM customer"""))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    // DuckDB dayofweek: 0=Sunday..6=Saturday (Spark's dayofweek is
+    // 1=Sunday..7=Saturday — hence the +1 / %7 shifts).
+    "q62_extract_extended" ->
+      """SELECT event_id,
+                (hour(ts::TIMESTAMP) // 6 + 1)::INT AS qd,
+                ((dayofyear(ts::TIMESTAMP)
+                  + dayofweek(date_trunc('year', ts::TIMESTAMP)) - 1)
+                  // 7 + 1)::INT AS wk_sun,
+                ((dayofyear(ts::TIMESTAMP)
+                  + ((dayofweek(date_trunc('year', ts::TIMESTAMP)) + 1) % 7)
+                  - 1) // 7 + 1)::INT AS wk_sat
+         FROM events""",
+    "q63_string_similarity" ->
+      """SELECT a.p_partkey AS a_key,
+                round(jaro_winkler_similarity(a.p_name, b.p_name)
+                      * 100)::INT AS jw,
+                levenshtein(a.p_name, b.p_name)::INT AS lev
+         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""",
+    "q64_truncate" ->
+      """SELECT l_orderkey, l_linenumber,
+                floor(l_extendedprice * pow(10.0, 2)) / pow(10.0, 2) AS t2,
+                ceil(-l_extendedprice * pow(10.0, 1)) / pow(10.0, 1) AS tn1,
+                floor(l_extendedprice * pow(10.0, -2)) / pow(10.0, -2) AS tm2
+         FROM lineitem""",
+    "q65_string_complete" ->
+      """SELECT c_custkey,
+                upper(substr(lower(c_name), 1, 1))
+                  || substr(lower(c_name), 2) AS ic,
+                substr(c_name, 1, 1) || 'XX' || substr(c_name, 4) AS ov,
+                repeat(c_mktsegment, 2) AS rep2,
+                strpos(c_name, '1')::INT AS pos1,
+                left(c_name, 4) AS l4,
+                right(c_name, 3) AS r3,
+                split_part(c_name, '#', 2) AS nm2,
+                translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+                replace(c_name, '#', '%23') AS urlenc,
+                repeat(' ', 2) || c_mktsegment AS padded
+         FROM customer"""
+  )
+}

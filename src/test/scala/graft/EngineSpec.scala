@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("single_value returns the value on single-valued groups") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.single_value
+    val got = Seq((1, "a"), (1, "a"), (2, "b"))
+      .toDF("k", "v")
+      .groupBy(col("k")).agg(single_value(col("v")).as("sv"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "b"))
+  }
+
+  test("single_value errors when a group has >1 distinct value") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.single_value
+    val df = Seq((1, "a"), (1, "b"))
+      .toDF("k", "v")
+      .groupBy(col("k")).agg(single_value(col("v")).as("sv"))
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("single_value") ||
+      Option(e.getCause).exists(_.getMessage.contains("single_value")))
+  }
+
+  test("HeavyEngine.sql resolves tables and extension functions") {
+    val eng = HeavyEngine(spark, sf)
+    val row = eng.sql(
+      """SELECT quarterday(TIMESTAMP '2024-05-01 13:00:00') AS qd,
+                truncate(3.789, 1) AS tr,
+                jarowinkler_similarity('MARTHA', 'MARHTA') AS jw,
+                single_value(x) AS sv
+         FROM (SELECT 7 AS x)""").collect().head
+    assert(row.getInt(0) == 3)
+    assert(row.getDouble(1) == 3.7)
+    assert(row.getInt(2) == 96)
+    assert(row.getInt(3) == 7)
+  }
+
+  test("sample_ratio is deterministic and near the requested fraction") {
+    import graft.functions.GraftFunctions.sample_ratio
+    val li = Tables.t(spark, sf, "lineitem")
+    val key = col("l_orderkey") * 10 + col("l_linenumber")
+    val n = li.count().toDouble
+    val k1 = li.filter(sample_ratio(key, 0.25)).count()
+    val k2 = li.filter(sample_ratio(key, 0.25)).count()
+    assert(k1 == k2)
+    assert(math.abs(k1 / n - 0.25) < 0.03)
+  }
+}
