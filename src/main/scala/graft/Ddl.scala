@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import scala.util.matching.Regex
+
+/** DDL/DML over managed parquet tables — SURVEY §2.12.
+  *
+  * The reference classifies each statement up front
+  * (`Parser/ParserWrapper.h:106-113` in /root/reference: is_ddl /
+  * is_update_dml / is_ctas / is_itas / is_copy ...) and dispatches to
+  * dedicated executors (CREATE `Parser/ParserNode.h:990`, CTAS :1173,
+  * ITAS :1131, INSERT VALUES :2110, COPY :1464, UPDATE/DELETE through
+  * `QueryEngine/StorageIOFacility.h:105`). This object is that router,
+  * Spark-first:
+  *
+  *  - tables are versioned parquet directories under a session-scoped
+  *    base dir, exposed as temp views (the in-engine catalog maps
+  *    name → current version path, like the reference's epoch-numbered
+  *    table storage);
+  *  - CTAS / CREATE(schema) write v0; INSERT appends files to the
+  *    current version (fragment append, `Fragmenter/
+  *    InsertOrderFragmenter.cpp` — no rewrite, scale-safe);
+  *  - UPDATE / DELETE are copy-on-write: the new version is written
+  *    completely, then the catalog pointer swaps — readers of the old
+  *    version are never disturbed and a failed rewrite leaves the table
+  *    untouched (the reference's deleted-bitmap + epoch rollback,
+  *    re-expressed for immutable parquet). At 100 TB the rewrite is
+  *    bounded by partition pruning on the WHERE clause when the table is
+  *    partitioned; the full-scan fallback here is the correct semantics
+  *    at any scale, one job, no driver materialization;
+  *  - COPY t FROM 'x.csv' / COPY (SELECT ...) TO 'dir' map to
+  *    `spark.read.csv` (schema from the target table) and `df.write.csv`
+  *    (`ImportExport/Importer.cpp`, `QueryExporterCSV.cpp`).
+  *
+  * Expressions inside statements (SET right-hand sides, WHERE clauses,
+  * VALUES rows, source SELECTs) are handed to Catalyst via `expr`/`sql` —
+  * this router only recognizes statement SHAPE, never re-implements
+  * expression parsing.
+  */
+object Ddl {
+
+  private case class Managed(baseDir: String, version: Int)
+  private val catalog = new ConcurrentHashMap[String, Managed]()
+
+  private lazy val root: String =
+    Files.createTempDirectory("graft_tables").toString
+
+  private def currentPath(m: Managed) = s"${m.baseDir}/v${m.version}"
+
+  private def registerView(spark: SparkSession, name: String): Unit = {
+    val m = catalog.get(name)
+    require(m != null, s"table not found: $name")
+    spark.read.parquet(currentPath(m)).createOrReplaceTempView(name)
+  }
+
+  private def table(spark: SparkSession, name: String): DataFrame = {
+    val m = catalog.get(name)
+    require(m != null, s"table not found: $name")
+    spark.read.parquet(currentPath(m))
+  }
+
+  /** Write df as the next version of `name`, then swap the pointer. */
+  private def swapIn(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val prev = Option(catalog.get(name))
+    val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
+    val next = prev.map(_.version + 1).getOrElse(0)
+    df.write.mode("overwrite").parquet(s"$base/v$next")
+    catalog.put(name, Managed(base, next))
+    registerView(spark, name)
+  }
+
+  def createTableAs(spark: SparkSession, name: String, df: DataFrame): Unit =
+    swapIn(spark, name, df)
+
+  def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
+    swapIn(spark, name,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema))
+
+  /** INSERT: schema-align by position, then append files to the current
+    * version directory (no rewrite).
+    */
+  def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit = {
+    val m = catalog.get(name)
+    require(m != null, s"table not found: $name")
+    val target = table(spark, name).schema
+    require(rows.schema.length == target.length,
+      s"INSERT arity ${rows.schema.length} != table arity ${target.length}")
+    // Positional rename first: VALUES-derived column names can contain
+    // dots ("30.0") that attribute resolution would treat as nesting.
+    val aligned = rows.toDF(target.fieldNames.toIndexedSeq: _*)
+      .select(target.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    aligned.write.mode("append").parquet(currentPath(m))
+    spark.catalog.refreshByPath(currentPath(m))
+    registerView(spark, name)
+  }
+
+  /** UPDATE ... SET a = e1, b = e2 WHERE cond — copy-on-write rewrite. */
+  def update(spark: SparkSession, name: String,
+      assignments: Seq[(String, String)], where: Option[String]): Unit = {
+    val df = table(spark, name)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val updated = df.select(df.columns.map { c =>
+      assignments.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, e)) =>
+          when(cond, expr(e).cast(df.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
+    swapIn(spark, name, updated)
+  }
+
+  /** DELETE FROM ... WHERE cond — copy-on-write anti-filter. */
+  def delete(spark: SparkSession, name: String, where: Option[String]): Unit = {
+    val df = table(spark, name)
+    // Keep rows where the predicate is not TRUE (NULL keeps the row —
+    // SQL DELETE only removes rows whose WHERE evaluates to true).
+    val kept = where.map(w => df.filter(!coalesce(expr(w), lit(false))))
+      .getOrElse(df.limit(0))
+    swapIn(spark, name, kept)
+  }
+
+  def dropTable(spark: SparkSession, name: String): Unit = {
+    catalog.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  // ---- statement router ----------------------------------------------
+
+  private val CreateAs: Regex =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+  private val CreateSchema: Regex =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
+  private val InsertValues: Regex =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)""".r
+  private val InsertSelect: Regex =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)""".r
+  private val Update: Regex =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val Delete: Regex =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val Drop: Regex =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val CopyFrom: Regex =
+    """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
+  private val CopyTo: Regex =
+    """(?is)\s*COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*""".r
+
+  /** Split on top-level commas (parens/quotes respected). */
+  private[graft] def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Route a statement; None means "not DDL/DML — plain query". */
+  def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    def done: Option[DataFrame] = Some(spark.emptyDataFrame)
+    stmt match {
+      case CreateAs(name, select) =>
+        createTableAs(spark, name, spark.sql(select)); done
+      case CreateSchema(name, colsDdl) =>
+        createTable(spark, name, StructType.fromDDL(colsDdl)); done
+      case InsertValues(name, values) =>
+        insertInto(spark, name, spark.sql(s"SELECT * FROM VALUES $values"))
+        done
+      case InsertSelect(name, select) =>
+        insertInto(spark, name, spark.sql(select)); done
+      case Update(name, sets, where) =>
+        val assignments = splitTop(sets).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          (k.trim, v.trim)
+        }
+        update(spark, name, assignments, Option(where)); done
+      case Delete(name, where) =>
+        delete(spark, name, Option(where)); done
+      case Drop(name) =>
+        dropTable(spark, name); done
+      case CopyFrom(name, path) =>
+        val schema = table(spark, name).schema
+        insertInto(spark, name,
+          spark.read.schema(schema).option("header", "true").csv(path))
+        done
+      case CopyTo(select, path) =>
+        spark.sql(select).write.mode("overwrite")
+          .option("header", "true").csv(path)
+        done
+      case _ => None
+    }
+  }
+}

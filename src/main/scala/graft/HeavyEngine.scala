@@ -25,8 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class HeavyEngine private (val spark: SparkSession) {
 
-  /** Execute a SQL query over the registered tables. */
-  def sql(query: String): DataFrame = spark.sql(query)
+  /** Execute a SQL statement: DDL/DML (CREATE/CTAS/INSERT/UPDATE/DELETE/
+    * DROP/COPY) routes through the managed-table layer (`Ddl`), exactly
+    * like the reference's `ParserWrapper` statement classification;
+    * everything else is a query handed to Catalyst.
+    */
+  def sql(query: String): DataFrame =
+    Ddl.route(spark, query).getOrElse(spark.sql(query))
 
   def table(name: String): DataFrame = spark.table(name)
 }

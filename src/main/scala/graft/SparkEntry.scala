@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Multimodal.queries, operators.Multimodal.oracles),
     (operators.ApproxAggs.queries, operators.ApproxAggs.oracles),
     (operators.SqlSurface.queries, operators.SqlSurface.oracles),
+    (operators.DdlDml.queries, operators.DdlDml.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.HeavyEngine
+
+/** DDL/DML round-trips through the `HeavyEngine.sql` statement router —
+  * SURVEY §2.12 (reference: `Parser/ParserNode.h:990-2110`,
+  * UPDATE/DELETE `QueryEngine/StorageIOFacility.h:105`, COPY
+  * `ImportExport/Importer.cpp` + `QueryExporterCSV.cpp`).
+  *
+  * Each query executes the full mutation sequence, then returns the
+  * post-mutation SELECT; the DuckDB oracle replays the same mutations as
+  * pure relational algebra (CTAS = filter, INSERT = union, UPDATE =
+  * CASE-projection, DELETE = anti-filter) — results must hash-match.
+  */
+object DdlDml {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+    // CTAS → INSERT VALUES → UPDATE → DELETE → aggregate readback.
+    "q66_crud_roundtrip" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP TABLE IF EXISTS crud_orders")
+      eng.sql("""CREATE TABLE crud_orders AS
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey < 1000""")
+      eng.sql("""INSERT INTO crud_orders VALUES
+                 (9000001, 'X', 500.0), (9000002, 'X', 2500.0)""")
+      eng.sql("""UPDATE crud_orders SET o_totalprice = o_totalprice * 1.1
+                 WHERE o_orderstatus = 'O'""")
+      eng.sql("DELETE FROM crud_orders WHERE o_totalprice < 1000.0")
+      eng.sql("""SELECT o_orderstatus, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM crud_orders GROUP BY o_orderstatus""")
+    }),
+
+    // COPY TO csv → CREATE(schema) → COPY FROM csv → aggregate readback:
+    // the CSV round-trip must preserve the parquet-loaded aggregates.
+    "q67_copy_csv_roundtrip" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_copy").toString
+      eng.sql(s"""COPY (SELECT l_orderkey, l_quantity, l_returnflag
+                        FROM lineitem) TO '$dir/li_csv'""")
+      eng.sql("DROP TABLE IF EXISTS csv_lineitem")
+      eng.sql("""CREATE TABLE csv_lineitem
+                 (l_orderkey BIGINT, l_quantity DOUBLE,
+                  l_returnflag STRING)""")
+      eng.sql(s"COPY csv_lineitem FROM '$dir/li_csv'")
+      eng.sql("""SELECT l_returnflag, count(*) AS n,
+                        round(sum(l_quantity), 2) AS qty
+                 FROM csv_lineitem GROUP BY l_returnflag""")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q66_crud_roundtrip" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey < 1000
+           UNION ALL
+           SELECT * FROM (VALUES (9000001::BIGINT, 'X', 500.0::DOUBLE),
+                                 (9000002::BIGINT, 'X', 2500.0::DOUBLE))
+             v(o_orderkey, o_orderstatus, o_totalprice)),
+         upd AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderstatus = 'O'
+                       THEN o_totalprice * 1.1
+                       ELSE o_totalprice END AS o_totalprice
+           FROM base),
+         kept AS (SELECT * FROM upd WHERE NOT (o_totalprice < 1000.0))
+         SELECT o_orderstatus, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM kept GROUP BY o_orderstatus""",
+    "q67_copy_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY l_returnflag"""
+  )
+}

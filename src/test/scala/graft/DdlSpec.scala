@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DdlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("splitTop respects parens and quoted strings") {
+    assert(Ddl.splitTop("a = f(x, y), b = 'p,q', c = 1") ==
+      Seq("a = f(x, y)", "b = 'p,q'", "c = 1"))
+  }
+
+  test("CRUD round-trip: create, insert, update, delete, select") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_crud")
+    eng.sql("CREATE TABLE t_crud (k BIGINT, v STRING, x DOUBLE)")
+    eng.sql("INSERT INTO t_crud VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    eng.sql("INSERT INTO t_crud SELECT 3, 'c', 30.0")
+    eng.sql("UPDATE t_crud SET x = x + 1.0 WHERE v = 'b'")
+    eng.sql("DELETE FROM t_crud WHERE k = 1")
+    val got = eng.sql("SELECT k, v, x FROM t_crud ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, "b", 21.0), (3L, "c", 30.0)))
+    eng.sql("DROP TABLE t_crud")
+  }
+
+  test("DELETE with NULL-valued predicate keeps the row") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_null")
+    eng.sql("CREATE TABLE t_null (k BIGINT, x DOUBLE)")
+    eng.sql("INSERT INTO t_null VALUES (1, CAST(NULL AS DOUBLE)), (2, 5.0)")
+    eng.sql("DELETE FROM t_null WHERE x < 10.0")
+    val got = eng.sql("SELECT k FROM t_null").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L)) // NULL predicate → row survives DELETE
+    eng.sql("DROP TABLE t_null")
+  }
+
+  test("UPDATE without WHERE touches every row") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_all")
+    eng.sql("CREATE TABLE t_all AS SELECT 1 AS k UNION ALL SELECT 2")
+    eng.sql("UPDATE t_all SET k = k * 10")
+    val got = eng.sql("SELECT sum(k) AS s FROM t_all").collect().head.getLong(0)
+    assert(got == 30L)
+    eng.sql("DROP TABLE t_all")
+  }
+}
