@@ -40,6 +40,7 @@ object HeavyEngine {
   /** Engine over `spark` with the fixture tables at `dir` registered. */
   def apply(spark: SparkSession, dir: String): HeavyEngine = {
     functions.GraftFunctions.registerAll(spark)
+    functions.GeoFunctions.registerAll(spark)
     Tables.registerAll(spark, dir)
     new HeavyEngine(spark)
   }

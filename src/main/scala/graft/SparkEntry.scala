@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.ApproxAggs.queries, operators.ApproxAggs.oracles),
     (operators.SqlSurface.queries, operators.SqlSurface.oracles),
     (operators.DdlDml.queries, operators.DdlDml.oracles),
+    (operators.MLFunctions.queries, operators.MLFunctions.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 

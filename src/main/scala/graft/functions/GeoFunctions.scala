@@ -65,4 +65,54 @@ object GeoFunctions {
   def st_grid_cell(p: Column, cellSize: Column): Column =
     struct(floor(st_x(p) / cellSize).cast("long").as("cx"),
       floor(st_y(p) / cellSize).cast("long").as("cy"))
+
+  // --- polygon subset (Catalyst expressions, GeomExpressions.scala) ---
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => c, expression => e}
+
+  /** Parse WKT POINT/LINESTRING/POLYGON(outer ring) → vertex array. */
+  def st_geom_from_text(wkt: Column): Column = c(STPointsFromWkt(e(wkt)))
+
+  /** Shoelace polygon area (planar). */
+  def st_area(ring: Column): Column = c(STArea(e(ring)))
+
+  /** Linestring length / ring perimeter. */
+  def st_length(line: Column): Column = c(STLength(e(line), closed = false))
+  def st_perimeter(ring: Column): Column = c(STLength(e(ring), closed = true))
+
+  /** Ray-cast point-in-polygon. */
+  def st_contains_poly(ring: Column, x: Column, y: Column): Column =
+    c(STContainsPoint(e(ring), e(x.cast("double")), e(y.cast("double"))))
+
+  /** Polygon-polygon intersection predicate. */
+  def st_intersects(a: Column, b: Column): Column =
+    c(STIntersectsPoly(e(a), e(b)))
+
+  /** ST_NPOINTS. */
+  def st_npoints(ring: Column): Column = size(ring)
+
+  /** Register the geometry functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("st_geomfromtext"),
+      new ExpressionInfo("graft", "st_geomfromtext"),
+      ex => STPointsFromWkt(ex.head))
+    reg.registerFunction(FunctionIdentifier("st_area"),
+      new ExpressionInfo("graft", "st_area"),
+      ex => STArea(ex.head))
+    reg.registerFunction(FunctionIdentifier("st_length"),
+      new ExpressionInfo("graft", "st_length"),
+      ex => STLength(ex.head, closed = false))
+    reg.registerFunction(FunctionIdentifier("st_perimeter"),
+      new ExpressionInfo("graft", "st_perimeter"),
+      ex => STLength(ex.head, closed = true))
+    reg.registerFunction(FunctionIdentifier("st_contains"),
+      new ExpressionInfo("graft", "st_contains"),
+      ex => STContainsPoint(ex(0), ex(1), ex(2)))
+    reg.registerFunction(FunctionIdentifier("st_intersects"),
+      new ExpressionInfo("graft", "st_intersects"),
+      ex => STIntersectsPoly(ex(0), ex(1)))
+  }
 }

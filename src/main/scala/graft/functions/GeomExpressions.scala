@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polygon/linestring geometry as Catalyst expressions — SURVEY §2.7
+  * geo row. The reference implements these as JIT'd geo operators
+  * (`QueryEngine/GeoOperators/`, accessors/predicates/measures listed in
+  * `java/calcite/.../HeavyDBSqlOperatorTable.java:2382-3360`); here each
+  * is a per-row expression over the engine's geometry encoding
+  * `array<struct<x:double,y:double>>` (one ring / line / point list —
+  * the uncompressed-doubles subset, matching `Geospatial/Compression.cpp`
+  * NONE encoding).
+  *
+  * All are null-safe, driver-free, and evaluate inside the generated
+  * plan per row (CodegenFallback: no UDF serialization, linear scan
+  * cost; vertex counts are small constants in practice so the per-row
+  * work is O(vertices) / O(v_a · v_b) for the pair predicate).
+  */
+private object GeomUtil {
+  val pointType: StructType =
+    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
+  val ringType: ArrayType = ArrayType(pointType)
+
+  def xs(a: ArrayData): Array[Double] =
+    Array.tabulate(a.numElements())(i => a.getStruct(i, 2).getDouble(0))
+  def ys(a: ArrayData): Array[Double] =
+    Array.tabulate(a.numElements())(i => a.getStruct(i, 2).getDouble(1))
+
+  def checkRing(dt: DataType, name: String): TypeCheckResult = dt match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 &&
+          fields.forall(_.dataType == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<struct<x:double,y:double>>, got " +
+        other.simpleString)
+  }
+
+  /** Ray-cast point-in-polygon (even-odd rule); boundary points follow
+    * the crossing rule of the cast (callers should treat boundaries as
+    * undefined, as the reference's compressed-coords tests do).
+    */
+  def containsPoint(px: Array[Double], py: Array[Double],
+      x: Double, y: Double): Boolean = {
+    val n = px.length
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      if (((py(i) > y) != (py(j) > y)) &&
+        (x < (px(j) - px(i)) * (y - py(i)) / (py(j) - py(i)) + px(i)))
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Proper/touching segment intersection test. */
+  def segmentsIntersect(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+      bx1: Double, by1: Double, bx2: Double, by2: Double): Boolean = {
+    def orient(ox: Double, oy: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      (qx - ox) * (ry - oy) - (qy - oy) * (rx - ox)
+    def onSeg(ox: Double, oy: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Boolean =
+      math.min(ox, qx) <= rx && rx <= math.max(ox, qx) &&
+        math.min(oy, qy) <= ry && ry <= math.max(oy, qy)
+    val o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    val o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    val o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    val o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    if (((o1 > 0) != (o2 > 0)) && ((o3 > 0) != (o4 > 0))) return true
+    (o1 == 0 && onSeg(ax1, ay1, ax2, ay2, bx1, by1)) ||
+      (o2 == 0 && onSeg(ax1, ay1, ax2, ay2, bx2, by2)) ||
+      (o3 == 0 && onSeg(bx1, by1, bx2, by2, ax1, ay1)) ||
+      (o4 == 0 && onSeg(bx1, by1, bx2, by2, ax2, ay2))
+  }
+}
+
+/** ST_GEOMFROMTEXT for POINT/LINESTRING/POLYGON (outer ring) → vertex
+  * array. Reference: WKT import `Geospatial/Types.cpp` (GeoTypesFactory).
+  */
+case class STPointsFromWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string WKT, got ${child.dataType.simpleString}")
+  override def prettyName: String = "st_points_from_wkt"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val wkt = input.asInstanceOf[UTF8String].toString.trim
+    val inner = {
+      val open = wkt.indexOf('(')
+      if (open < 0) return null
+      // strip to the innermost ring of the first (outer) ring group
+      wkt.substring(open).dropWhile(_ == '(')
+        .takeWhile(c => c != ')' )
+    }
+    val pts = inner.split(",").map(_.trim).filter(_.nonEmpty).map { p =>
+      val parts = p.split("\\s+")
+      InternalRow(parts(0).toDouble, parts(1).toDouble)
+    }
+    new GenericArrayData(pts.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_AREA via the shoelace formula (planar).
+  * Reference: `QueryEngine/GeoOperators/AreaPerimeter.h`.
+  */
+case class STArea(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeomUtil.checkRing(child.dataType, prettyName)
+  override def prettyName: String = "st_area"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val (px, py) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val n = px.length
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += px(i) * py(j) - px(j) * py(i)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_LENGTH / ST_PERIMETER: sum of segment lengths; `closed` adds the
+  * wrap-around segment (perimeter of a ring vs length of a linestring).
+  */
+case class STLength(child: Expression, closed: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeomUtil.checkRing(child.dataType, prettyName)
+  override def prettyName: String = if (closed) "st_perimeter" else "st_length"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val (px, py) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val n = px.length
+    if (n < 2) return 0.0
+    // A closed WKT ring repeats its first vertex; avoid double-counting.
+    val last = if (closed && (px(0) == px(n - 1) && py(0) == py(n - 1)))
+      n - 1 else n
+    var s = 0.0
+    var i = 0
+    val upTo = if (closed) last else n - 1
+    while (i < upTo) {
+      val j = (i + 1) % last
+      s += math.hypot(px(j) - px(i), py(j) - py(i))
+      i += 1
+    }
+    s
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_CONTAINS(polygon, x, y) — ray-cast point-in-polygon.
+  * Reference: `QueryEngine/GeoOperators/Contains.h` (point-in-poly path).
+  */
+case class STContainsPoint(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ring = GeomUtil.checkRing(first.dataType, prettyName)
+    if (ring != TypeCheckResult.TypeCheckSuccess) ring
+    else if (second.dataType == DoubleType && third.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ring, double, double)")
+  }
+  override def prettyName: String = "st_contains_point"
+
+  override protected def nullSafeEval(ring: Any, x: Any, y: Any): Any = {
+    val a = ring.asInstanceOf[ArrayData]
+    GeomUtil.containsPoint(GeomUtil.xs(a), GeomUtil.ys(a),
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** ST_INTERSECTS(polyA, polyB): any edge pair intersects, or one polygon
+  * contains a vertex of the other (covers containment without edge
+  * crossings). Reference: bbox-accelerated exact predicate
+  * (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`
+  * for the join form; scalar `GeoOperators/`).
+  */
+case class STIntersectsPoly(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else GeomUtil.checkRing(right.dataType, prettyName)
+  }
+  override def prettyName: String = "st_intersects_poly"
+
+  override protected def nullSafeEval(la: Any, ra: Any): Any = {
+    val a = la.asInstanceOf[ArrayData]
+    val b = ra.asInstanceOf[ArrayData]
+    val (ax, ay) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val (bx, by) = (GeomUtil.xs(b), GeomUtil.ys(b))
+    val (n, m) = (ax.length, bx.length)
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = 0
+      while (j < m) {
+        val j2 = (j + 1) % m
+        if (GeomUtil.segmentsIntersect(ax(i), ay(i), ax(i2), ay(i2),
+          bx(j), by(j), bx(j2), by(j2))) return true
+        j += 1
+      }
+      i += 1
+    }
+    GeomUtil.containsPoint(ax, ay, bx(0), by(0)) ||
+      GeomUtil.containsPoint(bx, by, ax(0), ay(0))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

@@ -24,7 +24,7 @@ object Geo {
       st_point(col("p_size").cast("double") - 25.0,
         col("p_retailprice") % 50.0).as("pt"))
 
-  val queries: Seq[(String, Q)] = Seq(
+  private val baseQueries: Seq[(String, Q)] = Seq(
     // Accessors + planar/spherical measures + predicates.
     "q60_geo_scalar" -> ((s, d) => {
       val origin = st_point(lit(0.0), lit(25.0))
@@ -67,7 +67,85 @@ object Geo {
     })
   )
 
+  /** Deterministic right-triangle WKT per part row: legs w × h at
+    * (cx, cy). Closed-form area/perimeter/containment make the oracle
+    * DuckDB-expressible without a spatial extension.
+    */
+  private def triangles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      (col("p_size").cast("double") - 25.0).as("cx"),
+      (col("p_retailprice") % 50.0).as("cy"),
+      (lit(1.0) + col("p_size") % 5).as("w"),
+      (lit(1.0) + col("p_partkey") % 7).as("h"))
+      .withColumn("wkt", format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s))",
+        col("cx"), col("cy"),
+        col("cx") + col("w"), col("cy"),
+        col("cx"), col("cy") + col("h"),
+        col("cx"), col("cy")))
+
+  private val polyQueries: Seq[(String, Q)] = Seq(
+    // WKT parse + measures: the full text → geometry → compute path.
+    "q68_geo_wkt_measures" -> ((s, d) => {
+      triangles(s, d)
+        .withColumn("ring", st_geom_from_text(col("wkt")))
+        .select(col("p_partkey"),
+          st_npoints(col("ring")).as("np"),
+          st_area(col("ring")).as("area"),
+          st_perimeter(col("ring")).as("perim"))
+    }),
+
+    // Ray-cast point-in-polygon on strictly-inside / strictly-outside
+    // probes (boundary semantics are excluded by construction).
+    "q69_geo_contains_poly" -> ((s, d) => {
+      triangles(s, d)
+        .withColumn("ring", st_geom_from_text(col("wkt")))
+        .select(col("p_partkey"),
+          st_contains_poly(col("ring"),
+            col("cx") + col("w") / 4,
+            col("cy") + col("h") / 4 +
+              (col("p_partkey") % 3) * lit(0.4) * col("h"))
+            .as("probe_in"),
+          st_contains_poly(col("ring"),
+            col("cx") - 1.0, col("cy") + col("h") / 4)
+            .as("probe_out"))
+    }),
+
+    // Polygon-polygon ST_Intersects: each triangle vs its x-shifted
+    // copy; shift chosen so pairs are clearly overlapping or clearly
+    // disjoint (never exactly touching).
+    "q71_geo_intersects" -> ((s, d) => {
+      val tri = triangles(s, d)
+        .withColumn("ring", st_geom_from_text(col("wkt")))
+        .withColumn("dx", (col("p_partkey") % 5) * lit(0.7) * col("w"))
+        .withColumn("ring2", transform(col("ring"),
+          p => struct((p.getField("x") + col("dx")).as("x"),
+            p.getField("y").as("y"))))
+      tri.select(col("p_partkey"),
+        st_intersects(col("ring"), col("ring2")).as("hits"))
+    })
+  )
+
+  val queries: Seq[(String, Q)] = baseQueries ++ polyQueries
+
   val oracles: Seq[(String, String)] = Seq(
+    "q68_geo_wkt_measures" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h
+           FROM part)
+         SELECT p_partkey, 4::INT AS np, w * h / 2.0 AS area,
+                w + h + sqrt(w * w + h * h) AS perim
+         FROM p""",
+    "q69_geo_contains_poly" ->
+      """SELECT p_partkey,
+                (0.5 + 0.4 * (p_partkey % 3)) < 1.0 AS probe_in,
+                false AS probe_out
+         FROM part""",
+    "q71_geo_intersects" ->
+      """SELECT p_partkey, (p_partkey % 5) <= 1 AS hits FROM part""",
     "q60_geo_scalar" ->
       """WITH p AS (
            SELECT p_partkey,
