@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.SqlSurface.queries, operators.SqlSurface.oracles),
     (operators.DdlDml.queries, operators.DdlDml.oracles),
     (operators.MLFunctions.queries, operators.MLFunctions.oracles),
+    (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 

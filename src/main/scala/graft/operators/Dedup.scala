@@ -33,7 +33,7 @@ object Dedup {
   /** (doc_id, shingle) pairs: 3-word shingles of the normalized text.
     * Duplicate shingles within a doc are dropped (set semantics).
     */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
     t(s, d, "documents")
       .select(col("doc_id"),
         split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),

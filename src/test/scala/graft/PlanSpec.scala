@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins (the reference pins plans too: `Tests/ExplainTest.cpp`).
+  * These assert the 100-TB-critical properties: banded/bucketed joins
+  * must stay equi-joins (no nested-loop, no cartesian), and the LSH
+  * pipeline must never degrade to an all-pairs product.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("banded range join plans as an equi-join, not a nested loop") {
+    val plan = planOf("q75_range_band_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("geo grid-cell distance join avoids the cross product") {
+    val plan = planOf("q61_geo_distance_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("LSH candidate generation never plans an all-pairs product") {
+    val plan = planOf("q42_dedup_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("exact-jaccard verification joins only on the shingle key") {
+    val plan = planOf("q76_jaccard_exact")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val df = SparkEntry.queries("q01_scan_filter_project")(spark, sf)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters: ["), scans.take(2000))
+  }
+}
