@@ -26,6 +26,8 @@ object SparkEntry {
     (operators.DdlDml.queries, operators.DdlDml.oracles),
     (operators.MLFunctions.queries, operators.MLFunctions.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
+    (operators.NullSemantics.queries, operators.NullSemantics.oracles),
+    (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
 

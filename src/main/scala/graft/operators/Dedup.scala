@@ -67,8 +67,25 @@ object Dedup {
     */
   private val HOT_BUCKET_CAP = 16
 
+  /** Explicit staging-table materialization: write once, let every
+    * downstream consumer scan parquet. A multi-use intermediate inside a
+    * single plan is otherwise RECOMPUTED per use (this pipeline read the
+    * shingle→minhash→banding chain 4×, 3× the whole q41 cost), and
+    * `.persist` leaks executor storage for the session since a returned
+    * DataFrame outlives the builder (round-1 ADVICE finding). Staging is
+    * also the 100 TB pattern: distributed write, no executor-storage
+    * pressure, reclaimed with the temp dir.
+    */
+  private def stage(df: DataFrame, name: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_stage_$name").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** LSH candidate pairs (a < b) from banded minhash signatures. */
   private def lshCandidates(sig: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bandCols = (0 until BANDS).map { b =>
       val rows = (0 until K / BANDS).map(r => col(s"h${b * (K / BANDS) + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
@@ -77,10 +94,12 @@ object Dedup {
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    // One shuffle computes per-bucket size + representative (min doc).
-    val stats = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("m"), min(col("doc_id")).as("rep"))
-    val withStats = banded.join(stats, Seq("band", "bucket"))
+    // Bucket size + representative via ONE window shuffle (no self-join),
+    // then staged: the small/hot branches below scan it three ways.
+    val w = Window.partitionBy(col("band"), col("bucket"))
+    val withStats = stage(banded
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w)), "banded")
     // Small buckets: all pairs. Hot buckets: star pairs around the rep.
     val small = withStats.filter(col("m") <= HOT_BUCKET_CAP)
     val a = small.select(col("band"), col("bucket"),
@@ -109,10 +128,9 @@ object Dedup {
     // Near-dedup via n-gram Jaccard, LSH-pruned: per-doc verdict
     // (dup_of = smallest similar doc, else itself) — never empty output.
     "q41_dedup_ngram_jaccard" -> ((s, d) => {
-      // DISK_ONLY: the full shingle set is corpus-sized — memory caching
-      // is unbounded at 100 TB; disk persist still avoids recompute.
-      val sh = shingles(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // Staged once (corpus-sized): sizes, minhash, and both sides of
+      // the intersection join all scan the parquet staging table.
+      val sh = stage(shingles(s, d), "sh")
       val sizes = sh.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"))
       val cand = lshCandidates(minhashSignatures(sh))
@@ -146,6 +164,8 @@ object Dedup {
     // MinHash+LSH candidate summary per doc: how many LSH candidates,
     // representative = min candidate (single-linkage step 1).
     "q42_dedup_minhash_lsh" -> ((s, d) => {
+      // Shingles feed only the one-pass minhash here — no staging needed;
+      // lshCandidates stages its own banded table for the pair branches.
       val sh = shingles(s, d)
       val cand = lshCandidates(minhashSignatures(sh))
       val neigh = cand.select(col("a_id").as("doc_id"),

@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{DenseMatrix, Vector}
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -138,6 +139,34 @@ object MLFunctions {
         ev.zip(ev.tail).forall(p => p._1 >= p._2 - 1e-12),
         ev.sum <= 1.0 + 1e-9))
         .toDF("k", "dim", "orthonormal", "ev_nonincreasing", "ev_bounded")
+    }),
+
+    // decision_tree_reg_fit + random_forest_reg_fit (reference
+    // `MLTableFunctions.hpp`): deterministic seeds; models must respect
+    // their configured shape and explain most of the (functionally
+    // dependent) price = f(quantity, discount) relationship.
+    "q93_tree_models" -> ((s, d) => {
+      // Learnable target: charge = price·(1−disc)·(1+tax) from its own
+      // factors — trees must recover most of the variance.
+      val li = t(s, d, "lineitem").select(
+        array_to_vector(array(col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"),
+          col("l_tax").cast("double"))).as("features"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("label"))
+      val eval = new RegressionEvaluator().setMetricName("r2")
+      val dt = new DecisionTreeRegressor().setSeed(7L).setMaxDepth(5)
+        .fit(li)
+      val rf = new RandomForestRegressor().setSeed(7L).setNumTrees(10)
+        .setMaxDepth(5).fit(li)
+      val r2dt = eval.evaluate(dt.transform(li))
+      val r2rf = eval.evaluate(rf.transform(li))
+      val n = li.count()
+      val spark = s
+      import spark.implicits._
+      Seq((n, dt.depth <= 5, rf.getNumTrees == 10,
+        r2dt > 0.5 && r2dt <= 1.0, r2rf > 0.5 && r2rf <= 1.0))
+        .toDF("n", "dt_depth_ok", "rf_trees_ok", "dt_r2_ok", "rf_r2_ok")
     })
   )
 
@@ -152,6 +181,10 @@ object MLFunctions {
          FROM embeddings""",
     "q74_pca" ->
       """SELECT 8::INT AS k, 64::INT AS dim, true AS orthonormal,
-                true AS ev_nonincreasing, true AS ev_bounded"""
+                true AS ev_nonincreasing, true AS ev_bounded""",
+    "q93_tree_models" ->
+      """SELECT count(*) AS n, true AS dt_depth_ok, true AS rf_trees_ok,
+                true AS dt_r2_ok, true AS rf_r2_ok
+         FROM lineitem"""
   )
 }

@@ -68,8 +68,70 @@ object Multimodal {
           (id, bytes.length, mean, hist.toSeq)
         }
       }.toDF("doc_id", "n_bytes", "mean_byte", "byte_hist")
+    }),
+
+    // REAL decode path: deterministic BMP images are produced and then
+    // decoded by parsing the actual binary header (no fake) — the
+    // partition-parallel encode→binary column→decode pipeline a
+    // libjpeg/ffmpeg-backed variant would use unchanged. Oracle checks
+    // the decoded dims and byte sizes against the closed-form BMP layout.
+    "q82_multimodal_bmp_decode" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val images = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          (id, bmpBytes((16 + id % 32).toInt, (8 + nc % 16).toInt))
+        }
+        .toDF("doc_id", "payload")
+      images.as[(Long, Array[Byte])].map { case (id, bytes) =>
+        val (w, h, bpp) = parseBmpHeader(bytes)
+        (id, w, h, bpp, bytes.length)
+      }.toDF("doc_id", "width", "height", "bpp", "n_bytes")
     })
   )
+
+  /** Minimal valid 24-bit BMP: 14-byte file header + 40-byte BITMAPINFO
+    * header + padded pixel rows. Deterministic gradient payload.
+    */
+  private[operators] def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)                     // reserved, pixel offset
+    b.putInt(40).putInt(w).putInt(h)            // DIB: size, width, height
+      .putShort(1).putShort(24)                 // planes, bpp
+      .putInt(0).putInt(dataSize)               // compression, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // dpi, palette
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        b.put(((x * 7 + y * 13) & 0xff).toByte)
+          .put(((x * 3 + y * 5) & 0xff).toByte)
+          .put(((x + y) & 0xff).toByte)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** Parse width/height/bpp out of a BMP header (little-endian). */
+  private[operators] def parseBmpHeader(bytes: Array[Byte])
+      : (Int, Int, Int) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (b.getInt(18), b.getInt(22), b.getShort(28).toInt)
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "q80_multimodal_meta" ->
@@ -80,7 +142,15 @@ object Multimodal {
                 (1 + octet_length(encode(text)) % 8)::INT AS n_frames,
                 replace(replace(to_base64(encode(text)), chr(13), ''),
                         chr(10), '') AS payload_b64
-         FROM documents"""
+         FROM documents""",
     // q81 is rows-only: its feature payload is the stub's contract.
+    "q82_multimodal_bmp_decode" ->
+      """SELECT doc_id,
+                (16 + doc_id % 32)::INT AS width,
+                (8 + n_chars % 16)::INT AS height,
+                24::INT AS bpp,
+                (54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4
+                    * (8 + n_chars % 16))::INT AS n_bytes
+         FROM documents"""
   )
 }
