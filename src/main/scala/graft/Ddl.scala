@@ -135,6 +135,10 @@ object Ddl {
 
   private val CreateAs: Regex =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+  private val CreateView: Regex =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+  private val DropView: Regex =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateSchema: Regex =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
   private val InsertValues: Regex =
@@ -178,6 +182,12 @@ object Ddl {
     stmt match {
       case CreateAs(name, select) =>
         createTableAs(spark, name, spark.sql(select)); done
+      // Views are stored queries re-expanded at use (reference:
+      // `Parser/ParserNode.h:1861` CreateViewStmt — Calcite re-expands).
+      case CreateView(name, select) =>
+        spark.sql(select).createOrReplaceTempView(name); done
+      case DropView(name) =>
+        spark.catalog.dropTempView(name); done
       case CreateSchema(name, colsDdl) =>
         createTable(spark, name, StructType.fromDDL(colsDdl)); done
       case InsertValues(name, values) =>

@@ -27,7 +27,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integer `div`, NOT `/`: ns epoch values exceed 2^53, so double
+      // division loses the low microsecond bit (off-by-1 µs timestamps).
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else df
   }
 

@@ -175,6 +175,13 @@ object GraftFunctions {
             * sqrt(aggregate(__p1, cast(0.0 as double),
                              (acc, v) -> acc + cast(v as double)
                                              * cast(v as double))))""")
+    // KEY_FOR_STRING (`Analyzer/Analyzer.h:914`): the reference returns
+    // the per-column dictionary id of a text value. Spark has no global
+    // string dictionary (parquet dictionaries are storage-local), so the
+    // stable engine-wide surrogate is a 64-bit hash — injective in
+    // practice, and all dictionary-id use cases (grouping, joining,
+    // compact keys) hold. Documented engine-specific.
+    registerMacro("key_for_string", Seq("__p0"), "xxhash64(__p0)")
     registerMacro("single_value", Seq("__p0"),
       """case when count(distinct __p0) <= 1 then first(__p0, true)
               else raise_error(

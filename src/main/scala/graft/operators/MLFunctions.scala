@@ -5,7 +5,7 @@ import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{DenseMatrix, Vector}
-import org.apache.spark.ml.regression.{DecisionTreeRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -159,14 +159,19 @@ object MLFunctions {
         .fit(li)
       val rf = new RandomForestRegressor().setSeed(7L).setNumTrees(10)
         .setMaxDepth(5).fit(li)
+      val gbt = new GBTRegressor().setSeed(7L).setMaxIter(3).setMaxDepth(3)
+        .fit(li)
       val r2dt = eval.evaluate(dt.transform(li))
       val r2rf = eval.evaluate(rf.transform(li))
+      val r2gbt = eval.evaluate(gbt.transform(li))
       val n = li.count()
       val spark = s
       import spark.implicits._
       Seq((n, dt.depth <= 5, rf.getNumTrees == 10,
-        r2dt > 0.5 && r2dt <= 1.0, r2rf > 0.5 && r2rf <= 1.0))
-        .toDF("n", "dt_depth_ok", "rf_trees_ok", "dt_r2_ok", "rf_r2_ok")
+        r2dt > 0.5 && r2dt <= 1.0, r2rf > 0.5 && r2rf <= 1.0,
+        gbt.getNumTrees == 3 && r2gbt > 0.5 && r2gbt <= 1.0))
+        .toDF("n", "dt_depth_ok", "rf_trees_ok", "dt_r2_ok", "rf_r2_ok",
+          "gbt_ok")
     })
   )
 
@@ -184,7 +189,7 @@ object MLFunctions {
                 true AS ev_nonincreasing, true AS ev_bounded""",
     "q93_tree_models" ->
       """SELECT count(*) AS n, true AS dt_depth_ok, true AS rf_trees_ok,
-                true AS dt_r2_ok, true AS rf_r2_ok
+                true AS dt_r2_ok, true AS rf_r2_ok, true AS gbt_ok
          FROM lineitem"""
   )
 }

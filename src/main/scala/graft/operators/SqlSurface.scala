@@ -62,7 +62,33 @@ object SqlSurface {
                   translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
                   url_encode(c_name) AS urlenc,
                   concat(space(2), c_mktsegment) AS padded
-           FROM customer"""))
+           FROM customer""")),
+
+    // KEY_FOR_STRING as a grouping key: id-space must be exactly as
+    // discriminating as the strings themselves (the dictionary-id
+    // contract), and grouping on it must reproduce string grouping.
+    "q95_key_for_string" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT count(DISTINCT key_for_string(p_type)) AS n_keys,
+                  count(DISTINCT p_type) AS n_strings,
+                  count(DISTINCT key_for_string(p_type))
+                    = count(DISTINCT p_type) AS bijective
+           FROM part""")),
+
+    // Views (stored queries) + query through the view, with a broadcast
+    // hint flowing through the facade (`QueryHint.h:65-90` analog —
+    // Spark's hint framework).
+    "q96_view_roundtrip" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("""CREATE OR REPLACE VIEW big_orders AS
+                 SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM orders WHERE o_totalprice > 100000""")
+      eng.sql("""SELECT /*+ BROADCAST(c) */ c.c_mktsegment,
+                        count(*) AS n, sum(v.o_totalprice) AS total
+                 FROM big_orders v JOIN customer c
+                   ON c.c_custkey = v.o_custkey
+                 GROUP BY c.c_mktsegment""")
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -103,6 +129,17 @@ object SqlSurface {
                 translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
                 replace(c_name, '#', '%23') AS urlenc,
                 repeat(' ', 2) || c_mktsegment AS padded
-         FROM customer"""
+         FROM customer""",
+    "q95_key_for_string" ->
+      """SELECT count(DISTINCT hash(p_type))::BIGINT AS n_keys,
+                count(DISTINCT p_type)::BIGINT AS n_strings,
+                true AS bijective
+         FROM part""",
+    "q96_view_roundtrip" ->
+      """SELECT c.c_mktsegment, count(*) AS n, sum(v.o_totalprice) AS total
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice
+               FROM orders WHERE o_totalprice > 100000) v
+         JOIN customer c ON c.c_custkey = v.o_custkey
+         GROUP BY c.c_mktsegment"""
   )
 }

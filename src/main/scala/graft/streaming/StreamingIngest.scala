@@ -29,7 +29,11 @@ object StreamingIngest {
     * overwriting the parquet result table (idempotent restart semantics —
     * the reference's append-ingest path with exactly-once sink writes).
     */
-  def streamedHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** The streamed events source: file-source over the fixture behind a
+    * symlinked landing directory (production: a Kafka topic), ns→µs
+    * timestamp normalization applied in-stream.
+    */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     // File-source schema must be declared (ts is ns in the fixture —
     // read as long, convert to µs timestamp like Tables.t).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,24 +44,24 @@ object StreamingIngest {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    // FileStreamSource monitors a directory; the fixture is a single
-    // file — stage it behind a symlink (production: a Kafka topic or a
-    // landing directory receiving appended files).
     val srcDir = java.nio.file.Files
       .createTempDirectory("graft_stream_src")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream
+    spark.readStream
       .schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      // Integer `div` (see Tables.t): `/` on ns longs is double division
+      // and loses the low µs bit beyond 2^53.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregate to completion, foreachBatch-overwriting a
+    * parquet result table (idempotent restarts — exactly-once sink).
+    */
+  private def runComplete(agg: DataFrame): DataFrame = {
+    val spark = agg.sparkSession
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_stream_agg").toString
     val q = agg.writeStream
@@ -70,8 +74,31 @@ object StreamingIngest {
     spark.read.parquet(outDir)
   }
 
+  def streamedHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    runComplete(eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value")))
+
+  /** Streamed gap-based sessionization: `session_window` keeps per-key
+    * session state that merges as events arrive — the stateful-streaming
+    * counterpart of the q52 batch sessionize (30-min inactivity gap), and
+    * the two must agree exactly.
+    */
+  def streamedSessionize(spark: SparkSession, dir: String): DataFrame =
+    runComplete(eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("n_events")))
+
   val queries: Seq[(String, Q)] = Seq(
-    "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d))
+    "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
+    "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -83,6 +110,29 @@ object StreamingIngest {
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
                 event_type, count(*) AS n_events,
                 sum(value) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // Batch replay of gap-based sessions (the q52 CTE), compared against
+    // the streamed session_window state machine.
+    "q94_stream_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events),
+         marked AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+                       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                       ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM marked)
+         SELECT user_id,
+                make_timestamp(min(ts_us)) AS sess_start,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_id"""
   )
 }
