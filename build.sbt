@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked runMain output goes straight to stdout, un-prefixed: the driver
+// parses Bench's one-line JSON from the log tail, and sbt's logger would
+// otherwise wrap it in [info]/[error] noise.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.MLFunctions.queries, operators.MLFunctions.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (operators.NullSemantics.queries, operators.NullSemantics.oracles),
+    (operators.AnnIvf.queries, operators.AnnIvf.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

@@ -82,6 +82,21 @@ object Arrays {
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10)
         .select(col("q_id"), col("n_id"), col("rnk"), col("sim"))
+    }),
+
+    // Array literals + ANY/ALL quantified comparison (`SQLQualifier`
+    // `Shared/sqldefs.h:74`) + membership/position.
+    "q98_array_quantifiers" -> ((s, d) => {
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array(col("p_partkey") % 5, col("p_partkey") % 7,
+          col("p_partkey") % 9).as("arr"))
+        .select(col("p_partkey"),
+          exists(col("arr"), x => x > 5).as("any_gt5"),
+          forall(col("arr"), x => x >= 0).as("all_nonneg"),
+          array_contains(col("arr"), lit(3L)).as("has3"),
+          array_position(col("arr"), lit(3L)).cast("int").as("pos3"),
+          size(col("arr")).as("card"))
     })
   )
 
@@ -121,6 +136,19 @@ object Arrays {
                   CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY sim DESC, n_id ASC) AS INT) AS rnk
            FROM scored)
-         SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10"""
+         SELECT q_id, n_id, rnk, sim FROM ranked WHERE rnk <= 10""",
+    "q98_array_quantifiers" ->
+      """WITH a AS (
+           SELECT p_partkey,
+                  [p_partkey % 5, p_partkey % 7, p_partkey % 9] AS arr
+           FROM part)
+         SELECT p_partkey,
+                len(list_filter(arr, x -> x > 5)) > 0 AS any_gt5,
+                len(list_filter(arr, x -> x >= 0)) = len(arr)
+                  AS all_nonneg,
+                list_contains(arr, 3) AS has3,
+                coalesce(list_position(arr, 3), 0)::INT AS pos3,
+                len(arr)::INT AS card
+         FROM a"""
   )
 }

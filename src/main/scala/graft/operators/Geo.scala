@@ -124,6 +124,34 @@ object Geo {
             p.getField("y").as("y"))))
       tri.select(col("p_partkey"),
         st_intersects(col("ring"), col("ring2")).as("hits"))
+    }),
+
+    // Bounding-box-intersect JOIN via grid-cell bucketing — the join
+    // form of the reference's BoundingBoxIntersectJoinHashTable
+    // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
+    // each bbox replicates to the grid cells it covers, pairs form only
+    // inside a shared cell (equi-join), then the exact bbox-overlap
+    // predicate filters. Never all-pairs.
+    "q101_geo_bbox_join" -> ((s, d) => {
+      val c = 8.0 // cell size ≥ max bbox extent → ≤4 cells per bbox
+      val boxes = triangles(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("id"),
+          col("cx").as("xmin"), (col("cx") + col("w")).as("xmax"),
+          col("cy").as("ymin"), (col("cy") + col("h")).as("ymax"))
+      def gridded(prefix: String) = boxes.toDF(
+          Seq("id", "xmin", "xmax", "ymin", "ymax").map(prefix + _): _*)
+        .withColumn("gx", explode(sequence(
+          floor(col(s"${prefix}xmin") / c).cast("long"),
+          floor(col(s"${prefix}xmax") / c).cast("long"))))
+        .withColumn("gy", explode(sequence(
+          floor(col(s"${prefix}ymin") / c).cast("long"),
+          floor(col(s"${prefix}ymax") / c).cast("long"))))
+      gridded("a_").join(gridded("b_"), Seq("gx", "gy"))
+        .filter(col("a_id") < col("b_id") &&
+          col("a_xmin") <= col("b_xmax") && col("b_xmin") <= col("a_xmax") &&
+          col("a_ymin") <= col("b_ymax") && col("b_ymin") <= col("a_ymax"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
     })
   )
 
@@ -146,6 +174,19 @@ object Geo {
          FROM part""",
     "q71_geo_intersects" ->
       """SELECT p_partkey, (p_partkey % 5) <= 1 AS hits FROM part""",
+    "q101_geo_bbox_join" ->
+      """WITH p AS (
+           SELECT p_partkey AS id,
+                  p_size::DOUBLE - 25.0 AS xmin,
+                  p_size::DOUBLE - 25.0 + 1.0 + (p_size % 5) AS xmax,
+                  fmod(p_retailprice, 50.0) AS ymin,
+                  fmod(p_retailprice, 50.0) + 1.0 + (p_partkey % 7) AS ymax
+           FROM part WHERE p_partkey < 500)
+         SELECT a.id AS a_id, b.id AS b_id
+         FROM p a JOIN p b
+           ON a.id < b.id
+          AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+          AND a.ymin <= b.ymax AND b.ymin <= a.ymax""",
     "q60_geo_scalar" ->
       """WITH p AS (
            SELECT p_partkey,

@@ -107,6 +107,19 @@ object TableFunctions {
         .select(col("node"), col("dist").cast("int").as("dist"))
     }),
 
+    // generate_random_strings (`UtilityTableFunctions.h:49`):
+    // deterministic hash-driven strings — reproducible across runs and
+    // partitioning (unlike rand()), generated distributed via range().
+    "q100_random_strings" -> ((s, d) => {
+      val gen = s.range(0, 1000).select(col("id"),
+        expr("""concat_ws('', transform(sequence(1, 10),
+                 i -> chr(97 + pmod(xxhash64(id, i), 26))))""").as("rs"))
+      gen.agg(count(lit(1)).as("n"),
+        (min(length(col("rs"))) === 10 && max(length(col("rs"))) === 10)
+          .as("len_ok"),
+        (count_distinct(col("rs")) === count(lit(1))).as("all_distinct"))
+    }),
+
     // tf_feature_similarity analog: users as event_type count vectors,
     // pairwise cosine via a join on the shared feature key (sparse dot
     // product — never materializes dense vectors).
@@ -183,6 +196,8 @@ object TableFunctions {
            FROM walk w JOIN edges2 e ON e.src = w.node
            WHERE w.dist < 5)
          SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node""",
+    "q100_random_strings" ->
+      """SELECT 1000::BIGINT AS n, true AS len_ok, true AS all_distinct""",
     "q54_feature_similarity" ->
       """WITH counts AS (
            SELECT user_id, event_type, count(*)::DOUBLE AS c
