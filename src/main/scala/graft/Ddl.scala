@@ -151,6 +151,14 @@ object Ddl {
     """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Drop: Regex =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val DumpTable: Regex =
+    """(?is)\s*DUMP\s+TABLE\s+(\w+)\s+TO\s+'([^']+)'\s*""".r
+  private val RestoreTable: Regex =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
+  private val OptimizeTable: Regex =
+    """(?is)\s*OPTIMIZE\s+TABLE\s+(\w+)\s*""".r
+  private val ValidateTable: Regex =
+    """(?is)\s*VALIDATE\s+TABLE\s+(\w+)\s*""".r
   private val CopyFrom: Regex =
     """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val CopyTo: Regex =
@@ -205,6 +213,26 @@ object Ddl {
         delete(spark, name, Option(where)); done
       case Drop(name) =>
         dropTable(spark, name); done
+      // DUMP/RESTORE (`Parser/ParserNode.h:1442/:1453`): archive = the
+      // table's current version as parquet at the given path.
+      case DumpTable(name, path) =>
+        table(spark, name).write.mode("overwrite").parquet(path); done
+      case RestoreTable(name, path) =>
+        swapIn(spark, name, spark.read.parquet(path)); done
+      // OPTIMIZE (`TableOptimizer.h:38`): compact small files — rewrite
+      // the current version with right-sized partitions.
+      case OptimizeTable(name) =>
+        val df = table(spark, name)
+        val target = math.max(1,
+          (df.count() / 1000000L).toInt) // ~1M rows per file
+        swapIn(spark, name, df.repartition(target)); done
+      // VALIDATE (`ParserNode.h:1277`): scan-and-count integrity check.
+      case ValidateTable(name) =>
+        val df = table(spark, name)
+        val n = df.count()
+        import spark.implicits._
+        Some(Seq((name, n, df.schema.length))
+          .toDF("table_name", "n_rows", "n_cols"))
       case CopyFrom(name, path) =>
         val schema = table(spark, name).schema
         insertInto(spark, name,

@@ -36,6 +36,24 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_null")
   }
 
+  test("DUMP/RESTORE round-trip and OPTIMIZE/VALIDATE") {
+    val eng = HeavyEngine(spark, sf)
+    val arch = java.nio.file.Files
+      .createTempDirectory("graft_dump").toString + "/arch"
+    eng.sql("DROP TABLE IF EXISTS t_dump")
+    eng.sql("CREATE TABLE t_dump AS SELECT 1 AS k UNION ALL SELECT 2")
+    eng.sql(s"DUMP TABLE t_dump TO '$arch'")
+    eng.sql("UPDATE t_dump SET k = 99")
+    eng.sql(s"RESTORE TABLE t_dump FROM '$arch'")
+    val sum = eng.sql("SELECT sum(k) AS s FROM t_dump")
+      .collect().head.getLong(0)
+    assert(sum == 3L) // restored pre-UPDATE state
+    eng.sql("OPTIMIZE TABLE t_dump")
+    val v = eng.sql("VALIDATE TABLE t_dump").collect().head
+    assert(v.getString(0) == "t_dump" && v.getLong(1) == 2L)
+    eng.sql("DROP TABLE t_dump")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
