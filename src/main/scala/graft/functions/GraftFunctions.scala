@@ -101,8 +101,14 @@ object GraftFunctions {
     * serialization): the CASE fires per output group after partial/final
     * merge, so the distributed plan is the standard two-phase aggregate.
     */
+  /** min <=> max detects >1 distinct value without a COUNT(DISTINCT) —
+    * the distinct agg would force an Expand (row-multiplying) plan;
+    * min/max are plain partial aggregates. All-null groups: min = max =
+    * null, null-safe-equal → first(ignoreNulls) = null, like the
+    * reference's null handling.
+    */
   def single_value(c: Column): Column =
-    when(count_distinct(c) <= 1, first(c, ignoreNulls = true))
+    when(min(c) <=> max(c), first(c, ignoreNulls = true))
       .otherwise(raise_error(
         lit("single_value: group has more than one distinct value")))
 
@@ -183,7 +189,7 @@ object GraftFunctions {
     // compact keys) hold. Documented engine-specific.
     registerMacro("key_for_string", Seq("__p0"), "xxhash64(__p0)")
     registerMacro("single_value", Seq("__p0"),
-      """case when count(distinct __p0) <= 1 then first(__p0, true)
+      """case when min(__p0) <=> max(__p0) then first(__p0, true)
               else raise_error(
                 'single_value: group has more than one distinct value')
          end""")
