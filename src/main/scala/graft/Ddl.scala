@@ -73,8 +73,30 @@ object Ddl {
     registerView(spark, name)
   }
 
-  def createTableAs(spark: SparkSession, name: String, df: DataFrame): Unit =
-    swapIn(spark, name, df)
+  /** HeavyDB-style table options (`Catalog/TableDescriptor.h:53-67`):
+    * shard_count + shard_key → hash-repartition on the shard column
+    * (co-locates shard-key joins, the reference's nShards); fragment_size
+    * → maxRecordsPerFile (the 32M-row fragment unit,
+    * `Fragmenter/FragmentDefaultValues.h:19`).
+    */
+  def createTableAs(spark: SparkSession, name: String, df: DataFrame,
+      options: Map[String, String] = Map.empty): Unit = {
+    val sharded = (options.get("shard_count").map(_.toInt),
+        options.get("shard_key")) match {
+      case (Some(n), Some(key)) => df.repartition(n, col(key))
+      case (Some(n), None) => df.repartition(n)
+      case _ => df
+    }
+    val prev = Option(catalog.get(name))
+    val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
+    val next = prev.map(_.version + 1).getOrElse(0)
+    val writer = options.get("fragment_size").foldLeft(
+      sharded.write.mode("overwrite"))(
+      (w, fs) => w.option("maxRecordsPerFile", fs.toLong))
+    writer.parquet(s"$base/v$next")
+    catalog.put(name, Managed(base, next))
+    registerView(spark, name)
+  }
 
   def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
     swapIn(spark, name,
@@ -134,7 +156,7 @@ object Ddl {
   // ---- statement router ----------------------------------------------
 
   private val CreateAs: Regex =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)""".r
   private val CreateView: Regex =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropView: Regex =
@@ -188,8 +210,15 @@ object Ddl {
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
-      case CreateAs(name, select) =>
-        createTableAs(spark, name, spark.sql(select)); done
+      case CreateAs(name, opts, select) =>
+        val options = Option(opts).map(splitTop(_).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => Some(k.trim.toLowerCase ->
+              v.trim.stripPrefix("'").stripSuffix("'"))
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty[String, String])
+        createTableAs(spark, name, spark.sql(select), options); done
       // Views are stored queries re-expanded at use (reference:
       // `Parser/ParserNode.h:1861` CreateViewStmt — Calcite re-expands).
       case CreateView(name, select) =>

@@ -54,6 +54,22 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_dump")
   }
 
+  test("CTAS WITH shard_count/shard_key produces that many files") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_shard")
+    eng.sql("""CREATE TABLE t_shard WITH (shard_count=4, shard_key=o_custkey)
+               AS SELECT o_orderkey, o_custkey FROM orders""")
+    val n = eng.sql("SELECT count(*) AS n FROM t_shard")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    val files = eng.sql(
+      """SELECT count(*) AS f FROM
+           (SELECT DISTINCT input_file_name() FROM t_shard)""")
+      .collect().head.getLong(0)
+    assert(files == 4L, s"expected 4 shard files, got $files")
+    eng.sql("DROP TABLE t_shard")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
