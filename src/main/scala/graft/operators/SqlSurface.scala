@@ -64,6 +64,17 @@ object SqlSurface {
                   concat(space(2), c_mktsegment) AS padded
            FROM customer""")),
 
+    // Regex function family (REGEXP_COUNT/SUBSTR/INSTR/REPLACE —
+    // `Shared/sqldefs.h:92-141` regex kinds).
+    "q102_regex_funcs" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT c_custkey,
+                  regexp_count(c_name, '0') AS n0,
+                  regexp_substr(c_name, '[0-9]+') AS digits,
+                  regexp_instr(c_name, '[0-9]') AS dpos,
+                  regexp_replace(c_name, '0+', '#') AS collapsed
+           FROM customer""")),
+
     // KEY_FOR_STRING as a grouping key: id-space must be exactly as
     // discriminating as the strings themselves (the dictionary-id
     // contract), and grouping on it must reproduce string grouping.
@@ -129,6 +140,14 @@ object SqlSurface {
                 translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
                 replace(c_name, '#', '%23') AS urlenc,
                 repeat(' ', 2) || c_mktsegment AS padded
+         FROM customer""",
+    "q102_regex_funcs" ->
+      """SELECT c_custkey,
+                len(regexp_extract_all(c_name, '0'))::INT AS n0,
+                regexp_extract(c_name, '[0-9]+') AS digits,
+                (length(regexp_replace(c_name, '[0-9].*$', '', 's'))
+                  + 1)::INT AS dpos,
+                regexp_replace(c_name, '0+', '#', 'g') AS collapsed
          FROM customer""",
     "q95_key_for_string" ->
       """SELECT count(DISTINCT hash(p_type))::BIGINT AS n_keys,
