@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * cost; vertex counts are small constants in practice so the per-row
   * work is O(vertices) / O(v_a · v_b) for the pair predicate).
   */
-private object GeomUtil {
+private[graft] object GeomUtil {
   val pointType: StructType =
     StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
   val ringType: ArrayType = ArrayType(pointType)
