@@ -38,6 +38,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("star join broadcasts the small dimension tables") {
+    val plan = planOf("q07_join_star")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("similarity top-k broadcasts the query side, not the corpus") {
+    val plan = planOf("q37_similarity_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    // the corpus must not shuffle before scoring
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("filters are pushed into the parquet scan") {
     val df = SparkEntry.queries("q01_scan_filter_project")(spark, sf)
     val scans = df.queryExecution.executedPlan.toString
