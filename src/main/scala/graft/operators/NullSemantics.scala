@@ -63,6 +63,20 @@ object NullSemantics {
         col("q").isNull.as("q_is_null"))
     }),
 
+    // Empty-relation aggregate semantics: global aggregates over zero
+    // rows yield one row (count=0, sum/avg/min/max NULL); grouped
+    // aggregates yield zero rows.
+    "q103_empty_relation" -> ((s, d) => {
+      val none = t(s, d, "lineitem").filter(lit(false))
+      none.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("s"),
+        avg(col("l_quantity")).as("a"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"),
+        count_distinct(col("l_returnflag")).as("nd"))
+    }),
+
     // Join null-key semantics: null keys never match (inner), survive as
     // unmatched (left); count both.
     "q92_null_join_keys" -> ((s, d) => {
@@ -109,6 +123,12 @@ object NullSemantics {
                       CASE WHEN l_linenumber % 4 = 0 THEN NULL
                            ELSE l_returnflag END AS flag
                FROM lineitem)""",
+    "q103_empty_relation" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS s,
+                avg(l_quantity) AS a, min(l_quantity) AS mn,
+                max(l_quantity) AS mx,
+                count(DISTINCT l_returnflag)::BIGINT AS nd
+         FROM lineitem WHERE false""",
     "q92_null_join_keys" ->
       """WITH n AS (
            SELECT l_orderkey,

@@ -64,6 +64,9 @@ object StreamingIngest {
     val spark = agg.sparkSession
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_stream_agg").toString
+    // processAllAvailable beats Trigger.AvailableNow here: AvailableNow
+    // adds a planning batch plus a watermark-commit no-data batch
+    // (measured +1-2 s per query on the single-batch fixture).
     val q = agg.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
