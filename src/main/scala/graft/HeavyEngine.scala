@@ -41,6 +41,7 @@ object HeavyEngine {
   def apply(spark: SparkSession, dir: String): HeavyEngine = {
     functions.GraftFunctions.registerAll(spark)
     functions.GeoFunctions.registerAll(spark)
+    plans.GeoRangeJoinRule.install(spark)
     Tables.registerAll(spark, dir)
     new HeavyEngine(spark)
   }

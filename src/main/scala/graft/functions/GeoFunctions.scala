@@ -28,9 +28,14 @@ object GeoFunctions {
 
   /** ST_Distance between two points — planar euclidean (same-SRID
     * cartesian, as the reference computes for projected geometries).
+    * A dedicated Catalyst node so GeoRangeJoinRule can recognize
+    * distance predicates structurally (see GeomExpressions.STDistance).
     */
-  def st_distance(a: Column, b: Column): Column =
-    sqrt(pow(st_x(a) - st_x(b), 2.0) + pow(st_y(a) - st_y(b), 2.0))
+  def st_distance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(STDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** ST_DWithin(a, b, r) — planar. */
   def st_dwithin(a: Column, b: Column, r: Column): Column =

@@ -126,6 +126,21 @@ object Geo {
         st_intersects(col("ring"), col("ring2")).as("hits"))
     }),
 
+    // The SAME distance join as q61, but written NAIVELY — a plain
+    // θ-join on st_distance < r. GeoRangeJoinRule (installed by
+    // HeavyEngine) must rewrite it to the bucketed equi-join
+    // automatically; PlanSpec pins the absence of a nested loop.
+    "q104_geo_range_rule" -> ((s, d) => {
+      graft.HeavyEngine(s, d) // installs the optimizer rule
+      val pts = points(s, d)
+      val a = pts.select(col("p_partkey").as("a_id"), col("pt").as("a_pt"))
+      val b = pts.select(col("p_partkey").as("b_id"), col("pt").as("b_pt"))
+      a.join(b, st_distance(col("a_pt"), col("b_pt")) < 1.0 &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          st_distance(col("a_pt"), col("b_pt")).as("dist"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -174,6 +189,17 @@ object Geo {
          FROM part""",
     "q71_geo_intersects" ->
       """SELECT p_partkey, (p_partkey % 5) <= 1 AS hits FROM part""",
+    "q104_geo_range_rule" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y
+           FROM part)
+         SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                sqrt((a.x - b.x)^2 + (a.y - b.y)^2) AS dist
+         FROM p a JOIN p b
+           ON a.p_partkey < b.p_partkey
+          AND sqrt((a.x - b.x)^2 + (a.y - b.y)^2) < 1.0""",
     "q101_geo_bbox_join" ->
       """WITH p AS (
            SELECT p_partkey AS id,
