@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Attribute, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -36,34 +36,50 @@ case class GeoRangeJoinRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner, Some(cond), _) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.collectFirst {
-        case p @ LessThan(d: STDistance, Literal(rad: Double, DoubleType))
-            if rad > 0 => (p, d, rad)
-        case p @ LessThanOrEqual(d: STDistance,
-            Literal(rad: Double, DoubleType)) if rad > 0 => (p, d, rad)
+      // 2-D: st_distance(a, b) < r.
+      val geoHit = conjuncts.collectFirst {
+        case LessThan(d: STDistance, Literal(rad: Double, DoubleType))
+            if rad > 0 => (d, rad)
+        case LessThanOrEqual(d: STDistance,
+            Literal(rad: Double, DoubleType)) if rad > 0 => (d, rad)
       }
-      hit.flatMap { case (pred, d, rad) =>
-        rewrite(j, l, r, d, rad, conjuncts.filterNot(_ eq pred))
-      }.getOrElse(j)
+      // 1-D: abs(x - y) < r — the numeric interval join
+      // (`RangeJoinHashTable.cpp` handles both the same way).
+      val numHit = conjuncts.collectFirst {
+        case LessThan(Abs(Subtract(x, y, _), _),
+            Literal(rad: Double, DoubleType)) if rad > 0 => (x, y, rad)
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _),
+            Literal(rad: Double, DoubleType)) if rad > 0 => (x, y, rad)
+      }
+      geoHit.flatMap { case (d, rad) =>
+        rewrite(j, l, r, d.left, d.right, rad, twoD = true)
+      }.orElse(numHit.flatMap { case (x, y, rad) =>
+        rewrite(j, l, r, x, y, rad, twoD = false)
+      }).getOrElse(j)
   }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
-      d: STDistance, rad: Double, rest: Seq[Expression])
+      da: Expression, db: Expression, rad: Double, twoD: Boolean)
       : Option[LogicalPlan] = {
-    // Orient the distance operands to the join sides.
+    // Orient the operands to the join sides.
     val oriented =
-      if (d.left.references.subsetOf(l.outputSet) &&
-        d.right.references.subsetOf(r.outputSet)) Some((d.left, d.right))
-      else if (d.right.references.subsetOf(l.outputSet) &&
-        d.left.references.subsetOf(r.outputSet)) Some((d.right, d.left))
+      if (da.references.subsetOf(l.outputSet) &&
+        db.references.subsetOf(r.outputSet)) Some((da, db))
+      else if (db.references.subsetOf(l.outputSet) &&
+        da.references.subsetOf(r.outputSet)) Some((db, da))
       else None
     oriented.map { case (pl, pr) =>
       def cellOf(p: Column): Column =
-        struct(floor(p.getField("x") / rad).cast("long").as("cx"),
-          floor(p.getField("y") / rad).cast("long").as("cy"))
+        if (twoD)
+          struct(floor(p.getField("x") / rad).cast("long").as("cx"),
+            floor(p.getField("y") / rad).cast("long").as("cy"))
+        else
+          struct(floor(p.cast("double") / rad).cast("long").as("cx"),
+            lit(0L).as("cy"))
+      val offs = if (twoD) -1 to 1 else 0 to 0
       val lDf = DatasetBridge.ofRows(spark, l)
         .withColumn("__gcell", cellOf(ColumnBridge.column(pl)))
-      val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      val offsets = array((-1 to 1).flatMap(dx => offs.map(dy =>
         struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
       val rDf = DatasetBridge.ofRows(spark, r)
         .withColumn("__gcell0", cellOf(ColumnBridge.column(pr)))
@@ -72,10 +88,9 @@ case class GeoRangeJoinRule(spark: SparkSession)
           (col("__gcell0.cx") + col("__go.dx")).as("cx"),
           (col("__gcell0.cy") + col("__go.dy")).as("cy")))
         .drop("__gcell0", "__go")
-      // Exact predicate (original strict/non-strict form) + any other
-      // conjuncts from the original join condition.
-      val exactCond = (Seq(j.condition.get) // includes pred and rest
-        .flatMap(splitConjunctivePredicates))
+      // The full original condition re-applies exactly (the banded
+      // equi-join only generates a candidate superset).
+      val exactCond = splitConjunctivePredicates(j.condition.get)
         .map(ColumnBridge.column)
         .reduce(_ && _)
       val joined = lDf.join(rDf, "__gcell").filter(exactCond)

@@ -44,6 +44,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("1-D numeric |x-y|<r theta-join is auto-rewritten to equi-join") {
+    val plan = planOf("q105_num_range_rule")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("star join broadcasts the small dimension tables") {
     val plan = planOf("q07_join_star")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
