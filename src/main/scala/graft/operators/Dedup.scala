@@ -182,6 +182,36 @@ object Dedup {
             .as("rep_id"))
     }),
 
+    // Embedding-cosine near-dup: per-doc verdict (dup_of = smallest
+    // vector above the similarity threshold, else itself). Exact
+    // all-pairs on a bounded slice — the production scale path is the
+    // IVF-bucketed variant (AnnIvf.scala q99), which prunes the pair
+    // space to probed cells exactly like LSH prunes shingle space.
+    "q44_dedup_embedding" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+      val a = emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      val pairs = a.crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.GraftFunctions
+            .cosine_similarity(col("a_emb"), col("b_emb")).as("sim"))
+        .filter(col("sim") > 0.3)
+      val neigh = pairs.select(col("a_id").as("vec_id"),
+          col("b_id").as("nb"))
+        .unionAll(pairs.select(col("b_id").as("vec_id"),
+          col("a_id").as("nb")))
+        .groupBy(col("vec_id")).agg(min(col("nb")).as("min_nb"))
+      emb.select(col("vec_id"))
+        .join(neigh, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(coalesce(col("min_nb"), col("vec_id")), col("vec_id"))
+            .as("dup_of"))
+    }),
+
     // SimHash (Charikar): 64-bit signature from token hashes — one
     // aggregation pass with 64 bit-vote sums, reassembled into a long.
     "q43_dedup_simhash" -> ((s, d) => {
@@ -205,7 +235,24 @@ object Dedup {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,
                 count(*) AS n_copies
-         FROM documents GROUP BY md5(text)"""
+         FROM documents GROUP BY md5(text)""",
+    "q44_dedup_embedding" ->
+      """WITH emb AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]) > 0.3),
+         neigh AS (
+           SELECT vec_id, min(nb) AS min_nb FROM (
+             SELECT a_id AS vec_id, b_id AS nb FROM pairs
+             UNION ALL
+             SELECT b_id AS vec_id, a_id AS nb FROM pairs)
+           GROUP BY vec_id)
+         SELECT e.vec_id,
+                least(coalesce(n.min_nb, e.vec_id), e.vec_id) AS dup_of
+         FROM emb e LEFT JOIN neigh n ON n.vec_id = e.vec_id"""
     // q41-q43 depend on xxhash64 (engine-specific hash) → rows-only check;
     // cross-validated instead by DedupSpec (planted near-duplicates).
   )
