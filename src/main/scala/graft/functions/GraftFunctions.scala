@@ -65,16 +65,14 @@ object GraftFunctions {
     * (`java/calcite/.../HeavyDBSqlOperatorTable.java:531`).
     * `aggregate(zip_with(...))` stays columnar/codegen-friendly.
     */
-  def dot_product(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot_product(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  /** L2 norm of a numeric array. */
-  def l2_norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** L2 norm of a numeric array (codegen'd self-dot). */
+  def l2_norm(a: Column): Column = sqrt(dot_product(a, a))
 
   /** Cosine similarity between two numeric arrays (double precision).
     * Backs the similarity-search operators
@@ -163,24 +161,21 @@ object GraftFunctions {
     registerMacro("sample_ratio", Seq("__p0", "__p1"),
       """pmod(xxhash64(__p0), 1000000)
          < cast(cast(__p1 as double) * 1000000 as bigint)""")
-    registerMacro("dot_product", Seq("__p0", "__p1"),
-      """aggregate(zip_with(__p0, __p1,
-                            (x, y) -> cast(x as double) * cast(y as double)),
-                   cast(0.0 as double), (acc, v) -> acc + v)""")
-    registerMacro("l2_norm", Seq("__p0"),
-      """sqrt(aggregate(__p0, cast(0.0 as double),
-                        (acc, v) -> acc + cast(v as double)
-                                        * cast(v as double)))""")
-    registerMacro("cosine_similarity", Seq("__p0", "__p1"),
-      """aggregate(zip_with(__p0, __p1,
-                            (x, y) -> cast(x as double) * cast(y as double)),
-                   cast(0.0 as double), (acc, v) -> acc + v)
-         / (sqrt(aggregate(__p0, cast(0.0 as double),
-                           (acc, v) -> acc + cast(v as double)
-                                           * cast(v as double)))
-            * sqrt(aggregate(__p1, cast(0.0 as double),
-                             (acc, v) -> acc + cast(v as double)
-                                             * cast(v as double))))""")
+    // Vector math registers the codegen'd DotProductExpr directly.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      reg.registerFunction(FunctionIdentifier("dot_product"),
+        new ExpressionInfo("graft", "dot_product"),
+        ex => DotProductExpr(ex(0), ex(1)))
+      reg.registerFunction(FunctionIdentifier("l2_norm"),
+        new ExpressionInfo("graft", "l2_norm"),
+        ex => Sqrt(DotProductExpr(ex.head, ex.head)))
+      reg.registerFunction(FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo("graft", "cosine_similarity"),
+        ex => Divide(DotProductExpr(ex(0), ex(1)),
+          Multiply(Sqrt(DotProductExpr(ex(0), ex(0))),
+            Sqrt(DotProductExpr(ex(1), ex(1))))))
+    }
     // KEY_FOR_STRING (`Analyzer/Analyzer.h:914`): the reference returns
     // the per-column dictionary id of a text value. Spark has no global
     // string dictionary (parquet dictionaries are storage-local), so the

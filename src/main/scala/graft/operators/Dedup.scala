@@ -188,17 +188,21 @@ object Dedup {
     // IVF-bucketed variant (AnnIvf.scala q99), which prunes the pair
     // space to probed cells exactly like LSH prunes shingle space.
     "q44_dedup_embedding" -> ((s, d) => {
+      import graft.functions.GraftFunctions.{dot_product, l2_norm}
+      // Unit-normalize ONCE per vector (O(n)), so the O(n²) pair stage
+      // computes only a dot product — cosine_similarity per pair would
+      // recompute both norms 2n times each.
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 1000)
-        .select(col("vec_id"), col("embedding"))
-      val a = emb.select(col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val b = emb.select(col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
+        .withColumn("nrm", l2_norm(col("embedding")))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => x.cast("double") / col("nrm")).as("u"))
+      val a = emb.select(col("vec_id").as("a_id"), col("u").as("a_u"))
+      val b = emb.select(col("vec_id").as("b_id"), col("u").as("b_u"))
       val pairs = a.crossJoin(b)
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          graft.functions.GraftFunctions
-            .cosine_similarity(col("a_emb"), col("b_emb")).as("sim"))
+          dot_product(col("a_u"), col("b_u")).as("sim"))
         .filter(col("sim") > 0.3)
       val neigh = pairs.select(col("a_id").as("vec_id"),
           col("b_id").as("nb"))

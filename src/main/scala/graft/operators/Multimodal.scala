@@ -89,6 +89,36 @@ object Multimodal {
         val (w, h, bpp) = parseBmpHeader(bytes)
         (id, w, h, bpp, bytes.length)
       }.toDF("doc_id", "width", "height", "bpp", "n_bytes")
+    }),
+
+    // Resize stage: real pixel-level 2×2 block averaging over the blue
+    // channel of the decoded BMP (byte-offset arithmetic over rows with
+    // stride padding — the actual work a thumbnailing pipeline does).
+    // Invariant: the mean of complete equal-size block means equals the
+    // global channel mean.
+    "q83_multimodal_resize" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          // Even dims so 2×2 blocks tile exactly.
+          val (w, h) = ((16 + 2 * (id % 16)).toInt, (8 + 2 * (nc % 8)).toInt)
+          val bytes = bmpBytes(w, h)
+          val rowSize = ((w * 3 + 3) / 4) * 4
+          def px(x: Int, y: Int): Int = bytes(54 + y * rowSize + x * 3) & 0xff
+          var full = 0.0
+          for (y <- 0 until h; x <- 0 until w) full += px(x, y)
+          full /= (w.toLong * h)
+          var down = 0.0
+          for (y <- 0 until h / 2; x <- 0 until w / 2)
+            down += (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+              px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4.0
+          down /= (w.toLong * h / 4)
+          (id, w / 2, h / 2, math.abs(down - full) < 1e-6)
+        }
+        .toDF("doc_id", "down_w", "down_h", "mean_preserved")
     })
   )
 
@@ -151,6 +181,12 @@ object Multimodal {
                 24::INT AS bpp,
                 (54 + (((16 + doc_id % 32) * 3 + 3) // 4) * 4
                     * (8 + n_chars % 16))::INT AS n_bytes
+         FROM documents""",
+    "q83_multimodal_resize" ->
+      """SELECT doc_id,
+                (8 + doc_id % 16)::INT AS down_w,
+                (4 + n_chars % 8)::INT AS down_h,
+                true AS mean_preserved
          FROM documents"""
   )
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Abs, Attribute, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Attribute, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -34,7 +34,12 @@ case class GeoRangeJoinRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner, Some(cond), _) =>
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if !hasEquiKey(cond, l, r) =>
+      // Only joins with NO equi-key qualify: with one, Catalyst already
+      // plans a hash join and bucketing again would stack a redundant
+      // 9× replication on top (e.g. a manually-bucketed grid join whose
+      // exact distance filter got pushed into the join condition).
       val conjuncts = splitConjunctivePredicates(cond)
       // 2-D: st_distance(a, b) < r.
       val geoHit = conjuncts.collectFirst {
@@ -57,6 +62,17 @@ case class GeoRangeJoinRule(spark: SparkSession)
         rewrite(j, l, r, x, y, rad, twoD = false)
       }).getOrElse(j)
   }
+
+  private def hasEquiKey(cond: Expression, l: LogicalPlan,
+      r: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(x, y) =>
+        (x.references.subsetOf(l.outputSet) &&
+          y.references.subsetOf(r.outputSet)) ||
+          (y.references.subsetOf(l.outputSet) &&
+            x.references.subsetOf(r.outputSet))
+      case _ => false
+    }
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       da: Expression, db: Expression, rad: Double, twoD: Boolean)
