@@ -28,6 +28,7 @@ object SparkEntry {
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (operators.NullSemantics.queries, operators.NullSemantics.oracles),
     (operators.AnnIvf.queries, operators.AnnIvf.oracles),
+    (operators.TaxiParity.queries, operators.TaxiParity.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
