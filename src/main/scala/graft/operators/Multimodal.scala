@@ -58,8 +58,10 @@ object Multimodal {
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // ??? real decoder goes here (libjpeg/ffmpeg); deterministic
-          // stand-in: mean byte value + 4-bin byte histogram.
+          // ??? real codec decoder goes here (libjpeg/ffmpeg — not in
+          // this container); deterministic stand-in: mean byte value +
+          // 4-bin byte histogram. q82/q83 exercise a REAL header
+          // decode + pixel resize on self-generated BMP bytes.
           val mean =
             if (bytes.isEmpty) 0.0
             else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
