@@ -151,7 +151,7 @@ object MLFunctions {
       // 25% sample: fits are statistical, the invariants hold on any
       // representative sample, and training cost is the whole query.
       val li = t(s, d, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)
+        .filter(col("l_orderkey") % 8 === 0)
         .select(
         array_to_vector(array(col("l_extendedprice").cast("double"),
           col("l_discount").cast("double"),
@@ -194,6 +194,6 @@ object MLFunctions {
     "q93_tree_models" ->
       """SELECT count(*) AS n, true AS dt_depth_ok, true AS rf_trees_ok,
                 true AS dt_r2_ok, true AS rf_r2_ok, true AS gbt_ok
-         FROM lineitem WHERE l_orderkey % 4 = 0"""
+         FROM lineitem WHERE l_orderkey % 8 = 0"""
   )
 }

@@ -42,6 +42,14 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getInt(3) == 7)
   }
 
+  test("EXPLAIN and hints flow through the facade") {
+    val eng = HeavyEngine(spark, sf)
+    val rows = eng.sql(
+      "EXPLAIN SELECT /*+ BROADCAST(nation) */ * FROM nation JOIN region ON n_regionkey = r_regionkey")
+      .collect()
+    assert(rows.nonEmpty && rows.head.getString(0).contains("Physical Plan"))
+  }
+
   test("sample_ratio is deterministic and near the requested fraction") {
     import graft.functions.GraftFunctions.sample_ratio
     val li = Tables.t(spark, sf, "lineitem")
