@@ -38,8 +38,14 @@ object SparkEntry {
     queries("q03_agg_basic")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_._1).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_._1)
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate query ids: " + all.groupBy(_._1).collect {
+        case (k, vs) if vs.size > 1 => k
+      }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
