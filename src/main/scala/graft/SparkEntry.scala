@@ -29,6 +29,7 @@ object SparkEntry {
     (operators.NullSemantics.queries, operators.NullSemantics.oracles),
     (operators.AnnIvf.queries, operators.AnnIvf.oracles),
     (operators.TaxiParity.queries, operators.TaxiParity.oracles),
+    (operators.FlightsParity.queries, operators.FlightsParity.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
