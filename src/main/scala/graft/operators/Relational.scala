@@ -144,6 +144,28 @@ object Relational {
         .select(col("s1"), col("s2"))
     }),
 
+    // ROLLUP — a capability-add beyond the reference (HeavyDB has no
+    // GROUPING SETS/ROLLUP/CUBE: absent from its Calcite config,
+    // SURVEY §2.4); Spark provides them natively, so a user migrating
+    // gains them for free.
+    "q118_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    }),
+
+    // INTERSECT / EXCEPT — also free in Spark, absent in the reference
+    // (SURVEY §2.8: UNION ALL only).
+    "q119_setops" -> ((s, d) => {
+      val inOrders = t(s, d, "orders").select(col("o_custkey").as("k"))
+      val allCust = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val both = allCust.intersect(inOrders)
+        .select(col("k"), lit("both").as("src"))
+      val custOnly = allCust.except(inOrders)
+        .select(col("k"), lit("cust_only").as("src"))
+      both.unionAll(custOnly)
+    }),
+
     // UNION ALL (RelLogicalUnion, `QueryEngine/RelAlgDag.h:3136`).
     "q12_union_all" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -398,6 +420,18 @@ object Relational {
       """SELECT c_custkey AS id, 'cust' AS kind FROM customer
          UNION ALL
          SELECT s_suppkey AS id, 'supp' AS kind FROM supplier""",
+    "q118_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(l_quantity) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q119_setops" ->
+      """SELECT k, 'both' AS src FROM
+           (SELECT c_custkey AS k FROM customer
+            INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT k, 'cust_only' AS src FROM
+           (SELECT c_custkey AS k FROM customer
+            EXCEPT SELECT o_custkey FROM orders)""",
     "q13_case_arith" ->
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN l_discount > 0.05 THEN 'HI'
