@@ -30,13 +30,27 @@ final class HeavyEngine private (val spark: SparkSession) {
     * like the reference's `ParserWrapper` statement classification;
     * everything else is a query handed to Catalyst.
     */
-  def sql(query: String): DataFrame =
-    Ddl.route(spark, query).getOrElse(spark.sql(query))
+  def sql(query: String): DataFrame = query match {
+    // Reference EXPLAIN forms (`Parser/ParserWrapper.h:34-48`):
+    // EXPLAIN OPTIMIZED / EXPLAIN CALCITE / EXPLAIN PLAN map onto
+    // Spark's extended explain (EXPLAIN <LLVM IR> has no analog —
+    // WholeStageCodegen source is the closest, via CODEGEN).
+    case HeavyEngine.ExplainForm(form, rest) =>
+      val mode = form.toUpperCase match {
+        case "OPTIMIZED" | "CALCITE" => "EXTENDED"
+        case _ => "FORMATTED"
+      }
+      spark.sql(s"EXPLAIN $mode $rest")
+    case q => Ddl.route(spark, q).getOrElse(spark.sql(q))
+  }
 
   def table(name: String): DataFrame = spark.table(name)
 }
 
 object HeavyEngine {
+  private val ExplainForm =
+    """(?is)\s*EXPLAIN\s+(OPTIMIZED|CALCITE|PLAN)\s+(.*)""".r
+
   /** Engine over `spark` with the fixture tables at `dir` registered. */
   def apply(spark: SparkSession, dir: String): HeavyEngine = {
     functions.GraftFunctions.registerAll(spark)

@@ -75,6 +75,16 @@ object SqlSurface {
                   regexp_replace(c_name, '0+', '#') AS collapsed
            FROM customer""")),
 
+    // TIME type policy (SURVEY §7.4): Spark has no TIME — the engine's
+    // mapping is seconds-since-midnight, extracted from the timestamp.
+    "q121_time_policy" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT event_id,
+                  (hour(ts) * 3600 + minute(ts) * 60 + second(ts))
+                    AS time_of_day_s,
+                  date_format(ts, 'HH:mm:ss') AS time_str
+           FROM events""")),
+
     // KEY_FOR_STRING as a grouping key: id-space must be exactly as
     // discriminating as the strings themselves (the dictionary-id
     // contract), and grouping on it must reproduce string grouping.
@@ -141,6 +151,12 @@ object SqlSurface {
                 replace(c_name, '#', '%23') AS urlenc,
                 repeat(' ', 2) || c_mktsegment AS padded
          FROM customer""",
+    "q121_time_policy" ->
+      """SELECT event_id,
+                (hour(ts::TIMESTAMP) * 3600 + minute(ts::TIMESTAMP) * 60
+                 + second(ts::TIMESTAMP))::INT AS time_of_day_s,
+                strftime(ts::TIMESTAMP, '%H:%M:%S') AS time_str
+         FROM events""",
     "q102_regex_funcs" ->
       """SELECT c_custkey,
                 len(regexp_extract_all(c_name, '0'))::INT AS n0,

@@ -42,6 +42,16 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getInt(3) == 7)
   }
 
+  test("reference EXPLAIN forms map to Spark explain modes") {
+    val eng = HeavyEngine(spark, sf)
+    val ext = eng.sql("EXPLAIN OPTIMIZED SELECT count(*) FROM nation")
+      .collect().head.getString(0)
+    assert(ext.contains("Optimized Logical Plan"))
+    val fmt = eng.sql("EXPLAIN PLAN SELECT count(*) FROM nation")
+      .collect().head.getString(0)
+    assert(fmt.contains("Physical Plan"))
+  }
+
   test("EXPLAIN and hints flow through the facade") {
     val eng = HeavyEngine(spark, sf)
     val rows = eng.sql(
