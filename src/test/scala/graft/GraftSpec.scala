@@ -145,6 +145,27 @@ class DedupSpec extends AnyFunSuite {
     assert(far > 8, s"unrelated docs too close: $far")
   }
 
+  test("hot LSH buckets are capped but stay fully linked via star pairs") {
+    // 20 identical docs exceed HOT_BUCKET_CAP=16 in every (band,bucket):
+    // the capped path must still link every copy to the representative.
+    val d = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    import spark.implicits._
+    val boiler = "standard web crawl boilerplate footer text " * 10
+    val docs = (0L until 20L).map(i => (i, boiler, "en", "s", 100L)) ++
+      Seq((20L, "a completely unrelated single document about catalyst",
+        "en", "s", 50L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m = SparkEntry.queries("q42_dedup_minhash_lsh")(spark, d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("rep_id"))).toMap
+    (1L until 20L).foreach { i =>
+      assert(m(i)._1 > 0 && m(i)._2 == 0L, s"doc $i not linked: ${m(i)}")
+    }
+    assert(m(20L)._1 == 0L, s"unrelated doc gained candidates: ${m(20L)}")
+  }
+
   test("langid marks english text as en") {
     val m = q("q45_langid").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred"))

@@ -27,6 +27,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("range-join rule leaves manually-bucketed joins untouched") {
+    // q61 carries its own grid equi-key; the rule must not stack its
+    // __gcell bucketing on top (it only fires on equi-key-less joins).
+    graft.HeavyEngine(spark, sf) // rule installed on the shared session
+    val plan = planOf("q61_geo_distance_join")
+    assert(!plan.contains("__gcell"), plan.take(2000))
+  }
+
   test("LSH candidate generation never plans an all-pairs product") {
     val plan = planOf("q42_dedup_minhash_lsh")
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
