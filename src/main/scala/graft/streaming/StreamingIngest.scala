@@ -67,8 +67,17 @@ object StreamingIngest {
     // processAllAvailable beats Trigger.AvailableNow here: AvailableNow
     // adds a planning batch plus a watermark-commit no-data batch
     // (measured +1-2 s per query on the single-batch fixture).
+    // Checkpoint (offset/commit log fsyncs) goes to tmpfs when present —
+    // the durability story for this run-to-completion harness is the
+    // parquet result table, not the checkpoint.
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val q = agg.writeStream
       .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(ckptBase, "graft_ckpt").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(outDir)
       }
