@@ -30,6 +30,7 @@ object SparkEntry {
     (operators.AnnIvf.queries, operators.AnnIvf.oracles),
     (operators.TaxiParity.queries, operators.TaxiParity.oracles),
     (operators.FlightsParity.queries, operators.FlightsParity.oracles),
+    (operators.SyntheticParity.queries, operators.SyntheticParity.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
