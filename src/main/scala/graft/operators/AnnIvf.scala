@@ -15,8 +15,10 @@ import graft.functions.GraftFunctions.cosine_similarity
   * SimilarityTableFunctions.hpp:162` in /root/reference).
   *
   * Coarse quantizer: k-means centroids (MLlib, deterministic seed). The
-  * corpus partitions into k cells in ONE pass (broadcast centroids ×
-  * corpus scan, min_by assignment — no corpus shuffle); queries probe
+  * corpus partitions into k cells in ONE pass — the centroids are array
+  * LITERALS and the argmax cell is a projection (array_max over
+  * (csim, cid) structs), so the assignment stage has zero shuffles and
+  * zero joins; queries probe
   * only their `nprobe` nearest cells, so the scan cost per query is
   * ~nprobe/k of the corpus. At 100 TB the assignment is a write-once
   * partition/bucket-by-cell layout and each query reads only its probed
@@ -35,6 +37,17 @@ object AnnIvf {
   private val NPROBE = 8
   private val TOPK = 10
 
+  /** Write-once staging (Dedup.stage pattern): the candidate set feeds
+    * both the ranking and the scan-fraction stat; staging avoids a
+    * recompute without leaking executor storage via `.persist`.
+    */
+  private def stage(df: DataFrame, name: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_stage_$name").toString
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q99_ann_ivf" -> ((s, d) => {
       val spark = s
@@ -43,18 +56,24 @@ object AnnIvf {
       // 1. coarse quantizer (deterministic).
       val model = new KMeans().setK(K).setSeed(42L).setMaxIter(10)
         .fit(emb.select(array_to_vector(col("embedding")).as("features")))
-      val centroids = broadcast(
-        model.clusterCenters.zipWithIndex
-          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-          .toSeq.toDF("cid", "centroid"))
-      // 2. one-pass cell assignment: argmin centroid per corpus vector.
-      val assigned = emb.crossJoin(centroids)
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          cosine_similarity(col("embedding"), col("centroid")).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), col("csim")).as("cid"),
-          first(col("embedding")).as("embedding"))
-      // 3. queries probe their NPROBE nearest cells.
+      val cents: Seq[(Int, Seq[Float])] = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      // 2. cell assignment as a PURE PROJECTION over the corpus scan:
+      //    the K centroids are array literals and the argmax is
+      //    array_max over (csim, cid) structs — zero shuffle, zero
+      //    join. At 100 TB this is the map stage of a write-once
+      //    bucket-by-cell layout (partition pruning on cid at probe
+      //    time).
+      val best = array_max(array(cents.map { case (i, cvec) =>
+        struct(
+          cosine_similarity(col("embedding"), typedLit(cvec)).as("csim"),
+          lit(i).as("cid"))
+      }: _*))
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        best.getField("cid").as("cid"))
+      // 3. queries probe their NPROBE nearest cells (|queries| × K rows
+      //    — broadcast).
+      val centroids = broadcast(cents.toDF("cid", "centroid"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probes = broadcast(qs.crossJoin(centroids)
@@ -64,17 +83,18 @@ object AnnIvf {
           Window.partitionBy(col("q_id")).orderBy(col("csim").desc)))
         .filter(col("rnk") <= NPROBE)
         .select(col("q_id"), col("q_emb"), col("cid")))
-      // 4. approximate top-k from probed cells only.
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("n_id").asc)
-      val approx = assigned.join(probes, "cid")
+      // 4. candidate set from probed cells only — staged once.
+      val cand = stage(assigned.join(probes, "cid")
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          cosine_similarity(col("embedding"), col("q_emb")).as("sim"))
-        .withColumn("rnk", row_number().over(w))
+          cosine_similarity(col("embedding"), col("q_emb")).as("sim")),
+        "ivf_cand")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id").asc)
+      val approx = cand.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TOPK)
         .select(col("q_id"), col("n_id"))
-      // 5. exact top-k (ground truth) + recall.
+      // 5. exact top-k (ground truth).
       val exact = emb.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
@@ -82,16 +102,19 @@ object AnnIvf {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TOPK)
         .select(col("q_id"), col("n_id"))
-      val nCorpus = emb.count()
-      val nCand = assigned.join(probes, "cid")
-        .filter(col("vec_id") =!= col("q_id")).count()
-      val hits = approx.join(exact, Seq("q_id", "n_id")).count()
-      val nQ = qs.count()
-      val recall = hits.toDouble / (nQ * TOPK)
-      Seq((nQ, K, NPROBE,
-        nCand.toDouble / (nQ * nCorpus) <= 0.75,
-        recall >= 0.2 && recall <= 1.0))
-        .toDF("n_queries", "k", "nprobe", "sublinear_scan", "recall_ok")
+      // 6. every stat folds into ONE action (three 1-row aggregates
+      //    crossJoined) — no driver-side count loop.
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(approx.join(exact, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("hits")))
+        .crossJoin(emb.agg(count(lit(1)).as("n_corpus"),
+          count(when(col("vec_id") < 5, 1)).as("n_q")))
+        .select(col("n_q").as("n_queries"), lit(K).as("k"),
+          lit(NPROBE).as("nprobe"),
+          (col("n_cand") <= lit(0.75) * col("n_q") * col("n_corpus"))
+            .as("sublinear_scan"),
+          (col("hits") >= lit(0.2) * col("n_q") * lit(TOPK) &&
+            col("hits") <= col("n_q") * lit(TOPK)).as("recall_ok"))
     })
   )
 

@@ -47,9 +47,10 @@ object Multimodal {
     }),
 
     // Partition-parallel typed decode stage (Dataset map over binary
-    // payloads → fixed-shape feature batch). Rows-only check: the fake
-    // "feature" is a byte-histogram mean, standing in for a model
-    // embedding; shape/typing is what's under test.
+    // payloads → fixed-shape feature batch). Oracle-checked: the mean
+    // byte + 4-bin histogram are exactly computable in SQL, so the
+    // whole decode path gets a hash gate (histogram emitted as scalar
+    // h0..h3 columns — array columns crash the harness's pandas sort).
     "q81_multimodal_decode" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -58,7 +59,7 @@ object Multimodal {
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // ??? real codec decoder goes here (libjpeg/ffmpeg — not in
+          // real codec decoder goes here (libjpeg/ffmpeg — not in
           // this container); deterministic stand-in: mean byte value +
           // 4-bin byte histogram. q82/q83 exercise a REAL header
           // decode + pixel resize on self-generated BMP bytes.
@@ -67,9 +68,9 @@ object Multimodal {
             else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
           val hist = new Array[Long](4)
           bytes.foreach(b => hist((b & 0xff) / 64) += 1)
-          (id, bytes.length, mean, hist.toSeq)
+          (id, bytes.length, mean, hist(0), hist(1), hist(2), hist(3))
         }
-      }.toDF("doc_id", "n_bytes", "mean_byte", "byte_hist")
+      }.toDF("doc_id", "n_bytes", "mean_byte", "h0", "h1", "h2", "h3")
     }),
 
     // REAL decode path: deterministic BMP images are produced and then
@@ -175,7 +176,25 @@ object Multimodal {
                 replace(replace(to_base64(encode(text)), chr(13), ''),
                         chr(10), '') AS payload_b64
          FROM documents""",
-    // q81 is rows-only: its feature payload is the stub's contract.
+    // Byte-level decode contract is exactly SQL-expressible: mean byte
+    // value and a 4-bin histogram recomputed from the hex dump.
+    "q81_multimodal_decode" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS nb
+           FROM documents
+         ), e AS (
+           SELECT doc_id, nb,
+                  (strpos('0123456789abcdef', substring(hx, 2*i-1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1 AS byte
+           FROM b, unnest(range(1, nb + 1)) AS t(i)
+         )
+         SELECT doc_id, nb::INT AS n_bytes, avg(byte) AS mean_byte,
+                sum(CASE WHEN byte // 64 = 0 THEN 1 ELSE 0 END)::BIGINT AS h0,
+                sum(CASE WHEN byte // 64 = 1 THEN 1 ELSE 0 END)::BIGINT AS h1,
+                sum(CASE WHEN byte // 64 = 2 THEN 1 ELSE 0 END)::BIGINT AS h2,
+                sum(CASE WHEN byte // 64 = 3 THEN 1 ELSE 0 END)::BIGINT AS h3
+         FROM e GROUP BY doc_id, nb""",
     "q82_multimodal_bmp_decode" ->
       """SELECT doc_id,
                 (16 + doc_id % 32)::INT AS width,
