@@ -96,6 +96,66 @@ object GeoFunctions {
   /** ST_NPOINTS. */
   def st_npoints(ring: Column): Column = size(ring)
 
+  // --- round-4 breadth: transform / centroid / bounds / rings / dwithin ---
+
+  /** WGS84 spheroid major radius — the web-mercator scale constant
+    * (reference: `Geospatial/Utm.h` / 900913 conversions in
+    * `QueryEngine/ExtensionFunctionsGeo.hpp` conv_4326_900913).
+    */
+  private val MercR = 6378137.0
+
+  /** ST_Transform(p, 4326 → 900913): lon/lat degrees → web-mercator
+    * meters. Pure Column composition — fully codegen'd, the one CRS pair
+    * the reference special-cases (`HeavyDBSqlOperatorTable.java:2541`).
+    */
+  def st_transform_4326_900913(p: Column): Column =
+    struct((radians(st_x(p)) * MercR).as("x"),
+      (log(tan(lit(math.Pi / 4) + radians(st_y(p)) / 2)) * MercR).as("y"))
+
+  /** ST_Transform(p, 900913 → 4326): inverse web mercator. */
+  def st_transform_900913_4326(p: Column): Column =
+    struct(degrees(st_x(p) / MercR).as("x"),
+      degrees(atan(exp(st_y(p) / MercR)) * 2 - lit(math.Pi / 2)).as("y"))
+
+  /** ST_XMin/XMax/YMin/YMax bounding-box accessors over a vertex array
+    * (reference: bbox accessor family `HeavyDBSqlOperatorTable.java:3258+`).
+    * Column compositions over the ring encoding — no custom node needed.
+    */
+  def st_xmin(ring: Column): Column =
+    array_min(transform(ring, p => p.getField("x")))
+  def st_xmax(ring: Column): Column =
+    array_max(transform(ring, p => p.getField("x")))
+  def st_ymin(ring: Column): Column =
+    array_min(transform(ring, p => p.getField("y")))
+  def st_ymax(ring: Column): Column =
+    array_max(transform(ring, p => p.getField("y")))
+
+  /** Area-weighted polygon centroid (Catalyst expr, GeomExpressions). */
+  def st_centroid(ring: Column): Column = c(STCentroid(e(ring)))
+
+  /** Full POLYGON WKT (outer + holes) → array of rings. */
+  def st_polygon_from_text(wkt: Column): Column = c(STRingsFromWkt(e(wkt)))
+
+  /** ST_NRINGS: ring count of a multi-ring polygon (1 + holes). */
+  def st_nrings(rings: Column): Column = size(rings)
+
+  /** Net area of a polygon with holes: outer shoelace minus hole
+    * shoelaces — st_area mapped over the ring array inside `aggregate`
+    * (higher-order fn; the custom expr evaluates fine under lambda vars).
+    */
+  def st_area_with_holes(rings: Column): Column =
+    st_area(element_at(rings, 1)) -
+      aggregate(slice(rings, lit(2), size(rings)), lit(0.0),
+        (acc, r) => acc + st_area(r))
+
+  /** Min distance between two polygon rings (0 when intersecting). */
+  def st_distance_poly(a: Column, b: Column): Column =
+    c(STDistancePoly(e(a), e(b)))
+
+  /** ST_DWithin over polygon geometries (not just points). */
+  def st_dwithin_poly(a: Column, b: Column, r: Column): Column =
+    st_distance_poly(a, b) <= r
+
   /** Register the geometry functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -119,5 +179,14 @@ object GeoFunctions {
     reg.registerFunction(FunctionIdentifier("st_intersects"),
       new ExpressionInfo("graft", "st_intersects"),
       ex => STIntersectsPoly(ex(0), ex(1)))
+    reg.registerFunction(FunctionIdentifier("st_centroid"),
+      new ExpressionInfo("graft", "st_centroid"),
+      ex => STCentroid(ex.head))
+    reg.registerFunction(FunctionIdentifier("st_polygonfromtext"),
+      new ExpressionInfo("graft", "st_polygonfromtext"),
+      ex => STRingsFromWkt(ex.head))
+    reg.registerFunction(FunctionIdentifier("st_distance_poly"),
+      new ExpressionInfo("graft", "st_distance_poly"),
+      ex => STDistancePoly(ex(0), ex(1)))
   }
 }

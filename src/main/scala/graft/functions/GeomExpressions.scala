@@ -92,6 +92,150 @@ private[graft] object GeomUtil {
   }
 }
 
+/** ST_CENTROID of a polygon ring — area-weighted (shoelace) centroid,
+  * falling back to the vertex mean for degenerate (zero-area) rings.
+  * Reference: `QueryEngine/GeoOperators/Centroid.h`.
+  */
+case class STCentroid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.pointType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeomUtil.checkRing(child.dataType, prettyName)
+  override def prettyName: String = "st_centroid"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val (px, py) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val n = px.length
+    if (n == 0) return null
+    var sa = 0.0; var sx = 0.0; var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cross = px(i) * py(j) - px(j) * py(i)
+      sa += cross
+      sx += (px(i) + px(j)) * cross
+      sy += (py(i) + py(j)) * cross
+      i += 1
+    }
+    if (math.abs(sa) > 1e-12)
+      InternalRow(sx / (3.0 * sa), sy / (3.0 * sa))
+    else {
+      // Degenerate ring: mean of distinct vertices (drop the WKT
+      // closing duplicate so it doesn't bias the mean).
+      val last = if (n > 1 && px(0) == px(n - 1) && py(0) == py(n - 1))
+        n - 1 else n
+      InternalRow(px.take(last).sum / last, py.take(last).sum / last)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Full POLYGON WKT (outer ring + holes) → array of rings
+  * `array<array<struct<x,y>>>`. Ring 1 is the outer boundary; rings 2..n
+  * are holes (reference multi-ring encoding: render-group / ring-sizes
+  * arrays, `Geospatial/Types.cpp` GeoPolygon).
+  */
+case class STRingsFromWkt(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(GeomUtil.ringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string WKT, got ${child.dataType.simpleString}")
+  override def prettyName: String = "st_rings_from_wkt"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val wkt = input.asInstanceOf[UTF8String].toString.trim
+    val open = wkt.indexOf('(')
+    if (open < 0) return null
+    val body = wkt.substring(open + 1, wkt.lastIndexOf(')'))
+    // Rings are "(x y, x y, ...)" groups at depth 1.
+    val rings = Array.newBuilder[Any]
+    var i = 0
+    while (i < body.length) {
+      val s = body.indexOf('(', i)
+      if (s < 0) { i = body.length }
+      else {
+        val e = body.indexOf(')', s)
+        if (e < 0) { i = body.length }
+        else {
+          val pts = body.substring(s + 1, e).split(",")
+            .map(_.trim).filter(_.nonEmpty).map { p =>
+              val parts = p.split("\\s+")
+              InternalRow(parts(0).toDouble, parts(1).toDouble)
+            }
+          rings += new GenericArrayData(pts.asInstanceOf[Array[Any]])
+          i = e + 1
+        }
+      }
+    }
+    val out = rings.result()
+    if (out.isEmpty) null else new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Minimum planar distance between two polygon rings: 0 when they
+  * intersect or one contains the other, else the min over all
+  * (vertex, edge) pairs. Powers ST_DWithin over geometries (the
+  * reference's geometry-pair DWithin, `QueryEngine/GeoOperators/` +
+  * `ExtensionFunctionsGeo.hpp` distance paths).
+  */
+case class STDistancePoly(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else GeomUtil.checkRing(right.dataType, prettyName)
+  }
+  override def prettyName: String = "st_distance_poly"
+
+  private def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0,
+        ((px - ax) * dx + (py - ay) * dy) / len2))
+    math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+  }
+
+  override protected def nullSafeEval(la: Any, ra: Any): Any = {
+    val a = la.asInstanceOf[ArrayData]
+    val b = ra.asInstanceOf[ArrayData]
+    val (ax, ay) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val (bx, by) = (GeomUtil.xs(b), GeomUtil.ys(b))
+    val (n, m) = (ax.length, bx.length)
+    if (GeomUtil.containsPoint(ax, ay, bx(0), by(0)) ||
+      GeomUtil.containsPoint(bx, by, ax(0), ay(0))) return 0.0
+    var best = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = 0
+      while (j < m) {
+        val j2 = (j + 1) % m
+        if (GeomUtil.segmentsIntersect(ax(i), ay(i), ax(i2), ay(i2),
+          bx(j), by(j), bx(j2), by(j2))) return 0.0
+        best = math.min(best, math.min(
+          math.min(pointSegDist(ax(i), ay(i), bx(j), by(j), bx(j2), by(j2)),
+            pointSegDist(ax(i2), ay(i2), bx(j), by(j), bx(j2), by(j2))),
+          math.min(pointSegDist(bx(j), by(j), ax(i), ay(i), ax(i2), ay(i2)),
+            pointSegDist(bx(j2), by(j2), ax(i), ay(i), ax(i2), ay(i2)))))
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** ST_DISTANCE between two point structs — a DEDICATED expression node
   * (not a sqrt/pow composition) so the optimizer can recognize distance
   * predicates structurally: GeoRangeJoinRule matches

@@ -141,6 +141,63 @@ object Geo {
           st_distance(col("a_pt"), col("b_pt")).as("dist"))
     }),
 
+    // ST_Transform 4326 → 900913 (web mercator) and back — the one CRS
+    // pair the reference special-cases (`HeavyDBSqlOperatorTable.java:2541`,
+    // `Geospatial/Compression.cpp`). Forward coords + roundtrip recovery.
+    "q125_geo_transform" -> ((s, d) => {
+      val m = st_transform_4326_900913(col("pt"))
+      val back = st_transform_900913_4326(m)
+      points(s, d).select(col("p_partkey"),
+        st_x(m).as("mx"), st_y(m).as("my"),
+        st_x(back).as("rx"), st_y(back).as("ry"))
+    }),
+
+    // ST_Centroid over the triangle fixtures — closed form (vertex mean
+    // of a triangle = area centroid).
+    "q126_geo_centroid" -> ((s, d) => {
+      val cent = st_centroid(st_geom_from_text(col("wkt")))
+      triangles(s, d).select(col("p_partkey"),
+        st_x(cent).as("cent_x"), st_y(cent).as("cent_y"))
+    }),
+
+    // Multi-ring polygon (outer rect + rectangular hole): ST_NRINGS,
+    // bbox accessor family, and net area (outer minus hole).
+    "q127_geo_poly_holes" -> ((s, d) => {
+      val withWkt = triangles(s, d).withColumn("pwkt", format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s), " +
+          "(%s %s, %s %s, %s %s, %s %s, %s %s))",
+        col("cx"), col("cy"), col("cx") + col("w"), col("cy"),
+        col("cx") + col("w"), col("cy") + col("h"),
+        col("cx"), col("cy") + col("h"), col("cx"), col("cy"),
+        col("cx") + col("w") / 4, col("cy") + col("h") / 4,
+        col("cx") + col("w") / 2, col("cy") + col("h") / 4,
+        col("cx") + col("w") / 2, col("cy") + col("h") / 2,
+        col("cx") + col("w") / 4, col("cy") + col("h") / 2,
+        col("cx") + col("w") / 4, col("cy") + col("h") / 4))
+        .withColumn("rings", st_polygon_from_text(col("pwkt")))
+      val outer = element_at(col("rings"), 1)
+      withWkt.select(col("p_partkey"),
+        st_nrings(col("rings")).as("nrings"),
+        st_xmin(outer).as("bxmin"), st_xmax(outer).as("bxmax"),
+        st_ymin(outer).as("bymin"), st_ymax(outer).as("bymax"),
+        st_area_with_holes(col("rings")).as("area_net"))
+    }),
+
+    // ST_DWithin over polygon GEOMETRIES (q71's pair fixture): min ring
+    // distance is closed-form (pairs overlap → 0, else the horizontal
+    // gap dx - w between the facing vertical edges).
+    "q128_geo_dwithin_poly" -> ((s, d) => {
+      val tri = triangles(s, d)
+        .withColumn("ring", st_geom_from_text(col("wkt")))
+        .withColumn("dx", (col("p_partkey") % 5) * lit(0.7) * col("w"))
+        .withColumn("ring2", transform(col("ring"),
+          p => struct((p.getField("x") + col("dx")).as("x"),
+            p.getField("y").as("y"))))
+      tri.select(col("p_partkey"),
+        st_distance_poly(col("ring"), col("ring2")).as("dist"),
+        st_dwithin_poly(col("ring"), col("ring2"), lit(2.5)).as("within"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -173,6 +230,51 @@ object Geo {
   val queries: Seq[(String, Q)] = baseQueries ++ polyQueries
 
   val oracles: Seq[(String, String)] = Seq(
+    "q125_geo_transform" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS lon,
+                  fmod(p_retailprice, 50.0) AS lat
+           FROM part),
+         m AS (
+           SELECT p_partkey, lon, lat,
+                  radians(lon) * 6378137.0 AS mx,
+                  ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0 AS my
+           FROM p)
+         SELECT p_partkey, mx, my,
+                degrees(mx / 6378137.0) AS rx,
+                degrees(2 * atan(exp(my / 6378137.0)) - pi() / 2) AS ry
+         FROM m""",
+    "q126_geo_centroid" ->
+      """SELECT p_partkey,
+                (p_size::DOUBLE - 25.0) + (1.0 + (p_size % 5)) / 3.0
+                  AS cent_x,
+                fmod(p_retailprice, 50.0) + (1.0 + (p_partkey % 7)) / 3.0
+                  AS cent_y
+         FROM part""",
+    "q127_geo_poly_holes" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS cx,
+                  fmod(p_retailprice, 50.0) AS cy,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h
+           FROM part)
+         SELECT p_partkey, 2::INT AS nrings,
+                cx AS bxmin, cx + w AS bxmax,
+                cy AS bymin, cy + h AS bymax,
+                w * h - (w / 4) * (h / 4) AS area_net
+         FROM p""",
+    "q128_geo_dwithin_poly" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  1.0 + (p_size % 5) AS w,
+                  (p_partkey % 5) * 0.7 * (1.0 + (p_size % 5)) AS dx
+           FROM part)
+         SELECT p_partkey,
+                greatest(0.0, dx - w) AS dist,
+                greatest(0.0, dx - w) <= 2.5 AS within
+         FROM p""",
     "q68_geo_wkt_measures" ->
       """WITH p AS (
            SELECT p_partkey,

@@ -62,4 +62,75 @@ class GeomSpec extends AnyFunSuite {
       .select(st_length(col("ring"))).collect().head
     assert(r.getDouble(0) == 7.0)
   }
+
+  test("st_transform 4326<->900913 roundtrip and known anchors") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (180.0, 0.0), (-73.99, 40.73)).toDF("x", "y")
+      .select(st_point(col("x"), col("y")).as("p"))
+      .select(col("p"), st_transform_4326_900913(col("p")).as("m"))
+      .select(col("p"), col("m"),
+        st_transform_900913_4326(col("m")).as("r"))
+      .collect()
+    val origin = df(0).getStruct(1)
+    // y(lat=0) = R*ln(tan(pi/4)) — sub-micrometer but not exactly 0.0
+    // in doubles (tan(pi/4) rounds to 0.999...9).
+    assert(origin.getDouble(0) == 0.0 &&
+      math.abs(origin.getDouble(1)) < 1e-6)
+    // lon 180 → x = pi * R (web-mercator half-circumference)
+    assert(math.abs(df(1).getStruct(1).getDouble(0) -
+      math.Pi * 6378137.0) < 1e-6)
+    df.foreach { row =>
+      val (p, r) = (row.getStruct(0), row.getStruct(2))
+      assert(math.abs(p.getDouble(0) - r.getDouble(0)) < 1e-9)
+      assert(math.abs(p.getDouble(1) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("st_centroid: square, triangle, degenerate segment") {
+    def cent(wkt: String) = ringOf(wkt)
+      .select(st_centroid(col("ring")).as("c"))
+      .select(st_x(col("c")), st_y(col("c"))).collect().head
+    val sq = cent("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert(sq.getDouble(0) == 1.0 && sq.getDouble(1) == 1.0)
+    val tri = cent("POLYGON ((0 0, 3 0, 0 3, 0 0))")
+    assert(tri.getDouble(0) == 1.0 && tri.getDouble(1) == 1.0)
+    val seg = cent("LINESTRING (0 0, 2 0)") // zero area → vertex mean
+    assert(seg.getDouble(0) == 1.0 && seg.getDouble(1) == 0.0)
+  }
+
+  test("multi-ring polygon: nrings, bbox accessors, net area") {
+    import spark.implicits._
+    val r = Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+        "(1 1, 2 1, 2 2, 1 2, 1 1))").toDF("wkt")
+      .select(st_polygon_from_text(col("wkt")).as("rings"))
+      .select(st_nrings(col("rings")).as("n"),
+        st_xmin(element_at(col("rings"), 1)).as("x0"),
+        st_xmax(element_at(col("rings"), 1)).as("x1"),
+        st_ymin(element_at(col("rings"), 1)).as("y0"),
+        st_ymax(element_at(col("rings"), 1)).as("y1"),
+        st_area_with_holes(col("rings")).as("a"))
+      .collect().head
+    assert(r.getInt(0) == 2)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 4.0)
+    assert(r.getDouble(5) == 15.0) // 16 - 1
+  }
+
+  test("st_distance_poly: disjoint gap, intersecting, contained") {
+    import spark.implicits._
+    val df = Seq(
+      ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))", 2.0),  // facing edges
+      ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", 0.0),  // crossing
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", 0.0),  // contained
+      ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))", math.sqrt(2.0)) // corners
+    ).toDF("a", "b", "want")
+    val rows = df.select(st_distance_poly(st_geom_from_text(col("a")),
+      st_geom_from_text(col("b"))).as("got"), col("want")).collect()
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
 }
