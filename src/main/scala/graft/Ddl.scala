@@ -185,6 +185,23 @@ object Ddl {
     """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val CopyTo: Regex =
     """(?is)\s*COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*""".r
+  // SHOW / ALTER (`Catalog/DdlCommandExecutor.h:57-437`): SHOW TABLES /
+  // SHOW COLUMNS / SHOW CREATE TABLE introspection; ALTER column ops are
+  // schema projections over the copy-on-write version machinery.
+  private val ShowTables: Regex =
+    """(?is)\s*SHOW\s+TABLES\s*""".r
+  private val ShowColumns: Regex =
+    """(?is)\s*SHOW\s+COLUMNS\s+(?:FROM\s+)?(\w+)\s*""".r
+  private val ShowCreate: Regex =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
+  private val AlterRenameCol: Regex =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterRenameTable: Regex =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  private val AlterAddCol: Regex =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\w+(?:\([\d,\s]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val AlterDropCol: Regex =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
 
   /** Split on top-level commas (parens/quotes respected). */
   private[graft] def splitTop(s: String): Seq[String] = {
@@ -262,6 +279,49 @@ object Ddl {
         import spark.implicits._
         Some(Seq((name, n, df.schema.length))
           .toDF("table_name", "n_rows", "n_cols"))
+      // SHOW TABLES: every visible relation — managed tables + temp views
+      // (the reference lists the catalog's physical + view entries).
+      case ShowTables() =>
+        import spark.implicits._
+        Some(spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+          .toDF("table_name"))
+      case ShowColumns(name) =>
+        import spark.implicits._
+        Some(spark.table(name).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.sql, f.nullable))
+          .toDF("column_name", "data_type", "is_nullable"))
+      case ShowCreate(name) =>
+        import spark.implicits._
+        val cols = spark.table(name).schema.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        Some(Seq(s"CREATE TABLE $name ($cols)").toDF("create_stmt"))
+      // ALTER column ops: a projection written as the next table version
+      // (same copy-on-write swap as UPDATE/DELETE — readers of the old
+      // version are undisturbed; at scale this is one distributed
+      // rewrite, or a metadata-only change for engines with schema
+      // evolution, which parquet-per-version makes explicit).
+      case AlterRenameCol(name, from, to) =>
+        swapIn(spark, name, table(spark, name).withColumnRenamed(from, to))
+        done
+      case AlterRenameTable(from, to) =>
+        val m = catalog.remove(from)
+        require(m != null, s"table not found: $from")
+        catalog.put(to, m)
+        spark.catalog.dropTempView(from)
+        registerView(spark, to); done
+      case AlterAddCol(name, colName, typeDdl, default) =>
+        val df = table(spark, name)
+        require(!df.columns.exists(_.equalsIgnoreCase(colName)),
+          s"column already exists: $colName")
+        val dt = StructType.fromDDL(s"$colName $typeDdl").head.dataType
+        val value = Option(default).map(d => expr(d.trim))
+          .getOrElse(lit(null)).cast(dt)
+        swapIn(spark, name, df.withColumn(colName, value)); done
+      case AlterDropCol(name, colName) =>
+        val df = table(spark, name)
+        require(df.columns.exists(_.equalsIgnoreCase(colName)),
+          s"column not found: $colName")
+        swapIn(spark, name, df.drop(colName)); done
       case CopyFrom(name, path) =>
         val schema = table(spark, name).schema
         insertInto(spark, name,

@@ -51,6 +51,27 @@ object DdlDml {
       eng.sql("""SELECT l_returnflag, count(*) AS n,
                         round(sum(l_quantity), 2) AS qty
                  FROM csv_lineitem GROUP BY l_returnflag""")
+    }),
+
+    // ALTER TABLE lifecycle (`Catalog/DdlCommandExecutor.h:57-437`):
+    // ADD COLUMN with default → RENAME COLUMN → DROP COLUMN → RENAME
+    // TABLE, then select through the post-ALTER schema. The oracle
+    // replays the schema evolution as plain projection algebra.
+    "q129_alter_roundtrip" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP TABLE IF EXISTS alt_part")
+      eng.sql("DROP TABLE IF EXISTS alt_part2")
+      eng.sql("""CREATE TABLE alt_part AS
+                 SELECT p_partkey, p_size, p_retailprice FROM part
+                 WHERE p_partkey < 500""")
+      eng.sql("ALTER TABLE alt_part ADD COLUMN markup DOUBLE DEFAULT 1.25")
+      eng.sql("ALTER TABLE alt_part ADD COLUMN tag STRING")
+      eng.sql("ALTER TABLE alt_part RENAME COLUMN p_retailprice TO base_price")
+      eng.sql("ALTER TABLE alt_part DROP COLUMN p_size")
+      eng.sql("ALTER TABLE alt_part RENAME TO alt_part2")
+      eng.sql("""SELECT p_partkey, base_price, markup, tag,
+                        base_price * markup AS marked
+                 FROM alt_part2""")
     })
   )
 
@@ -76,6 +97,11 @@ object DdlDml {
     "q67_copy_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q129_alter_roundtrip" ->
+      """SELECT p_partkey, p_retailprice AS base_price,
+                1.25::DOUBLE AS markup, NULL::VARCHAR AS tag,
+                p_retailprice * 1.25 AS marked
+         FROM part WHERE p_partkey < 500"""
   )
 }

@@ -70,6 +70,44 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_shard")
   }
 
+  test("SHOW TABLES / SHOW COLUMNS / SHOW CREATE TABLE") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_show")
+    eng.sql("CREATE TABLE t_show (k BIGINT, v STRING)")
+    val tables = eng.sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("t_show"))
+    assert(tables.contains("part")) // fixture views are visible too
+    val cols = eng.sql("SHOW COLUMNS FROM t_show").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq == Seq(("k", "BIGINT"), ("v", "STRING")))
+    val ddl = eng.sql("SHOW CREATE TABLE t_show")
+      .collect().head.getString(0)
+    assert(ddl == "CREATE TABLE t_show (k BIGINT, v STRING)")
+    eng.sql("DROP TABLE t_show")
+  }
+
+  test("ALTER TABLE add/drop/rename column and rename table") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_alter")
+    eng.sql("DROP TABLE IF EXISTS t_alter2")
+    eng.sql("CREATE TABLE t_alter (k BIGINT, x DOUBLE)")
+    eng.sql("INSERT INTO t_alter VALUES (1, 2.0)")
+    eng.sql("ALTER TABLE t_alter ADD COLUMN tag STRING")
+    eng.sql("ALTER TABLE t_alter ADD COLUMN m DOUBLE DEFAULT 2.5")
+    eng.sql("ALTER TABLE t_alter RENAME COLUMN x TO xx")
+    eng.sql("ALTER TABLE t_alter DROP COLUMN k")
+    eng.sql("ALTER TABLE t_alter RENAME TO t_alter2")
+    val row = eng.sql("SELECT xx, tag, m FROM t_alter2").collect().head
+    assert(row.getDouble(0) == 2.0)
+    assert(row.isNullAt(1))    // ADD without DEFAULT backfills NULL
+    assert(row.getDouble(2) == 2.5)
+    // old name is gone, duplicate ADD is rejected
+    intercept[Exception](eng.sql("SELECT * FROM t_alter").collect())
+    intercept[IllegalArgumentException](
+      eng.sql("ALTER TABLE t_alter2 ADD COLUMN m DOUBLE"))
+    eng.sql("DROP TABLE t_alter2")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
