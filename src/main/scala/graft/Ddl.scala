@@ -46,8 +46,7 @@ object Ddl {
   private case class Managed(baseDir: String, version: Int)
   private val catalog = new ConcurrentHashMap[String, Managed]()
 
-  private lazy val root: String =
-    Files.createTempDirectory("graft_tables").toString
+  private lazy val root: String = Stage.scratchDir("graft_tables")
 
   private def currentPath(m: Managed) = s"${m.baseDir}/v${m.version}"
 

@@ -37,16 +37,12 @@ object AnnIvf {
   private val NPROBE = 8
   private val TOPK = 10
 
-  /** Write-once staging (Dedup.stage pattern): the candidate set feeds
-    * both the ranking and the scan-fraction stat; staging avoids a
+  /** Write-once staging (shared graft.Stage util): the candidate set
+    * feeds both the ranking and the scan-fraction stat; staging avoids a
     * recompute without leaking executor storage via `.persist`.
     */
-  private def stage(df: DataFrame, name: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_stage_$name").toString
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def stage(df: DataFrame, name: String): DataFrame =
+    graft.Stage(df, name)
 
   val queries: Seq[(String, Q)] = Seq(
     "q99_ann_ivf" -> ((s, d) => {

@@ -39,8 +39,7 @@ object DdlDml {
     // the CSV round-trip must preserve the parquet-loaded aggregates.
     "q67_copy_csv_roundtrip" -> ((s, d) => {
       val eng = HeavyEngine(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_copy").toString
+      val dir = graft.Stage.scratchDir("graft_copy")
       eng.sql(s"""COPY (SELECT l_orderkey, l_quantity, l_returnflag
                         FROM lineitem) TO '$dir/li_csv'""")
       eng.sql("DROP TABLE IF EXISTS csv_lineitem")

@@ -70,21 +70,13 @@ object Dedup {
     */
   private val HOT_BUCKET_CAP = 16
 
-  /** Explicit staging-table materialization: write once, let every
-    * downstream consumer scan parquet. A multi-use intermediate inside a
-    * single plan is otherwise RECOMPUTED per use (this pipeline read the
-    * shingle→minhash→banding chain 4×, 3× the whole q41 cost), and
-    * `.persist` leaks executor storage for the session since a returned
-    * DataFrame outlives the builder (round-1 ADVICE finding). Staging is
-    * also the 100 TB pattern: distributed write, no executor-storage
-    * pressure, reclaimed with the temp dir.
+  /** Explicit staging-table materialization (shared util, session-scoped
+    * root + shutdown cleanup — see graft.Stage). This pipeline read the
+    * shingle→minhash→banding chain 4× before staging, 3× the whole q41
+    * cost.
     */
-  private def stage(df: DataFrame, name: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_stage_$name").toString
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def stage(df: DataFrame, name: String): DataFrame =
+    graft.Stage(df, name)
 
   /** LSH candidate pairs (a < b) from banded minhash signatures. */
   private def lshCandidates(sig: DataFrame): DataFrame = {

@@ -29,8 +29,7 @@ object Sources {
     // Log lines → regex projection → aggregate: the full text-source
     // path (write side stands in for an external log producer).
     "q77_regex_source" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_logs").toString + "/events"
+      val dir = graft.Stage.scratchDir("graft_logs") + "/events"
       t(s, d, "events").select(format_string(
           "ts=%d user=%d type=%s value=%s",
           unix_micros(col("ts")), col("user_id"),

@@ -44,8 +44,8 @@ object StreamingIngest {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_src")
+    val srcDir = java.nio.file.Paths.get(
+      graft.Stage.scratchDir("graft_stream_src"))
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -62,8 +62,7 @@ object StreamingIngest {
     */
   private def runComplete(agg: DataFrame): DataFrame = {
     val spark = agg.sparkSession
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_agg").toString
+    val outDir = graft.Stage.scratchDir("graft_stream_agg")
     // processAllAvailable beats Trigger.AvailableNow here: AvailableNow
     // adds a planning batch plus a watermark-commit no-data batch
     // (measured +1-2 s per query on the single-batch fixture).
