@@ -188,5 +188,8 @@ object GraftFunctions {
               else raise_error(
                 'single_value: group has more than one distinct value')
          end""")
+    // LLM_TRANSFORM (`Shared/sqldefs.h:134`) — deterministic pluggable
+    // runtime, see LlmTransform.
+    LlmTransform.register(spark)
   }
 }

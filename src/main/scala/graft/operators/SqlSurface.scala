@@ -96,6 +96,19 @@ object SqlSurface {
                     = count(DISTINCT p_type) AS bijective
            FROM part""")),
 
+    // LLM_TRANSFORM (`Shared/sqldefs.h:134`) through the SQL surface —
+    // deterministic template runtime (see functions.LlmTransform):
+    // guided choice, identity expansion, and guided regex.
+    "q136_llm_transform" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT doc_id,
+                  llm_transform(text, 'Classify the tone',
+                                'spark|hash|vector') AS tone,
+                  llm_transform(substr(text, 1, 24), 'Echo') AS echoed,
+                  llm_transform(text, 'Extract',
+                                '/(scan|sort|merge)/') AS first_hit
+           FROM documents""")),
+
     // Views (stored queries) + query through the view, with a broadcast
     // hint flowing through the facade (`QueryHint.h:65-90` analog —
     // Spark's hint framework).
@@ -170,6 +183,21 @@ object SqlSurface {
                 count(DISTINCT p_type)::BIGINT AS n_strings,
                 true AS bijective
          FROM part""",
+    "q136_llm_transform" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  'Classify the tone:' || chr(10) || text AS q1,
+                  'Echo:' || chr(10) || substr(text, 1, 24) AS q2,
+                  'Extract:' || chr(10) || text AS q3
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN contains(lower(q1), 'spark') THEN 'spark'
+                     WHEN contains(lower(q1), 'hash') THEN 'hash'
+                     WHEN contains(lower(q1), 'vector') THEN 'vector'
+                     ELSE 'spark' END AS tone,
+                q2 AS echoed,
+                regexp_extract(q3, '(scan|sort|merge)', 0) AS first_hit
+         FROM q""",
     "q96_view_roundtrip" ->
       """SELECT c.c_mktsegment, count(*) AS n, sum(v.o_totalprice) AS total
          FROM (SELECT o_orderkey, o_custkey, o_totalprice

@@ -7,6 +7,32 @@ class EngineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("llm_transform: choice, regex, identity modes + constraint check") {
+    import spark.implicits._
+    import graft.functions.LlmTransform.llm_transform
+    val df = Seq("the cat sat", "dogs run 42 fast", "nothing here")
+      .toDF("t")
+    val rows = df.select(
+      llm_transform(col("t"), "Classify", "cat|dog|bird").as("c"),
+      llm_transform(col("t"), "Extract", "/[0-9]+/").as("r"),
+      llm_transform(col("t"), "Echo").as("q")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("cat", "dog", "cat"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("", "42", ""))
+    assert(rows.head.getString(2) == "Echo:\nthe cat sat")
+    // invalid constraint (no '|' choices, not /regex/) must error, not
+    // be silently ignored — same contract as the reference
+    intercept[IllegalArgumentException](
+      llm_transform(col("t"), "p", "single_choice"))
+    // SQL surface: prompt must be a literal
+    val eng = HeavyEngine(spark, sf)
+    val viaSql = eng.sql(
+      """SELECT llm_transform('west wind', 'Pick', 'east|west') AS v""")
+      .collect().head.getString(0)
+    assert(viaSql == "west")
+    intercept[Exception](
+      eng.sql("SELECT llm_transform(p_name, p_name) FROM part").collect())
+  }
+
   test("single_value returns the value on single-valued groups") {
     import spark.implicits._
     import graft.functions.GraftFunctions.single_value
