@@ -50,12 +50,29 @@ object TableFunctions {
       : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var dist = Seq((source, 0)).toDF("node", "dist")
+    val seed = Seq((source, source)).toDF("src_node", "node")
+    shortestPathsFrom(edges, seed, maxHops).drop("src_node")
+  }
+
+  /** Multi-source generalization (`tf_graph_shortest_paths_distances`,
+    * `GraphTableFunctions.hpp:280-519` in /root/reference): the frontier
+    * is keyed by (src_node, node), so one superstep loop advances every
+    * source's BFS simultaneously — same per-hop cost shape (one join +
+    * one min-aggregate, both shuffling on `node`), |sources|× the state.
+    * `seeds` is a DataFrame so source sets can come from the data itself
+    * (no driver-side collect).
+    */
+  def shortestPathsFrom(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    var dist = seeds.select(col("src_node"), col("node"),
+      lit(0).as("dist"))
     for (hop <- 1 to maxHops) {
       val expanded = dist.join(edges, dist("node") === edges("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .select(col("src_node"), col("dst").as("node"),
+          (col("dist") + 1).as("dist"))
       dist = dist.unionAll(expanded)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .groupBy(col("src_node"), col("node"))
+        .agg(min(col("dist")).as("dist"))
       // Truncate lineage every few supersteps: without this the plan
       // doubles per hop and recomputation/optimizer cost explodes at
       // larger hop counts (Pregel-style iteration hygiene).
@@ -105,6 +122,18 @@ object TableFunctions {
     "q53_graph_shortest_path" -> ((s, d) => {
       shortestPaths(transitionEdges(s, d), "signup", maxHops = 5)
         .select(col("node"), col("dist").cast("int").as("dist"))
+    }),
+
+    // tf_graph_shortest_paths_distances analog: hop distances from EVERY
+    // source node at once — the seed set is derived from the edge list
+    // itself (all transition sources), fully distributed.
+    "q137_graph_multi_distances" -> ((s, d) => {
+      val edges = transitionEdges(s, d)
+      val seeds = edges.select(col("src").as("src_node")).distinct()
+        .select(col("src_node"), col("src_node").as("node"))
+      shortestPathsFrom(edges, seeds, maxHops = 5)
+        .select(col("src_node"), col("node"),
+          col("dist").cast("int").as("dist"))
     }),
 
     // generate_random_strings (`UtilityTableFunctions.h:49`):
@@ -196,6 +225,26 @@ object TableFunctions {
            FROM walk w JOIN edges2 e ON e.src = w.node
            WHERE w.dist < 5)
          SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node""",
+    "q137_graph_multi_distances" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events),
+         edges AS (
+           SELECT DISTINCT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS dst
+           FROM e),
+         edges2 AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+         srcs AS (SELECT DISTINCT src FROM edges2),
+         walk(src_node, node, dist) AS (
+           SELECT src, src, 0 FROM srcs
+           UNION ALL
+           SELECT w.src_node, e.dst, w.dist + 1
+           FROM walk w JOIN edges2 e ON e.src = w.node
+           WHERE w.dist < 5)
+         SELECT src_node, node, min(dist)::INT AS dist
+         FROM walk GROUP BY src_node, node""",
     "q100_random_strings" ->
       """SELECT 1000::BIGINT AS n, true AS len_ok, true AS all_distinct""",
     "q54_feature_similarity" ->
