@@ -58,6 +58,35 @@ object Sources {
       ArrowBridge.fromArrowBatches(s, batches, agg.schema.json)
     }),
 
+    // Dict-encoding edge semantics (SURVEY §7.4): the reference runs
+    // LIKE/ILIKE/equality/ordering over dictionary ids
+    // (`StringDictionary/StringDictionaryProxy.cpp` in /root/reference);
+    // in Spark the dictionary is parquet-storage-local and must be
+    // SEMANTICALLY INVISIBLE. Pin it: the same text column written with
+    // parquet dictionary encoding ON and OFF must produce identical
+    // LIKE / ILIKE / equality / ordering / distinct results.
+    "q138_dict_text" -> ((s, d) => {
+      val base = t(s, d, "part")
+        .select(col("p_partkey"), col("p_type"))
+      def variant(name: String, dictEnable: Boolean): DataFrame = {
+        val dir = graft.Stage.scratchDir(s"dict_$name")
+        base.write.mode("overwrite")
+          .option("parquet.enable.dictionary", dictEnable.toString)
+          .parquet(dir)
+        s.read.parquet(dir)
+          .agg(
+            count(when(col("p_type").like("%BRASS%"), 1)).as("n_like"),
+            count(when(col("p_type").ilike("%brass%"), 1)).as("n_ilike"),
+            count(when(col("p_type") === "ECONOMY ANODIZED STEEL", 1))
+              .as("n_eq"),
+            count(when(col("p_type") < "M", 1)).as("n_lt"),
+            count_distinct(col("p_type")).as("n_types"))
+          .select(lit(name).as("variant"), col("*"))
+      }
+      variant("dict", dictEnable = true)
+        .unionAll(variant("plain", dictEnable = false))
+    }),
+
     // Catalog-as-table: fixture tables with their column counts.
     "q79_catalog_tables" -> ((s, d) => {
       val spark = s
@@ -77,6 +106,22 @@ object Sources {
     "q78_arrow_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "q138_dict_text" ->
+      """WITH m AS (
+           SELECT count(CASE WHEN p_type LIKE '%BRASS%' THEN 1 END)
+                    AS n_like,
+                  count(CASE WHEN p_type ILIKE '%brass%' THEN 1 END)
+                    AS n_ilike,
+                  count(CASE WHEN p_type = 'ECONOMY ANODIZED STEEL'
+                        THEN 1 END) AS n_eq,
+                  count(CASE WHEN p_type < 'M' THEN 1 END) AS n_lt,
+                  count(DISTINCT p_type) AS n_types
+           FROM part)
+         SELECT 'dict' AS variant, n_like, n_ilike, n_eq, n_lt, n_types
+         FROM m
+         UNION ALL
+         SELECT 'plain' AS variant, n_like, n_ilike, n_eq, n_lt, n_types
+         FROM m""",
     "q79_catalog_tables" ->
       """SELECT * FROM (VALUES
            ('customer', 5), ('documents', 5), ('embeddings', 3),
