@@ -184,6 +184,17 @@ object Ddl {
     """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val CopyTo: Regex =
     """(?is)\s*COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*""".r
+  // Foreign tables (`DataMgr/ForeignStorage/ForeignDataWrapperFactory
+  // .cpp`, refresh `Catalog/RefreshTimeCalculator.cpp`): a foreign table
+  // is a snapshot over an external directory — the file list is captured
+  // at CREATE/REFRESH time (reading explicit files, not the directory),
+  // so files that land later are invisible until REFRESH FOREIGN TABLE.
+  private val CreateForeign: Regex =
+    """(?is)\s*CREATE\s+FOREIGN\s+TABLE\s+(\w+)\s+WITH\s*\(([^)]*)\)\s*""".r
+  private val RefreshForeign: Regex =
+    """(?is)\s*REFRESH\s+FOREIGN\s+TABLE\s+(\w+)\s*""".r
+  private val DropForeign: Regex =
+    """(?is)\s*DROP\s+FOREIGN\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   // SHOW / ALTER (`Catalog/DdlCommandExecutor.h:57-437`): SHOW TABLES /
   // SHOW COLUMNS / SHOW CREATE TABLE introspection; ALTER column ops are
   // schema projections over the copy-on-write version machinery.
@@ -201,6 +212,81 @@ object Ddl {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\w+(?:\([\d,\s]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val AlterDropCol: Regex =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+
+  // ---- foreign tables ------------------------------------------------
+
+  private case class Foreign(path: String, format: String,
+      options: Map[String, String], refreshIntervalMs: Option[Long],
+      lastRefreshMs: Long)
+  private val foreignCatalog = new ConcurrentHashMap[String, Foreign]()
+
+  private def parseOptions(opts: String): Map[String, String] =
+    Option(opts).map(splitTop(_).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase ->
+          v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  /** (Re-)snapshot a foreign table: list the directory NOW, register the
+    * view over that explicit file list.
+    */
+  private def snapshotForeign(spark: SparkSession, name: String,
+      f: Foreign, nowMs: Long): Unit = {
+    val ext = if (f.format == "csv") ".csv" else ".parquet"
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(f.path))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(ext)).toSeq.sorted
+      finally s.close()
+    }
+    require(files.nonEmpty, s"foreign table $name: no $ext files in ${f.path}")
+    val reader = f.options
+      .filter { case (k, _) => k != "path" && k != "format" &&
+        k != "refresh_interval_s" }
+      .foldLeft(spark.read.format(f.format)) {
+        case (r, (k, v)) => r.option(k, v) }
+    val df = if (f.format == "csv") reader.option("inferSchema", "true")
+      .load(files: _*) else reader.load(files: _*)
+    df.createOrReplaceTempView(name)
+    foreignCatalog.put(name, f.copy(lastRefreshMs = nowMs))
+  }
+
+  def createForeignTable(spark: SparkSession, name: String,
+      options: Map[String, String],
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException(
+        s"CREATE FOREIGN TABLE $name requires a path option"))
+    val f = Foreign(path, options.getOrElse("format", "parquet"), options,
+      options.get("refresh_interval_s").map(_.toLong * 1000L), nowMs)
+    snapshotForeign(spark, name, f, nowMs)
+  }
+
+  def refreshForeignTable(spark: SparkSession, name: String,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val f = foreignCatalog.get(name)
+    require(f != null, s"foreign table not found: $name")
+    snapshotForeign(spark, name, f, nowMs)
+  }
+
+  /** Scheduled-refresh sweep (`RefreshTimeCalculator.cpp`): refresh every
+    * foreign table whose refresh_interval_s has elapsed; returns the
+    * refreshed names. Deterministic via the explicit clock for tests; a
+    * production deployment drives this from any scheduler tick.
+    */
+  def refreshDueForeignTables(spark: SparkSession,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    foreignCatalog.asScala.toSeq.collect {
+      case (name, f) if f.refreshIntervalMs.exists(iv =>
+          nowMs - f.lastRefreshMs >= iv) =>
+        snapshotForeign(spark, name, f, nowMs)
+        name
+    }.sorted
+  }
 
   /** Split on top-level commas (parens/quotes respected). */
   private[graft] def splitTop(s: String): Seq[String] = {
@@ -227,14 +313,15 @@ object Ddl {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
       case CreateAs(name, opts, select) =>
-        val options = Option(opts).map(splitTop(_).flatMap { kv =>
-          kv.split("=", 2) match {
-            case Array(k, v) => Some(k.trim.toLowerCase ->
-              v.trim.stripPrefix("'").stripSuffix("'"))
-            case _ => None
-          }
-        }.toMap).getOrElse(Map.empty[String, String])
-        createTableAs(spark, name, spark.sql(select), options); done
+        createTableAs(spark, name, spark.sql(select), parseOptions(opts))
+        done
+      case CreateForeign(name, opts) =>
+        createForeignTable(spark, name, parseOptions(opts)); done
+      case RefreshForeign(name) =>
+        refreshForeignTable(spark, name); done
+      case DropForeign(name) =>
+        foreignCatalog.remove(name)
+        spark.catalog.dropTempView(name); done
       // Views are stored queries re-expanded at use (reference:
       // `Parser/ParserNode.h:1861` CreateViewStmt — Calcite re-expands).
       case CreateView(name, select) =>

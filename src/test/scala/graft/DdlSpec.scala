@@ -108,6 +108,36 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_alter2")
   }
 
+  test("foreign table: snapshot at create, new files appear after REFRESH") {
+    import spark.implicits._
+    val eng = HeavyEngine(spark, sf)
+    val dir = Stage.scratchDir("ft_src")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    eng.sql(s"CREATE FOREIGN TABLE ft WITH (path='$dir', format='parquet')")
+    def n: Long = eng.sql("SELECT count(*) AS n FROM ft")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    Seq(3L, 4L, 5L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    assert(n == 2L) // snapshot semantics: new files invisible pre-refresh
+    eng.sql("REFRESH FOREIGN TABLE ft")
+    assert(n == 5L)
+    eng.sql("DROP FOREIGN TABLE ft")
+  }
+
+  test("scheduled refresh sweeps only due foreign tables") {
+    import spark.implicits._
+    val dir = Stage.scratchDir("ft_sched")
+    Seq(1L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    Ddl.createForeignTable(spark, "ft_s",
+      Map("path" -> dir, "refresh_interval_s" -> "60"), nowMs = 1000L)
+    Seq(2L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    assert(Ddl.refreshDueForeignTables(spark, nowMs = 31000L).isEmpty)
+    assert(spark.table("ft_s").count() == 1L)
+    assert(Ddl.refreshDueForeignTables(spark, nowMs = 61001L) == Seq("ft_s"))
+    assert(spark.table("ft_s").count() == 2L)
+    Ddl.route(spark, "DROP FOREIGN TABLE ft_s")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
