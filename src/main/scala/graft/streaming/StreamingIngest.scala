@@ -24,38 +24,72 @@ object StreamingIngest {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Streamed tumbling 1-hour window aggregate over events. The stream
-    * runs in complete mode through foreachBatch, each batch atomically
-    * overwriting the parquet result table (idempotent restart semantics —
-    * the reference's append-ingest path with exactly-once sink writes).
+  /** Stream source descriptor — the plan downstream of the source is
+    * IDENTICAL for every variant; only the wire format differs
+    * (`ImportExport/KafkaImporter.cpp:476` vs `StreamImporter.cpp:189`
+    * in /root/reference: same INSERT path behind Kafka or stdin).
     */
-  /** The streamed events source: file-source over the fixture behind a
-    * symlinked landing directory (production: a Kafka topic), ns→µs
-    * timestamp normalization applied in-stream.
+  sealed trait StreamSource
+  /** Production source: a Kafka topic carrying JSON event payloads in
+    * `value`. No broker or connector jar exists in this container, so
+    * this variant is exercised by unit-testing `decodeKafkaEvents` over
+    * the exact Kafka wire schema (KafkaStreamSpec).
     */
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // File-source schema must be declared (ts is ns in the fixture —
-    // read as long, convert to µs timestamp like Tables.t).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val srcDir = java.nio.file.Paths.get(
-      graft.Stage.scratchDir("graft_stream_src"))
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream
-      .schema(schema)
-      .parquet(srcDir.toString)
-      // Integer `div` (see Tables.t): `/` on ns longs is double division
-      // and loses the low µs bit beyond 2^53.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  final case class KafkaSource(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest") extends StreamSource
+  /** Harness source: the events parquet fixture behind a symlinked
+    * landing directory.
+    */
+  final case class FileSource(fixtureDir: String) extends StreamSource
+
+  /** Raw event schema on the wire (ts = epoch nanos, like the fixture). */
+  private val eventWireSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Integer `div` (see Tables.t): `/` on ns longs is double division
+    * and loses the low µs bit beyond 2^53.
+    */
+  private def nsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Kafka wire record (key/value binary + topic/partition/offset/
+    * timestamp metadata — the connector's fixed output schema) → typed
+    * event rows. Pure transform, so the Kafka path's parsing is
+    * unit-testable on a batch DataFrame without a broker.
+    */
+  def decodeKafkaEvents(raw: DataFrame): DataFrame =
+    nsToMicros(raw
+      .select(from_json(col("value").cast("string"), eventWireSchema)
+        .as("e"))
+      .select(col("e.*")))
+
+  /** The streamed events source, by source descriptor. */
+  def eventStream(spark: SparkSession, source: StreamSource): DataFrame =
+    source match {
+      case k: KafkaSource =>
+        decodeKafkaEvents(spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", k.bootstrapServers)
+          .option("subscribe", k.topic)
+          .option("startingOffsets", k.startingOffsets)
+          .load())
+      case FileSource(dir) =>
+        // File-source schema must be declared (ts is ns in the fixture —
+        // read as long, convert to µs timestamp like Tables.t).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val srcDir = java.nio.file.Paths.get(
+          graft.Stage.scratchDir("graft_stream_src"))
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        nsToMicros(spark.readStream
+          .schema(eventWireSchema)
+          .parquet(srcDir.toString))
+    }
 
   /** Run a streaming aggregate to completion, foreachBatch-overwriting a
     * parquet result table (idempotent restarts — exactly-once sink).
@@ -86,7 +120,7 @@ object StreamingIngest {
   }
 
   def streamedHourlyAgg(spark: SparkSession, dir: String): DataFrame =
-    runComplete(eventStream(spark, dir)
+    runComplete(eventStream(spark, FileSource(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
@@ -99,7 +133,7 @@ object StreamingIngest {
     * the two must agree exactly.
     */
   def streamedSessionize(spark: SparkSession, dir: String): DataFrame =
-    runComplete(eventStream(spark, dir)
+    runComplete(eventStream(spark, FileSource(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingIngest
+
+/** The Kafka ingest path without a broker: `decodeKafkaEvents` is pinned
+  * against the connector's exact output schema, and the KafkaSource
+  * branch is shown to wire up to Spark's kafka DataSource lookup (the
+  * connector jar is absent in this container, so resolution is where the
+  * construction must stop).
+  */
+class KafkaStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** The fixed output schema of the Spark Kafka source. */
+  private val kafkaWire = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  test("decodeKafkaEvents parses JSON values from the Kafka wire schema") {
+    val json1 = """{"event_id":1,"ts":1700000000123456789,"user_id":7,
+                    "event_type":"click","value":1.5,"props":"{}"}"""
+      .replaceAll("\n\\s*", "")
+    val json2 = """{"event_id":2,"ts":1700000003000000000,"user_id":8,
+                    "event_type":"view","value":-2.0,"props":"{\"a\":1}"}"""
+      .replaceAll("\n\\s*", "")
+    val rows = Seq(json1, json2).zipWithIndex.map { case (j, i) =>
+      Row(null, j.getBytes("UTF-8"), "events", 0, i.toLong,
+        new java.sql.Timestamp(0L), 0)
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), kafkaWire)
+    val out = StreamingIngest.decodeKafkaEvents(raw)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.orderBy("event_id").collect()
+    assert(got(0).getLong(0) == 1L)
+    // ns → µs truncation must be exact integer division
+    assert(got(0).getTimestamp(1).getTime == 1700000000123L)
+    assert(got(0).getTimestamp(1).getNanos == 123456000)
+    assert(got(0).getLong(2) == 7L && got(0).getString(3) == "click")
+    assert(got(1).getDouble(4) == -2.0 && got(1).getString(5) == """{"a":1}""")
+  }
+
+  test("KafkaSource branch wires to the kafka DataSource lookup") {
+    val e = intercept[Exception](StreamingIngest.eventStream(spark,
+      StreamingIngest.KafkaSource("broker:9092", "events")))
+    // Plan construction reaches the provider lookup — the only missing
+    // piece in this container is the connector jar itself.
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+}
