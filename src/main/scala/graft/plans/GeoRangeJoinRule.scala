@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Abs, Attribute, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -41,20 +41,32 @@ case class GeoRangeJoinRule(spark: SparkSession)
       // 9× replication on top (e.g. a manually-bucketed grid join whose
       // exact distance filter got pushed into the join condition).
       val conjuncts = splitConjunctivePredicates(cond)
-      // 2-D: st_distance(a, b) < r.
+      // 2-D: st_distance(a, b) < r, in any orientation (mirrored
+      // comparisons like `0.5 > st_distance(a, b)` included), with any
+      // foldable positive radius (double/int literals, foldable
+      // arithmetic — all evaluated here, matching the reference's
+      // constant-folded range qual).
       val geoHit = conjuncts.collectFirst {
-        case LessThan(d: STDistance, Literal(rad: Double, DoubleType))
-            if rad > 0 => (d, rad)
-        case LessThanOrEqual(d: STDistance,
-            Literal(rad: Double, DoubleType)) if rad > 0 => (d, rad)
+        case LessThan(d: STDistance, r) if radiusOf(r).isDefined =>
+          (d, radiusOf(r).get)
+        case LessThanOrEqual(d: STDistance, r) if radiusOf(r).isDefined =>
+          (d, radiusOf(r).get)
+        case GreaterThan(r, d: STDistance) if radiusOf(r).isDefined =>
+          (d, radiusOf(r).get)
+        case GreaterThanOrEqual(r, d: STDistance)
+            if radiusOf(r).isDefined => (d, radiusOf(r).get)
       }
       // 1-D: abs(x - y) < r — the numeric interval join
       // (`RangeJoinHashTable.cpp` handles both the same way).
       val numHit = conjuncts.collectFirst {
-        case LessThan(Abs(Subtract(x, y, _), _),
-            Literal(rad: Double, DoubleType)) if rad > 0 => (x, y, rad)
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _),
-            Literal(rad: Double, DoubleType)) if rad > 0 => (x, y, rad)
+        case LessThan(Abs(Subtract(x, y, _), _), r)
+            if radiusOf(r).isDefined => (x, y, radiusOf(r).get)
+        case LessThanOrEqual(Abs(Subtract(x, y, _), _), r)
+            if radiusOf(r).isDefined => (x, y, radiusOf(r).get)
+        case GreaterThan(r, Abs(Subtract(x, y, _), _))
+            if radiusOf(r).isDefined => (x, y, radiusOf(r).get)
+        case GreaterThanOrEqual(r, Abs(Subtract(x, y, _), _))
+            if radiusOf(r).isDefined => (x, y, radiusOf(r).get)
       }
       geoHit.flatMap { case (d, rad) =>
         rewrite(j, l, r, d.left, d.right, rad, twoD = true)
@@ -62,6 +74,18 @@ case class GeoRangeJoinRule(spark: SparkSession)
         rewrite(j, l, r, x, y, rad, twoD = false)
       }).getOrElse(j)
   }
+
+  /** Positive radius from any foldable numeric expression (a double or
+    * integer literal, or foldable arithmetic the optimizer has not yet
+    * collapsed — the rule runs in extraOptimizations, but pre-folded
+    * shapes from programmatic plan construction must still match).
+    */
+  private def radiusOf(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else scala.util.Try(Cast(e, DoubleType).eval(null)).toOption match {
+      case Some(d: Double) if d > 0 => Some(d)
+      case _ => None
+    }
 
   private def hasEquiKey(cond: Expression, l: LogicalPlan,
       r: LogicalPlan): Boolean =

@@ -58,6 +58,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("range rule fires on reversed comparisons and integer radii") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    graft.HeavyEngine(spark, sf)
+    val pts = graft.Tables.t(spark, sf, "part").select(
+      col("p_partkey"),
+      st_point(col("p_size").cast("double") - 25.0,
+        col("p_retailprice") % 50.0).as("pt"))
+    val a = pts.select(col("p_partkey").as("a_id"), col("pt").as("a_pt"))
+    val b = pts.select(col("p_partkey").as("b_id"), col("pt").as("b_pt"))
+    val dist = st_distance(col("a_pt"), col("b_pt"))
+    // mirrored comparison: radius on the LEFT of the operator
+    val rev = a.join(b, lit(1.0) > dist && col("a_id") < col("b_id"))
+    assert(!rev.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // integer literal radius (coerced/cast, not a double literal)
+    val intLit = a.join(b, dist < lit(1) && col("a_id") < col("b_id"))
+    assert(!intLit.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    // and the rewrite is semantics-preserving vs the pinned q104 shape
+    val base = SparkEntry.queries("q104_geo_range_rule")(spark, sf).count()
+    assert(rev.count() == base && intLit.count() == base)
+  }
+
   test("star join broadcasts the small dimension tables") {
     val plan = planOf("q07_join_star")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
