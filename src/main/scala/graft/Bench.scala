@@ -31,7 +31,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Focused re-benchmark (regression checks): run only these queries
+    // and skip the committed BENCH artifacts, which must always reflect
+    // full sweeps.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val secs =
         try {
           materialize(fn(spark, sfDir)) // warm-up, untimed
@@ -56,7 +63,7 @@ object Bench {
     // into the repo so a complete committed artifact always exists —
     // both under a stable name and pre-seeding the next BENCH_r{N}.json.
     val repo = Paths.get("/root/repo")
-    if (Files.isDirectory(repo)) {
+    if (Files.isDirectory(repo) && only.isEmpty) {
       Files.writeString(repo.resolve("BENCH_LOCAL.json"), json + "\n")
       val next = (1 to 99).find(n =>
         !Files.exists(repo.resolve(f"BENCH_r$n%02d.json")))

@@ -352,11 +352,13 @@ object Ddl {
       case RestoreTable(name, path) =>
         swapIn(spark, name, spark.read.parquet(path)); done
       // OPTIMIZE (`TableOptimizer.h:38`): compact small files — rewrite
-      // the current version with right-sized partitions.
+      // the current version with right-sized partitions. Sizing comes
+      // from the optimizer's statistics (parquet footer metadata), not
+      // an extra full count scan.
       case OptimizeTable(name) =>
         val df = table(spark, name)
-        val target = math.max(1,
-          (df.count() / 1000000L).toInt) // ~1M rows per file
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = math.max(1, (bytes / (128L << 20)).toInt) // ~128MB
         swapIn(spark, name, df.repartition(target)); done
       // VALIDATE (`ParserNode.h:1277`): scan-and-count integrity check.
       case ValidateTable(name) =>
