@@ -152,6 +152,34 @@ object GeoFunctions {
   def st_distance_poly(a: Column, b: Column): Column =
     c(STDistancePoly(e(a), e(b)))
 
+  /** Convex hull of a vertex array (CCW, no closing duplicate). */
+  def st_convex_hull(ring: Column): Column = c(STConvexHull(e(ring)))
+
+  /** Point buffer as a regular n-gon (area 0.5·n·r²·sin(2π/n)). */
+  def st_buffer_point(p: Column, r: Column, nSegs: Int = 32): Column =
+    c(STBufferPoint(e(p), e(r.cast("double")), e(lit(nSegs))))
+
+  /** Intersection ring of a simple polygon with a convex polygon. */
+  def st_intersection(a: Column, b: Column): Column =
+    c(STIntersectionConvex(e(a), e(b)))
+
+  /** Overlay set-op areas via inclusion-exclusion over the convex clip. */
+  def st_intersection_area(a: Column, b: Column): Column =
+    st_area(st_intersection(a, b))
+  def st_union_area(a: Column, b: Column): Column =
+    st_area(a) + st_area(b) - st_intersection_area(a, b)
+  def st_difference_area(a: Column, b: Column): Column =
+    st_area(a) - st_intersection_area(a, b)
+
+  /** Containment / disjointness predicates over polygon pairs. */
+  def st_within(a: Column, b: Column): Column = c(STWithinPoly(e(a), e(b)))
+  def st_disjoint(a: Column, b: Column): Column = !st_intersects(a, b)
+
+  /** Vertex accessors (1-based, like the reference's ST_PointN). */
+  def st_point_n(ring: Column, n: Column): Column = element_at(ring, n)
+  def st_start_point(ring: Column): Column = element_at(ring, 1)
+  def st_end_point(ring: Column): Column = element_at(ring, -1)
+
   /** ST_DWithin over polygon geometries (not just points). */
   def st_dwithin_poly(a: Column, b: Column, r: Column): Column =
     st_distance_poly(a, b) <= r
@@ -188,5 +216,23 @@ object GeoFunctions {
     reg.registerFunction(FunctionIdentifier("st_distance_poly"),
       new ExpressionInfo("graft", "st_distance_poly"),
       ex => STDistancePoly(ex(0), ex(1)))
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      reg.registerFunction(FunctionIdentifier("st_convexhull"),
+        new ExpressionInfo("graft", "st_convexhull"),
+        ex => STConvexHull(ex.head))
+      reg.registerFunction(FunctionIdentifier("st_buffer"),
+        new ExpressionInfo("graft", "st_buffer"),
+        ex => STBufferPoint(ex(0), Cast(ex(1), DoubleType),
+          ex.lift(2).map(Cast(_, IntegerType))
+            .getOrElse(Literal(32))))
+      reg.registerFunction(FunctionIdentifier("st_intersection"),
+        new ExpressionInfo("graft", "st_intersection"),
+        ex => STIntersectionConvex(ex(0), ex(1)))
+      reg.registerFunction(FunctionIdentifier("st_within"),
+        new ExpressionInfo("graft", "st_within"),
+        ex => STWithinPoly(ex(0), ex(1)))
+    }
   }
 }

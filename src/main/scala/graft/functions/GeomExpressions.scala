@@ -236,6 +236,219 @@ case class STDistancePoly(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+private[graft] object GeomAlg {
+  /** Drop the WKT closing duplicate vertex if present. */
+  def openRing(px: Array[Double], py: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val n = px.length
+    if (n > 1 && px(0) == px(n - 1) && py(0) == py(n - 1))
+      (px.take(n - 1), py.take(n - 1))
+    else (px, py)
+  }
+
+  def cross(ox: Double, oy: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double =
+    (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+  /** Andrew monotone chain; returns the CCW hull, no closing duplicate. */
+  def convexHull(px0: Array[Double], py0: Array[Double])
+      : Array[(Double, Double)] = {
+    val (px, py) = openRing(px0, py0)
+    val pts = px.zip(py).distinct.sortBy(identity)
+    if (pts.length <= 2) return pts
+    val lower = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2)._1,
+        lower(lower.length - 2)._2, lower.last._1, lower.last._2,
+        p._1, p._2) <= 0) lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts.reverse) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2)._1,
+        upper(upper.length - 2)._2, upper.last._1, upper.last._2,
+        p._1, p._2) <= 0) upper.remove(upper.length - 1)
+      upper += p
+    }
+    (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+  }
+
+  /** Force counter-clockwise orientation (positive signed area). */
+  def ccw(pts: Array[(Double, Double)]): Array[(Double, Double)] = {
+    var s = 0.0
+    val n = pts.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += pts(i)._1 * pts(j)._2 - pts(j)._1 * pts(i)._2
+      i += 1
+    }
+    if (s < 0) pts.reverse else pts
+  }
+
+  /** Sutherland–Hodgman: clip `subject` (any simple polygon) by the
+    * CONVEX polygon `clip`; returns the clipped polygon (possibly empty).
+    */
+  def clipConvex(subject: Array[(Double, Double)],
+      clip0: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val clip = ccw(clip0)
+    var out = subject.toList
+    val m = clip.length
+    var e = 0
+    while (e < m && out.nonEmpty) {
+      val (c1, c2) = (clip(e), clip((e + 1) % m))
+      def inside(p: (Double, Double)): Boolean =
+        cross(c1._1, c1._2, c2._1, c2._2, p._1, p._2) >= 0
+      def intersect(a: (Double, Double), b: (Double, Double))
+          : (Double, Double) = {
+        val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+        val (ex, ey) = (c2._1 - c1._1, c2._2 - c1._2)
+        val denom = dx * ey - dy * ex
+        val t = ((c1._1 - a._1) * ey - (c1._2 - a._2) * ex) / denom
+        (a._1 + t * dx, a._2 + t * dy)
+      }
+      val in = out
+      out = Nil
+      var i = 0
+      while (i < in.length) {
+        val cur = in(i)
+        val prev = in((i + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) out = intersect(prev, cur) :: out
+          out = cur :: out
+        } else if (inside(prev)) out = intersect(prev, cur) :: out
+        i += 1
+      }
+      out = out.reverse
+      e += 1
+    }
+    out.toArray
+  }
+
+  def toRing(pts: Array[(Double, Double)]): GenericArrayData =
+    new GenericArrayData(pts.map { case (x, y) =>
+      InternalRow(x, y): Any })
+}
+
+/** ST_CONVEXHULL over a vertex array → CCW hull ring (no closing
+  * duplicate). Reference: `Geospatial/Types.cpp` getConvexHull /
+  * `HeavyDBSqlOperatorTable.java` ST_ConvexHull.
+  */
+case class STConvexHull(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeomUtil.checkRing(child.dataType, prettyName)
+  override def prettyName: String = "st_convexhull"
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    GeomAlg.toRing(GeomAlg.convexHull(GeomUtil.xs(a), GeomUtil.ys(a)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ST_BUFFER of a point: regular n-gon approximation of the radius-r
+  * disc (the reference buffers through GDAL/geos; the n-gon is the
+  * closed-form equivalent with area 0.5·n·r²·sin(2π/n)).
+  */
+case class STBufferPoint(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val p = GeomUtil.checkPoint(first.dataType, prettyName)
+    if (p != TypeCheckResult.TypeCheckSuccess) p
+    else if (second.dataType == DoubleType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (point, double radius, int segments)")
+  }
+  override def prettyName: String = "st_buffer_point"
+  override protected def nullSafeEval(p: Any, r: Any, n: Any): Any = {
+    val row = p.asInstanceOf[InternalRow]
+    val (x, y) = (row.getDouble(0), row.getDouble(1))
+    val rad = r.asInstanceOf[Double]
+    val segs = n.asInstanceOf[Int]
+    GeomAlg.toRing(Array.tabulate(segs) { k =>
+      val t = 2.0 * math.Pi * k / segs
+      (x + rad * math.cos(t), y + rad * math.sin(t))
+    })
+  }
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** ST_INTERSECTION of a simple polygon with a CONVEX polygon
+  * (Sutherland–Hodgman clip) → the intersection ring (empty when
+  * disjoint). Covers the reference's polygon-overlay set ops for the
+  * convex-clip case; areas compose union/difference by
+  * inclusion-exclusion.
+  */
+case class STIntersectionConvex(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else GeomUtil.checkRing(right.dataType, prettyName)
+  }
+  override def prettyName: String = "st_intersection"
+  override protected def nullSafeEval(la: Any, ra: Any): Any = {
+    val a = la.asInstanceOf[ArrayData]
+    val b = ra.asInstanceOf[ArrayData]
+    val (sx, sy) = GeomAlg.openRing(GeomUtil.xs(a), GeomUtil.ys(a))
+    val (cx, cy) = GeomAlg.openRing(GeomUtil.xs(b), GeomUtil.ys(b))
+    GeomAlg.toRing(GeomAlg.clipConvex(
+      GeomAlg.ccw(sx.zip(sy)), cx.zip(cy)))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** ST_WITHIN(a, b): every vertex of `a` inside `b` and no edge
+  * crossings (exact for simple polygons off the boundary —
+  * boundary-touching cases follow the ray-cast convention, as the
+  * reference's compressed-coordinate tests do).
+  */
+case class STWithinPoly(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else GeomUtil.checkRing(right.dataType, prettyName)
+  }
+  override def prettyName: String = "st_within"
+  override protected def nullSafeEval(la: Any, ra: Any): Any = {
+    val a = la.asInstanceOf[ArrayData]
+    val b = ra.asInstanceOf[ArrayData]
+    val (ax, ay) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val (bx, by) = (GeomUtil.xs(b), GeomUtil.ys(b))
+    var i = 0
+    while (i < ax.length) {
+      if (!GeomUtil.containsPoint(bx, by, ax(i), ay(i))) return false
+      i += 1
+    }
+    // vertex containment + no boundary crossing ⇒ full containment
+    val (n, m) = (ax.length, bx.length)
+    i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = 0
+      while (j < m) {
+        val j2 = (j + 1) % m
+        if (GeomUtil.segmentsIntersect(ax(i), ay(i), ax(i2), ay(i2),
+          bx(j), by(j), bx(j2), by(j2))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** ST_DISTANCE between two point structs — a DEDICATED expression node
   * (not a sqrt/pow composition) so the optimizer can recognize distance
   * predicates structurally: GeoRangeJoinRule matches

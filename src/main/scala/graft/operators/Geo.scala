@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.GeoFunctions._
@@ -198,6 +198,52 @@ object Geo {
         st_dwithin_poly(col("ring"), col("ring2"), lit(2.5)).as("within"))
     }),
 
+    // ST_ConvexHull + ST_Buffer: hull of the triangle ring (drops the
+    // closing duplicate → 3 vertices, area preserved) and a point buffer
+    // as a regular 32-gon with closed-form area/perimeter.
+    "q139_geo_hull_buffer" -> ((s, d) => {
+      val tri = triangles(s, d)
+        .withColumn("ring", st_geom_from_text(col("wkt")))
+        .withColumn("r", lit(1.0) + col("p_partkey") % 3)
+      val hull = st_convex_hull(col("ring"))
+      val buf = st_buffer_point(st_point(col("cx"), col("cy")), col("r"))
+      tri.select(col("p_partkey"),
+        st_npoints(hull).as("hull_np"),
+        st_area(hull).as("hull_area"),
+        st_area(buf).as("buf_area"),
+        st_perimeter(buf).as("buf_perim"))
+    }),
+
+    // Polygon overlay set ops (intersection / union / difference areas
+    // via convex clipping), ST_Within, ST_Disjoint, and the vertex
+    // accessor family — rectangle pairs with closed-form overlap.
+    "q140_geo_overlay" -> ((s, d) => {
+      val base = triangles(s, d)
+        .withColumn("dx", (col("p_partkey") % 4) * lit(0.4) * col("w"))
+      def rectWkt(x0: Column, y0: Column, x1: Column, y1: Column) =
+        format_string("POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+      val withRings = base
+        .withColumn("ring_a", st_geom_from_text(rectWkt(col("cx"),
+          col("cy"), col("cx") + col("w"), col("cy") + col("h"))))
+        .withColumn("ring_b", st_geom_from_text(rectWkt(
+          col("cx") + col("dx"), col("cy"),
+          col("cx") + col("dx") + col("w"), col("cy") + col("h"))))
+        .withColumn("ring_in", st_geom_from_text(rectWkt(
+          col("cx") + col("w") / 4, col("cy") + col("h") / 4,
+          col("cx") + col("w") / 2, col("cy") + col("h") / 2)))
+      withRings.select(col("p_partkey"),
+        st_intersection_area(col("ring_a"), col("ring_b"))
+          .as("inter_area"),
+        st_union_area(col("ring_a"), col("ring_b")).as("union_area"),
+        st_difference_area(col("ring_a"), col("ring_b")).as("diff_area"),
+        st_within(col("ring_in"), col("ring_a")).as("within_in"),
+        st_disjoint(col("ring_a"), col("ring_b")).as("disj"),
+        st_x(st_start_point(col("ring_a"))).as("sx"),
+        st_y(st_end_point(col("ring_a"))).as("ey"),
+        st_x(st_point_n(col("ring_a"), lit(2))).as("p2x"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -274,6 +320,35 @@ object Geo {
          SELECT p_partkey,
                 greatest(0.0, dx - w) AS dist,
                 greatest(0.0, dx - w) <= 2.5 AS within
+         FROM p""",
+    "q139_geo_hull_buffer" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h,
+                  1.0 + (p_partkey % 3) AS r
+           FROM part)
+         SELECT p_partkey, 3::INT AS hull_np,
+                w * h / 2.0 AS hull_area,
+                0.5 * 32 * r * r * sin(2 * pi() / 32) AS buf_area,
+                32 * 2 * r * sin(pi() / 32) AS buf_perim
+         FROM p""",
+    "q140_geo_overlay" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS cx,
+                  fmod(p_retailprice, 50.0) AS cy,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h,
+                  (p_partkey % 4) * 0.4 * (1.0 + (p_size % 5)) AS dx
+           FROM part)
+         SELECT p_partkey,
+                greatest(0.0, w - dx) * h AS inter_area,
+                2 * w * h - greatest(0.0, w - dx) * h AS union_area,
+                w * h - greatest(0.0, w - dx) * h AS diff_area,
+                true AS within_in,
+                (p_partkey % 4) = 3 AS disj,
+                cx AS sx, cy AS ey, cx + w AS p2x
          FROM p""",
     "q68_geo_wkt_measures" ->
       """WITH p AS (

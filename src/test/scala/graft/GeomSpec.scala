@@ -116,6 +116,60 @@ class GeomSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 15.0) // 16 - 1
   }
 
+  test("convex hull drops interior and collinear points") {
+    val r = ringOf(
+      "POLYGON ((0 0, 2 0, 4 0, 4 4, 2 2, 0 4, 0 2, 0 0))")
+      .select(st_convex_hull(col("ring")).as("h"))
+      .select(st_npoints(col("h")), st_area(col("h"))).collect().head
+    // hull of the arrow shape = the 4-corner square minus nothing:
+    // (0,0),(4,0),(4,4),(0,4); (2,0)/(0,2) collinear, (2,2) interior
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == 16.0)
+  }
+
+  test("point buffer n-gon has the closed-form area and perimeter") {
+    import spark.implicits._
+    val row = Seq((3.0, -2.0, 2.5)).toDF("x", "y", "r")
+      .select(st_buffer_point(st_point(col("x"), col("y")), col("r"))
+        .as("b"))
+      .select(st_npoints(col("b")), st_area(col("b")),
+        st_perimeter(col("b"))).collect().head
+    assert(row.getInt(0) == 32)
+    assert(math.abs(row.getDouble(1) -
+      0.5 * 32 * 2.5 * 2.5 * math.sin(2 * math.Pi / 32)) < 1e-9)
+    assert(math.abs(row.getDouble(2) -
+      32 * 2 * 2.5 * math.sin(math.Pi / 32)) < 1e-9)
+  }
+
+  test("convex clip: overlap, identity, disjoint, containment") {
+    import spark.implicits._
+    def interArea(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(st_intersection_area(st_geom_from_text(col("a")),
+          st_geom_from_text(col("b")))).collect().head.getDouble(0)
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert(interArea(sq, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") == 4.0)
+    assert(interArea(sq, sq) == 16.0)
+    assert(interArea(sq, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))") == 0.0)
+    assert(interArea(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == 1.0)
+  }
+
+  test("st_within: contained, overlapping, disjoint") {
+    import spark.implicits._
+    val df = Seq(
+      ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", true),
+      ("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", false),
+      ("POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", false)
+    ).toDF("a", "b", "want")
+    val bad = df.select(st_within(st_geom_from_text(col("a")),
+      st_geom_from_text(col("b"))).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(bad == 0)
+  }
+
   test("st_distance_poly: disjoint gap, intersecting, contained") {
     import spark.implicits._
     val df = Seq(
