@@ -175,6 +175,13 @@ object GeoFunctions {
   def st_within(a: Column, b: Column): Column = c(STWithinPoly(e(a), e(b)))
   def st_disjoint(a: Column, b: Column): Column = !st_intersects(a, b)
 
+  /** ST_NumGeometries over a hole-free MULTI* ring array. */
+  def st_num_geometries(rings: Column): Column = size(rings)
+
+  /** Total area of a MULTIPOLYGON (sum over component polygons). */
+  def st_area_multi(rings: Column): Column =
+    aggregate(rings, lit(0.0), (acc, r) => acc + st_area(r))
+
   /** Vertex accessors (1-based, like the reference's ST_PointN). */
   def st_point_n(ring: Column, n: Column): Column = element_at(ring, n)
   def st_start_point(ring: Column): Column = element_at(ring, 1)

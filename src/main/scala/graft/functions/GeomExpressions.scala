@@ -132,10 +132,13 @@ case class STCentroid(child: Expression)
     copy(child = c)
 }
 
-/** Full POLYGON WKT (outer ring + holes) → array of rings
-  * `array<array<struct<x,y>>>`. Ring 1 is the outer boundary; rings 2..n
-  * are holes (reference multi-ring encoding: render-group / ring-sizes
-  * arrays, `Geospatial/Types.cpp` GeoPolygon).
+/** Multi-ring WKT → array of vertex rings `array<array<struct<x,y>>>`.
+  *
+  * POLYGON ((outer), (hole), ...): ring 1 is the outer boundary, rings
+  * 2..n are holes. MULTIPOLYGON (((p1)), ((p2))) / MULTIPOINT ((a), (b))
+  * / MULTILINESTRING ((l1), (l2)): one ring per component geometry
+  * (hole-free multis — the flat ring list is the reference's ring-sizes
+  * array encoding, `Geospatial/Types.cpp` GeoPolygon/GeoMultiPolygon).
   */
 case class STRingsFromWkt(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -151,13 +154,14 @@ case class STRingsFromWkt(child: Expression)
     val open = wkt.indexOf('(')
     if (open < 0) return null
     val body = wkt.substring(open + 1, wkt.lastIndexOf(')'))
-    // Rings are "(x y, x y, ...)" groups at depth 1.
+    // Rings are the innermost "(x y, x y, ...)" groups at any depth.
     val rings = Array.newBuilder[Any]
     var i = 0
     while (i < body.length) {
-      val s = body.indexOf('(', i)
+      var s = body.indexOf('(', i)
       if (s < 0) { i = body.length }
       else {
+        while (s + 1 < body.length && body.charAt(s + 1) == '(') s += 1
         val e = body.indexOf(')', s)
         if (e < 0) { i = body.length }
         else {

@@ -244,6 +244,26 @@ object Geo {
         st_x(st_point_n(col("ring_a"), lit(2))).as("p2x"))
     }),
 
+    // MULTIPOLYGON: component count, summed area, global bbox — the
+    // multi-geometry types of `Shared/sqltypes.h:84-90` over the flat
+    // ring-list encoding (second triangle shifted x+3w, clearly apart).
+    "q141_geo_multi" -> ((s, d) => {
+      val sh = col("cx") + lit(3.0) * col("w")
+      val withWkt = triangles(s, d).withColumn("mwkt", format_string(
+        "MULTIPOLYGON (((%s %s, %s %s, %s %s, %s %s)), " +
+          "((%s %s, %s %s, %s %s, %s %s)))",
+        col("cx"), col("cy"), col("cx") + col("w"), col("cy"),
+        col("cx"), col("cy") + col("h"), col("cx"), col("cy"),
+        sh, col("cy"), sh + col("w"), col("cy"),
+        sh, col("cy") + col("h"), sh, col("cy")))
+        .withColumn("rings", st_polygon_from_text(col("mwkt")))
+      withWkt.select(col("p_partkey"),
+        st_num_geometries(col("rings")).as("n_geoms"),
+        st_area_multi(col("rings")).as("total_area"),
+        st_xmin(flatten(col("rings"))).as("mxmin"),
+        st_xmax(flatten(col("rings"))).as("mxmax"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -320,6 +340,17 @@ object Geo {
          SELECT p_partkey,
                 greatest(0.0, dx - w) AS dist,
                 greatest(0.0, dx - w) <= 2.5 AS within
+         FROM p""",
+    "q141_geo_multi" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  p_size::DOUBLE - 25.0 AS cx,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h
+           FROM part)
+         SELECT p_partkey, 2::INT AS n_geoms,
+                (w * h)::DOUBLE AS total_area,
+                cx AS mxmin, (cx + 4 * w)::DOUBLE AS mxmax
          FROM p""",
     "q139_geo_hull_buffer" ->
       """WITH p AS (

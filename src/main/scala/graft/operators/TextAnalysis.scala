@@ -92,6 +92,35 @@ object TextAnalysis {
       t(s, d, "documents").select(
         col("doc_id"),
         md5(normalized).as("fingerprint"))
+    }),
+
+    // End-to-end training-data filter: quality score + canonical-copy
+    // flag (exact-dup on the normalized fingerprint) + token bounds →
+    // per-doc keep decision. One scan + one shuffle on the fingerprint;
+    // this is the per-document decision stage of a 100 TB curation
+    // pipeline (the LSH near-dup stack q41/q42 feeds the same shape).
+    "q142_pipeline_filter" -> ((s, d) => {
+      val nWords = size(split(trim(col("text")), " +"))
+      val stop = regexp_count(lowerText,
+        lit("\\b(the|and|of|is|to|in|it|that|a|for)\\b"))
+      val quality = least(lit(1.0),
+        (stop.cast("double") / nWords.cast("double")) * 4.0 +
+          when(nWords.between(50, 100000), 0.5).otherwise(0.0))
+      val normalized = regexp_replace(
+        regexp_replace(lowerText, "[^a-z0-9 ]", ""), " +", " ")
+      val base = t(s, d, "documents").select(
+        col("doc_id"),
+        md5(normalized).as("fp"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        quality.as("quality"))
+      val canonical = base.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      base.join(canonical, "fp")
+        .withColumn("is_canonical", col("doc_id") === col("canon_id"))
+        .select(col("doc_id"), col("ws_tokens"), col("quality"),
+          col("is_canonical"),
+          (col("is_canonical") && col("quality") >= 0.5 &&
+            col("ws_tokens").between(5, 10000)).as("keep"))
     })
   )
 
@@ -167,6 +196,29 @@ object TextAnalysis {
       """SELECT doc_id,
                 md5(regexp_replace(regexp_replace(lower(text),
                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
-         FROM documents"""
+         FROM documents""",
+    "q142_pipeline_filter" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
+                  len(string_split_regex(trim(text), '\s+'))::INT
+                    AS ws_tokens,
+                  len(string_split_regex(trim(text), ' +'))::INT AS n_words,
+                  len(regexp_extract_all(lower(text),
+                    '\b(the|and|of|is|to|in|it|that|a|for)\b'))::INT AS stop
+           FROM documents),
+         q AS (
+           SELECT doc_id, fp, ws_tokens,
+                  least(1.0::DOUBLE, (stop::DOUBLE / n_words) * 4.0 +
+                    CASE WHEN n_words BETWEEN 50 AND 100000
+                         THEN 0.5 ELSE 0.0 END) AS quality
+           FROM s),
+         c AS (SELECT fp, min(doc_id) AS canon_id FROM q GROUP BY fp)
+         SELECT q.doc_id, q.ws_tokens, q.quality,
+                q.doc_id = c.canon_id AS is_canonical,
+                (q.doc_id = c.canon_id) AND q.quality >= 0.5
+                  AND q.ws_tokens BETWEEN 5 AND 10000 AS keep
+         FROM q JOIN c ON c.fp = q.fp"""
   )
 }

@@ -170,6 +170,32 @@ class GeomSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("multi-geometry WKT: component count, summed area, flat bbox") {
+    import spark.implicits._
+    val r = Seq("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+        "((5 0, 6 0, 6 1, 5 1, 5 0)))").toDF("wkt")
+      .select(st_polygon_from_text(col("wkt")).as("rings"))
+      .select(st_num_geometries(col("rings")).as("n"),
+        st_area_multi(col("rings")).as("a"),
+        st_xmin(flatten(col("rings"))).as("x0"),
+        st_xmax(flatten(col("rings"))).as("x1"))
+      .collect().head
+    assert(r.getInt(0) == 2)
+    assert(r.getDouble(1) == 5.0) // 4 + 1
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 6.0)
+    // MULTIPOINT with parenthesized points: one single-vertex ring each
+    val mp = Seq("MULTIPOINT ((1 2), (3 4), (5 6))").toDF("wkt")
+      .select(st_num_geometries(st_polygon_from_text(col("wkt"))))
+      .collect().head
+    assert(mp.getInt(0) == 3)
+    // POLYGON with a hole still parses as outer + hole rings
+    val ph = Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+        "(1 1, 2 1, 2 2, 1 2, 1 1))").toDF("wkt")
+      .select(st_nrings(st_polygon_from_text(col("wkt"))))
+      .collect().head
+    assert(ph.getInt(0) == 2)
+  }
+
   test("st_distance_poly: disjoint gap, intersecting, contained") {
     import spark.implicits._
     val df = Seq(
