@@ -264,6 +264,29 @@ object Geo {
         st_xmax(flatten(col("rings"))).as("mxmax"))
     }),
 
+    // GeoJSON-lines source: one Feature per line (the streaming-friendly
+    // GeoJSON variant) → json parse → coordinates → ring encoding →
+    // measures. The Spark-first answer to the reference's GDAL GeoJSON
+    // import (`ImportExport/Importer.cpp` geo path): the parse is a
+    // codegen'd projection over a distributed text scan, no pre-load.
+    "q143_geojson_source" -> ((s, d) => {
+      val dir = graft.Stage.scratchDir("geojson") + "/features"
+      triangles(s, d).select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("Polygon").as("type"),
+          array(transform(st_geom_from_text(col("wkt")),
+            p => array(p.getField("x"), p.getField("y"))))
+            .as("coordinates")).as("geometry"),
+        struct(col("p_partkey").as("id")).as("properties"))).as("line"))
+        .write.mode("overwrite").text(dir)
+      val parsed = s.read.json(dir)
+      val ring = transform(flatten(col("geometry.coordinates")),
+        a => struct(element_at(a, 1).as("x"), element_at(a, 2).as("y")))
+      parsed.select(col("properties.id").as("p_partkey"),
+        st_npoints(ring).as("np"),
+        st_area(ring).as("area"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -341,6 +364,11 @@ object Geo {
                 greatest(0.0, dx - w) AS dist,
                 greatest(0.0, dx - w) <= 2.5 AS within
          FROM p""",
+    "q143_geojson_source" ->
+      """SELECT p_partkey, 4::INT AS np,
+                (1.0 + (p_size % 5)) * (1.0 + (p_partkey % 7)) / 2.0
+                  AS area
+         FROM part""",
     "q141_geo_multi" ->
       """WITH p AS (
            SELECT p_partkey,

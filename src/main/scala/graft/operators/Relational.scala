@@ -166,6 +166,34 @@ object Relational {
       both.unionAll(custOnly)
     }),
 
+    // FULL OUTER + CROSS join — capability-adds beyond the reference
+    // (JoinType enum `Shared/sqldefs.h:252-260` has INNER/LEFT/SEMI/ANTI
+    // only; no FULL OUTER, and CROSS only as degenerate loop join).
+    "q144_join_full_cross" -> ((s, d) => {
+      val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val full = t(s, d, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_all"),
+          count(when(col("o_custkey").isNull, 1)).as("n_cust_only"),
+          count(when(col("c_custkey").isNull, 1)).as("n_ord_only"))
+      val cross = t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .agg(count(lit(1)).as("n_cross"))
+      full.crossJoin(cross) // 1-row × 1-row stat combine
+    }),
+
+    // GROUPING SETS — same capability-add family as q118's ROLLUP
+    // (absent from the reference's Calcite config; native in Spark).
+    "q145_grouping_sets" -> ((s, d) => {
+      val eng = graft.HeavyEngine(s, d)
+      eng.sql("""SELECT coalesce(l_returnflag, '<all>') AS rf,
+                        coalesce(l_linestatus, '<all>') AS ls,
+                        count(*) AS n, sum(l_quantity) AS qty
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                         (l_returnflag), ())""")
+    }),
+
     // UNION ALL (RelLogicalUnion, `QueryEngine/RelAlgDag.h:3136`).
     "q12_union_all" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -432,6 +460,29 @@ object Relational {
          SELECT k, 'cust_only' AS src FROM
            (SELECT c_custkey AS k FROM customer
             EXCEPT SELECT o_custkey FROM orders)""",
+    "q144_join_full_cross" ->
+      """WITH perc AS (
+           SELECT o_custkey, count(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         f AS (
+           SELECT count(*) AS n_all,
+                  count(CASE WHEN o_custkey IS NULL THEN 1 END)
+                    AS n_cust_only,
+                  count(CASE WHEN c_custkey IS NULL THEN 1 END)
+                    AS n_ord_only
+           FROM customer FULL OUTER JOIN perc
+             ON c_custkey = o_custkey),
+         x AS (
+           SELECT count(*) AS n_cross
+           FROM region CROSS JOIN nation)
+         SELECT * FROM f CROSS JOIN x""",
+    "q145_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+                coalesce(l_linestatus, '<all>') AS ls,
+                count(*) AS n, sum(l_quantity) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
     "q13_case_arith" ->
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN l_discount > 0.05 THEN 'HI'
