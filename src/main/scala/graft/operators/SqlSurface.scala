@@ -96,6 +96,31 @@ object SqlSurface {
                     = count(DISTINCT p_type) AS bijective
            FROM part""")),
 
+    // Remaining string-op kinds from `Shared/sqldefs.h:92-141`: pad,
+    // reverse, one-sided trims, BASE64 encode/decode round-trip.
+    "q146_string_kinds" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT c_custkey,
+                  lpad(c_mktsegment, 12, '*') AS lp,
+                  rpad(c_mktsegment, 12, '-') AS rp,
+                  reverse(c_name) AS rev,
+                  ltrim(concat('  ', c_name)) AS lt,
+                  rtrim(concat(c_name, '  ')) AS rt,
+                  base64(cast(c_name AS BINARY)) AS b64,
+                  cast(unbase64(base64(cast(c_name AS BINARY))) AS STRING)
+                    AS b64_rt
+           FROM customer""")),
+
+    // Exact percentiles (sort-based), alongside q56's approx sketch —
+    // the reference computes exact PERCENTILE via its sort path.
+    "q147_exact_percentile" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT l_returnflag,
+                  percentile(l_quantity, 0.5) AS p50,
+                  percentile(l_quantity, 0.9) AS p90,
+                  percentile(l_extendedprice, 0.25) AS price_p25
+           FROM lineitem GROUP BY l_returnflag""")),
+
     // LLM_TRANSFORM (`Shared/sqldefs.h:134`) through the SQL surface —
     // deterministic template runtime (see functions.LlmTransform):
     // guided choice, identity expansion, and guided regex.
@@ -183,6 +208,22 @@ object SqlSurface {
                 count(DISTINCT p_type)::BIGINT AS n_strings,
                 true AS bijective
          FROM part""",
+    "q146_string_kinds" ->
+      """SELECT c_custkey,
+                lpad(c_mktsegment, 12, '*') AS lp,
+                rpad(c_mktsegment, 12, '-') AS rp,
+                reverse(c_name) AS rev,
+                ltrim('  ' || c_name) AS lt,
+                rtrim(c_name || '  ') AS rt,
+                to_base64(c_name::BLOB) AS b64,
+                from_base64(to_base64(c_name::BLOB))::VARCHAR AS b64_rt
+         FROM customer""",
+    "q147_exact_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                quantile_cont(l_extendedprice, 0.25) AS price_p25
+         FROM lineitem GROUP BY l_returnflag""",
     "q136_llm_transform" ->
       """WITH q AS (
            SELECT doc_id,
