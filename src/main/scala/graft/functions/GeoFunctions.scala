@@ -175,6 +175,10 @@ object GeoFunctions {
   def st_within(a: Column, b: Column): Column = c(STWithinPoly(e(a), e(b)))
   def st_disjoint(a: Column, b: Column): Column = !st_intersects(a, b)
 
+  /** Douglas–Peucker simplification with tolerance eps. */
+  def st_simplify(ring: Column, eps: Column): Column =
+    c(STSimplify(e(ring), e(eps.cast("double"))))
+
   /** ST_NumGeometries over a hole-free MULTI* ring array. */
   def st_num_geometries(rings: Column): Column = size(rings)
 
@@ -240,6 +244,9 @@ object GeoFunctions {
       reg.registerFunction(FunctionIdentifier("st_within"),
         new ExpressionInfo("graft", "st_within"),
         ex => STWithinPoly(ex(0), ex(1)))
+      reg.registerFunction(FunctionIdentifier("st_simplify"),
+        new ExpressionInfo("graft", "st_simplify"),
+        ex => STSimplify(ex(0), Cast(ex(1), DoubleType)))
     }
   }
 }

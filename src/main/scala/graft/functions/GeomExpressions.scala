@@ -453,6 +453,80 @@ case class STWithinPoly(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** ST_SIMPLIFY — Douglas–Peucker with tolerance `eps` over the vertex
+  * sequence (closed rings keep their closing duplicate). Collinear and
+  * near-collinear vertices within eps of the chord are removed.
+  * Reference exposes simplification through its GDAL geo pipeline; this
+  * is the standard public algorithm.
+  */
+case class STSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ring, double tolerance)")
+  }
+  override def prettyName: String = "st_simplify"
+
+  private def perpDist(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double = {
+    val (dx, dy) = (bx - ax, by - ay)
+    val len = math.hypot(dx, dy)
+    if (len == 0.0) math.hypot(px - ax, py - ay)
+    else math.abs(dx * (ay - py) - (ax - px) * dy) / len
+  }
+
+  private def dp(px: Array[Double], py: Array[Double], lo: Int, hi: Int,
+      eps: Double, keep: Array[Boolean]): Unit = {
+    if (hi <= lo + 1) return
+    var best = -1.0; var bestI = -1
+    var i = lo + 1
+    while (i < hi) {
+      val d = perpDist(px(i), py(i), px(lo), py(lo), px(hi), py(hi))
+      if (d > best) { best = d; bestI = i }
+      i += 1
+    }
+    if (best > eps) {
+      keep(bestI) = true
+      dp(px, py, lo, bestI, eps, keep)
+      dp(px, py, bestI, hi, eps, keep)
+    }
+  }
+
+  override protected def nullSafeEval(ring: Any, tol: Any): Any = {
+    val a = ring.asInstanceOf[ArrayData]
+    val eps = tol.asInstanceOf[Double]
+    val (px, py) = (GeomUtil.xs(a), GeomUtil.ys(a))
+    val n = px.length
+    if (n <= 2) return a.copy()
+    val closed = px(0) == px(n - 1) && py(0) == py(n - 1)
+    val keep = Array.fill(n)(false)
+    keep(0) = true; keep(n - 1) = true
+    if (closed && n > 3) {
+      // anchor the ring at vertex 0 and its farthest vertex so the two
+      // half-chains simplify independently (standard closed-ring DP)
+      var far = 1; var best = -1.0
+      var i = 1
+      while (i < n - 1) {
+        val d = math.hypot(px(i) - px(0), py(i) - py(0))
+        if (d > best) { best = d; far = i }
+        i += 1
+      }
+      keep(far) = true
+      dp(px, py, 0, far, eps, keep)
+      dp(px, py, far, n - 1, eps, keep)
+    } else dp(px, py, 0, n - 1, eps, keep)
+    new GenericArrayData(
+      (0 until n).filter(keep).map(i =>
+        InternalRow(px(i), py(i)): Any).toArray)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** ST_DISTANCE between two point structs — a DEDICATED expression node
   * (not a sqrt/pow composition) so the optimizer can recognize distance
   * predicates structurally: GeoRangeJoinRule matches

@@ -287,6 +287,28 @@ object Geo {
         st_area(ring).as("area"))
     }),
 
+    // ST_Simplify (Douglas–Peucker): the triangle densified with exact
+    // edge midpoints must simplify back to the 3-vertex ring with area
+    // and perimeter preserved.
+    "q148_geo_simplify" -> ((s, d) => {
+      val dense = triangles(s, d).withColumn("wkt7", format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s, %s %s, %s %s))",
+        col("cx"), col("cy"),
+        col("cx") + col("w") / 2, col("cy"),
+        col("cx") + col("w"), col("cy"),
+        col("cx") + col("w") / 2, col("cy") + col("h") / 2,
+        col("cx"), col("cy") + col("h"),
+        col("cx"), col("cy") + col("h") / 2,
+        col("cx"), col("cy")))
+        .withColumn("ring", st_geom_from_text(col("wkt7")))
+        .withColumn("simp", st_simplify(col("ring"), lit(1e-6)))
+      dense.select(col("p_partkey"),
+        st_npoints(col("ring")).as("np_before"),
+        st_npoints(col("simp")).as("np_after"),
+        st_area(col("simp")).as("area"),
+        st_perimeter(col("simp")).as("perim"))
+    }),
+
     // Bounding-box-intersect JOIN via grid-cell bucketing — the join
     // form of the reference's BoundingBoxIntersectJoinHashTable
     // (`QueryEngine/JoinHashTable/BoundingBoxIntersectJoinHashTable.cpp`):
@@ -363,6 +385,16 @@ object Geo {
          SELECT p_partkey,
                 greatest(0.0, dx - w) AS dist,
                 greatest(0.0, dx - w) <= 2.5 AS within
+         FROM p""",
+    "q148_geo_simplify" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h
+           FROM part)
+         SELECT p_partkey, 7::INT AS np_before, 4::INT AS np_after,
+                w * h / 2.0 AS area,
+                w + h + sqrt(w * w + h * h) AS perim
          FROM p""",
     "q143_geojson_source" ->
       """SELECT p_partkey, 4::INT AS np,

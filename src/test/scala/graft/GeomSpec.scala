@@ -196,6 +196,25 @@ class GeomSpec extends AnyFunSuite {
     assert(ph.getInt(0) == 2)
   }
 
+  test("st_simplify: drops near-collinear points, keeps corners") {
+    import spark.implicits._
+    def simp(wkt: String, eps: Double) = Seq(wkt).toDF("wkt")
+      .select(st_simplify(st_geom_from_text(col("wkt")), lit(eps))
+        .as("s"))
+      .select(st_npoints(col("s")), st_area(col("s"))).collect().head
+    // wiggly line collapses to its endpoints
+    val line = simp("LINESTRING (0 0, 1 0.0001, 2 0, 3 0.0001, 4 0)", 0.01)
+    assert(line.getInt(0) == 2)
+    // square densified with midpoints → back to 5 (closed) corners
+    val sq = simp("POLYGON ((0 0, 1 0, 2 0, 2 1, 2 2, 1 2, 0 2, 0 1, 0 0))",
+      1e-9)
+    assert(sq.getInt(0) == 5)
+    assert(sq.getDouble(1) == 4.0)
+    // eps below the wiggle keeps everything
+    val keepAll = simp("LINESTRING (0 0, 1 0.5, 2 0)", 0.01)
+    assert(keepAll.getInt(0) == 3)
+  }
+
   test("st_distance_poly: disjoint gap, intersecting, contained") {
     import spark.implicits._
     val df = Seq(
