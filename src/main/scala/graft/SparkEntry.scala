@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.DdlDml.queries, operators.DdlDml.oracles),
     (operators.MLFunctions.queries, operators.MLFunctions.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
+    (operators.AsofJoin.queries, operators.AsofJoin.oracles),
     (operators.NullSemantics.queries, operators.NullSemantics.oracles),
     (operators.AnnIvf.queries, operators.AnnIvf.oracles),
     (operators.TaxiParity.queries, operators.TaxiParity.oracles),
