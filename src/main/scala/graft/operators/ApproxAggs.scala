@@ -43,6 +43,33 @@ object ApproxAggs {
       .groupBy(col("l_orderkey"))
 
   val queries: Seq[(String, Q)] = Seq(
+    // Count-min sketch heavy hitters: build the sketch distributed
+    // (associative merge, ~KB per partition — the 100 TB frequency
+    // estimator), probe it for each event type, assert the CMS contract
+    // (never undercounts; overcount bounded by eps·N at the configured
+    // confidence). The probe set is the 5-row exact-count table —
+    // model-sized, like the ML verification collects.
+    "q151_cms_heavy_hitters" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val eps = 0.001
+      val skBytes = ev.agg(count_min_sketch(col("event_type"),
+          lit(eps), lit(0.99), lit(42)).as("sk"))
+        .collect().head.getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val spark = s
+      import spark.implicits._
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"), count(lit(1)).as("n_total"))
+        .collect()
+      val total = exact.map(_.getLong(1)).sum
+      exact.toSeq.map { r =>
+        val (et, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(et)
+        (et, n, est >= n && est <= n + math.ceil(eps * total).toLong)
+      }.toDF("event_type", "n_exact", "cms_ok")
+    }),
+
     // APPROX_COUNT_DISTINCT vs exact, within 5% (rsd configured 2%).
     // Two-phase distinct: pre-distinct (flag, key) pairs map-side, then
     // count + sketch the already-distinct keys — avoids the Expand
@@ -97,6 +124,9 @@ object ApproxAggs {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q151_cms_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n_exact, true AS cms_ok
+         FROM events GROUP BY event_type""",
     "q55_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
                 true AS hll_ok

@@ -194,6 +194,23 @@ object Relational {
                                          (l_returnflag), ())""")
     }),
 
+    // PIVOT — capability-add (no PIVOT in the reference's Calcite
+    // config); Spark's pivot with an explicit value list keeps the
+    // plan a single two-phase aggregate (no distinct-values pre-scan).
+    "q150_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("bucket"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    }),
+
     // UNION ALL (RelLogicalUnion, `QueryEngine/RelAlgDag.h:3136`).
     "q12_union_all" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -483,6 +500,18 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())""",
+    "q150_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+                count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS n_click,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS n_purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END)
+                  AS n_signup,
+                count(CASE WHEN event_type = 'error' THEN 1 END)
+                  AS n_error
+         FROM events GROUP BY user_id % 10""",
     "q13_case_arith" ->
       """SELECT l_orderkey, l_linenumber,
                 CASE WHEN l_discount > 0.05 THEN 'HI'
