@@ -136,6 +136,24 @@ object TableFunctions {
           col("dist").cast("int").as("dist"))
     }),
 
+    // tf_geo_rasterize analog (`GeoRasterTableFunctions.hpp` in
+    // /root/reference): bin points to a fixed-size grid, aggregate a z
+    // value per cell (count/avg/min/max). One shuffle on the bin key —
+    // the raster IS a grouped aggregate, embarrassingly scalable.
+    "q152_geo_rasterize" -> ((s, d) => {
+      val binSize = 5.0
+      t(s, d, "part").select(
+        (col("p_size").cast("double") - 25.0).as("x"),
+        (col("p_retailprice") % 50.0).as("y"),
+        col("p_retailprice").as("z"))
+        .groupBy(floor(col("x") / binSize).cast("int").as("bin_x"),
+          floor(col("y") / binSize).cast("int").as("bin_y"))
+        .agg(count(lit(1)).as("n_points"),
+          avg(col("z")).as("z_avg"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"))
+    }),
+
     // generate_random_strings (`UtilityTableFunctions.h:49`):
     // deterministic hash-driven strings — reproducible across runs and
     // partitioning (unlike rand()), generated distributed via range().
@@ -245,6 +263,16 @@ object TableFunctions {
            WHERE w.dist < 5)
          SELECT src_node, node, min(dist)::INT AS dist
          FROM walk GROUP BY src_node, node""",
+    "q152_geo_rasterize" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z
+           FROM part)
+         SELECT floor(x / 5.0)::INT AS bin_x, floor(y / 5.0)::INT AS bin_y,
+                count(*) AS n_points, avg(z) AS z_avg,
+                min(z) AS z_min, max(z) AS z_max
+         FROM p GROUP BY 1, 2""",
     "q100_random_strings" ->
       """SELECT 1000::BIGINT AS n, true AS len_ok, true AS all_distinct""",
     "q54_feature_similarity" ->
