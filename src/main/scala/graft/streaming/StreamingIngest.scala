@@ -141,9 +141,37 @@ object StreamingIngest {
         col("session_window.start").as("sess_start"),
         col("n_events")))
 
+  /** Streaming dedup: `dropDuplicates` keyed state under a watermark —
+    * the streaming counterpart of the exact-dedup operator (q40). Runs
+    * in append mode (each batch emits only first-seen keys), foreachBatch
+    * appending to the result table.
+    */
+  def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = graft.Stage.scratchDir("graft_stream_dedup")
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val q = eventStream(spark, FileSource(dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(ckptBase, "graft_ckpt_dd").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
-    "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d))
+    "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d)),
+    "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -156,6 +184,8 @@ object StreamingIngest {
                 event_type, count(*) AS n_events,
                 sum(value) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q153_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     // Batch replay of gap-based sessions (the q52 CTE), compared against
     // the streamed session_window state machine.
     "q94_stream_sessionize" ->
