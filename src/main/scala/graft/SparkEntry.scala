@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.MLFunctions.queries, operators.MLFunctions.oracles),
     (operators.RangeJoin.queries, operators.RangeJoin.oracles),
     (operators.AsofJoin.queries, operators.AsofJoin.oracles),
+    (operators.SkewJoin.queries, operators.SkewJoin.oracles),
     (operators.NullSemantics.queries, operators.NullSemantics.oracles),
     (operators.AnnIvf.queries, operators.AnnIvf.oracles),
     (operators.TaxiParity.queries, operators.TaxiParity.oracles),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Hot-key (skew) mitigation for equi-joins: SALT the skewed big side
+  * into `salt` sub-keys and replicate the small side once per salt
+  * value, so a key whose rows would all land in one reducer spread
+  * across `salt` of them. The per-row salt is deterministic (hash of
+  * the row id), the small-side replication is an explode over a literal
+  * sequence — no rand(), re-runs produce identical plans and results.
+  *
+  * This is the manual fallback for the skew cases AQE's skew-join split
+  * cannot reach (streaming joins, broadcast-ineligible shapes, or
+  * pre-AQE engines); AQE handles the rest at runtime (SURVEY §4). The
+  * result set is EXACTLY that of the plain equi-join — q154 pins this
+  * against the unsalted DuckDB oracle.
+  */
+object SkewJoin {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each big-side key over
+    * `salt` reducers. `small` is replicated `salt`×: keep it the
+    * dimension side.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    // Salted fact ⋈ dimension, aggregated — must equal the plain join.
+    "q154_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      saltedJoin(li, ord, "l_orderkey", salt = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q154_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus"""
+  )
+}
