@@ -201,7 +201,7 @@ object Ddl {
   private val ShowTables: Regex =
     """(?is)\s*SHOW\s+TABLES\s*""".r
   private val ShowColumns: Regex =
-    """(?is)\s*SHOW\s+COLUMNS\s+(?:FROM\s+)?(\w+)\s*""".r
+    """(?is)\s*(?:SHOW\s+COLUMNS\s+(?:FROM\s+)?|DESCRIBE\s+(?:TABLE\s+)?)(\w+)\s*""".r
   private val ShowCreate: Regex =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
   private val AlterRenameCol: Regex =

@@ -83,6 +83,10 @@ class DdlSpec extends AnyFunSuite {
     val ddl = eng.sql("SHOW CREATE TABLE t_show")
       .collect().head.getString(0)
     assert(ddl == "CREATE TABLE t_show (k BIGINT, v STRING)")
+    // DESCRIBE is the SHOW COLUMNS alias
+    val desc = eng.sql("DESCRIBE t_show").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("k", "BIGINT"), ("v", "STRING")))
     eng.sql("DROP TABLE t_show")
   }
 
