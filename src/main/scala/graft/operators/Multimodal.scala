@@ -73,6 +73,30 @@ object Multimodal {
       }.toDF("doc_id", "n_bytes", "mean_byte", "h0", "h1", "h2", "h3")
     }),
 
+    // Frame-sampling stage (the video path's keyframe extraction): the
+    // binary payload is a sequence of fixed-size frames; take every
+    // k-th complete frame, emit count + a first-byte checksum over the
+    // sampled frames. Same mapPartitions batch shape as q81 — a real
+    // ffmpeg-backed sampler swaps in per frame unchanged.
+    "q155_multimodal_framesample" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frameSize = 16
+      val stride = 4
+      val payloads = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val nFrames = bytes.length / frameSize
+          val sampled = 0 until nFrames by stride
+          val checksum = sampled.map(i =>
+            (bytes(i * frameSize) & 0xff).toLong).sum
+          (id, nFrames, sampled.length, checksum)
+        }
+      }.toDF("doc_id", "n_frames", "n_sampled", "checksum")
+    }),
+
     // REAL decode path: deterministic BMP images are produced and then
     // decoded by parsing the actual binary header (no fake) — the
     // partition-parallel encode→binary column→decode pipeline a
@@ -208,6 +232,26 @@ object Multimodal {
                 (8 + doc_id % 16)::INT AS down_w,
                 (4 + n_chars % 8)::INT AS down_h,
                 true AS mean_preserved
-         FROM documents"""
+         FROM documents""",
+    "q155_multimodal_framesample" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) // 16 AS n_frames
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  (strpos('0123456789abcdef',
+                     substring(hx, 32*i + 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                     substring(hx, 32*i + 2, 1)) - 1 AS byte
+           FROM b, unnest(range(0, n_frames)) AS t(i)
+           WHERE i % 4 = 0),
+         agg AS (
+           SELECT doc_id, count(*) AS cnt, sum(byte) AS cs
+           FROM s GROUP BY doc_id)
+         SELECT b.doc_id, b.n_frames::INT AS n_frames,
+                coalesce(agg.cnt, 0)::INT AS n_sampled,
+                coalesce(agg.cs, 0)::BIGINT AS checksum
+         FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id"""
   )
 }
