@@ -212,6 +212,20 @@ object Ddl {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\w+(?:\([\d,\s]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val AlterDropCol: Regex =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+  // ML model lifecycle (`java/calcite/.../ddl/SqlCreateModel.java`,
+  // `Catalog/DdlCommandExecutor.h:289-344`): CREATE MODEL ... OF TYPE ...
+  // AS SELECT target, predictors... [WITH (...)], SHOW MODELS,
+  // SHOW MODEL DETAILS, EVALUATE MODEL [ON SELECT ...], DROP MODEL.
+  private val CreateModel: Regex =
+    """(?is)\s*CREATE\s+MODEL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+OF\s+TYPE\s+(\w+)\s+AS\s+(SELECT\b.*?)(?:\s+WITH\s*\(([^)]*)\))?\s*""".r
+  private val DropModel: Regex =
+    """(?is)\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val ShowModels: Regex =
+    """(?is)\s*SHOW\s+MODELS\s*""".r
+  private val ShowModelDetails: Regex =
+    """(?is)\s*SHOW\s+MODEL\s+DETAILS\s+(\w+)\s*""".r
+  private val EvaluateModel: Regex =
+    """(?is)\s*EVALUATE\s+MODEL\s+(\w+)(?:\s+ON\s+(SELECT\b.*))?\s*""".r
 
   // ---- foreign tables ------------------------------------------------
 
@@ -410,6 +424,20 @@ object Ddl {
         require(df.columns.exists(_.equalsIgnoreCase(colName)),
           s"column not found: $colName")
         swapIn(spark, name, df.drop(colName)); done
+      case CreateModel(name, mtype, select, opts) =>
+        operators.Models.create(spark, name, mtype, select.trim,
+          parseOptions(opts))
+        done
+      case DropModel(name) =>
+        operators.Models.drop(name); done
+      case ShowModels() =>
+        Some(operators.Models.showModels(spark))
+      case ShowModelDetails(name) =>
+        Some(operators.Models.showModelDetails(spark, name))
+      case EvaluateModel(name, on) =>
+        import spark.implicits._
+        Some(Seq(operators.Models.evaluate(spark, name, Option(on)))
+          .toDF("r2"))
       case CopyFrom(name, path) =>
         val schema = table(spark, name).schema
         insertInto(spark, name,

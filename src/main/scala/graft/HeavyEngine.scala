@@ -55,6 +55,7 @@ object HeavyEngine {
   def apply(spark: SparkSession, dir: String): HeavyEngine = {
     functions.GraftFunctions.registerAll(spark)
     functions.GeoFunctions.registerAll(spark)
+    operators.Models.register(spark)
     plans.GeoRangeJoinRule.install(spark)
     Tables.registerAll(spark, dir)
     new HeavyEngine(spark)

@@ -37,6 +37,104 @@ object MLFunctions {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** DBSCAN over 2-D points — reference `dbscan__cpu_template`
+    * (`MLTableFunctions.hpp:192`: Cursor<id, features>, epsilon,
+    * min_observations → (id, cluster_id), noise = -1; single-node oneDAL
+    * under the hood). Spark-first as grid-partitioned DBSCAN (the
+    * MR-DBSCAN construction): epsilon-cell binning bounds the candidate
+    * neighbor search to the 3×3 cell neighborhood (one bounded shuffle,
+    * no O(n²) cross join), core points fall out of a neighbor count,
+    * and clusters are connected components of the core-core epsilon
+    * graph via min-label propagation (superstep loop, converges in
+    * O(cluster diameter / epsilon-hop) rounds — same pattern as
+    * `shortestPaths`). Border points attach to their minimum core
+    * neighbor's cluster; everything else is noise (-1).
+    *
+    * Returns (id, cluster_id) with cluster ids densely renumbered in
+    * min-member-id order, so output is deterministic.
+    */
+  def dbscan(spark: SparkSession, points: DataFrame, eps: Double,
+      minObs: Int): DataFrame = {
+    val cell = points.select(col("id"), col("x").cast("double").as("x"),
+        col("y").cast("double").as("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    val offs = {
+      import spark.implicits._
+      (for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy))
+        .toDF("dx", "dy")
+    }
+    // A-side replicated into its 9 neighbor cells, equi-joined to the
+    // B-side on the cell key: every epsilon-pair lands in exactly one
+    // joined cell; the distance filter makes it exact.
+    val aSide = cell.select(col("id").as("aid"), col("x").as("ax"),
+        col("y").as("ay"), col("cx"), col("cy"))
+      .join(broadcast(offs))
+      .select(col("aid"), col("ax"), col("ay"),
+        (col("cx") + col("dx")).as("jcx"), (col("cy") + col("dy")).as("jcy"))
+    val bSide = cell.select(col("id").as("bid"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val pairs = aSide.join(bSide,
+        col("jcx") === col("cx") && col("jcy") === col("cy"))
+      .filter((col("ax") - col("bx")) * (col("ax") - col("bx"))
+        + (col("ay") - col("by")) * (col("ay") - col("by"))
+        <= lit(eps * eps))
+      .select(col("aid"), col("bid"))
+    // Staged once: the epsilon-neighbor graph feeds the degree count,
+    // the core-core edge set, the label loop, and border attachment.
+    val pairsPath = graft.Stage.scratchDir("dbscan_pairs")
+    pairs.write.mode("overwrite").parquet(pairsPath)
+    val pairsS = spark.read.parquet(pairsPath)
+
+    val core = pairsS.groupBy(col("aid")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minObs).select(col("aid").as("id"))
+    val coreEdges = pairsS
+      .join(core.withColumnRenamed("id", "aid"), "aid")
+      .join(core.withColumnRenamed("id", "bid"), "bid")
+      .select(col("aid"), col("bid"))
+    val edgesPath = graft.Stage.scratchDir("dbscan_edges")
+    coreEdges.write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+
+    // Min-label propagation to a fixpoint (labels only decrease, so the
+    // changed-count is a monotone convergence witness).
+    var labels = core.withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, edges("bid") === labels("id"))
+        .groupBy(col("aid")).agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("aid", "id")
+      val merged = labels.join(next, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("chg"))
+      val m = merged.localCheckpoint()
+      changed = m.filter(col("chg")).count()
+      labels = m.select(col("id"), col("label"))
+    }
+
+    // Border points: non-core with at least one core neighbor → the
+    // minimum core label among neighbors (deterministic tie-break).
+    val borderLabels = pairsS.join(labels.withColumnRenamed("id", "bid")
+        .withColumnRenamed("label", "blabel"), "bid")
+      .join(core.withColumnRenamed("id", "aid"), Seq("aid"), "left_anti")
+      .groupBy(col("aid")).agg(min(col("blabel")).as("label"))
+      .withColumnRenamed("aid", "id")
+
+    val assigned = labels.unionByName(borderLabels)
+    // Dense renumbering in min-member order (small distinct set).
+    val clusters = assigned.select(col("label")).distinct()
+      .withColumn("cluster_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("label"))) - 1)
+    points.select(col("id"))
+      .join(assigned, Seq("id"), "left")
+      .join(clusters, Seq("label"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), lit(-1)).cast("int").as("cluster_id"))
+  }
+
   /** ml_predict for a fitted univariate linear model: coefficients are
     * baked into the plan as literals (reference codegens them the same
     * way, `MLPredictCodegen.cpp:119`).
@@ -176,6 +274,128 @@ object MLFunctions {
         gbt.getNumTrees == 3 && r2gbt > 0.5 && r2gbt <= 1.0))
         .toDF("n", "dt_depth_ok", "rf_trees_ok", "dt_r2_ok", "rf_r2_ok",
           "gbt_ok")
+    }),
+
+    // Model lifecycle through the SQL surface (CREATE MODEL OF TYPE ...
+    // AS / SHOW MODELS / SHOW MODEL DETAILS / EVALUATE MODEL [ON] /
+    // ML_PREDICT('name', ...) / DROP MODEL — reference
+    // `SqlCreateModel.java`, `DdlCommandExecutor.h:289-344`,
+    // `HeavyDBSqlOperatorTable.java:846`). ml_predict must agree with the
+    // closed-form OLS prediction computable in any engine, EVALUATE's R²
+    // with corr², and the metadata rows with the training set.
+    "q156_model_lifecycle" -> ((s, d) => {
+      val eng = graft.HeavyEngine(s, d)
+      eng.sql("DROP MODEL IF EXISTS li_price")
+      // Univariate model with real signal (charge vs price) so the
+      // held-out EVALUATE is meaningfully positive while the closed-form
+      // OLS check stays exactly computable.
+      eng.sql("""CREATE MODEL li_price OF TYPE LINEAR_REG AS
+                 SELECT l_extendedprice * (1.0 - l_discount),
+                        l_extendedprice
+                 FROM lineitem""")
+      val shown = eng.sql("SHOW MODELS").collect().map(_.getString(0))
+      val details = eng.sql("SHOW MODEL DETAILS li_price").collect().head
+      val r2Train = eng.sql("EVALUATE MODEL li_price")
+        .collect().head.getDouble(0)
+      val r2Half = eng.sql(
+        """EVALUATE MODEL li_price ON
+           SELECT l_extendedprice * (1.0 - l_discount), l_extendedprice
+           FROM lineitem WHERE l_orderkey % 2 = 0""")
+        .collect().head.getDouble(0)
+      val corr2 = eng.sql(
+        """SELECT power(corr(l_extendedprice,
+                             l_extendedprice * (1.0 - l_discount)), 2)
+           FROM lineitem""").collect().head.getDouble(0)
+      val nRows = eng.sql("SELECT count(*) FROM lineitem")
+        .collect().head.getLong(0)
+      eng.sql(
+        """WITH s AS (
+             SELECT covar_pop(l_extendedprice,
+                              l_extendedprice * (1.0 - l_discount))
+                    / var_pop(l_extendedprice) AS b1,
+                    avg(l_extendedprice * (1.0 - l_discount)) AS my,
+                    avg(l_extendedprice) AS mx
+             FROM lineitem)
+           SELECT count(*) AS n,
+                  max(abs(ml_predict('li_price', l.l_extendedprice)
+                          - ((s.my - s.b1 * s.mx)
+                             + s.b1 * l.l_extendedprice))
+                      / greatest(abs(s.my), 1.0)) < 1e-6 AS predict_ok
+           FROM lineitem l CROSS JOIN s""")
+        .withColumn("show_ok", lit(shown.contains("li_price")))
+        .withColumn("details_ok",
+          lit(details.getAs[String]("model_type") == "LINEAR_REG" &&
+            details.getAs[Long]("num_train_rows") == nRows &&
+            details.getAs[String]("predictors") == "l_extendedprice"))
+        .withColumn("r2_ok",
+          lit(math.abs(r2Train - corr2) < 1e-6 &&
+            r2Half > 0.9 && r2Half <= 1.0))
+    }),
+
+    // Tree-model compilation (the Spark analog of the reference's
+    // `MLPredictCodegen.cpp` tree codegen): fitted DT/RF/GBT compiled to
+    // nested-CASE Column expressions must reproduce MLlib's own
+    // `transform` predictions EXACTLY on every row — the plan is the
+    // model, no UDF, no model object on executors.
+    "q157_tree_predict_compile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("label"),
+          col("l_extendedprice").cast("double").as("f0"),
+          col("l_discount").cast("double").as("f1"),
+          col("l_tax").cast("double").as("f2"))
+      val fitInput = li.withColumn("features",
+        array_to_vector(array(col("f0"), col("f1"), col("f2"))))
+      val fs = Seq(col("f0"), col("f1"), col("f2"))
+      val dt = new DecisionTreeRegressor().setSeed(7L).setMaxDepth(6)
+        .fit(fitInput)
+      val rf = new RandomForestRegressor().setSeed(7L).setNumTrees(8)
+        .setMaxDepth(5).fit(fitInput)
+      val gbt = new GBTRegressor().setSeed(7L).setMaxIter(4).setMaxDepth(4)
+        .fit(fitInput)
+      val dtCol = Models.treeToColumn(dt.rootNode, fs)
+      val rfCol = rf.trees.map(tr => Models.treeToColumn(tr.rootNode, fs))
+        .reduce(_ + _) / lit(rf.trees.length.toDouble)
+      val gbtCol = gbt.trees.zip(gbt.treeWeights).map { case (tr, w) =>
+        Models.treeToColumn(tr.rootNode, fs) * lit(w)
+      }.reduce(_ + _)
+      val all = gbt.transform(rf.transform(dt.transform(fitInput)
+          .withColumnRenamed("prediction", "dt_p"))
+          .withColumnRenamed("prediction", "rf_p"))
+        .withColumnRenamed("prediction", "gbt_p")
+      all.agg(
+        count(lit(1)).as("n"),
+        (max(abs(dtCol - col("dt_p"))) < 1e-9).as("dt_exact"),
+        (max(abs(rfCol - col("rf_p"))) < 1e-9).as("rf_exact"),
+        (max(abs(gbtCol - col("gbt_p"))) < 1e-9).as("gbt_exact"))
+    }),
+
+    // dbscan (reference `MLTableFunctions.hpp:192`): four tight blobs
+    // (within-blob diameter √2 < ε=1.5, blob separation ≥ 10) plus far-
+    // apart noise points must yield exactly one cluster per blob, dense
+    // ids in min-member order, and -1 for every noise point — structure
+    // the oracle derives in closed form from the same modulo fixture.
+    "q158_dbscan" -> ((s, d) => {
+      val pts = t(s, d, "part").select(col("p_partkey").as("id"),
+          (col("p_partkey") % 5).as("blob"))
+        .withColumn("x",
+          when(col("blob") < 4, lit(10.0) * col("blob")
+            + sin(col("id")) * 0.5)
+            .otherwise(lit(1000.0) + lit(50.0) * col("id")))
+        .withColumn("y",
+          when(col("blob") < 4, lit(10.0) * col("blob")
+            + cos(col("id")) * 0.5)
+            .otherwise(lit(-1000.0) - lit(50.0) * col("id")))
+      val res = dbscan(s, pts.select("id", "x", "y"), 1.5, 4)
+      res.join(pts.select("id", "blob"), "id")
+        .groupBy(col("blob"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cluster_id")).as("n_labels"),
+          min(col("cluster_id")).as("cluster_id"))
+        .select(col("blob").cast("int").as("blob"), col("n"),
+          col("n_labels"), col("cluster_id"))
     })
   )
 
@@ -194,6 +414,29 @@ object MLFunctions {
     "q93_tree_models" ->
       """SELECT count(*) AS n, true AS dt_depth_ok, true AS rf_trees_ok,
                 true AS dt_r2_ok, true AS rf_r2_ok, true AS gbt_ok
-         FROM lineitem WHERE l_orderkey % 8 = 0"""
+         FROM lineitem WHERE l_orderkey % 8 = 0""",
+    "q156_model_lifecycle" ->
+      """SELECT count(*) AS n, true AS predict_ok, true AS show_ok,
+                true AS details_ok, true AS r2_ok
+         FROM lineitem""",
+    "q157_tree_predict_compile" ->
+      """SELECT count(*) AS n, true AS dt_exact, true AS rf_exact,
+                true AS gbt_exact
+         FROM lineitem WHERE l_orderkey % 8 = 0""",
+    "q158_dbscan" ->
+      """WITH pts AS (
+           SELECT p_partkey AS id, (p_partkey % 5)::INT AS blob FROM part),
+         blobs AS (
+           SELECT blob, min(id) AS mid, count(*) AS n FROM pts
+           WHERE blob < 4 GROUP BY blob),
+         ranked AS (
+           SELECT blob, n,
+                  (row_number() OVER (ORDER BY mid) - 1)::INT AS cluster_id
+           FROM blobs)
+         SELECT blob, n, 1::BIGINT AS n_labels, cluster_id FROM ranked
+         UNION ALL
+         SELECT 4 AS blob, count(*) AS n, 1::BIGINT AS n_labels,
+                -1 AS cluster_id
+         FROM pts WHERE blob = 4"""
   )
 }

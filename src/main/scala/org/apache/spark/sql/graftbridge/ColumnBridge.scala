@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a Catalyst Expression.
+    * `expression` above wraps lazily (ColumnNodeExpression) — fine inside
+    * DataFrame plans, but Unevaluable when the result must be a
+    * standalone expression (e.g. a FunctionRegistry builder's return
+    * value). This runs the classic converter immediately.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
