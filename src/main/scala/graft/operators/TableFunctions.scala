@@ -154,6 +154,76 @@ object TableFunctions {
           max(col("z")).as("z_max"))
     }),
 
+    // tf_geo_rasterize_slope (`GeoRasterTableFunctions.hpp:1495`; cell
+    // math :993 — Horn's method: Sobel-weighted dz/dx, dz/dy over the
+    // 3×3 neighborhood / (8·bin), slope = atan(|∇z|) in degrees, aspect
+    // = atan2(dz_dx, dz_dy)+180, both NULL unless all 9 neighbors
+    // exist, aspect NULL on near-flat slope < 1e-4). Spark-first: each
+    // cell is exploded into its 9 target contributions carrying signed
+    // Sobel weights, then ONE groupBy computes both gradients — no
+    // 9-way self-join, one bounded shuffle, same shape at any raster
+    // size.
+    "q160_rasterize_slope" -> ((s, d) => {
+      import s.implicits._
+      val binSize = 5.0
+      val grid = t(s, d, "part").select(
+          (col("p_size").cast("double") - 25.0).as("x"),
+          (col("p_retailprice") % 50.0).as("y"),
+          col("p_retailprice").as("z"))
+        .groupBy(floor(col("x") / binSize).cast("int").as("bin_x"),
+          floor(col("y") / binSize).cast("int").as("bin_y"))
+        .agg(avg(col("z")).as("z"))
+      val offs = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
+        .toDF("dx", "dy")
+      // Source cell at target+(dx,dy) sits at relative (-dx,-dy) in the
+      // target's neighborhood; Sobel weights follow that sign.
+      val contrib = grid.join(broadcast(offs))
+        .select((col("bin_x") + col("dx")).as("bin_x"),
+          (col("bin_y") + col("dy")).as("bin_y"),
+          col("z"),
+          (-col("dx") * when(col("dy") === 0, 2.0).otherwise(1.0)).as("wx"),
+          (-col("dy") * when(col("dx") === 0, 2.0).otherwise(1.0)).as("wy"),
+          when(col("dx") === 0 && col("dy") === 0, col("z")).as("zc"))
+      val grads = contrib.groupBy(col("bin_x"), col("bin_y"))
+        .agg(count(lit(1)).as("nn"), max(col("zc")).as("z"),
+          (sum(col("z") * col("wx")) / lit(8 * binSize)).as("dzx"),
+          (sum(col("z") * col("wy")) / lit(8 * binSize)).as("dzy"))
+        .filter(col("z").isNotNull) // emit only real cells
+      val mag = sqrt(col("dzx") * col("dzx") + col("dzy") * col("dzy"))
+      grads.select(col("bin_x"), col("bin_y"), col("z"),
+        when(col("nn") === 9, atan(mag) * lit(180.0 / math.Pi))
+          .as("slope_deg"),
+        when(col("nn") === 9 && mag >= 1e-4,
+          atan2(col("dzx"), col("dzy")) * lit(180.0 / math.Pi) + 180.0)
+          .as("aspect_deg"))
+    }),
+
+    // tf_cross_section_1d (`CrossSectionTableFunctions.hpp:326`):
+    // project every raster point onto the (x1,y1)-(x2,y2) segment,
+    // bucket the normalized distance into num_points bins, average z
+    // per bin — a projection + one grouped aggregate, single shuffle.
+    "q161_cross_section" -> ((s, d) => {
+      val (x1, y1, x2, y2) = (-25.0, 0.0, 25.0, 50.0)
+      val nPoints = 20
+      val e1x = x2 - x1
+      val e1y = y2 - y1
+      val len2 = e1x * e1x + e1y * e1y
+      val pts = t(s, d, "part").select(
+        (col("p_size").cast("double") - 25.0).as("x"),
+        (col("p_retailprice") % 50.0).as("y"),
+        col("p_retailprice").as("z"))
+      val bucketed = pts
+        .withColumn("nd", ((col("x") - x1) * e1x + (col("y") - y1) * e1y)
+          / len2)
+        .withColumn("bucket", floor(col("nd") * nPoints).cast("int"))
+        .filter(col("nd") >= 0 && col("bucket") < nPoints)
+      bucketed.groupBy(col("bucket"))
+        .agg(avg(col("z")).as("z_avg"))
+        .select(col("bucket"),
+          (col("bucket").cast("double") / (nPoints - 1)).as("frac"),
+          col("z_avg"))
+    }),
+
     // generate_random_strings (`UtilityTableFunctions.h:49`):
     // deterministic hash-driven strings — reproducible across runs and
     // partitioning (unlike rand()), generated distributed via range().
@@ -180,6 +250,46 @@ object TableFunctions {
       val a = counts.select(col("user_id").as("u1"),
         col("event_type"), col("c").as("c1"))
       val b = counts.select(col("user_id").as("u2"),
+        col("event_type"), col("c").as("c2"))
+      val dots = a.join(b, "event_type")
+        .filter(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2"))
+        .agg(sum(col("c1") * col("c2")).as("dot"))
+      dots
+        .join(norms.select(col("user_id").as("u1"), col("nrm").as("n1")),
+          "u1")
+        .join(norms.select(col("user_id").as("u2"), col("nrm").as("n2")),
+          "u2")
+        .select(col("u1"), col("u2"),
+          (col("dot") / (col("n1") * col("n2"))).as("cos_sim"))
+    }),
+
+    // tf_feature_similarity with use_tf_idf=true (reference
+    // `SimilarityTableFunctions.hpp:165`; weighting
+    // `TableFunctionsMatrix.hpp:403` idf_normalize: idf(k) =
+    // ln((n_primary + 1) / df(k)) + 1, value *= idf). Same
+    // sparse-feature-key join plan as q54 — the idf weights are one
+    // extra per-feature aggregate broadcast-joined onto the counts, so
+    // the shuffle structure (and 100 TB shape) is unchanged.
+    "q159_feature_similarity_tfidf" -> ((s, d) => {
+      val counts = events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val nPrimary = counts.select(countDistinct(col("user_id")))
+        .head.getLong(0).toDouble
+      val idf = counts.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .select(col("event_type"),
+          (log(lit(nPrimary + 1.0) / col("df")) + 1.0).as("idf"))
+      val weighted = counts.join(broadcast(idf), "event_type")
+        .select(col("user_id"), col("event_type"),
+          (col("c") * col("idf")).as("c"))
+      val norms = weighted.groupBy(col("user_id"))
+        .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val a = weighted.select(col("user_id").as("u1"),
+        col("event_type"), col("c").as("c1"))
+      val b = weighted.select(col("user_id").as("u2"),
         col("event_type"), col("c").as("c2"))
       val dots = a.join(b, "event_type")
         .filter(col("u1") < col("u2"))
@@ -286,6 +396,77 @@ object TableFunctions {
          dots AS (
            SELECT a.user_id AS u1, b.user_id AS u2, sum(a.c * b.c) AS dot
            FROM counts a JOIN counts b ON a.event_type = b.event_type
+           WHERE a.user_id < b.user_id
+           GROUP BY a.user_id, b.user_id)
+         SELECT u1, u2, dot / (n1.nrm * n2.nrm) AS cos_sim
+         FROM dots
+         JOIN norms n1 ON n1.user_id = u1
+         JOIN norms n2 ON n2.user_id = u2""",
+    "q160_rasterize_slope" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z
+           FROM part),
+         grid AS (
+           SELECT floor(x / 5.0)::INT AS bin_x,
+                  floor(y / 5.0)::INT AS bin_y, avg(z) AS z
+           FROM p GROUP BY 1, 2),
+         offs AS (
+           SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+         contrib AS (
+           SELECT bin_x + dx AS bin_x, bin_y + dy AS bin_y, z,
+                  (-dx) * (CASE WHEN dy = 0 THEN 2.0 ELSE 1.0 END) AS wx,
+                  (-dy) * (CASE WHEN dx = 0 THEN 2.0 ELSE 1.0 END) AS wy,
+                  CASE WHEN dx = 0 AND dy = 0 THEN z END AS zc
+           FROM grid CROSS JOIN offs),
+         grads AS (
+           SELECT bin_x, bin_y, count(*) AS nn, max(zc) AS z,
+                  sum(z * wx) / 40.0 AS dzx, sum(z * wy) / 40.0 AS dzy
+           FROM contrib GROUP BY bin_x, bin_y)
+         SELECT bin_x, bin_y, z,
+                CASE WHEN nn = 9
+                     THEN atan(sqrt(dzx*dzx + dzy*dzy)) * 180.0 / pi()
+                END AS slope_deg,
+                CASE WHEN nn = 9 AND sqrt(dzx*dzx + dzy*dzy) >= 1e-4
+                     THEN atan2(dzx, dzy) * 180.0 / pi() + 180.0
+                END AS aspect_deg
+         FROM grads WHERE z IS NOT NULL""",
+    "q161_cross_section" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z
+           FROM part),
+         b AS (
+           SELECT ((x - (-25.0)) * 50.0 + (y - 0.0) * 50.0) / 5000.0
+                    AS nd, z
+           FROM p),
+         bk AS (
+           SELECT floor(nd * 20)::INT AS bucket, z
+           FROM b WHERE nd >= 0)
+         SELECT bucket, bucket::DOUBLE / 19 AS frac, avg(z) AS z_avg
+         FROM bk WHERE bucket < 20 GROUP BY bucket""",
+    "q159_feature_similarity_tfidf" ->
+      """WITH counts AS (
+           SELECT user_id, event_type, count(*)::DOUBLE AS c
+           FROM events WHERE user_id < 30
+           GROUP BY user_id, event_type),
+         idf AS (
+           SELECT event_type,
+                  ln(((SELECT count(DISTINCT user_id) FROM counts) + 1.0)
+                     / count(*)) + 1.0 AS idf
+           FROM counts GROUP BY event_type),
+         weighted AS (
+           SELECT user_id, counts.event_type, c * idf AS c
+           FROM counts JOIN idf ON idf.event_type = counts.event_type),
+         norms AS (
+           SELECT user_id, sqrt(sum(c * c)) AS nrm
+           FROM weighted GROUP BY user_id),
+         dots AS (
+           SELECT a.user_id AS u1, b.user_id AS u2, sum(a.c * b.c) AS dot
+           FROM weighted a JOIN weighted b ON a.event_type = b.event_type
            WHERE a.user_id < b.user_id
            GROUP BY a.user_id, b.user_id)
          SELECT u1, u2, dot / (n1.nrm * n2.nrm) AS cos_sim
