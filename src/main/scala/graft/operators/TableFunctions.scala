@@ -224,6 +224,45 @@ object TableFunctions {
           col("z_avg"))
     }),
 
+    // tf_mandelbrot (`ExampleTableFunctions.h:25`, pixel math
+    // `ExampleTableFunctions.cpp:32`): escape-time iteration per grid
+    // pixel. Spark-first: the pixel grid is a distributed `range`
+    // (zero-shuffle generator) and the bounded z←z²+c loop is a single
+    // `aggregate(sequence(1, max_iter), struct(zx,zy,n), ...)` plan
+    // expression — the accumulator binds each step's state once, so the
+    // expression stays linear in max_iter (a naive Column fold would be
+    // exponential), and there is no UDF. The DuckDB oracle replays the
+    // same IEEE arithmetic with a recursive CTE, so num_iterations
+    // hash-matches exactly — chaotic boundary pixels included.
+    "q162_mandelbrot" -> ((s, d) => {
+      val (xPx, yPx) = (32, 24)
+      val (xMin, xMax, yMin, yMax) = (-2.5, 1.0, -1.2, 1.2)
+      val maxIter = 20
+      val xScale = (xMax - xMin) / xPx
+      val yScale = (yMax - yMin) / yPx
+      s.range(xPx.toLong * yPx)
+        .select(
+          ((col("id") % xPx).cast("double") * xScale + xMin).as("x"),
+          // integer `div`, not `/` (which is double division on longs)
+          (expr(s"id div $xPx").cast("double") * yScale + yMin).as("y"))
+        .select(col("x"), col("y"),
+          aggregate(
+            sequence(lit(1), lit(maxIter)),
+            struct(lit(0.0).as("zx"), lit(0.0).as("zy"), lit(0).as("n")),
+            (acc, _) => {
+              val zx = acc.getField("zx")
+              val zy = acc.getField("zy")
+              val n = acc.getField("n")
+              val active = zx * zx + zy * zy < 4.0
+              struct(
+                when(active, zx * zx - zy * zy + col("x")).otherwise(zx)
+                  .as("zx"),
+                when(active, lit(2.0) * zx * zy + col("y")).otherwise(zy)
+                  .as("zy"),
+                when(active, n + 1).otherwise(n).as("n"))
+            }).getField("n").as("num_iterations"))
+    }),
+
     // generate_random_strings (`UtilityTableFunctions.h:49`):
     // deterministic hash-driven strings — reproducible across runs and
     // partitioning (unlike rand()), generated distributed via range().
@@ -402,6 +441,21 @@ object TableFunctions {
          FROM dots
          JOIN norms n1 ON n1.user_id = u1
          JOIN norms n2 ON n2.user_id = u2""",
+    "q162_mandelbrot" ->
+      """WITH RECURSIVE grid AS (
+           SELECT gx.generate_series AS px, gy.generate_series AS py
+           FROM generate_series(0, 31) gx, generate_series(0, 23) gy),
+         pix AS (
+           SELECT px::DOUBLE * ((1.0 - (-2.5)) / 32) + (-2.5) AS x,
+                  py::DOUBLE * ((1.2 - (-1.2)) / 24) + (-1.2) AS y
+           FROM grid),
+         it(x, y, zx, zy, n) AS (
+           SELECT x, y, 0.0::DOUBLE, 0.0::DOUBLE, 0 FROM pix
+           UNION ALL
+           SELECT x, y, zx * zx - zy * zy + x, 2.0 * zx * zy + y, n + 1
+           FROM it WHERE zx * zx + zy * zy < 4.0 AND n < 20)
+         SELECT x, y, max(n) AS num_iterations
+         FROM it GROUP BY x, y""",
     "q160_rasterize_slope" ->
       """WITH p AS (
            SELECT p_size::DOUBLE - 25.0 AS x,
