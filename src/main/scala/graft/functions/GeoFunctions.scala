@@ -195,6 +195,60 @@ object GeoFunctions {
   def st_dwithin_poly(a: Column, b: Column, r: Column): Column =
     st_distance_poly(a, b) <= r
 
+  // --- equality / validity / SRID / max-distance family
+  //     (`HeavyDBSqlOperatorTable.java`: ST_Equals, ST_IsEmpty,
+  //      ST_IsValid, ST_SRID/ST_SetSRID, ST_MaxDistance,
+  //      ST_DFullyWithin) ---
+
+  /** ST_Equals as canonical vertex-set equality: two geometries in the
+    * ring encoding are equal iff their sorted vertex arrays match
+    * (rotation- and direction-insensitive). Exact-geometry equality, not
+    * full OGC spatial equality (collinear redundant vertices would need
+    * a normalization pass — same caveat the reference's non-GEOS paths
+    * carry).
+    */
+  def st_equals(a: Column, b: Column): Column = {
+    // Drop the closing duplicate first — rotation moves which vertex is
+    // doubled, and equality must be rotation-insensitive.
+    def canonical(g: Column) =
+      when(size(g) > 1 && (element_at(g, 1) === element_at(g, -1)),
+        slice(g, lit(1), size(g) - 1)).otherwise(g)
+    array_sort(canonical(a)) === array_sort(canonical(b))
+  }
+
+  /** ST_IsEmpty: no vertices. */
+  def st_is_empty(g: Column): Column = size(g) === 0
+
+  /** ST_IsValid (basic): ≥3 distinct vertices and nonzero area — the
+    * degenerate/self-cancelling cases OGC validity always rejects.
+    */
+  def st_is_valid(ring: Column): Column =
+    size(array_distinct(ring)) >= 3 && st_area(ring) > 0.0
+
+  /** ST_SetSRID / ST_SRID: the SRID travels as a struct wrapper (the
+    * reference stores it in column metadata; per-value wrapping is the
+    * schema-free equivalent).
+    */
+  def st_set_srid(g: Column, srid: Column): Column =
+    struct(srid.cast("int").as("srid"), g.as("geom"))
+  def st_srid(gs: Column): Column = gs.getField("srid")
+  def st_geom_of(gs: Column): Column = gs.getField("geom")
+
+  /** ST_MaxDistance: maximum vertex-to-vertex distance between two
+    * geometries (nested higher-order aggregate — stays in the plan, no
+    * UDF).
+    */
+  def st_max_distance(a: Column, b: Column): Column =
+    aggregate(a, lit(0.0), (acc, pa) =>
+      greatest(acc, aggregate(b, lit(0.0), (acc2, pb) =>
+        greatest(acc2, sqrt(
+          pow(pa.getField("x") - pb.getField("x"), 2.0) +
+            pow(pa.getField("y") - pb.getField("y"), 2.0))))))
+
+  /** ST_DFullyWithin: every vertex pair within r ⇔ max distance ≤ r. */
+  def st_dfully_within(a: Column, b: Column, r: Column): Column =
+    st_max_distance(a, b) <= r
+
   /** Register the geometry functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -247,6 +301,26 @@ object GeoFunctions {
       reg.registerFunction(FunctionIdentifier("st_simplify"),
         new ExpressionInfo("graft", "st_simplify"),
         ex => STSimplify(ex(0), Cast(ex(1), DoubleType)))
+    }
+    // Column-composition functions register through the eager bridge:
+    // the composition expands into the same codegen'd built-in tree the
+    // Column API builds.
+    locally {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => cc, expressionEager => ee}
+      import org.apache.spark.sql.catalyst.expressions.Expression
+      def registerCols(name: String,
+          f: Seq[Column] => Column): Unit =
+        reg.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          (ex: Seq[Expression]) => ee(f(ex.map(cc))))
+      registerCols("st_equals", ex => st_equals(ex(0), ex(1)))
+      registerCols("st_isempty", ex => st_is_empty(ex(0)))
+      registerCols("st_isvalid", ex => st_is_valid(ex(0)))
+      registerCols("st_setsrid", ex => st_set_srid(ex(0), ex(1)))
+      registerCols("st_srid", ex => st_srid(ex(0)))
+      registerCols("st_maxdistance", ex => st_max_distance(ex(0), ex(1)))
+      registerCols("st_dfullywithin",
+        ex => st_dfully_within(ex(0), ex(1), ex(2)))
     }
   }
 }

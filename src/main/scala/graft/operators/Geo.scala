@@ -335,6 +335,44 @@ object Geo {
           col("a_ymin") <= col("b_ymax") && col("b_ymin") <= col("a_ymax"))
         .select(col("a_id"), col("b_id"))
         .distinct()
+    }),
+
+    // Equality / validity / SRID / max-distance family
+    // (`HeavyDBSqlOperatorTable.java`: ST_Equals, ST_IsEmpty,
+    // ST_IsValid, ST_SetSRID/ST_SRID, ST_MaxDistance, ST_DFullyWithin).
+    // Rect fixtures where every expected value is closed-form: ring_b
+    // equals ring_a exactly when p_partkey is odd (else shifted w/2),
+    // the rect's max self-distance is its diagonal, and the degenerate
+    // all-same-vertex ring is invalid.
+    "q163_geo_validity" -> ((s, d) => {
+      def rectWkt(x0: Column, y0: Column, x1: Column, y1: Column) =
+        format_string("POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+          x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+      val shift = when(col("p_partkey") % 2 === 0, col("w") / 2)
+        .otherwise(lit(0.0))
+      val withRings = triangles(s, d)
+        .withColumn("ring_a", st_geom_from_text(rectWkt(col("cx"),
+          col("cy"), col("cx") + col("w"), col("cy") + col("h"))))
+        .withColumn("ring_b", st_geom_from_text(rectWkt(
+          col("cx") + shift, col("cy"),
+          col("cx") + shift + col("w"), col("cy") + col("h"))))
+        .withColumn("degen", st_geom_from_text(format_string(
+          "POLYGON ((%s %s, %s %s, %s %s, %s %s))",
+          col("cx"), col("cy"), col("cx"), col("cy"),
+          col("cx"), col("cy"), col("cx"), col("cy"))))
+      withRings.select(col("p_partkey"),
+        st_equals(col("ring_a"), col("ring_b")).as("eq"),
+        st_is_empty(slice(col("ring_a"), 1, 0)).as("empty_ok"),
+        st_is_empty(col("ring_a")).as("nonempty_empty"),
+        st_is_valid(col("ring_a")).as("valid_a"),
+        st_is_valid(col("degen")).as("valid_degen"),
+        graft.functions.GeoFunctions.st_srid(
+          st_set_srid(col("ring_a"), lit(4326))).as("srid"),
+        st_max_distance(col("ring_a"), col("ring_a")).as("maxd"),
+        st_dfully_within(col("ring_a"), col("ring_b"), lit(100.0))
+          .as("dfw_far"),
+        st_dfully_within(col("ring_a"), col("ring_a"), lit(1.0))
+          .as("dfw_near"))
     })
   )
 
@@ -507,6 +545,23 @@ object Geo {
                 sqrt((a.x - b.x)^2 + (a.y - b.y)^2) AS dist
          FROM p a JOIN p b
            ON a.p_partkey < b.p_partkey
-          AND sqrt((a.x - b.x)^2 + (a.y - b.y)^2) < 1.0"""
+          AND sqrt((a.x - b.x)^2 + (a.y - b.y)^2) < 1.0""",
+    "q163_geo_validity" ->
+      """WITH p AS (
+           SELECT p_partkey,
+                  1.0 + (p_size % 5) AS w,
+                  1.0 + (p_partkey % 7) AS h
+           FROM part)
+         SELECT p_partkey,
+                (p_partkey % 2) <> 0 AS eq,
+                true AS empty_ok,
+                false AS nonempty_empty,
+                true AS valid_a,
+                false AS valid_degen,
+                4326 AS srid,
+                sqrt(w * w + h * h) AS maxd,
+                true AS dfw_far,
+                false AS dfw_near
+         FROM p"""
   )
 }

@@ -232,4 +232,43 @@ class GeomSpec extends AnyFunSuite {
     rows.foreach(r =>
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
+
+  test("SQL-registered equality/validity/SRID family (eager bridge)") {
+    val eng = HeavyEngine(spark, "/root/testdata/sf0.001")
+    val r = eng.sql(
+      """SELECT
+           st_equals(
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+             st_geomfromtext('POLYGON ((1 0, 1 1, 0 1, 0 0, 1 0))'))
+             AS eq_rot,
+           st_equals(
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+             st_geomfromtext('POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))'))
+             AS eq_diff,
+           st_isempty(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))'))
+             AS emp,
+           st_isvalid(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))'))
+             AS valid,
+           st_isvalid(st_geomfromtext('POLYGON ((0 0, 0 0, 0 0, 0 0))'))
+             AS degen,
+           st_srid(st_setsrid(
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))'), 4326))
+             AS srid,
+           st_maxdistance(
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))
+             AS md,
+           st_dfullywithin(
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+             st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), 2.0)
+             AS dfw""").collect().head
+    assert(r.getAs[Boolean]("eq_rot"))      // rotation-insensitive
+    assert(!r.getAs[Boolean]("eq_diff"))
+    assert(!r.getAs[Boolean]("emp"))
+    assert(r.getAs[Boolean]("valid"))
+    assert(!r.getAs[Boolean]("degen"))
+    assert(r.getAs[Int]("srid") == 4326)
+    assert(math.abs(r.getAs[Double]("md") - math.sqrt(2.0)) < 1e-12)
+    assert(r.getAs[Boolean]("dfw"))
+  }
 }
