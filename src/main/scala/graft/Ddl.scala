@@ -226,6 +226,63 @@ object Ddl {
     """(?is)\s*SHOW\s+MODEL\s+DETAILS\s+(\w+)\s*""".r
   private val EvaluateModel: Regex =
     """(?is)\s*EVALUATE\s+MODEL\s+(\w+)(?:\s+ON\s+(SELECT\b.*))?\s*""".r
+  private val ShowModelFeatureDetails: Regex =
+    """(?is)\s*SHOW\s+MODEL\s+FEATURE\s+DETAILS\s+(\w+)\s*""".r
+  // Introspection breadth (`Catalog/DdlCommandExecutor.h:225-280`):
+  // SHOW TABLE DETAILS (storage stats), SHOW DATABASES, SHOW FUNCTIONS
+  // (the engine's extension surface), SHOW TABLE FUNCTIONS.
+  private val ShowTableDetails: Regex =
+    """(?is)\s*SHOW\s+TABLE\s+DETAILS(?:\s+(\w+))?\s*""".r
+  private val ShowDatabases: Regex =
+    """(?is)\s*SHOW\s+DATABASES\s*""".r
+  private val ShowFunctions: Regex =
+    """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
+  private val ShowTableFunctions: Regex =
+    """(?is)\s*SHOW\s+TABLE\s+FUNCTIONS\s*""".r
+  // COMMENT ON TABLE/COLUMN (`Catalog/DdlCommandExecutor.h:114`);
+  // surfaced through SHOW TABLE DETAILS / SHOW COLUMNS.
+  private val CommentTable: Regex =
+    """(?is)\s*COMMENT\s+ON\s+TABLE\s+(\w+)\s+IS\s+'([^']*)'\s*""".r
+  private val CommentColumn: Regex =
+    """(?is)\s*COMMENT\s+ON\s+COLUMN\s+(\w+)\.(\w+)\s+IS\s+'([^']*)'\s*""".r
+  // ALTER TABLE ALTER COLUMN ... TYPE ... — type-change column rewrite
+  // (`Catalog/DdlCommandExecutor.h:131` AlterTableAlterColumnCommand).
+  private val AlterColType: Regex =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(\w+(?:\([\d,\s]*\))?)\s*""".r
+
+  // ---- comments + storage details ------------------------------------
+
+  // key "table" or "table.column" → comment text
+  private val comments = new ConcurrentHashMap[String, String]()
+
+  private def tableDetails(spark: SparkSession, name: String)
+      : (String, Long, Int, Int, Long, String) = {
+    val m = catalog.get(name)
+    require(m != null, s"table not found: $name")
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(currentPath(m)))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => Files.size(p)).toSeq
+      finally s.close()
+    }
+    val df = table(spark, name)
+    (name, df.count(), df.schema.length, files.size, files.sum,
+      comments.getOrDefault(name, ""))
+  }
+
+  /** The implemented table-function surface (SHOW TABLE FUNCTIONS —
+    * `Catalog/DdlCommandExecutor.h:271`; names follow the reference's
+    * `QueryEngine/TableFunctions/SystemFunctions/os/`).
+    */
+  private[graft] val tableFunctionNames: Seq[String] = Seq(
+    "dbscan", "decision_tree_reg_fit", "gbt_reg_fit", "generate_series",
+    "generate_random_strings", "kmeans", "linear_reg_fit", "pca_fit",
+    "r2_score", "random_forest_reg_fit", "tf_compute_dwell_times",
+    "tf_cross_section_1d", "tf_feature_self_similarity",
+    "tf_feature_similarity", "tf_geo_rasterize", "tf_geo_rasterize_slope",
+    "tf_graph_shortest_path", "tf_graph_shortest_paths_distances",
+    "tf_mandelbrot")
 
   // ---- foreign tables ------------------------------------------------
 
@@ -390,8 +447,9 @@ object Ddl {
       case ShowColumns(name) =>
         import spark.implicits._
         Some(spark.table(name).schema.fields.toSeq
-          .map(f => (f.name, f.dataType.sql, f.nullable))
-          .toDF("column_name", "data_type", "is_nullable"))
+          .map(f => (f.name, f.dataType.sql, f.nullable,
+            comments.getOrDefault(s"$name.${f.name}", "")))
+          .toDF("column_name", "data_type", "is_nullable", "comment"))
       case ShowCreate(name) =>
         import spark.implicits._
         val cols = spark.table(name).schema.fields
@@ -438,6 +496,45 @@ object Ddl {
         import spark.implicits._
         Some(Seq(operators.Models.evaluate(spark, name, Option(on)))
           .toDF("r2"))
+      case ShowModelFeatureDetails(name) =>
+        Some(operators.Models.showModelFeatureDetails(spark, name))
+      case ShowTableDetails(name) =>
+        import spark.implicits._
+        val names = Option(name).map(Seq(_)).getOrElse {
+          import scala.jdk.CollectionConverters._
+          catalog.keySet.asScala.toSeq.sorted
+        }
+        Some(names.map(tableDetails(spark, _))
+          .toDF("table_name", "n_rows", "n_cols", "n_fragments",
+            "size_bytes", "comment"))
+      case ShowDatabases() =>
+        import spark.implicits._
+        Some(Seq("graft").toDF("database_name"))
+      case ShowFunctions() =>
+        import spark.implicits._
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        val reg = spark.sessionState.functionRegistry
+        Some(reg.listFunction
+          .filter(f => reg.lookupFunction(f)
+            .exists(_.getClassName == "graft"))
+          .map(_.funcName).sorted.toDF("function_name"))
+      case ShowTableFunctions() =>
+        import spark.implicits._
+        Some(tableFunctionNames.toDF("table_function_name"))
+      case CommentTable(name, txt) =>
+        comments.put(name, txt); done
+      case CommentColumn(name, colName, txt) =>
+        comments.put(s"$name.$colName", txt); done
+      case AlterColType(name, colName, typeDdl) =>
+        val df = table(spark, name)
+        require(df.columns.exists(_.equalsIgnoreCase(colName)),
+          s"column not found: $colName")
+        val dt = StructType.fromDDL(s"__c $typeDdl").head.dataType
+        swapIn(spark, name, df.select(df.columns.map { cn =>
+          if (cn.equalsIgnoreCase(colName)) col(cn).cast(dt).as(cn)
+          else col(cn)
+        }.toSeq: _*))
+        done
       case CopyFrom(name, path) =>
         val schema = table(spark, name).schema
         insertInto(spark, name,

@@ -49,7 +49,12 @@ object Models {
       trainQuery: String,
       trainRows: Long,
       r2: Double,
-      predict: Seq[Column] => Column)
+      predict: Seq[Column] => Column,
+      // (feature, value): coefficients for linear models (+intercept),
+      // feature importances for tree models, PC1 loadings for PCA —
+      // backs SHOW MODEL FEATURE DETAILS
+      // (`Catalog/DdlCommandExecutor.h:312`).
+      featureDetails: Seq[(String, Double)] = Seq.empty)
 
   private val registry = new ConcurrentHashMap[String, FittedModel]()
 
@@ -137,19 +142,21 @@ object Models {
       xs.map(_.cast("double"))
     }
 
-    val (predictFn, r2) = mt match {
+    val (predictFn, r2, details) = mt match {
       case "LINEAR_REG" =>
         val m = new LinearRegression().setSolver("normal").setRegParam(0.0)
           .fit(fitInput)
         val (b0, coefs) = (m.intercept, m.coefficients.toArray)
         ((xs: Seq[Column]) => features(xs).zip(coefs.toSeq)
           .foldLeft(lit(b0)) { case (acc, (x, c)) => acc + x * lit(c) },
-          m.summary.r2)
+          m.summary.r2,
+          ("intercept", b0) +: predictors.zip(coefs.toSeq))
       case "DECISION_TREE_REG" =>
         val m = new DecisionTreeRegressor().setSeed(7L).setMaxDepth(depth)
           .fit(fitInput)
         ((xs: Seq[Column]) => treeToColumn(m.rootNode, features(xs)),
-          rSquared(m.transform(numeric)))
+          rSquared(m.transform(numeric)),
+          predictors.zip(m.featureImportances.toArray.toSeq))
       case "RANDOM_FOREST_REG" =>
         val m = new RandomForestRegressor().setSeed(7L).setMaxDepth(depth)
           .setNumTrees(numTrees).fit(fitInput)
@@ -159,7 +166,8 @@ object Models {
           val fs = features(xs)
           trees.map(t => treeToColumn(t.rootNode, fs))
             .reduce(_ + _) / lit(trees.length.toDouble)
-        }, rSquared(m.transform(numeric)))
+        }, rSquared(m.transform(numeric)),
+          predictors.zip(m.featureImportances.toArray.toSeq))
       case "GBT_REG" =>
         val m = new GBTRegressor().setSeed(7L).setMaxIter(maxIter)
           .setMaxDepth(math.min(depth, 5)).fit(fitInput)
@@ -170,7 +178,8 @@ object Models {
           trees.zip(weights).map { case (t, w) =>
             treeToColumn(t.rootNode, fs) * lit(w)
           }.reduce(_ + _)
-        }, rSquared(m.transform(numeric)))
+        }, rSquared(m.transform(numeric)),
+          predictors.zip(m.featureImportances.toArray.toSeq))
       case "PCA" =>
         val m = new PCA().setK(math.min(predictors.length,
             options.getOrElse("n_components", "2").toInt))
@@ -182,7 +191,8 @@ object Models {
         ((xs: Seq[Column]) => {
           val fs = features(xs)
           (0 until pc.numRows).map(r => fs(r) * lit(pc(r, 0))).reduce(_ + _)
-        }, 1.0)
+        }, 1.0,
+          predictors.zipWithIndex.map { case (p, r) => (p, pc(r, 0)) })
       case other =>
         throw new IllegalArgumentException(
           s"unknown model type: $other (LINEAR_REG, DECISION_TREE_REG, " +
@@ -190,7 +200,7 @@ object Models {
     }
 
     val fitted = FittedModel(name.toLowerCase, mt, target, predictors,
-      trainQuery, trainRows, r2, predictFn)
+      trainQuery, trainRows, r2, predictFn, details)
     registry.put(name.toLowerCase, fitted)
     fitted
   }
@@ -275,6 +285,18 @@ object Models {
       m.trainRows, m.r2))
       .toDF("model_name", "model_type", "target", "predictors",
         "num_train_rows", "r2")
+  }
+
+  /** SHOW MODEL FEATURE DETAILS: per-feature coefficients (linear),
+    * importances (trees) or PC1 loadings (PCA) —
+    * `SqlShowModelFeatureDetails.java`,
+    * `Catalog/DdlCommandExecutor.h:312`.
+    */
+  def showModelFeatureDetails(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val m = get(name)
+    m.featureDetails.map { case (f, v) => (m.name, f, v) }
+      .toDF("model_name", "feature", "coefficient")
   }
 
   /** Register ML_PREDICT as a SQL function. The first argument must be a

@@ -142,6 +142,62 @@ class DdlSpec extends AnyFunSuite {
     Ddl.route(spark, "DROP FOREIGN TABLE ft_s")
   }
 
+  test("SHOW TABLE DETAILS / DATABASES / FUNCTIONS / TABLE FUNCTIONS") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_det")
+    eng.sql("CREATE TABLE t_det AS SELECT p_partkey, p_size FROM part")
+    eng.sql("COMMENT ON TABLE t_det IS 'part subset'")
+    eng.sql("COMMENT ON COLUMN t_det.p_size IS 'size units'")
+    val det = eng.sql("SHOW TABLE DETAILS t_det").collect().head
+    assert(det.getAs[String]("table_name") == "t_det")
+    assert(det.getAs[Long]("n_rows") > 0)
+    assert(det.getAs[Int]("n_cols") == 2)
+    assert(det.getAs[Int]("n_fragments") > 0)
+    assert(det.getAs[Long]("size_bytes") > 0)
+    assert(det.getAs[String]("comment") == "part subset")
+    val colComment = eng.sql("SHOW COLUMNS FROM t_det").collect()
+      .find(_.getString(0) == "p_size").get.getAs[String]("comment")
+    assert(colComment == "size units")
+    assert(eng.sql("SHOW DATABASES").collect().map(_.getString(0))
+      .toSeq == Seq("graft"))
+    val fns = eng.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("st_equals") && fns.contains("ml_predict")
+      && fns.contains("quarterday"))
+    val tfs = eng.sql("SHOW TABLE FUNCTIONS").collect().map(_.getString(0))
+    assert(tfs.contains("dbscan") && tfs.contains("tf_mandelbrot"))
+    eng.sql("DROP TABLE t_det")
+  }
+
+  test("ALTER TABLE ALTER COLUMN TYPE rewrites with a cast") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_cast")
+    eng.sql("CREATE TABLE t_cast (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO t_cast VALUES (1, '2.5'), (2, '7.25')")
+    eng.sql("ALTER TABLE t_cast ALTER COLUMN v TYPE DOUBLE")
+    val cols = eng.sql("SHOW COLUMNS FROM t_cast").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq == Seq(("k", "BIGINT"), ("v", "DOUBLE")))
+    val sum = eng.sql("SELECT sum(v) AS s FROM t_cast")
+      .collect().head.getDouble(0)
+    assert(math.abs(sum - 9.75) < 1e-12)
+    eng.sql("DROP TABLE t_cast")
+  }
+
+  test("SHOW MODEL FEATURE DETAILS lists coefficients") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MODEL IF EXISTS m_feat")
+    eng.sql("""CREATE MODEL m_feat OF TYPE LINEAR_REG AS
+               SELECT 1.0 + 2.0 * p_partkey + 3.0 * p_size,
+                      p_partkey, p_size
+               FROM part""")
+    val rows = eng.sql("SHOW MODEL FEATURE DETAILS m_feat").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(math.abs(rows("intercept") - 1.0) < 1e-6)
+    assert(math.abs(rows("p_partkey") - 2.0) < 1e-6)
+    assert(math.abs(rows("p_size") - 3.0) < 1e-6)
+    eng.sql("DROP MODEL m_feat")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
