@@ -132,7 +132,8 @@ object Dedup {
   /** LSH-pruned n-gram-Jaccard verdicts over a (doc_id, text) frame:
     * (doc_id, dup_of = smallest similar doc, else itself).
     */
-  private[operators] def jaccardVerdictsOf(docs: DataFrame): DataFrame = {
+  /** LSH-pruned exact-jaccard edge set: (a_id, b_id, jaccard ≥ 0.5). */
+  private[operators] def jaccardPairsOf(docs: DataFrame): DataFrame = {
     // Staged once (corpus-sized): sizes, minhash, and both sides of
     // the intersection join all scan the parquet staging table.
     val sh = stage(shinglesOf(docs), "sh")
@@ -145,7 +146,7 @@ object Dedup {
     val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    val jac = inter
+    inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_sh", "n_a"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -153,6 +154,10 @@ object Dedup {
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  private[operators] def jaccardVerdictsOf(docs: DataFrame): DataFrame = {
+    val jac = jaccardPairsOf(docs)
     // Per-doc verdict: smallest neighbor id (bidirectional) or self.
     val neigh = jac.select(col("a_id").as("doc_id"),
         col("b_id").as("nb"))
@@ -164,6 +169,40 @@ object Dedup {
       .select(col("doc_id"),
         least(coalesce(col("min_nb"), col("doc_id")), col("doc_id"))
           .as("dup_of"))
+  }
+
+  /** Dedup GROUPS: transitive connected components over the verified
+    * jaccard edge set — single-linkage duplicate clusters, the
+    * materialized keep-list a training pipeline actually writes
+    * (canonical = the group's min doc_id; everything else drops).
+    * Min-label propagation converges in O(component diameter)
+    * supersteps, each one bounded shuffle — the same loop that scales
+    * the graph table functions; at 100 TB the edge set, not the corpus,
+    * drives the cost, and LSH already made it near-linear.
+    */
+  private[operators] def dedupGroupsOf(docs: DataFrame): DataFrame = {
+    val und = jaccardPairsOf(docs).select(col("a_id"), col("b_id"))
+    val edges = stage(
+      und.unionAll(und.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id"))), "dg_edges")
+    var labels = docs.select(col("doc_id").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, edges("b_id") === labels("id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("a_id", "id")
+      val merged = labels.join(next, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("chg"))
+      val m = merged.localCheckpoint()
+      changed = m.filter(col("chg")).count()
+      labels = m.select(col("id"), col("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"),
+      (col("id") === col("label")).as("is_canonical"))
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -273,6 +312,33 @@ object Dedup {
         .select(col("n").as("n_planted"),
           (col("n_equal") === col("n")).as("simhash_ok"),
           (col("n_linked") === col("n2")).as("jaccard_ok"))
+    }),
+
+    // Dedup groups end-to-end (planted-oracle gated like q122): 50
+    // first-generation copies (+10000) AND 50 second-generation copies
+    // of the copies (+20000) must land in their original's component —
+    // the transitive closure the per-pair verdicts can't express — and
+    // no copy may be canonical (the canonical id is the component min,
+    // always the original).
+    "q165_dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val gen1 = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val gen2 = gen1.withColumn("doc_id", col("doc_id") + 10000)
+      val corpus = docs.unionByName(gen1).unionByName(gen2)
+      val groups = dedupGroupsOf(corpus)
+      val origGroups = groups.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("orig_id"),
+          col("group_id").as("orig_group"))
+      val copies = groups.filter(col("doc_id") >= 10000)
+        .withColumn("orig_id", col("doc_id") % 10000)
+        .join(origGroups, "orig_id")
+      copies.agg(
+        count(lit(1)).as("n_copies"),
+        (sum(when(col("group_id") === col("orig_group"), 1L)
+          .otherwise(0L)) === count(lit(1))).as("all_in_orig_group"),
+        (sum(when(col("is_canonical"), 1L).otherwise(0L)) === 0L)
+          .as("no_copy_canonical"))
     })
   )
 
@@ -303,7 +369,10 @@ object Dedup {
     // jaccard-link to their originals.
     "q122_dedup_planted" ->
       """SELECT 50::BIGINT AS n_planted, true AS simhash_ok,
-                true AS jaccard_ok"""
+                true AS jaccard_ok""",
+    "q165_dedup_groups" ->
+      """SELECT 100::BIGINT AS n_copies, true AS all_in_orig_group,
+                true AS no_copy_canonical"""
     // q41-q43 stay rows-only (xxhash64 is engine-specific); their
     // end-to-end behavior is hash-gated via q122's planted duplicates
     // and unit-tested in DedupSpec.

@@ -322,5 +322,27 @@ object Models {
         ColumnBridge.expressionEager(
           get(name).predict(exprs.tail.map(ColumnBridge.column)))
       })
+    // PCA_PROJECT('model', x1..xN, component) — the reference's PCA
+    // companion scalar (`MLTableFunctions.hpp` pca_project: model name
+    // literal, predictors, 1-based component index literal).
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pca_project"),
+      new ExpressionInfo("graft", "pca_project"),
+      (exprs: Seq[Expression]) => {
+        val name = exprs.headOption match {
+          case Some(Literal(s, org.apache.spark.sql.types.StringType))
+              if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "pca_project: first argument must be a TEXT literal model name")
+        }
+        val comp = exprs.last match {
+          case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+          case _ => throw new IllegalArgumentException(
+            "pca_project: last argument must be an INT literal component")
+        }
+        ColumnBridge.expressionEager(
+          pcaProject(spark, name, comp,
+            exprs.drop(1).dropRight(1).map(ColumnBridge.column): _*))
+      })
   }
 }

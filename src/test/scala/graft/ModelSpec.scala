@@ -91,6 +91,31 @@ class ModelSpec extends AnyFunSuite {
     eng.sql("DROP MODEL m_dt")
   }
 
+  test("PCA model: pca_project components are decorrelated and ordered") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MODEL IF EXISTS m_pca")
+    eng.sql("""CREATE MODEL m_pca OF TYPE PCA AS
+               SELECT l_extendedprice, l_quantity, l_discount
+               FROM lineitem WITH (n_components=2)""")
+    val r = eng.sql(
+      """SELECT var_pop(pca_project('m_pca', l_extendedprice, l_quantity,
+                                    l_discount, 1)) AS v1,
+                var_pop(pca_project('m_pca', l_extendedprice, l_quantity,
+                                    l_discount, 2)) AS v2,
+                abs(covar_pop(
+                  pca_project('m_pca', l_extendedprice, l_quantity,
+                              l_discount, 1),
+                  pca_project('m_pca', l_extendedprice, l_quantity,
+                              l_discount, 2))) AS cv
+         FROM lineitem""").collect().head
+    // PC1 captures at least as much variance as PC2; projections are
+    // (near-)uncorrelated.
+    assert(r.getDouble(0) >= r.getDouble(1))
+    assert(r.getDouble(2) <
+      1e-6 * math.max(r.getDouble(0), 1.0))
+    eng.sql("DROP MODEL m_pca")
+  }
+
   test("error cases: unknown model, bad arity, non-literal name") {
     val eng = HeavyEngine(spark, sf)
     intercept[Exception](
