@@ -91,6 +91,22 @@ object StreamingIngest {
           .parquet(srcDir.toString))
     }
 
+  /** Stateful-operator partition count. Fixed at the query's FIRST batch
+    * (the state store layout persists in the checkpoint), so it must be
+    * sized to expected state volume, not the session shuffle default:
+    * each state partition costs a store instance + per-batch delta-file
+    * fsync, which at 32 partitions dominates small/moderate state. 8
+    * suits the fixture's state sizes; a production job sizes it to key
+    * cardinality the same way.
+    */
+  private val StatePartitions = "8"
+
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming aggregate to completion, foreachBatch-overwriting a
     * parquet result table (idempotent restarts — exactly-once sink).
     */
@@ -107,15 +123,17 @@ object StreamingIngest {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         java.nio.file.Paths.get("/dev/shm")
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory(ckptBase, "graft_ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, "graft_ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -152,19 +170,21 @@ object StreamingIngest {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
         java.nio.file.Paths.get("/dev/shm")
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val q = eventStream(spark, FileSource(dir))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
-      .select(col("user_id"), col("event_type"))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory(ckptBase, "graft_ckpt_dd").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = eventStream(spark, FileSource(dir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, "graft_ckpt_dd").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(outDir)
   }
 
