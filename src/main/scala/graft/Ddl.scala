@@ -62,12 +62,18 @@ object Ddl {
     spark.read.parquet(currentPath(m))
   }
 
-  /** Write df as the next version of `name`, then swap the pointer. */
+  /** Write df as the next version of `name`, then swap the pointer.
+    * Small versions (by optimizer statistics, no extra scan) collapse to
+    * one file — version churn on small tables stays one-task-per-write;
+    * large rewrites keep their full write parallelism.
+    */
   private def swapIn(spark: SparkSession, name: String, df: DataFrame): Unit = {
     val prev = Option(catalog.get(name))
     val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
     val next = prev.map(_.version + 1).getOrElse(0)
-    df.write.mode("overwrite").parquet(s"$base/v$next")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sized = if (bytes < (64L << 20)) df.coalesce(1) else df
+    sized.write.mode("overwrite").parquet(s"$base/v$next")
     catalog.put(name, Managed(base, next))
     registerView(spark, name)
   }

@@ -92,9 +92,13 @@ object ApproxAggs {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          percentile_approx(v, lit(0.5), lit(10000))
-            .between(percentile(v, lit(0.45)), percentile(v, lit(0.55)))
-            .as("median_ok"))
+          // one exact-percentile pass for both rank bounds (array form),
+          // not two separate sort-based aggregates
+          percentile(v, array(lit(0.45), lit(0.55))).as("bounds"),
+          percentile_approx(v, lit(0.5), lit(10000)).as("approx_med"))
+        .select(col("l_returnflag"), col("n"),
+          col("approx_med").between(element_at(col("bounds"), 1),
+            element_at(col("bounds"), 2)).as("median_ok"))
     }),
 
     // SAMPLE / LAST_SAMPLE on single-valued groups (deterministic).
