@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -224,6 +224,75 @@ object TableFunctions {
           col("z_avg"))
     }),
 
+    // tf_raster_contour_lines (`GeoRasterTableFunctions.hpp`
+    // tf_raster_contour / `RasterContour` — GDAL-backed in the
+    // reference): marching squares over the binned raster, Spark-first.
+    // Each sample contributes to its 4 adjacent 2×2 blocks (broadcast
+    // corner-role explode + ONE groupBy — same shape as the slope
+    // kernel); the 16-case segment table with linear edge interpolation
+    // is a plan-level CASE producing 0-2 segments per block (saddles use
+    // the fixed convention). Zero UDFs, one bounded shuffle, raster-size
+    // scalable. The oracle replays the identical algebra in SQL.
+    "q164_raster_contour" -> ((s, d) => {
+      import s.implicits._
+      val cell = 5.0
+      val level = 950.0
+      val grid = t(s, d, "part").select(
+          (col("p_size").cast("double") - 25.0).as("x"),
+          (col("p_retailprice") % 50.0).as("y"),
+          col("p_retailprice").as("z"))
+        .groupBy(floor(col("x") / cell).cast("int").as("bin_x"),
+          floor(col("y") / cell).cast("int").as("bin_y"))
+        .agg(avg(col("z")).as("z"))
+      val roles = (for (di <- 0 to 1; dj <- 0 to 1) yield (di, dj))
+        .toDF("di", "dj")
+      def corner(di: Int, dj: Int) =
+        max(when(col("di") === di && col("dj") === dj, col("z")))
+      val blocks = grid.join(broadcast(roles))
+        .select((col("bin_x") - col("di")).as("bx"),
+          (col("bin_y") - col("dj")).as("by"),
+          col("z"), col("di"), col("dj"))
+        .groupBy(col("bx"), col("by"))
+        .agg(count(lit(1)).as("nc"),
+          corner(0, 0).as("z00"), corner(1, 0).as("z10"),
+          corner(0, 1).as("z01"), corner(1, 1).as("z11"))
+        .filter(col("nc") === 4)
+      val L = lit(level)
+      def in(z: Column) = (z >= L).cast("int")
+      val idx = in(col("z00")) + in(col("z10")) * 2 +
+        in(col("z11")) * 4 + in(col("z01")) * 8
+      // Edge crossings, linearly interpolated (only referenced by cases
+      // where the edge provably straddles the level → denominator ≠ 0).
+      val pB = struct(((col("bx") + (L - col("z00"))
+        / (col("z10") - col("z00"))) * cell).as("x"),
+        (col("by") * cell).as("y"))
+      val pR = struct(((col("bx") + 1) * cell).as("x"),
+        ((col("by") + (L - col("z10")) / (col("z11") - col("z10")))
+          * cell).as("y"))
+      val pT = struct(((col("bx") + (L - col("z01"))
+        / (col("z11") - col("z01"))) * cell).as("x"),
+        ((col("by") + 1) * cell).as("y"))
+      val pL = struct((col("bx") * cell).as("x"),
+        ((col("by") + (L - col("z00")) / (col("z01") - col("z00")))
+          * cell).as("y"))
+      def seg(a: Column, b: Column) = struct(
+        a.getField("x").as("x1"), a.getField("y").as("y1"),
+        b.getField("x").as("x2"), b.getField("y").as("y2"))
+      val segs =
+        when(idx.isin(1, 14), array(seg(pL, pB)))
+          .when(idx.isin(2, 13), array(seg(pB, pR)))
+          .when(idx.isin(3, 12), array(seg(pL, pR)))
+          .when(idx.isin(4, 11), array(seg(pR, pT)))
+          .when(idx.isin(6, 9), array(seg(pB, pT)))
+          .when(idx.isin(7, 8), array(seg(pL, pT)))
+          .when(idx === 5, array(seg(pL, pT), seg(pB, pR)))
+          .when(idx === 10, array(seg(pL, pB), seg(pT, pR)))
+      blocks.select(col("bx").as("cbx"), col("by").as("cby"),
+          explode(segs).as("s"))
+        .select(col("cbx"), col("cby"),
+          col("s.x1"), col("s.y1"), col("s.x2"), col("s.y2"))
+    }),
+
     // tf_mandelbrot (`ExampleTableFunctions.h:25`, pixel math
     // `ExampleTableFunctions.cpp:32`): escape-time iteration per grid
     // pixel. Spark-first: the pixel grid is a distributed `range`
@@ -441,6 +510,66 @@ object TableFunctions {
          FROM dots
          JOIN norms n1 ON n1.user_id = u1
          JOIN norms n2 ON n2.user_id = u2""",
+    "q164_raster_contour" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z
+           FROM part),
+         grid AS (
+           SELECT floor(x / 5.0)::INT AS bin_x,
+                  floor(y / 5.0)::INT AS bin_y, avg(z) AS z
+           FROM p GROUP BY 1, 2),
+         roles AS (SELECT * FROM (VALUES (0,0),(1,0),(0,1),(1,1))
+                   r(di, dj)),
+         blocks AS (
+           SELECT bin_x - di AS cbx, bin_y - dj AS cby, count(*) AS nc,
+                  max(CASE WHEN di=0 AND dj=0 THEN z END) AS z00,
+                  max(CASE WHEN di=1 AND dj=0 THEN z END) AS z10,
+                  max(CASE WHEN di=0 AND dj=1 THEN z END) AS z01,
+                  max(CASE WHEN di=1 AND dj=1 THEN z END) AS z11
+           FROM grid CROSS JOIN roles GROUP BY 1, 2),
+         c AS (
+           SELECT cbx, cby, z00, z10, z01, z11,
+                  (z00 >= 950)::INT + 2 * (z10 >= 950)::INT
+                  + 4 * (z11 >= 950)::INT + 8 * (z01 >= 950)::INT
+                    AS idx
+           FROM blocks WHERE nc = 4),
+         pts AS (
+           SELECT cbx, cby, idx,
+                  (cbx + (950 - z00) / nullif(z10 - z00, 0)) * 5.0
+                    AS b_x, cby * 5.0 AS b_y,
+                  (cbx + 1) * 5.0 AS r_x,
+                  (cby + (950 - z10) / nullif(z11 - z10, 0)) * 5.0
+                    AS r_y,
+                  (cbx + (950 - z01) / nullif(z11 - z01, 0)) * 5.0
+                    AS t_x, (cby + 1) * 5.0 AS t_y,
+                  cbx * 5.0 AS l_x,
+                  (cby + (950 - z00) / nullif(z01 - z00, 0)) * 5.0
+                    AS l_y
+           FROM c),
+         segs1 AS (
+           SELECT cbx, cby,
+                  CASE WHEN idx IN (1,14,3,12,7,8,5,10) THEN l_x
+                       WHEN idx IN (2,13,6,9) THEN b_x
+                       WHEN idx IN (4,11) THEN r_x END AS x1,
+                  CASE WHEN idx IN (1,14,3,12,7,8,5,10) THEN l_y
+                       WHEN idx IN (2,13,6,9) THEN b_y
+                       WHEN idx IN (4,11) THEN r_y END AS y1,
+                  CASE WHEN idx IN (1,14,10) THEN b_x
+                       WHEN idx IN (2,13,3,12) THEN r_x
+                       ELSE t_x END AS x2,
+                  CASE WHEN idx IN (1,14,10) THEN b_y
+                       WHEN idx IN (2,13,3,12) THEN r_y
+                       ELSE t_y END AS y2
+           FROM pts WHERE idx NOT IN (0, 15)),
+         segs2 AS (
+           SELECT cbx, cby,
+                  CASE WHEN idx = 5 THEN b_x ELSE t_x END AS x1,
+                  CASE WHEN idx = 5 THEN b_y ELSE t_y END AS y1,
+                  r_x AS x2, r_y AS y2
+           FROM pts WHERE idx IN (5, 10))
+         SELECT * FROM segs1 UNION ALL SELECT * FROM segs2""",
     "q162_mandelbrot" ->
       """WITH RECURSIVE grid AS (
            SELECT gx.generate_series AS px, gy.generate_series AS py
