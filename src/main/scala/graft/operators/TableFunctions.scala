@@ -293,6 +293,37 @@ object TableFunctions {
           col("s.x1"), col("s.y1"), col("s.x2"), col("s.y2"))
     }),
 
+    // tf_cross_section_2d (`CrossSectionTableFunctions.hpp:351`): points
+    // carry (x, y, vertical_axis, value); keep those within
+    // dwithin_distance of the section line (clamped-projection segment
+    // distance), bucket by (normalized distance along the line,
+    // vertical bin), average the value — a filter + one 2-D grouped
+    // aggregate, single shuffle.
+    "q166_cross_section_2d" -> ((s, d) => {
+      val (x1, y1, x2, y2) = (-25.0, 0.0, 25.0, 50.0)
+      val (nx, ny) = (10, 10)
+      val dwithin = 5.0
+      val e1x = x2 - x1
+      val e1y = y2 - y1
+      val len2 = e1x * e1x + e1y * e1y
+      val pts = t(s, d, "part").select(
+        (col("p_size").cast("double") - 25.0).as("x"),
+        (col("p_retailprice") % 50.0).as("y"),
+        (col("p_partkey") % 20).cast("double").as("va"),
+        col("p_retailprice").as("v"))
+        .withColumn("nd", ((col("x") - x1) * e1x + (col("y") - y1) * e1y)
+          / len2)
+        .withColumn("tcl", least(greatest(col("nd"), lit(0.0)), lit(1.0)))
+        .withColumn("dist", sqrt(
+          pow(col("x") - (lit(x1) + col("tcl") * e1x), 2.0) +
+            pow(col("y") - (lit(y1) + col("tcl") * e1y), 2.0)))
+        .filter(col("dist") <= dwithin &&
+          col("nd") >= 0 && col("nd") * nx < nx)
+      pts.groupBy(floor(col("nd") * nx).cast("int").as("xb"),
+          floor(col("va") / (20.0 / ny)).cast("int").as("yb"))
+        .agg(avg(col("v")).as("color"))
+    }),
+
     // tf_mandelbrot (`ExampleTableFunctions.h:25`, pixel math
     // `ExampleTableFunctions.cpp:32`): escape-time iteration per grid
     // pixel. Spark-first: the pixel grid is a distributed `range`
@@ -570,6 +601,28 @@ object TableFunctions {
                   r_x AS x2, r_y AS y2
            FROM pts WHERE idx IN (5, 10))
          SELECT * FROM segs1 UNION ALL SELECT * FROM segs2""",
+    "q166_cross_section_2d" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  (p_partkey % 20)::DOUBLE AS va,
+                  p_retailprice AS v
+           FROM part),
+         pr AS (
+           SELECT *,
+                  ((x - (-25.0)) * 50.0 + (y - 0.0) * 50.0) / 5000.0 AS nd
+           FROM p),
+         cl AS (
+           SELECT *, least(greatest(nd, 0.0), 1.0) AS tcl FROM pr),
+         ds AS (
+           SELECT *, sqrt(power(x - (-25.0 + tcl * 50.0), 2)
+                          + power(y - (0.0 + tcl * 50.0), 2)) AS dist
+           FROM cl)
+         SELECT floor(nd * 10)::INT AS xb, floor(va / 2.0)::INT AS yb,
+                avg(v) AS color
+         FROM ds
+         WHERE dist <= 5.0 AND nd >= 0 AND nd * 10 < 10
+         GROUP BY 1, 2""",
     "q162_mandelbrot" ->
       """WITH RECURSIVE grid AS (
            SELECT gx.generate_series AS px, gy.generate_series AS py

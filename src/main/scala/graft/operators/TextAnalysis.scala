@@ -121,6 +121,65 @@ object TextAnalysis {
           col("is_canonical"),
           (col("is_canonical") && col("quality") >= 0.5 &&
             col("ws_tokens").between(5, 10000)).as("keep"))
+    }),
+
+    // BM25 top-k full-text relevance (Robertson/Spärck Jones; public
+    // formula, k1=1.2 b=0.75): the retrieval stage of a training-data
+    // pipeline. One token-explode scan; per-term stats filter to the
+    // query terms BEFORE any shuffle, so the heavy aggregates touch only
+    // matching postings — the distributed inverted-index shape. The
+    // per-term scores pivot into fixed columns and sum in a fixed order
+    // so the ranking is reproducible across engines (no FP-reorder
+    // nondeterminism).
+    "q167_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("spark", "query", "join")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double"),
+        avg(col("dl"))).head
+      val n = stats.getDouble(0)
+      val avgdl = stats.getDouble(1)
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .withColumn("idf",
+          log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      val scored = tf.join(broadcast(df), "term").join(dl, "doc_id")
+        .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl")
+            / lit(avgdl))))
+      def termScore(t: String) =
+        coalesce(max(when(col("term") === t, col("s"))), lit(0.0))
+      scored.groupBy(col("doc_id"))
+        .agg(termScore(qTerms(0)).as("s0"), termScore(qTerms(1)).as("s1"),
+          termScore(qTerms(2)).as("s2"))
+        .select(col("doc_id"),
+          (col("s0") + col("s1") + col("s2")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
+    // Deterministic train/val/test split — dataset mixing for training
+    // pipelines. The hash is Knuth multiplicative on the doc id (pure
+    // integer arithmetic, ENGINE-INDEPENDENT — unlike xxhash64), so the
+    // assignment is exactly reproducible anywhere, stable under
+    // repartitioning, and the oracle recomputes it exactly. 80/10/10.
+    "q168_dataset_split" -> ((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val bucket = h % 100
+      t(s, d, "documents").select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -219,6 +278,55 @@ object TextAnalysis {
                 q.doc_id = c.canon_id AS is_canonical,
                 (q.doc_id = c.canon_id) AND q.quality >= 0.5
                   AND q.ws_tokens BETWEEN 5 AND 10000 AS keep
-         FROM q JOIN c ON c.fp = q.fp"""
+         FROM q JOIN c ON c.fp = q.fp""",
+    "q167_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         toks2 AS (SELECT * FROM toks WHERE term <> ''),
+         dl AS (
+           SELECT doc_id, count(*)::DOUBLE AS dl FROM toks2
+           GROUP BY doc_id),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks2
+           WHERE term IN ('spark', 'query', 'join')
+           GROUP BY doc_id, term),
+         idf AS (
+           SELECT term, ln(((SELECT n FROM stats) - count(*) + 0.5)
+                           / (count(*) + 0.5) + 1.0) AS idf
+           FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  idf.idf * tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                    / (SELECT avgdl FROM stats))) AS s
+           FROM tf
+           JOIN idf ON idf.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id),
+         pivoted AS (
+           SELECT doc_id,
+                  coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+                    AS s0,
+                  coalesce(max(CASE WHEN term = 'query' THEN s END), 0.0)
+                    AS s1,
+                  coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+                    AS s2
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, s0 + s1 + s2 AS score
+         FROM pivoted
+         ORDER BY score DESC, doc_id ASC
+         LIMIT 20""",
+    "q168_dataset_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n, sum(doc_id) AS id_sum
+         FROM b GROUP BY 1"""
   )
 }
