@@ -41,7 +41,9 @@ final class HeavyEngine private (val spark: SparkSession) {
         case _ => "FORMATTED"
       }
       spark.sql(s"EXPLAIN $mode $rest")
-    case q => Ddl.route(spark, q).getOrElse(spark.sql(q))
+    case q =>
+      Ddl.route(spark, q).getOrElse(
+        spark.sql(functions.GraftFunctions.rewriteDatetimeDialect(q)))
   }
 
   def table(name: String): DataFrame = spark.table(name)

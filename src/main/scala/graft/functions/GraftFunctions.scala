@@ -192,4 +192,23 @@ object GraftFunctions {
     // runtime, see LlmTransform.
     LlmTransform.register(spark)
   }
+
+  /** HeavyDB datetime-dialect rewrite (`HeavyDBSqlOperatorTable.java`
+    * DATEADD / DATEDIFF / DATEPART take the field as a TEXT literal;
+    * Spark's parser requires keyword units and intercepts these names
+    * BEFORE the function registry — so the translation happens at the
+    * SQL-facade layer, exactly where the reference's Calcite dialect
+    * layer does it). Only the literal-field forms rewrite; Spark's own
+    * 2-arg DATEDIFF passes through untouched.
+    */
+  def rewriteDatetimeDialect(sql: String): String = {
+    val dateadd = """(?i)\bDATEADD\s*\(\s*'(\w+)'\s*,""".r
+    val datediff = """(?i)\bDATEDIFF\s*\(\s*'(\w+)'\s*,""".r
+    val datepart = """(?i)\bDATEPART\s*\(\s*'(\w+)'\s*,""".r
+    val s1 = dateadd.replaceAllIn(sql,
+      m => s"TIMESTAMPADD(${m.group(1).toUpperCase},")
+    val s2 = datediff.replaceAllIn(s1,
+      m => s"TIMESTAMPDIFF(${m.group(1).toUpperCase},")
+    datepart.replaceAllIn(s2, m => s"date_part('${m.group(1)}',")
+  }
 }

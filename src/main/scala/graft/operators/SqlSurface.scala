@@ -113,6 +113,24 @@ object SqlSurface {
 
     // Exact percentiles (sort-based), alongside q56's approx sketch —
     // the reference computes exact PERCENTILE via its sort path.
+    // HeavyDB datetime aliases (DATEADD/DATEDIFF/DATEPART with TEXT
+    // literal fields, `HeavyDBSqlOperatorTable.java`) — rewritten at
+    // registration to Spark's timestampadd/timestampdiff/date_part
+    // trees; Spark's own 2-arg datediff stays available under the
+    // shadowed name.
+    "q169_datetime_aliases" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT o_orderkey,
+                  DATEADD('month', 2, o_orderdate) AS plus2m,
+                  DATEADD('day', 45, o_orderdate) AS plus45d,
+                  DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00',
+                           o_orderdate) AS days_since,
+                  CAST(DATEDIFF(o_orderdate, DATE '1995-01-01') AS INT)
+                    AS spark_datediff,
+                  CAST(DATEPART('year', o_orderdate) AS INT) AS yr,
+                  CAST(DATEPART('month', o_orderdate) AS INT) AS mo
+           FROM orders WHERE o_orderkey < 1000""")),
+
     "q147_exact_percentile" -> ((s, d) =>
       HeavyEngine(s, d).sql(
         """SELECT l_returnflag,
@@ -218,6 +236,17 @@ object SqlSurface {
                 to_base64(c_name::BLOB) AS b64,
                 from_base64(to_base64(c_name::BLOB))::VARCHAR AS b64_rt
          FROM customer""",
+    "q169_datetime_aliases" ->
+      """SELECT o_orderkey,
+                o_orderdate + INTERVAL 2 MONTH AS plus2m,
+                o_orderdate + INTERVAL 45 DAY AS plus45d,
+                date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS days_since,
+                date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate)::INT AS spark_datediff,
+                date_part('year', o_orderdate)::INT AS yr,
+                date_part('month', o_orderdate)::INT AS mo
+         FROM orders WHERE o_orderkey < 1000""",
     "q147_exact_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50,

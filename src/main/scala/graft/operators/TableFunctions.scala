@@ -236,7 +236,6 @@ object TableFunctions {
     "q164_raster_contour" -> ((s, d) => {
       import s.implicits._
       val cell = 5.0
-      val level = 950.0
       val grid = t(s, d, "part").select(
           (col("p_size").cast("double") - 25.0).as("x"),
           (col("p_retailprice") % 50.0).as("y"),
@@ -257,6 +256,11 @@ object TableFunctions {
           corner(0, 0).as("z00"), corner(1, 0).as("z10"),
           corner(0, 1).as("z01"), corner(1, 1).as("z11"))
         .filter(col("nc") === 4)
+      // Contour at the median cell value — bisects the raster at any
+      // scale (tiny scalar aggregate; the oracle's quantile_cont(0.5)
+      // is the same interpolated definition).
+      val level = grid.agg(percentile(col("z"), lit(0.5)))
+        .head.getDouble(0)
       val L = lit(level)
       def in(z: Column) = (z >= L).cast("int")
       val idx = in(col("z00")) + in(col("z10")) * 2 +
@@ -560,23 +564,24 @@ object TableFunctions {
                   max(CASE WHEN di=0 AND dj=1 THEN z END) AS z01,
                   max(CASE WHEN di=1 AND dj=1 THEN z END) AS z11
            FROM grid CROSS JOIN roles GROUP BY 1, 2),
+         lev AS (SELECT quantile_cont(z, 0.5) AS lv FROM grid),
          c AS (
-           SELECT cbx, cby, z00, z10, z01, z11,
-                  (z00 >= 950)::INT + 2 * (z10 >= 950)::INT
-                  + 4 * (z11 >= 950)::INT + 8 * (z01 >= 950)::INT
+           SELECT cbx, cby, z00, z10, z01, z11, lv,
+                  (z00 >= lv)::INT + 2 * (z10 >= lv)::INT
+                  + 4 * (z11 >= lv)::INT + 8 * (z01 >= lv)::INT
                     AS idx
-           FROM blocks WHERE nc = 4),
+           FROM blocks CROSS JOIN lev WHERE nc = 4),
          pts AS (
-           SELECT cbx, cby, idx,
-                  (cbx + (950 - z00) / nullif(z10 - z00, 0)) * 5.0
+           SELECT cbx, cby, idx, lv,
+                  (cbx + (lv - z00) / nullif(z10 - z00, 0)) * 5.0
                     AS b_x, cby * 5.0 AS b_y,
                   (cbx + 1) * 5.0 AS r_x,
-                  (cby + (950 - z10) / nullif(z11 - z10, 0)) * 5.0
+                  (cby + (lv - z10) / nullif(z11 - z10, 0)) * 5.0
                     AS r_y,
-                  (cbx + (950 - z01) / nullif(z11 - z01, 0)) * 5.0
+                  (cbx + (lv - z01) / nullif(z11 - z01, 0)) * 5.0
                     AS t_x, (cby + 1) * 5.0 AS t_y,
                   cbx * 5.0 AS l_x,
-                  (cby + (950 - z00) / nullif(z01 - z00, 0)) * 5.0
+                  (cby + (lv - z00) / nullif(z01 - z00, 0)) * 5.0
                     AS l_y
            FROM c),
          segs1 AS (
