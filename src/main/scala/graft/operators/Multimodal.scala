@@ -146,12 +146,65 @@ object Multimodal {
           (id, w / 2, h / 2, math.abs(down - full) < 1e-6)
         }
         .toDF("doc_id", "down_w", "down_h", "mean_preserved")
+    }),
+
+    // Image near-dup via perceptual hash: aHash over the decoded BMPs,
+    // then exact-dedup on the hash (the image-side q40/q43). The BMP
+    // generator is deterministic in (w, h), so every image with the
+    // same dims is byte-identical — the oracle's ground truth is that
+    // each (w, h) class collapses to exactly ONE hash, closed-form from
+    // the id/n_chars arithmetic. Same mapPartitions decode shape as
+    // q81; the dedup itself is one shuffle on the 64-bit hash.
+    "q170_image_ahash" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = (16 + id % 32).toInt
+          val h = (8 + nc % 16).toInt
+          (id, w, h, aHash(bmpBytes(w, h)))
+        }
+        .toDF("doc_id", "w", "h", "ahash")
+        .groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ahash")).as("n_hashes"),
+          min(col("doc_id")).as("keep_id"))
     })
   )
 
   /** Minimal valid 24-bit BMP: 14-byte file header + 40-byte BITMAPINFO
     * header + padded pixel rows. Deterministic gradient payload.
     */
+  /** aHash perceptual hash (public average-hash algorithm): block-
+    * average the blue channel onto an 8×8 grid, threshold each cell at
+    * the grid mean → 64-bit hash. Identical images hash identically;
+    * small pixel perturbations flip at most the cells they touch, so
+    * Hamming distance on the hash IS the image near-dup measure — the
+    * image-modality counterpart of the text simhash operator (q43).
+    */
+  private[operators] def aHash(bytes: Array[Byte]): Long = {
+    val (w, h, _) = parseBmpHeader(bytes)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def px(x: Int, y: Int): Int = bytes(54 + y * rowSize + x * 3) & 0xff
+    val block = new Array[Double](64)
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val x0 = i * w / 8
+      val x1 = math.max(x0 + 1, (i + 1) * w / 8)
+      val y0 = j * h / 8
+      val y1 = math.max(y0 + 1, (j + 1) * h / 8)
+      var sum = 0.0
+      var n = 0
+      for (y <- y0 until y1; x <- x0 until x1) { sum += px(x, y); n += 1 }
+      block(j * 8 + i) = sum / n
+    }
+    val mean = block.sum / 64
+    var hash = 0L
+    for (k <- 0 until 64) if (block(k) >= mean) hash |= (1L << k)
+    hash
+  }
+
   private[operators] def bmpBytes(w: Int, h: Int): Array[Byte] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val dataSize = rowSize * h
@@ -252,6 +305,13 @@ object Multimodal {
          SELECT b.doc_id, b.n_frames::INT AS n_frames,
                 coalesce(agg.cnt, 0)::INT AS n_sampled,
                 coalesce(agg.cs, 0)::BIGINT AS checksum
-         FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id"""
+         FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id""",
+    "q170_image_ahash" ->
+      """SELECT (16 + doc_id % 32)::INT AS w,
+                (8 + n_chars % 16)::INT AS h,
+                count(*) AS n_docs,
+                1::BIGINT AS n_hashes,
+                min(doc_id) AS keep_id
+         FROM documents GROUP BY 1, 2"""
   )
 }

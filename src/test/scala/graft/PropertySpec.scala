@@ -49,6 +49,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: deterministic, and perturbation moves few bits (100 samples)") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dims = samples(Gen.zip(Gen.chooseNum(16, 64), Gen.chooseNum(8, 48)),
+      100)
+    dims.foreach { case (w, h) =>
+      val img = Multimodal.bmpBytes(w, h)
+      val h1 = Multimodal.aHash(img)
+      assert(h1 == Multimodal.aHash(Multimodal.bmpBytes(w, h)),
+        "aHash must be deterministic")
+      // Corrupt one pixel hard (blue channel -> 255): at most the grid
+      // cells sharing that pixel's block can flip, plus mean-threshold
+      // spill — near-dup distance stays far under the 64-bit range.
+      val noisy = img.clone()
+      noisy(54) = 0xff.toByte
+      val d = hamming(h1, Multimodal.aHash(noisy))
+      assert(d <= 16, s"one-pixel corruption moved $d bits ($w x $h)")
+    }
+  }
+
   test("polygon containment: random rectangles contain their centers") {
     val rects = samples(Gen.zip(Gen.chooseNum(-100.0, 100.0),
       Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0.5, 50.0),
