@@ -82,7 +82,11 @@ object Ddl {
     * shard_count + shard_key → hash-repartition on the shard column
     * (co-locates shard-key joins, the reference's nShards); fragment_size
     * → maxRecordsPerFile (the 32M-row fragment unit,
-    * `Fragmenter/FragmentDefaultValues.h:19`).
+    * `Fragmenter/FragmentDefaultValues.h:19`); partition_key →
+    * directory-partitioned layout, so equality/IN filters on the key
+    * prune whole partitions at planning time (the scan never lists
+    * them — the analog of the reference's fragment skipping on
+    * min/max metadata, made structural).
     */
   def createTableAs(spark: SparkSession, name: String, df: DataFrame,
       options: Map[String, String] = Map.empty): Unit = {
@@ -95,9 +99,11 @@ object Ddl {
     val prev = Option(catalog.get(name))
     val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
     val next = prev.map(_.version + 1).getOrElse(0)
-    val writer = options.get("fragment_size").foldLeft(
+    val writer0 = options.get("fragment_size").foldLeft(
       sharded.write.mode("overwrite"))(
       (w, fs) => w.option("maxRecordsPerFile", fs.toLong))
+    val writer = options.get("partition_key").foldLeft(writer0)(
+      (w, k) => w.partitionBy(k))
     writer.parquet(s"$base/v$next")
     catalog.put(name, Managed(base, next))
     registerView(spark, name)

@@ -124,10 +124,45 @@ object ApproxAggs {
         count(lit(1)).as("n_total"),
         (abs(sum(when(sample_ratio(key, 0.25), 1L).otherwise(0L)) /
           count(lit(1)).cast("double") - 0.25) < 0.02).as("ratio_ok"))
+    }),
+
+    // Mergeable HLL sketch rollup — the pre-aggregated sketch-table
+    // pattern behind APPROX_COUNT_DISTINCT at 100 TB: per-group sketches
+    // materialize once, later rollups UNION SKETCHES instead of
+    // rescanning rows. The contract under test: union of the per-group
+    // sketches must estimate exactly what a single-pass sketch over the
+    // whole input estimates (register-level mergeability), and both land
+    // within 5% of the exact count.
+    "q171_hll_sketch_rollup" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perGroup = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      val merged = perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = li.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey")))
+          .as("est_direct"),
+        countDistinct(col("l_orderkey")).as("n_exact"))
+      // Union promotes the sketch's register representation (HLL_4 →
+      // HLL_8 target in the DataSketches union operator), so estimates
+      // agree to a tight tolerance rather than bit-exactly.
+      merged.crossJoin(direct).select(
+        col("n_groups"),
+        (abs(col("est_merged").cast("double") - col("est_direct"))
+          / col("est_direct") < 0.01).as("merge_consistent"),
+        (abs(col("est_direct").cast("double") - col("n_exact"))
+          / col("n_exact") < 0.05).as("err_ok"),
+        col("n_exact"))
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q171_hll_sketch_rollup" ->
+      """SELECT count(DISTINCT l_returnflag) AS n_groups,
+                true AS merge_consistent, true AS err_ok,
+                count(DISTINCT l_orderkey) AS n_exact
+         FROM lineitem""",
     "q151_cms_heavy_hitters" ->
       """SELECT event_type, count(*) AS n_exact, true AS cms_ok
          FROM events GROUP BY event_type""",

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label with POINTER JUMPING
+  * (the hash-to-min construction, Rastogi et al. "Finding Connected
+  * Components in MapReduce" — public algorithm): each round takes
+  *
+  *   label(v) ← min( label(v), min over neighbors' labels,
+  *                   label(label(v)) )
+  *
+  * The third term path-doubles through the current label graph, so
+  * convergence is O(log diameter) rounds instead of O(diameter) — the
+  * difference between ~10 and ~300 supersteps on a chain-shaped
+  * component. Each round is two joins + one aggregate, all shuffling on
+  * node ids; nothing collects to the driver; localCheckpoint truncates
+  * lineage per round (Pregel-style iteration hygiene). Backs both the
+  * DBSCAN cluster step and the dedup-groups operator.
+  */
+object ConnectedComponents {
+
+  /** nodes: (id); edges: (a_id, b_id), must contain BOTH directions of
+    * every undirected edge. Returns (id, label) with label = the
+    * component's minimum node id.
+    */
+  def run(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = nodes.select(col("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels, edges("b_id") === labels("id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("a_id", "id")
+      val jump = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("jlabel"))
+      val merged = labels
+        .join(nbr, Seq("id"), "left")
+        .join(jump, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("nl"))
+      val m = merged.localCheckpoint()
+      changed = m.filter(col("nl") < col("label")).count()
+      labels = m.select(col("id"), col("nl").as("label"))
+    }
+    labels
+  }
+}

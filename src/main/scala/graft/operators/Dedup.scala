@@ -185,22 +185,8 @@ object Dedup {
     val edges = stage(
       und.unionAll(und.select(col("b_id").as("a_id"),
         col("a_id").as("b_id"))), "dg_edges")
-    var labels = docs.select(col("doc_id").as("id"))
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = edges.join(labels, edges("b_id") === labels("id"))
-        .groupBy(col("a_id")).agg(min(col("label")).as("nlabel"))
-        .withColumnRenamed("a_id", "id")
-      val merged = labels.join(next, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel") < col("label")).as("chg"))
-      val m = merged.localCheckpoint()
-      changed = m.filter(col("chg")).count()
-      labels = m.select(col("id"), col("label"))
-    }
+    val labels = ConnectedComponents.run(
+      docs.select(col("doc_id").as("id")), edges)
     labels.select(col("id").as("doc_id"), col("label").as("group_id"),
       (col("id") === col("label")).as("is_canonical"))
   }

@@ -96,23 +96,11 @@ object MLFunctions {
     coreEdges.write.mode("overwrite").parquet(edgesPath)
     val edges = spark.read.parquet(edgesPath)
 
-    // Min-label propagation to a fixpoint (labels only decrease, so the
-    // changed-count is a monotone convergence witness).
-    var labels = core.withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = edges.join(labels, edges("bid") === labels("id"))
-        .groupBy(col("aid")).agg(min(col("label")).as("nlabel"))
-        .withColumnRenamed("aid", "id")
-      val merged = labels.join(next, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"),
-          (col("nlabel") < col("label")).as("chg"))
-      val m = merged.localCheckpoint()
-      changed = m.filter(col("chg")).count()
-      labels = m.select(col("id"), col("label"))
-    }
+    // Clusters = connected components of the core-core epsilon graph
+    // (pointer-jumping min-label, O(log diameter) rounds).
+    val labels = ConnectedComponents.run(core,
+      edges.withColumnRenamed("aid", "a_id")
+        .withColumnRenamed("bid", "b_id"))
 
     // Border points: non-core with at least one core neighbor → the
     // minimum core label among neighbors (deterministic tie-break).
@@ -372,22 +360,28 @@ object MLFunctions {
         (max(abs(gbtCol - col("gbt_p"))) < 1e-9).as("gbt_exact"))
     }),
 
-    // dbscan (reference `MLTableFunctions.hpp:192`): four tight blobs
-    // (within-blob diameter √2 < ε=1.5, blob separation ≥ 10) plus far-
-    // apart noise points must yield exactly one cluster per blob, dense
-    // ids in min-member order, and -1 for every noise point — structure
-    // the oracle derives in closed form from the same modulo fixture.
+    // dbscan (reference `MLTableFunctions.hpp:192`): four CONSTANT-
+    // DENSITY blobs plus far-apart noise points must yield exactly one
+    // cluster per blob, dense ids in min-member order, and -1 for every
+    // noise point — structure the oracle derives in closed form from
+    // the same modulo fixture. Each blob lays its points on a 0.5-pitch
+    // grid (rows of 1000), so neighbors-per-point is BOUNDED (~28) at
+    // every scale factor while the blob stays epsilon-connected — the
+    // pairs stage grows linearly with the corpus, never quadratically
+    // (a single-cell blob would be a complete graph: n²/5 pairs).
     "q158_dbscan" -> ((s, d) => {
+      val idx = expr("p_partkey div 5")
+      val gx = (idx % 1000).cast("double") * 0.5
+      val gy = expr("p_partkey div 5 div 1000").cast("double") * 0.5
       val pts = t(s, d, "part").select(col("p_partkey").as("id"),
-          (col("p_partkey") % 5).as("blob"))
+          (col("p_partkey") % 5).as("blob"),
+          idx.as("bidx"), gx.as("gx"), gy.as("gy"))
         .withColumn("x",
-          when(col("blob") < 4, lit(10.0) * col("blob")
-            + sin(col("id")) * 0.5)
-            .otherwise(lit(1000.0) + lit(50.0) * col("id")))
+          when(col("blob") < 4, lit(1e6) * col("blob") + col("gx"))
+            .otherwise(lit(1.0e7) + lit(50.0) * col("bidx")))
         .withColumn("y",
-          when(col("blob") < 4, lit(10.0) * col("blob")
-            + cos(col("id")) * 0.5)
-            .otherwise(lit(-1000.0) - lit(50.0) * col("id")))
+          when(col("blob") < 4, col("gy"))
+            .otherwise(lit(-1.0e7) - lit(50.0) * col("bidx")))
       val res = dbscan(s, pts.select("id", "x", "y"), 1.5, 4)
       res.join(pts.select("id", "blob"), "id")
         .groupBy(col("blob"))

@@ -142,6 +142,32 @@ class DdlSpec extends AnyFunSuite {
     Ddl.route(spark, "DROP FOREIGN TABLE ft_s")
   }
 
+  test("CTAS WITH partition_key prunes partitions on key filters") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_part")
+    eng.sql("""CREATE TABLE t_part WITH (partition_key=o_orderstatus)
+               AS SELECT o_orderkey, o_totalprice, o_orderstatus
+               FROM orders""")
+    val all = org.apache.spark.sql.graftbridge.ScanIntrospect
+      .prunedFiles(eng.sql("SELECT * FROM t_part"))
+    val pruned = org.apache.spark.sql.graftbridge.ScanIntrospect
+      .prunedFiles(eng.sql(
+        "SELECT * FROM t_part WHERE o_orderstatus = 'O'"))
+    assert(all.nonEmpty && pruned.nonEmpty)
+    assert(pruned.size < all.size,
+      s"expected pruning: ${pruned.size} vs ${all.size}")
+    assert(pruned.forall(_.contains("o_orderstatus=O")))
+    // results still correct through the partitioned layout
+    val n = eng.sql(
+      "SELECT count(*) AS n FROM t_part WHERE o_orderstatus = 'O'")
+      .collect().head.getLong(0)
+    val want = eng.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O'")
+      .collect().head.getLong(0)
+    assert(n == want)
+    eng.sql("DROP TABLE t_part")
+  }
+
   test("SHOW TABLE DETAILS / DATABASES / FUNCTIONS / TABLE FUNCTIONS") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_det")
