@@ -78,17 +78,24 @@ object Dedup {
   private def stage(df: DataFrame, name: String): DataFrame =
     graft.Stage(df, name)
 
-  /** LSH candidate pairs (a < b) from banded minhash signatures. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Banded bucket assignment from minhash signatures:
+    * (doc_id, band, bucket).
+    */
+  private def bandedOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until BANDS).map { b =>
       val rows = (0 until K / BANDS).map(r => col(s"h${b * (K / BANDS) + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
     }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedOf(sig)
     // Bucket size + representative via ONE window shuffle (no self-join),
     // then staged: the small/hot branches below scan it three ways.
     val w = Window.partitionBy(col("band"), col("bucket"))
@@ -108,6 +115,43 @@ object Dedup {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
     smallPairs.unionAll(hotPairs).distinct()
+  }
+
+  /** Cross-corpus DECONTAMINATION — the benchmark-contamination check a
+    * training pipeline runs before training: flag TRAIN docs whose
+    * n-gram jaccard with ANY TEST doc reaches `threshold`. Same
+    * minhash-LSH band machinery as within-corpus dedup, but candidate
+    * pairs form ONLY across the corpus boundary (train × test inside a
+    * shared (band, bucket)) — the train side never self-pairs, so the
+    * candidate volume is driven by the small test side no matter how
+    * large the training corpus grows. Returns
+    * (a_id = train doc, n_hits, max_jaccard).
+    */
+  private[operators] def decontaminationFlags(train: DataFrame,
+      test: DataFrame, threshold: Double): DataFrame = {
+    val shTrain = stage(shinglesOf(train), "dc_sh_train")
+    val shTest = stage(shinglesOf(test), "dc_sh_test")
+    val cand = bandedOf(minhashSignatures(shTrain))
+      .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(bandedOf(minhashSignatures(shTest))
+        .select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sizesA = shTrain.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val sizesB = shTest.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val inter = cand
+      .join(shTrain.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(shTest.select(col("doc_id").as("b_id"), col("sh")),
+        Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizesA.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(sizesB.withColumnRenamed("doc_id", "b_id"), "b_id")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("jaccard")).as("max_jaccard"))
   }
 
   /** Charikar SimHash over a (doc_id, text) frame: 64 bit-vote sums in
@@ -325,6 +369,20 @@ object Dedup {
           .otherwise(0L)) === count(lit(1))).as("all_in_orig_group"),
         (sum(when(col("is_canonical"), 1L).otherwise(0L)) === 0L)
           .as("no_copy_canonical"))
+    }),
+
+    // Decontamination end-to-end (planted-oracle gated): a 30-doc "test
+    // benchmark" drawn verbatim from the corpus — every source train doc
+    // must be flagged, each at jaccard exactly 1.0 (identical shingle
+    // sets), regardless of whatever natural near-dups exist elsewhere.
+    "q172_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val test = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 50000)
+      decontaminationFlags(docs, test, 0.8)
+        .filter(col("a_id") < 30)
+        .agg(count(lit(1)).as("n_found"),
+          (min(col("max_jaccard")) === 1.0).as("all_exact"))
     })
   )
 
@@ -358,7 +416,9 @@ object Dedup {
                 true AS jaccard_ok""",
     "q165_dedup_groups" ->
       """SELECT 100::BIGINT AS n_copies, true AS all_in_orig_group,
-                true AS no_copy_canonical"""
+                true AS no_copy_canonical""",
+    "q172_decontamination" ->
+      """SELECT 30::BIGINT AS n_found, true AS all_exact"""
     // q41-q43 stay rows-only (xxhash64 is engine-specific); their
     // end-to-end behavior is hash-gated via q122's planted duplicates
     // and unit-tested in DedupSpec.

@@ -188,10 +188,32 @@ object StreamingIngest {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-static enrichment join: the streaming side joins a static
+    * dimension (re-read per micro-batch, broadcast by the planner) —
+    * the standard production enrichment shape (events × dimension
+    * table). The static side needs no watermark or state; the windowed
+    * aggregate downstream keeps the same bounded state as q70.
+    */
+  def streamedEnrichedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.t(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("category",
+        concat(lit("cat_"), substring(col("event_type"), 1, 1)))
+    runComplete(eventStream(spark, FileSource(dir))
+      .join(dim, "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("category"),
+        col("n_events"), col("total_value")))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
     "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d)),
-    "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d))
+    "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d)),
+    "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -206,6 +228,11 @@ object StreamingIngest {
          FROM events GROUP BY 1, 2""",
     "q153_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q173_stream_static_join" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
+                'cat_' || substr(event_type, 1, 1) AS category,
+                count(*) AS n_events, sum(value) AS total_value
+         FROM events GROUP BY 1, 2""",
     // Batch replay of gap-based sessions (the q52 CTE), compared against
     // the streamed session_window state machine.
     "q94_stream_sessionize" ->
