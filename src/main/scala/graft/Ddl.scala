@@ -203,6 +203,25 @@ object Ddl {
   // so files that land later are invisible until REFRESH FOREIGN TABLE.
   private val CreateForeign: Regex =
     """(?is)\s*CREATE\s+FOREIGN\s+TABLE\s+(\w+)\s+WITH\s*\(([^)]*)\)\s*""".r
+  // Foreign servers (`Catalog/DdlCommandExecutor.h:57-91`,
+  // `Tests/CreateAndDropTableDdlTest.cpp:1367`): a server names a data
+  // wrapper + base location; foreign tables reference it with a
+  // relative file_path. Wrappers map to Spark formats
+  // (delimited_file→csv, parquet_file→parquet, regex_parsed_file→text).
+  private val CreateServer: Regex =
+    """(?is)\s*CREATE\s+SERVER\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FOREIGN\s+DATA\s+WRAPPER\s+(\w+)(?:\s+WITH\s*\(([^)]*)\))?\s*""".r
+  private val DropServer: Regex =
+    """(?is)\s*DROP\s+SERVER\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val ShowServers: Regex =
+    """(?is)\s*SHOW\s+(?:FOREIGN\s+)?SERVERS\s*""".r
+  private val ShowCreateServer: Regex =
+    """(?is)\s*SHOW\s+CREATE\s+SERVER\s+(\w+)\s*""".r
+  private val AlterServerSet: Regex =
+    """(?is)\s*ALTER\s+SERVER\s+(\w+)\s+SET\s*\(([^)]*)\)\s*""".r
+  private val AlterServerRename: Regex =
+    """(?is)\s*ALTER\s+SERVER\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  private val CreateForeignOnServer: Regex =
+    """(?is)\s*CREATE\s+FOREIGN\s+TABLE\s+(\w+)\s+SERVER\s+(\w+)(?:\s+WITH\s*\(([^)]*)\))?\s*""".r
   private val RefreshForeign: Regex =
     """(?is)\s*REFRESH\s+FOREIGN\s+TABLE\s+(\w+)\s*""".r
   private val DropForeign: Regex =
@@ -293,8 +312,9 @@ object Ddl {
     "r2_score", "random_forest_reg_fit", "tf_compute_dwell_times",
     "tf_cross_section_1d", "tf_feature_self_similarity",
     "tf_feature_similarity", "tf_geo_rasterize", "tf_geo_rasterize_slope",
-    "tf_graph_shortest_path", "tf_graph_shortest_paths_distances",
-    "tf_mandelbrot")
+    "tf_cross_section_2d", "tf_graph_shortest_path",
+    "tf_graph_shortest_paths_distances", "tf_mandelbrot",
+    "tf_raster_contour_lines")
 
   // ---- foreign tables ------------------------------------------------
 
@@ -302,6 +322,33 @@ object Ddl {
       options: Map[String, String], refreshIntervalMs: Option[Long],
       lastRefreshMs: Long)
   private val foreignCatalog = new ConcurrentHashMap[String, Foreign]()
+
+  private case class Server(wrapper: String, options: Map[String, String])
+  private val serverCatalog = new ConcurrentHashMap[String, Server]()
+
+  private val wrapperFormats = Map(
+    "delimited_file" -> "csv", "parquet_file" -> "parquet",
+    "regex_parsed_file" -> "text")
+
+  /** Resolve (server, WITH options) to the flat foreign-table options
+    * our snapshot machinery takes: path = base_path/file_path, format
+    * from the server's wrapper.
+    */
+  private def resolveServerTable(server: String,
+      opts: Map[String, String]): Map[String, String] = {
+    val sv = serverCatalog.get(server)
+    require(sv != null, s"server not found: $server")
+    val base = sv.options.getOrElse("base_path",
+      throw new IllegalArgumentException(
+        s"server $server has no base_path option"))
+    val rel = opts.getOrElse("file_path", "")
+    val format = wrapperFormats.getOrElse(sv.wrapper.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown data wrapper: ${sv.wrapper}"))
+    (sv.options -- Seq("base_path", "storage_type")) ++ opts ++ Map(
+      "path" -> (if (rel.isEmpty) base else s"$base/$rel"),
+      "format" -> format) -- Seq("file_path")
+  }
 
   private def parseOptions(opts: String): Map[String, String] =
     Option(opts).map(splitTop(_).flatMap { kv =>
@@ -400,6 +447,44 @@ object Ddl {
         done
       case CreateForeign(name, opts) =>
         createForeignTable(spark, name, parseOptions(opts)); done
+      case CreateServer(name, wrapper, opts) =>
+        require(wrapperFormats.contains(wrapper.toLowerCase),
+          s"unknown data wrapper: $wrapper")
+        serverCatalog.put(name, Server(wrapper.toLowerCase,
+          parseOptions(opts)))
+        done
+      case DropServer(name) =>
+        serverCatalog.remove(name); done
+      case ShowServers() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        Some(serverCatalog.asScala.toSeq.sortBy(_._1)
+          .map { case (n, sv) => (n, sv.wrapper,
+            sv.options.toSeq.sorted.map(kv => s"${kv._1}=${kv._2}")
+              .mkString(",")) }
+          .toDF("server_name", "data_wrapper", "options"))
+      case ShowCreateServer(name) =>
+        import spark.implicits._
+        val sv = serverCatalog.get(name)
+        require(sv != null, s"server not found: $name")
+        val opts = sv.options.toSeq.sorted
+          .map(kv => s"${kv._1}='${kv._2}'").mkString(", ")
+        Some(Seq(s"CREATE SERVER $name FOREIGN DATA WRAPPER " +
+          s"${sv.wrapper} WITH ($opts)").toDF("create_stmt"))
+      case AlterServerSet(name, opts) =>
+        val sv = serverCatalog.get(name)
+        require(sv != null, s"server not found: $name")
+        serverCatalog.put(name,
+          sv.copy(options = sv.options ++ parseOptions(opts)))
+        done
+      case AlterServerRename(from, to) =>
+        val sv = serverCatalog.remove(from)
+        require(sv != null, s"server not found: $from")
+        serverCatalog.put(to, sv); done
+      case CreateForeignOnServer(name, server, opts) =>
+        createForeignTable(spark, name,
+          resolveServerTable(server, parseOptions(opts)))
+        done
       case RefreshForeign(name) =>
         refreshForeignTable(spark, name); done
       case DropForeign(name) =>

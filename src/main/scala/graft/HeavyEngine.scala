@@ -47,6 +47,25 @@ final class HeavyEngine private (val spark: SparkSession) {
   }
 
   def table(name: String): DataFrame = spark.table(name)
+
+  /** Query-interrupt surface (the reference's runtime interrupt:
+    * `ThriftHandler/DBHandler.cpp` `interrupt`, enabled by
+    * `enable_runtime_query_interrupt`): run the blocking action under a
+    * named job group with interrupt-on-cancel; `interrupt(tag)` from any
+    * thread cancels all of its Spark jobs.
+    */
+  def withInterrupt[T](tag: String)(action: => T): T = {
+    spark.sparkContext.setJobGroup(tag, s"graft:$tag",
+      interruptOnCancel = true)
+    try action finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** Cancels the group's running jobs AND any it submits later — a
+    * multi-job query (AQE stages) stays dead after the interrupt.
+    */
+  def interrupt(tag: String): Unit =
+    spark.sparkContext.cancelJobGroupAndFutureJobs(tag,
+      s"interrupted: $tag")
 }
 
 object HeavyEngine {

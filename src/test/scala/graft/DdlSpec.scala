@@ -224,6 +224,69 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP MODEL m_feat")
   }
 
+  test("foreign servers: create, show, alter, table-on-server, drop") {
+    import spark.implicits._
+    val eng = HeavyEngine(spark, sf)
+    val base = Stage.scratchDir("srv_base")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/tbl")
+    eng.sql("DROP SERVER IF EXISTS psrv")
+    eng.sql(s"""CREATE SERVER psrv FOREIGN DATA WRAPPER parquet_file
+                WITH (storage_type='LOCAL_FILE', base_path='$base')""")
+    val servers = eng.sql("SHOW SERVERS").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(servers.contains(("psrv", "parquet_file")))
+    val ddl = eng.sql("SHOW CREATE SERVER psrv").collect().head.getString(0)
+    assert(ddl.contains("FOREIGN DATA WRAPPER parquet_file") &&
+      ddl.contains(s"base_path='$base'"))
+    eng.sql("CREATE FOREIGN TABLE srv_t SERVER psrv WITH (file_path='tbl')")
+    assert(eng.sql("SELECT count(*) AS n FROM srv_t")
+      .collect().head.getLong(0) == 2L)
+    // ALTER SET changes the base path; a new table resolves against it
+    val base2 = Stage.scratchDir("srv_base2")
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base2/tbl")
+    eng.sql(s"ALTER SERVER psrv SET (base_path='$base2')")
+    eng.sql("CREATE FOREIGN TABLE srv_t2 SERVER psrv WITH (file_path='tbl')")
+    assert(eng.sql("SELECT count(*) AS n FROM srv_t2")
+      .collect().head.getLong(0) == 3L)
+    eng.sql("ALTER SERVER psrv RENAME TO psrv2")
+    assert(eng.sql("SHOW SERVERS").collect().map(_.getString(0))
+      .contains("psrv2"))
+    intercept[Exception](
+      eng.sql("CREATE FOREIGN TABLE srv_t3 SERVER psrv WITH (file_path='tbl')"))
+    eng.sql("DROP FOREIGN TABLE srv_t")
+    eng.sql("DROP FOREIGN TABLE srv_t2")
+    eng.sql("DROP SERVER psrv2")
+    assert(!eng.sql("SHOW SERVERS").collect().map(_.getString(0))
+      .contains("psrv2"))
+  }
+
+  test("query interrupt cancels a running job group") {
+    val eng = HeavyEngine(spark, sf)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val fut = Future {
+      eng.withInterrupt("slow-q") {
+        started.countDown()
+        // Unindexed cubic join (~10^14 combinations) — cannot finish
+        // before the interrupt arrives.
+        eng.sql("""SELECT count(*) FROM lineitem a CROSS JOIN lineitem b
+                   CROSS JOIN lineitem c
+                   WHERE a.l_quantity + b.l_quantity + c.l_quantity < 1""")
+          .collect()
+      }
+    }
+    started.await()
+    Thread.sleep(500)
+    eng.interrupt("slow-q")
+    val err = intercept[Exception](Await.result(fut, 60.seconds))
+    assert(err.getMessage.toLowerCase.contains("cancel")
+      || err.getCause != null)
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
