@@ -611,7 +611,7 @@ object Ddl {
         import spark.implicits._
         import org.apache.spark.sql.catalyst.FunctionIdentifier
         val reg = spark.sessionState.functionRegistry
-        Some(reg.listFunction
+        Some(reg.listFunction()
           .filter(f => reg.lookupFunction(f)
             .exists(_.getClassName == "graft"))
           .map(_.funcName).sorted.toDF("function_name"))

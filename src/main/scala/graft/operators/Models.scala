@@ -215,7 +215,7 @@ object Models {
     val r = pred.agg(
       count(lit(1)).cast("double"),
       sum(col("label")), sum(col("label") * col("label")),
-      sum(pow(col("label") - col("prediction"), 2.0))).head
+      sum(pow(col("label") - col("prediction"), 2.0))).head()
     val n = r.getDouble(0)
     val sy = r.getDouble(1)
     val syy = r.getDouble(2)

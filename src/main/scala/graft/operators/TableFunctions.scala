@@ -260,7 +260,7 @@ object TableFunctions {
       // scale (tiny scalar aggregate; the oracle's quantile_cont(0.5)
       // is the same interpolated definition).
       val level = grid.agg(percentile(col("z"), lit(0.5)))
-        .head.getDouble(0)
+        .head().getDouble(0)
       val L = lit(level)
       def in(z: Column) = (z >= L).cast("int")
       val idx = in(col("z00")) + in(col("z10")) * 2 +

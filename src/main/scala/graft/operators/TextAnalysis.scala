@@ -142,7 +142,7 @@ object TextAnalysis {
       val dl = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("double").as("dl"))
       val stats = dl.agg(count(lit(1)).cast("double"),
-        avg(col("dl"))).head
+        avg(col("dl"))).head()
       val n = stats.getDouble(0)
       val avgdl = stats.getDouble(1)
       val tf = toks.filter(col("term").isin(qTerms: _*))
