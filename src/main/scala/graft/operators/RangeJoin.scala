@@ -88,6 +88,43 @@ object RangeJoin {
         .select(col("a_id"), col("b_id"),
           (col("c").cast("double") / (col("na") + col("nb") - col("c")))
             .as("jaccard"))
+    }),
+
+    // INTERVAL OVERLAP join, banded: concurrent user sessions across
+    // users. With bucket size B ≥ the longest interval, two overlapping
+    // intervals start within B of each other, so the ±1-bucket banding
+    // on START makes the overlap predicate an equi-join + filter — the
+    // temporal analog of the distance range join, O(matches), never
+    // all-pairs. B comes from one scalar max-duration aggregate.
+    "q174_interval_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val sess = t(s, d, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .filter(col("user_id") < 40)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull, lit(0L))
+            .when(col("ts_us") - col("prev_us") > 1800000000L, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding,
+            0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+      val bMax = math.max(1L,
+        sess.agg(max(col("e_us") - col("s_us"))).head().getLong(0))
+      val a = sess.select(col("user_id").as("a_user"),
+        col("s_us").as("a_s"), col("e_us").as("a_e"))
+      val b = sess.select(col("user_id").as("b_user"),
+        col("s_us").as("b_s"), col("e_us").as("b_e"))
+      bandJoin(a, col("a_s").cast("double"), b, col("b_s").cast("double"),
+          bMax.toDouble + 1.0)
+        .filter(col("a_user") < col("b_user") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .groupBy(col("a_user"), col("b_user"))
+        .agg(count(lit(1)).as("n_overlaps"))
     })
   )
 
@@ -130,6 +167,33 @@ object RangeJoin {
                 c::DOUBLE / (na.n + nb.n - c) AS jaccard
          FROM inter
          JOIN sizes na ON na.doc_id = a_id
-         JOIN sizes nb ON nb.doc_id = b_id"""
+         JOIN sizes nb ON nb.doc_id = b_id""",
+    "q174_interval_overlap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events WHERE user_id < 40),
+         marked AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER w IS NULL THEN 0
+                       WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                       ELSE 0 END AS is_new
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sessions AS (
+           SELECT user_id, ts_us,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+           FROM marked),
+         sess AS (
+           SELECT user_id, session_id, min(ts_us) AS s_us,
+                  max(ts_us) AS e_us
+           FROM sessions GROUP BY user_id, session_id)
+         SELECT a.user_id AS a_user, b.user_id AS b_user,
+                count(*) AS n_overlaps
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id
+          AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+         GROUP BY 1, 2"""
   )
 }
