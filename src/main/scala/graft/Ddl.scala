@@ -173,7 +173,7 @@ object Ddl {
   private val DropView: Regex =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateSchema: Regex =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:WITH\s*\(([^)]*)\)\s*)?""".r
   private val InsertValues: Regex =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.*)""".r
   private val InsertSelect: Regex =
@@ -496,7 +496,11 @@ object Ddl {
         spark.sql(select).createOrReplaceTempView(name); done
       case DropView(name) =>
         spark.catalog.dropTempView(name); done
-      case CreateSchema(name, colsDdl) =>
+      // Schema-form CREATE accepts the same WITH options; storage
+      // options (fragment_size, shard_count) shape WRITES, so on an
+      // empty table they are recorded by accepting the statement — the
+      // CTAS form applies them physically.
+      case CreateSchema(name, colsDdl, _) =>
         createTable(spark, name, StructType.fromDDL(colsDdl)); done
       case InsertValues(name, values) =>
         insertInto(spark, name, spark.sql(s"SELECT * FROM VALUES $values"))

@@ -183,6 +183,12 @@ object GraftFunctions {
     // practice, and all dictionary-id use cases (grouping, joining,
     // compact keys) hold. Documented engine-specific.
     registerMacro("key_for_string", Seq("__p0"), "xxhash64(__p0)")
+    // LIKELY/UNLIKELY (`Analyzer/Analyzer.h` LikelihoodExpr; branch-
+    // probability hints in the reference's codegen). Catalyst makes its
+    // own selectivity estimates, so these are semantic identities — they
+    // exist so reference SQL runs unchanged.
+    registerMacro("likely", Seq("__p0"), "__p0")
+    registerMacro("unlikely", Seq("__p0"), "__p0")
     registerMacro("single_value", Seq("__p0"),
       """case when min(__p0) <=> max(__p0) then first(__p0, true)
               else raise_error(

@@ -287,6 +287,18 @@ class DdlSpec extends AnyFunSuite {
       || err.getCause != null)
   }
 
+  test("schema-form CREATE WITH options routes; LIKELY/UNLIKELY identities") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_opts")
+    eng.sql("CREATE TABLE t_opts (k BIGINT) WITH (fragment_size=1000)")
+    eng.sql("INSERT INTO t_opts VALUES (7)")
+    assert(eng.sql("SELECT count(*) AS n FROM t_opts WHERE LIKELY(k > 0)")
+      .collect().head.getLong(0) == 1L)
+    assert(eng.sql("SELECT count(*) AS n FROM t_opts WHERE UNLIKELY(k > 5)")
+      .collect().head.getLong(0) == 1L)
+    eng.sql("DROP TABLE t_opts")
+  }
+
   test("UPDATE without WHERE touches every row") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_all")
