@@ -337,11 +337,13 @@ object MLFunctions {
       val fitInput = li.withColumn("features",
         array_to_vector(array(col("f0"), col("f1"), col("f2"))))
       val fs = Seq(col("f0"), col("f1"), col("f2"))
-      val dt = new DecisionTreeRegressor().setSeed(7L).setMaxDepth(6)
+      // Small model shapes: the invariant is compiled-vs-transform
+      // EXACT equality, which any tree shape witnesses.
+      val dt = new DecisionTreeRegressor().setSeed(7L).setMaxDepth(5)
         .fit(fitInput)
-      val rf = new RandomForestRegressor().setSeed(7L).setNumTrees(8)
-        .setMaxDepth(5).fit(fitInput)
-      val gbt = new GBTRegressor().setSeed(7L).setMaxIter(4).setMaxDepth(4)
+      val rf = new RandomForestRegressor().setSeed(7L).setNumTrees(4)
+        .setMaxDepth(4).fit(fitInput)
+      val gbt = new GBTRegressor().setSeed(7L).setMaxIter(3).setMaxDepth(3)
         .fit(fitInput)
       val dtCol = Models.treeToColumn(dt.rootNode, fs)
       val rfCol = rf.trees.map(tr => Models.treeToColumn(tr.rootNode, fs))
