@@ -167,6 +167,32 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Sequence PACKING — the pre-training batching step: documents pack
+    // into fixed token-budget bins. The scalable deterministic scheme is
+    // cumulative-sum binning over a stable order (running window sum /
+    // budget) — one window pass, exactly reproducible, and the oracle
+    // recomputes it in closed form. Per-bin output pins the invariants:
+    // bins fill to ≤ budget + one straddling doc, and every doc lands
+    // in exactly one bin. At 100 TB the same window runs per shard
+    // (partitionBy(shard_key) prepended — embarrassingly parallel, bins
+    // namespaced by shard); the global-order form here is the
+    // deterministic spec the oracle can replay.
+    "q175_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val binned = toks
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr(s"(cum - 1) div $budget"))
+      binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
     // Deterministic train/val/test split — dataset mixing for training
     // pipelines. The hash is Knuth multiplicative on the doc id (pure
     // integer arithmetic, ENGINE-INDEPENDENT — unlike xxhash64), so the
@@ -318,6 +344,22 @@ object TextAnalysis {
          FROM pivoted
          ORDER BY score DESC, doc_id ASC
          LIMIT 20""",
+    "q175_sequence_packing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+'))::BIGINT
+                    AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+                  sum(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM toks)
+         SELECT ((cum - 1) // 2048)::BIGINT AS bin, count(*) AS n_docs,
+                sum(n_tok)::BIGINT AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1""",
     "q168_dataset_split" ->
       """WITH b AS (
            SELECT doc_id,
