@@ -74,6 +74,27 @@ object Relational {
             .otherwise(lit(0.0))).as("sum_hi_disc"))
     }),
 
+    // Statistical aggregates — STDDEV_POP/SAMP, VAR_POP/SAMP, CORR,
+    // COVAR_POP/SAMP (reference: `Tests/ExecuteTest.cpp:2111-2189`,
+    // convertlets in `java/calcite/.../StandardConvertletTable.java:232-246`).
+    // Spark's built-ins are single-pass partial-merge aggregates (one
+    // shuffle on the group key, map-side partials) — the same
+    // co-moment streaming shape the reference codegens.
+    "q176_stat_aggs" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          stddev_pop(col("l_quantity")).as("sd_pop_qty"),
+          stddev_samp(col("l_quantity")).as("sd_samp_qty"),
+          var_pop(col("l_quantity")).as("var_pop_qty"),
+          var_samp(col("l_quantity")).as("var_samp_qty"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+          covar_pop(col("l_quantity"), col("l_extendedprice"))
+            .as("covar_pop_qp"),
+          covar_samp(col("l_quantity"), col("l_extendedprice"))
+            .as("covar_samp_qp"))
+    }),
+
     // ORDER BY + LIMIT with deterministic tie-break → Catalyst
     // TakeOrderedAndProject (streaming top-k; `QueryEngine/StreamingTopN.cpp`
     // analog — no full sort at scale).
@@ -465,6 +486,16 @@ object Relational {
       """SELECT c_custkey AS id, 'cust' AS kind FROM customer
          UNION ALL
          SELECT s_suppkey AS id, 'supp' AS kind FROM supplier""",
+    "q176_stat_aggs" ->
+      """SELECT l_returnflag,
+                stddev_pop(l_quantity) AS sd_pop_qty,
+                stddev_samp(l_quantity) AS sd_samp_qty,
+                var_pop(l_quantity) AS var_pop_qty,
+                var_samp(l_quantity) AS var_samp_qty,
+                corr(l_quantity, l_extendedprice) AS corr_qp,
+                covar_pop(l_quantity, l_extendedprice) AS covar_pop_qp,
+                covar_samp(l_quantity, l_extendedprice) AS covar_samp_qp
+         FROM lineitem GROUP BY l_returnflag""",
     "q118_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 sum(l_quantity) AS qty

@@ -193,6 +193,87 @@ object TextAnalysis {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // Repetition-based quality filters (the Gopher/MassiveText rules —
+    // Rae et al. 2021, table A1): duplicate-line fraction, most-frequent-
+    // bigram fraction, symbol-to-word ratio, and the composite keep
+    // decision. Line stats are pure per-row array ops (no shuffle); the
+    // top-bigram stat uses the scale path — explode to (doc, bigram),
+    // two-level aggregate — so a 100k-token doc costs O(tokens), not
+    // O(tokens²) of a per-row nested loop. The fixture corpus has no
+    // newlines or repeated bigram runs, so three planted docs (negative
+    // ids, in-query union — the q122 pattern) exercise each rule's
+    // trigger; the oracle replays them identically.
+    "q177_repetition_filter" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (-1L, "spark is fast\nspark is fast\nspark is fast\ndata rules"),
+        (-2L, "foo bar foo bar foo bar foo bar baz"),
+        (-3L, "### ### ... hello world ### ...")
+      ).toDF("doc_id", "text")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val lines = filter(
+        transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+      val nLines = size(lines)
+      val tk = split(trim(col("text")), "\\s+")
+      val base = docs.select(col("doc_id"),
+        nLines.as("n_lines"),
+        ((nLines - size(array_distinct(lines))).cast("double") /
+          nLines.cast("double")).as("dup_line_frac"),
+        (regexp_count(col("text"), lit("[#…]|\\.\\.\\."))
+          .cast("double") / size(tk).cast("double"))
+          .as("symbol_word_ratio"))
+      val bigrams = docs.select(col("doc_id"),
+        explode(when(size(tk) >= 2,
+          transform(sequence(lit(0), size(tk) - 2),
+            i => concat_ws(" ",
+              element_at(tk, i + 1), element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      val top = bigrams.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top_bigram_frac"))
+      base.join(top, Seq("doc_id"), "left")
+        .withColumn("top_bigram_frac",
+          coalesce(col("top_bigram_frac"), lit(0.0)))
+        .withColumn("rep_keep",
+          col("dup_line_frac") <= 0.30 && col("top_bigram_frac") <= 0.20 &&
+            col("symbol_word_ratio") <= 0.10)
+    }),
+
+    // PII detection + redaction — the scrubbing stage of a training-data
+    // pipeline: count and replace emails / IPv4s / phone numbers with
+    // typed placeholder tokens. Pure per-row regex work (codegen'd
+    // built-ins, single scan, no shuffle — embarrassingly parallel at
+    // 100 TB); patterns are RE2-and-Java-compatible so the oracle
+    // replays them byte-identically. The fixture has no PII, so four
+    // planted docs carry the positives; redaction order is fixed
+    // (email → ip → phone) and the output pins md5(redacted).
+    "q178_pii_redaction" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (-1L, "contact alice@example.com or bob.smith@mail.co for details"),
+        (-2L, "server at 192.168.1.1 and 10.0.0.255 responded"),
+        (-3L, "call 555-123-4567 or 555.987.6543 today"),
+        (-4L, "mixed: c@d.io 8.8.8.8 123-456-7890")
+      ).toDF("doc_id", "text")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      val nEmails = regexp_count(col("text"), lit(email))
+      val nIps = regexp_count(col("text"), lit(ip))
+      val nPhones = regexp_count(col("text"), lit(phone))
+      docs.select(col("doc_id"),
+        nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"),
+        (nEmails + nIps + nPhones > 0).as("has_pii"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+          .as("redacted_md5"))
+    }),
+
     // Deterministic train/val/test split — dataset mixing for training
     // pipelines. The hash is Knuth multiplicative on the doc id (pure
     // integer arithmetic, ENGINE-INDEPENDENT — unlike xxhash64), so the
@@ -360,6 +441,76 @@ object TextAnalysis {
                 sum(n_tok)::BIGINT AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1""",
+    "q177_repetition_filter" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (-1, 'spark is fast' || chr(10) || 'spark is fast' ||
+                  chr(10) || 'spark is fast' || chr(10) || 'data rules'),
+             (-2, 'foo bar foo bar foo bar foo bar baz'),
+             (-3, '### ### ... hello world ### ...')) v(doc_id, text)),
+         l AS (
+           SELECT doc_id, text,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                    x -> trim(x)), x -> x <> '') AS lines,
+                  string_split_regex(trim(text), '\s+') AS tk
+           FROM docs),
+         base AS (
+           SELECT doc_id,
+                  len(lines)::INT AS n_lines,
+                  (len(lines) - len(list_distinct(lines)))::DOUBLE
+                    / len(lines) AS dup_line_frac,
+                  len(regexp_extract_all(text, '[#…]|\.\.\.'))::DOUBLE
+                    / len(tk) AS symbol_word_ratio,
+                  tk
+           FROM l),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM base WHERE len(tk) >= 2),
+         counts AS (
+           SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+           FROM counts GROUP BY 1)
+         SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.symbol_word_ratio,
+                coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+                b.dup_line_frac <= 0.30
+                  AND coalesce(t.top_bigram_frac, 0.0) <= 0.20
+                  AND b.symbol_word_ratio <= 0.10 AS rep_keep
+         FROM base b LEFT JOIN top t USING (doc_id)""",
+    "q178_pii_redaction" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (-1, 'contact alice@example.com or bob.smith@mail.co for details'),
+             (-2, 'server at 192.168.1.1 and 10.0.0.255 responded'),
+             (-3, 'call 555-123-4567 or 555.987.6543 today'),
+             (-4, 'mixed: c@d.io 8.8.8.8 123-456-7890')) v(doc_id, text))
+         SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
+                  AS n_emails,
+                len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+                len(regexp_extract_all(text,
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phones,
+                (len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                 + len(regexp_extract_all(text,
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) > 0 AS has_pii,
+                md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+                  AS redacted_md5
+         FROM docs""",
     "q168_dataset_split" ->
       """WITH b AS (
            SELECT doc_id,
