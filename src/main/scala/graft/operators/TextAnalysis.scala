@@ -193,10 +193,12 @@ object TextAnalysis {
           max(col("doc_id")).as("last_doc"))
     }),
 
-    // Repetition-based quality filters (the Gopher/MassiveText rules —
-    // Rae et al. 2021, table A1): duplicate-line fraction, most-frequent-
-    // bigram fraction, symbol-to-word ratio, and the composite keep
-    // decision. Line stats are pure per-row array ops (no shuffle); the
+    // Repetition-based quality filters (Gopher-style count-fraction
+    // approximations of Rae et al. 2021, table A1 — the paper's bigram
+    // rule is a *character*-fraction of the top 2-gram; here we use the
+    // count-fraction variant, same trigger shape, cheaper at scale):
+    // duplicate-line fraction, most-frequent-bigram fraction,
+    // symbol-to-word ratio, and the composite keep decision. Line stats are pure per-row array ops (no shuffle); the
     // top-bigram stat uses the scale path — explode to (doc, bigram),
     // two-level aggregate — so a 100k-token doc costs O(tokens), not
     // O(tokens²) of a per-row nested loop. The fixture corpus has no
@@ -218,8 +220,12 @@ object TextAnalysis {
       val tk = split(trim(col("text")), "\\s+")
       val base = docs.select(col("doc_id"),
         nLines.as("n_lines"),
-        ((nLines - size(array_distinct(lines))).cast("double") /
-          nLines.cast("double")).as("dup_line_frac"),
+        // Zero-guard: an empty/whitespace-only doc has n_lines = 0 and
+        // 0/0 is NULL in Spark but NaN in DuckDB — pin both to 0.0.
+        when(nLines > 0,
+          (nLines - size(array_distinct(lines))).cast("double") /
+            nLines.cast("double")).otherwise(lit(0.0))
+          .as("dup_line_frac"),
         (regexp_count(col("text"), lit("[#…]|\\.\\.\\."))
           .cast("double") / size(tk).cast("double"))
           .as("symbol_word_ratio"))
@@ -256,13 +262,19 @@ object TextAnalysis {
         (-1L, "contact alice@example.com or bob.smith@mail.co for details"),
         (-2L, "server at 192.168.1.1 and 10.0.0.255 responded"),
         (-3L, "call 555-123-4567 or 555.987.6543 today"),
-        (-4L, "mixed: c@d.io 8.8.8.8 123-456-7890")
+        (-4L, "mixed: c@d.io 8.8.8.8 123-456-7890"),
+        (-5L, "dial (555) 123-4567 or +1 555 987 6543; 999.999.999.999 no")
       ).toDF("doc_id", "text")
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         .unionByName(planted)
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      // IPv4 with octets constrained to 0-255 (999.999.999.999 is NOT
+      // an IP); phone accepts (555) 123-4567 / 555 123 4567 / +1 forms.
+      // Both stay RE2-and-Java compatible (no backrefs/lookaround).
+      val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+      val ip = s"\\b$octet(\\.$octet){3}\\b"
+      val phone =
+        "(\\+1[-. ]?)?(\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
       val nEmails = regexp_count(col("text"), lit(email))
       val nIps = regexp_count(col("text"), lit(ip))
       val nPhones = regexp_count(col("text"), lit(phone))
@@ -286,7 +298,11 @@ object TextAnalysis {
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        // Explicit BIGINT pins on both sides: DuckDB's sum() widens to
+        // HUGEINT (int128) which hash-canonicalizes differently from
+        // Spark's int64 even when values are identical (round-4 red row).
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
     })
   )
 
@@ -459,8 +475,9 @@ object TextAnalysis {
          base AS (
            SELECT doc_id,
                   len(lines)::INT AS n_lines,
-                  (len(lines) - len(list_distinct(lines)))::DOUBLE
-                    / len(lines) AS dup_line_frac,
+                  CASE WHEN len(lines) > 0 THEN
+                    (len(lines) - len(list_distinct(lines)))::DOUBLE
+                      / len(lines) ELSE 0.0 END AS dup_line_frac,
                   len(regexp_extract_all(text, '[#…]|\.\.\.'))::DOUBLE
                     / len(tk) AS symbol_word_ratio,
                   tk
@@ -489,26 +506,27 @@ object TextAnalysis {
              (-1, 'contact alice@example.com or bob.smith@mail.co for details'),
              (-2, 'server at 192.168.1.1 and 10.0.0.255 responded'),
              (-3, 'call 555-123-4567 or 555.987.6543 today'),
-             (-4, 'mixed: c@d.io 8.8.8.8 123-456-7890')) v(doc_id, text))
+             (-4, 'mixed: c@d.io 8.8.8.8 123-456-7890'),
+             (-5, 'dial (555) 123-4567 or +1 555 987 6543; 999.999.999.999 no')) v(doc_id, text))
          SELECT doc_id,
                 len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT
                   AS n_emails,
                 len(regexp_extract_all(text,
-                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ips,
+                  '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))::INT AS n_ips,
                 len(regexp_extract_all(text,
-                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phones,
+                  '(\+1[-. ]?)?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'))::INT AS n_phones,
                 (len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                  + len(regexp_extract_all(text,
-                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))
                  + len(regexp_extract_all(text,
-                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) > 0 AS has_pii,
+                   '(\+1[-. ]?)?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'))) > 0 AS has_pii,
                 md5(regexp_replace(regexp_replace(regexp_replace(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                   '<EMAIL>', 'g'),
-                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                  '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+                  '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '<IP>', 'g'),
+                  '(\+1[-. ]?)?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'))
                   AS redacted_md5
          FROM docs""",
     "q168_dataset_split" ->
@@ -519,7 +537,7 @@ object TextAnalysis {
          SELECT CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split,
-                count(*) AS n, sum(doc_id) AS id_sum
+                count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
          FROM b GROUP BY 1"""
   )
 }
