@@ -54,13 +54,41 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature per doc: K min-hashes in a single aggregation pass
-    * (each permutation = xxhash64 seeded by its index).
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5, read as a
+    * long. DuckDB computes the identical value via
+    * `('0x' || substr(md5(x),1,15))::BIGINT`, which is what lets
+    * q41-q43 carry real differential oracles (xxhash64 did not —
+    * round-4 VERDICT "Missing" item 1). Always non-negative (< 2^60).
     */
+  private[operators] def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Affine minhash permutations h_i = (a_i*lo + b_i*hi + c_i) mod M61
+    * over the 60-bit base hash split into 30-bit halves, so every
+    * intermediate stays < 2^61: overflow-free in BOTH engines (Java
+    * wraps silently, DuckDB BIGINT traps — neither is portable, so we
+    * stay in range). ONE md5 per shingle instead of K (the round-3
+    * staging lesson applied to hashing: don't recompute the expensive
+    * part K times when an arithmetic family gives independent perms).
+    */
+  private[operators] val M61 = 2305843009213693951L // 2^61 - 1
+  private def mixConst(i: Int, salt: Long): Long =
+    ((i + 1).toLong * 2654435761L + salt) % 1073741789L + 1
+  private[operators] val PermA = (0 until K).map(mixConst(_, 98765L))
+  private[operators] val PermB = (0 until K).map(mixConst(_, 12345L))
+  private[operators] val PermC = (0 until K).map(mixConst(_, 55555L))
+
   private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until K).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val halves = sh
+      .select(col("doc_id"), hash60(col("sh")).as("hb"))
+      .select(col("doc_id"),
+        col("hb").bitwiseAND(lit(1073741823L)).as("lo"),
+        shiftright(col("hb"), 30).as("hi"))
+    val aggs = (0 until K).map { i =>
+      min((lit(PermA(i)) * col("lo") + lit(PermB(i)) * col("hi") +
+        lit(PermC(i))) % M61).as(s"h$i")
+    }
+    halves.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-(band,bucket) group-size cap: groups up to this size emit all
@@ -84,7 +112,8 @@ object Dedup {
   private def bandedOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until BANDS).map { b =>
       val rows = (0 until K / BANDS).map(r => col(s"h${b * (K / BANDS) + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bucket"))
+      struct(lit(b).as("band"),
+        hash60(concat_ws(":", rows: _*)).as("bucket"))
     }
     sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bb"))
@@ -154,20 +183,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"), max(col("jaccard")).as("max_jaccard"))
   }
 
-  /** Charikar SimHash over a (doc_id, text) frame: 64 bit-vote sums in
-    * one aggregation pass, reassembled into a long.
+  /** Charikar SimHash over a (doc_id, text) frame: 60 bit-vote sums in
+    * one aggregation pass, reassembled into a long. 60 bits (not 64)
+    * because the token hash is the engine-portable 60-bit md5 prefix —
+    * the DuckDB oracle replays the identical signature.
     */
+  private[operators] val SimhashBits = 60
   private[operators] def simhashOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         explode(split(regexp_replace(trim(lower(col("text"))),
           "[^a-z0-9 ]", ""), " +")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map(j =>
+      .withColumn("th", hash60(col("tok")))
+    val votes = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L,
         lit(1)).otherwise(lit(-1))).as(s"v$j"))
     val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(j =>
+    val sig = (0 until SimhashBits).map(j =>
         when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     voted.select(col("doc_id"), sig.as("simhash"))
@@ -418,9 +450,131 @@ object Dedup {
       """SELECT 100::BIGINT AS n_copies, true AS all_in_orig_group,
                 true AS no_copy_canonical""",
     "q172_decontamination" ->
-      """SELECT 30::BIGINT AS n_found, true AS all_exact"""
-    // q41-q43 stay rows-only (xxhash64 is engine-specific); their
-    // end-to-end behavior is hash-gated via q122's planted duplicates
-    // and unit-tested in DedupSpec.
+      """SELECT 30::BIGINT AS n_found, true AS all_exact""",
+    // Full differential oracles for the signature queries: every hash in
+    // the chain is the portable 60-bit md5 prefix, so DuckDB replays the
+    // exact signatures, bands, candidate pairs, and verdicts.
+    "q41_dedup_ngram_jaccard" -> (lshCtePrefix +
+      s""",
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a_id, p.b_id, count(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY p.a_id, p.b_id),
+         jac AS (
+           SELECT i.a_id, i.b_id,
+                  i.n_inter::DOUBLE / (za.n_sh + zb.n_sh - i.n_inter)
+                    AS jaccard
+           FROM inter i
+           JOIN sizes za ON za.doc_id = i.a_id
+           JOIN sizes zb ON zb.doc_id = i.b_id),
+         neigh AS (
+           SELECT doc_id, min(nb) AS min_nb FROM (
+             SELECT a_id AS doc_id, b_id AS nb FROM jac WHERE jaccard >= 0.5
+             UNION ALL
+             SELECT b_id, a_id FROM jac WHERE jaccard >= 0.5)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+                least(coalesce(n.min_nb, d.doc_id), d.doc_id) AS dup_of
+         FROM documents d LEFT JOIN neigh n USING (doc_id)"""),
+    "q42_dedup_minhash_lsh" -> (lshCtePrefix +
+      s""",
+         neigh AS (
+           SELECT doc_id, count(*) AS n_candidates, min(nb) AS min_nb
+           FROM (
+             SELECT a_id AS doc_id, b_id AS nb FROM pairs
+             UNION ALL
+             SELECT b_id, a_id FROM pairs)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n.n_candidates, 0)::BIGINT AS n_candidates,
+                least(coalesce(n.min_nb, d.doc_id), d.doc_id) AS rep_id
+         FROM documents d LEFT JOIN neigh n USING (doc_id)"""),
+    "q43_dedup_simhash" -> {
+      val votes = (0 until SimhashBits).map(j =>
+        s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n                  ")
+      val bits = (0 until SimhashBits).map(j =>
+        s"(CASE WHEN v$j > 0 THEN 1::BIGINT << $j ELSE 0::BIGINT END)")
+        .mkString(" +\n                ")
+      s"""WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(regexp_replace(trim(lower(text)),
+                    '[^a-z0-9 ]', '', 'g'), ' +')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+           FROM toks),
+         v AS (
+           SELECT doc_id,
+                  $votes
+           FROM h GROUP BY doc_id)
+         SELECT doc_id,
+                ($bits)::BIGINT AS simhash
+         FROM v"""
+    }
   )
+
+  /** Shared DuckDB CTE chain replaying shingling → 60-bit base hash →
+    * affine minhash permutations → LSH bands → candidate pairs with the
+    * hot-bucket star cap — step-for-step the Spark pipeline above, with
+    * the SAME PermA/PermB/PermC constants interpolated.
+    */
+  private def lshCtePrefix: String = {
+    val sigAggs = (0 until K).map(i =>
+      s"min((${PermA(i)}*lo + ${PermB(i)}*hi + ${PermC(i)}) % $M61) AS h$i")
+      .mkString(",\n                  ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val cols = (0 until K / BANDS)
+        .map(r => s"h${b * (K / BANDS) + r}").mkString(", ")
+      s"""SELECT doc_id, $b AS band,
+              ('0x' || substr(md5(concat_ws(':', $cols)), 1, 15))::BIGINT
+                AS bucket FROM sig"""
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(trim(lower(text)),
+                    '[^a-z0-9 ]', '', 'g'), ' +') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                             toks[i+2])
+                      END) AS sh
+             FROM toks)),
+         halves AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(sh), 1, 15))::BIGINT & 1073741823
+                    AS lo,
+                  ('0x' || substr(md5(sh), 1, 15))::BIGINT >> 30 AS hi
+           FROM sh),
+         sig AS (
+           SELECT doc_id,
+                  $sigAggs
+           FROM halves GROUP BY doc_id),
+         banded AS (
+           $bandSelects),
+         stats AS (
+           SELECT doc_id, band, bucket,
+                  count(*) OVER (PARTITION BY band, bucket) AS m,
+                  min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+           FROM banded),
+         pairs AS (
+           SELECT DISTINCT a_id, b_id FROM (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM (SELECT * FROM stats WHERE m <= $HOT_BUCKET_CAP) a
+             JOIN (SELECT * FROM stats WHERE m <= $HOT_BUCKET_CAP) b
+               USING (band, bucket)
+             WHERE a.doc_id < b.doc_id
+             UNION ALL
+             SELECT rep, doc_id FROM stats
+             WHERE m > $HOT_BUCKET_CAP AND doc_id <> rep))"""
+  }
 }
