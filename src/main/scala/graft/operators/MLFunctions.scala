@@ -6,7 +6,7 @@ import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{DenseMatrix, Vector}
 import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression, RandomForestRegressor}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -166,39 +166,47 @@ object MLFunctions {
     // SSE strictly better than the single-cluster baseline.
     "q73_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("embedding"),
           array_to_vector(col("embedding")).as("features"))
       val model = new KMeans().setK(4).setSeed(42L).setMaxIter(10)
         .fit(emb)
-      val assigned = model.transform(emb)
-      val centers = model.clusterCenters
-      val sse = assigned.rdd.map { r =>
-        val v = r.getAs[Vector]("features")
-        val c = centers(r.getAs[Int]("prediction"))
-        var s = 0.0
-        var i = 0
-        while (i < v.size) { val dd = v(i) - c(i); s += dd * dd; i += 1 }
-        s
-      }.sum()
-      val spark = s
-      import spark.implicits._
-      val counts = assigned.groupBy(col("prediction")).count()
-        .collect().map(_.getLong(1))
-      val n = counts.sum
-      // Single-cluster baseline SSE = total variance around the mean.
-      val dim = emb.select(first(col("features"))).collect()
-        .head.getAs[Vector](0).size
-      val mean = emb.rdd.map(_.getAs[Vector]("features").toArray)
-        .reduce((a, b) => a.zip(b).map(p => p._1 + p._2)).map(_ / n)
-      val baseSse = emb.rdd.map { r =>
-        val v = r.getAs[Vector]("features")
-        var s2 = 0.0
-        var i = 0
-        while (i < v.size) { val dd = v(i) - mean(i); s2 += dd * dd; i += 1 }
-        s2
-      }.sum()
-      Seq((n, dim, counts.length, counts.forall(_ > 0), sse < baseSse))
-        .toDF("n_points", "dim", "k", "all_nonempty", "sse_improves")
+      val kK = model.clusterCenters.length
+      // Every stat below is a Catalyst aggregate (no .rdd round-trips):
+      // per-row squared distance to the assigned center via a CASE chain
+      // over the k center-array literals — the centers ARE the model, so
+      // they're the only legitimate driver-side data — then one global
+      // agg. Pattern: AnnIvf's fold-stats-into-one-action.
+      def sqDistTo(c: Array[Double]): Column =
+        aggregate(
+          zip_with(col("embedding"), array(c.map(lit): _*),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)
+      val distCol = model.clusterCenters.zipWithIndex
+        .foldLeft(lit(null).cast("double")) { case (acc, (c, i)) =>
+          when(col("prediction") === i, sqDistTo(c.toArray)).otherwise(acc)
+        }
+      val assigned = model.transform(emb).withColumn("sq", distCol)
+      val stats = assigned.agg(
+        count(lit(1)).as("n_points"),
+        first(size(col("embedding"))).as("dim"),
+        countDistinct(col("prediction")).cast("int").as("k"),
+        (countDistinct(col("prediction")) === kK).as("all_nonempty"),
+        sum(col("sq")).as("sse"))
+      // Single-cluster baseline SSE = Σ_d (Σx² − (Σx)²/n): per-dim
+      // partial sums via posexplode + a dim-keyed aggregate — fully
+      // distributed, map-side combinable, nothing collects.
+      val base = emb
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i"), col("x").cast("double").as("x"))
+        .groupBy(col("i"))
+        .agg(sum(col("x") * col("x")).as("ssq"), sum(col("x")).as("sx"),
+          count(lit(1)).as("nn"))
+        .agg(sum(col("ssq") - col("sx") * col("sx") / col("nn"))
+          .as("base_sse"))
+      stats.crossJoin(base)
+        .select(col("n_points"), col("dim"), col("k"),
+          col("all_nonempty"),
+          (col("sse") < col("base_sse")).as("sse_improves"))
     }),
 
     // pca_fit(k=8): orthonormal components, non-increasing explained
