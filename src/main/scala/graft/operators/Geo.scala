@@ -376,9 +376,91 @@ object Geo {
     })
   )
 
-  val queries: Seq[(String, Q)] = baseQueries ++ polyQueries
+  /** H3 hex-grid family (reference `HeavyDBSqlOperatorTable.java:
+    * 346-348,4241-4286`, `QueryEngine/ExtensionFunctionsH3.hpp`): index
+    * bit math exact per the public H3 spec; CellToPoint/Boundary in the
+    * documented local planar frame (H3Expressions.scala Scaladoc). The
+    * planted set exercises hexagon + pentagon base cells, res 0-3,
+    * validity rejections (pentagon leading-K digit, bad mode), parent,
+    * and the string round-trip; the oracle replays every value in
+    * closed form.
+    */
+  private val h3Queries: Seq[(String, Q)] = Seq(
+    "q179_h3_cells" -> ((s, _) => {
+      import s.implicits._
+      import graft.functions.H3
+      import graft.functions.H3Functions._
+      val planted: Seq[Long] = Seq(
+        H3.build(0, Nil),           // res-0 hexagon
+        H3.build(4, Nil),           // res-0 pentagon (5 boundary verts)
+        H3.build(10, Seq(0)),       // res-1 center child
+        H3.build(10, Seq(4)),       // res-1 I-direction child
+        H3.build(37, Seq(3, 5)),    // res-2
+        H3.build(121, Seq(6, 2, 1)),// res-3 (Class III rotation path)
+        H3.build(4, Seq(1)),        // INVALID: pentagon leading K digit
+        123L)                       // INVALID: mode 0
+      val df = planted.toDF("cell")
+      val pt = h3_celltopoint(col("cell"))
+      val ring = h3_celltoboundary_polygon(col("cell"))
+      df.select(col("cell"),
+        h3_getresolution(col("cell")).as("res"),
+        h3_isvalidcell(col("cell")).as("valid"),
+        h3_celltoparent0(col("cell")).as("parent0"),
+        h3_celltostring(col("cell")).as("hexstr"),
+        (h3_stringtocell(h3_celltostring(col("cell"))) === col("cell"))
+          .as("rt_ok"),
+        pt.getField("x").as("cx"), pt.getField("y").as("cy"),
+        element_at(ring, 1).getField("x").as("b0x"),
+        element_at(ring, 1).getField("y").as("b0y"),
+        size(ring).as("n_verts"))
+    })
+  )
+
+  val queries: Seq[(String, Q)] = baseQueries ++ polyQueries ++ h3Queries
+
+  /** Closed-form H3 oracle: every planted cell's center/boundary/parent
+    * is literal arithmetic (the per-row derivations are in the planted
+    * list's comments in h3Queries); the rotation constants are
+    * cos = 5/(2*sqrt(7)), sin = sqrt(3)/(2*sqrt(7)).
+    */
+  private def h3Oracle: String = {
+    import graft.functions.H3
+    val c1 = H3.build(0, Nil); val c2 = H3.build(4, Nil)
+    val c3 = H3.build(10, Seq(0)); val c4 = H3.build(10, Seq(4))
+    val c5 = H3.build(37, Seq(3, 5)); val c6 = H3.build(121, Seq(6, 2, 1))
+    val c7 = H3.build(4, Seq(1))
+    val clearMask = ~((0xFL << 52) | ((1L << 45) - 1))
+    val digitMask = (1L << 45) - 1
+    val rc = "(5/(2*sqrt(7)))"          // Class-III rotation cos
+    val rs = "(sqrt(3)/(2*sqrt(7)))"    // Class-III rotation sin
+    s"""WITH cells(cell, res, valid, n_verts, cx, cy) AS (VALUES
+         ($c1, 0, true, 6, 0.0, 0.0),
+         ($c2, 0, true, 5, 16.0, 0.0),
+         ($c3, 1, true, 6, 40.0, 0.0),
+         ($c4, 1, true, 6,
+          40.0 + (1.0*$rc + 0.0*$rs)*pow(7.0,-0.5),
+          (-1.0*$rs + 0.0*$rc)*pow(7.0,-0.5)),
+         ($c5, 2, true, 6, 148.0 + (-2.0)*pow(7.0,-1.0), 0.0),
+         ($c6, 3, true, 6,
+          484.0 + (1.0*$rc + (8*(sqrt(3)/2))*$rs)*pow(7.0,-1.5),
+          (-1.0*$rs + (8*(sqrt(3)/2))*$rc)*pow(7.0,-1.5)),
+         ($c7, 1, false, 6,
+          16.0 + (-0.5*$rc + (-(sqrt(3)/2))*$rs)*pow(7.0,-0.5),
+          (0.5*$rs + (-(sqrt(3)/2))*$rc)*pow(7.0,-0.5)),
+         (123, 0, false, 6, 0.0, 0.0))
+       SELECT cell::BIGINT AS cell, res::INT AS res, valid,
+              ((cell & $clearMask) | $digitMask)::BIGINT AS parent0,
+              lower(to_hex(cell)) AS hexstr,
+              (('0x' || lower(to_hex(cell)))::BIGINT = cell) AS rt_ok,
+              cx, cy,
+              cx + pow(7.0, -res/2.0)/sqrt(3)*cos(radians(30.0)) AS b0x,
+              cy + pow(7.0, -res/2.0)/sqrt(3)*sin(radians(30.0)) AS b0y,
+              n_verts::INT AS n_verts
+       FROM cells"""
+  }
 
   val oracles: Seq[(String, String)] = Seq(
+    "q179_h3_cells" -> h3Oracle,
     "q125_geo_transform" ->
       """WITH p AS (
            SELECT p_partkey,
