@@ -400,8 +400,54 @@ object MLFunctions {
           min(col("cluster_id")).as("cluster_id"))
         .select(col("blob").cast("int").as("blob"), col("n"),
           col("n_labels"), col("cluster_id"))
+    }),
+
+    // One-hot encoding — the reference's ML-preprocessing table function
+    // (`QueryEngine/TableFunctions/SystemFunctions/os/ML/OneHotEncoder.h:
+    // 28-80` in /root/reference: top-k categories by frequency, min
+    // proportion, optional OTHERS bucket). Here k >= the domain so the
+    // column set (and oracle) is deterministic; the top-k/min-proportion/
+    // OTHERS selection logic is pinned with planted skew in ModelSpec.
+    "q180_one_hot" -> ((s, d) => {
+      val enc = oneHotEncode(
+        t(s, d, "orders").select(col("o_orderstatus"),
+          col("o_orderpriority")),
+        "o_orderpriority", topK = 8, minProp = 0.0, includeOthers = true)
+      val ohCols = enc.columns.filter(_.startsWith("oh_"))
+      enc.groupBy(col("o_orderstatus"))
+        .agg(sum(col(ohCols.head)).as(ohCols.head),
+          ohCols.tail.map(c => sum(col(c)).as(c)): _*)
     })
   )
+
+  /** One-hot encode a categorical string column: top-k categories by
+    * (count desc, value asc — deterministic ties), dropping categories
+    * below `minProp` of rows, plus an optional OTHERS indicator.
+    * The category list is the only driver-side data (dict-domain
+    * metadata, like kmeans centers: it IS the fitted encoder); the
+    * encode pass itself is a pure codegen'd projection — no shuffle, no
+    * UDF, embarrassingly parallel at 100 TB.
+    */
+  def oneHotEncode(df: DataFrame, c: String, topK: Int, minProp: Double,
+      includeOthers: Boolean): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    val cats = counts
+      .filter { case (_, n) => n / total >= minProp }
+      .sortBy { case (v, n) => (-n, v) }
+      .take(topK).map(_._1)
+    def sanitize(v: String): String =
+      "oh_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val encoded = cats.foldLeft(df) { (acc, cat) =>
+      acc.withColumn(sanitize(cat),
+        when(col(c) === cat, 1).otherwise(0))
+    }
+    if (includeOthers)
+      encoded.withColumn("oh_others",
+        when(!col(c).isin(cats: _*), 1).otherwise(0))
+    else encoded
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "q72_linreg" ->
@@ -441,6 +487,22 @@ object MLFunctions {
          UNION ALL
          SELECT 4 AS blob, count(*) AS n, 1::BIGINT AS n_labels,
                 -1 AS cluster_id
-         FROM pts WHERE blob = 4"""
+         FROM pts WHERE blob = 4""",
+    "q180_one_hot" ->
+      """SELECT o_orderstatus,
+                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                  END)::BIGINT AS oh_1_urgent,
+                sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0
+                  END)::BIGINT AS oh_2_high,
+                sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0
+                  END)::BIGINT AS oh_3_medium,
+                sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1
+                  ELSE 0 END)::BIGINT AS oh_4_not_specified,
+                sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0
+                  END)::BIGINT AS oh_5_low,
+                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH',
+                  '3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0
+                  END)::BIGINT AS oh_others
+         FROM orders GROUP BY o_orderstatus"""
   )
 }
