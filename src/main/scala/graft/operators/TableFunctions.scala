@@ -445,10 +445,135 @@ object TableFunctions {
           "u2")
         .select(col("u1"), col("u2"),
           (col("dot") / (col("n1") * col("n2"))).as("cos_sim"))
+    }),
+
+    // tf_raster_graph_shortest_slope_weighted_path
+    // (`Graph/GraphTableFunctions.hpp:519-560`, edge weights :433-451 in
+    // /root/reference): rasterize points, connect 8-neighbor cells with
+    // weight = dist * (1 + |slope|)^exponent, drop edges steeper uphill
+    // than slope_pct_max, then shortest path corner-to-corner. Spark
+    // shape: the raster is one grouped aggregate; edges are ONE
+    // broadcast-offsets explode + equi-join (no 8-way self-join); the
+    // search is a bounded Bellman-Ford superstep loop whose per-node
+    // state carries (dist, path) with min-by-struct tie-breaking — the
+    // oracle unrolls the identical relaxation, so even the tie-break
+    // order is engine-checked. The reference materializes the whole
+    // grid driver-side; here everything stays distributed.
+    "q181_slope_path" -> ((s, d) => {
+      import s.implicits._
+      val binSize = 5.0
+      val grid = t(s, d, "part").select(
+          (col("p_size").cast("double") - 25.0).as("x"),
+          (col("p_retailprice") % 50.0).as("y"),
+          (col("p_retailprice") / 100.0).as("z"))
+        .groupBy(floor(col("x") / binSize).cast("int").as("bx"),
+          floor(col("y") / binSize).cast("int").as("by"))
+        .agg(avg(col("z")).as("z"))
+      val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+        (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
+      val dd = sqrt(lit(25.0) *
+        (col("dx") * col("dx") + col("dy") * col("dy")).cast("double"))
+      val slope = (col("z2") - col("z1")) / col("dd")
+      val edges = grid.join(broadcast(offs))
+        .select(col("bx").as("sx"), col("by").as("sy"),
+          col("z").as("z1"),
+          (col("bx") + col("dx")).as("tx"),
+          (col("by") + col("dy")).as("ty"), dd.as("dd"))
+        .join(grid.select(col("bx").as("tx"), col("by").as("ty"),
+          col("z").as("z2")), Seq("tx", "ty"))
+        .withColumn("slope", slope)
+        .filter(col("slope") * 100.0 <= SlopeMaxPct)
+        .select(col("sx"), col("sy"), col("tx"), col("ty"),
+          (col("dd") * pow(lit(1.0) + abs(col("slope")),
+            lit(SlopeExponent))).as("w"))
+      val origin = grid.orderBy(col("bx").asc, col("by").asc).limit(1)
+      var lab = origin.select(col("bx"), col("by"), lit(0.0).as("dist"),
+        concat(lit("("), col("bx"), lit(","), col("by"), lit(")"))
+          .as("path"))
+      for (step <- 1 to SlopeIters) {
+        val ex = lab.join(edges,
+            lab("bx") === edges("sx") && lab("by") === edges("sy"))
+          .select(col("tx").as("bx"), col("ty").as("by"),
+            (col("dist") + col("w")).as("dist"),
+            concat(col("path"), lit("->("), col("tx"), lit(","),
+              col("ty"), lit(")")).as("path"))
+        lab = lab.unionAll(ex).groupBy(col("bx"), col("by"))
+          .agg(min(struct(col("dist"), col("path"))).as("m"))
+          .select(col("bx"), col("by"), col("m.dist").as("dist"),
+            col("m.path").as("path"))
+        if (step % 3 == 0) lab = lab.localCheckpoint()
+      }
+      val dest = grid.orderBy(col("bx").desc, col("by").desc).limit(1)
+        .select(col("bx").as("dbx"), col("by").as("dby"))
+      lab.join(dest,
+          lab("bx") === dest("dbx") && lab("by") === dest("dby"))
+        .select(col("bx"), col("by"), col("dist").as("total_cost"),
+          (size(split(col("path"), "->")) - 1).as("n_steps"), col("path"))
     })
   )
 
+  private val SlopeExponent = 3.0
+  private val SlopeMaxPct = 300.0
+  private val SlopeIters = 24
+
+  /** Unrolled Bellman-Ford oracle for q181: iteration K's frame is the
+    * (dist, path)-argmin of frame K-1 union its one-step expansions —
+    * the exact relaxation the Spark loop runs, same iteration count,
+    * same (dist, path) tie-break, so the states match even before
+    * convergence.
+    */
+  private def slopePathOracle: String = {
+    val base = s"""WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice / 100.0 AS z
+           FROM part),
+         grid AS MATERIALIZED (
+           SELECT floor(x / 5.0)::INT AS bx, floor(y / 5.0)::INT AS by,
+                  avg(z) AS z
+           FROM p GROUP BY 1, 2),
+         offs AS (
+           SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+         edges AS MATERIALIZED (
+           SELECT g.bx AS sx, g.by AS sy, g2.bx AS tx, g2.by AS ty,
+                  sqrt(25.0 * (dx*dx + dy*dy)) *
+                    pow(1.0 + abs((g2.z - g.z) /
+                      sqrt(25.0 * (dx*dx + dy*dy))), $SlopeExponent) AS w
+           FROM grid g CROSS JOIN offs o
+           JOIN grid g2 ON g2.bx = g.bx + o.dx AND g2.by = g.by + o.dy
+           WHERE ((g2.z - g.z) / sqrt(25.0 * (dx*dx + dy*dy))) * 100.0
+                 <= $SlopeMaxPct),
+         d0 AS (
+           SELECT bx, by, 0.0::DOUBLE AS dist,
+                  '(' || bx || ',' || by || ')' AS path
+           FROM (SELECT bx, by FROM grid ORDER BY bx, by LIMIT 1) s0)"""
+    val iters = (1 to SlopeIters).map { k =>
+      s""",
+         d$k AS MATERIALIZED (
+           SELECT bx, by, dist, path FROM (
+             SELECT u.*, row_number() OVER (PARTITION BY bx, by
+               ORDER BY dist, path) AS rn FROM (
+               SELECT bx, by, dist, path FROM d${k - 1}
+               UNION ALL
+               SELECT e.tx, e.ty, d.dist + e.w,
+                      d.path || '->(' || e.tx || ',' || e.ty || ')'
+               FROM d${k - 1} d
+               JOIN edges e ON e.sx = d.bx AND e.sy = d.by) u) v
+           WHERE rn = 1)"""
+    }.mkString
+    base + iters + s"""
+         SELECT d.bx, d.by, d.dist AS total_cost,
+                (len(string_split(d.path, '->')) - 1)::INT AS n_steps,
+                d.path
+         FROM d$SlopeIters d
+         JOIN (SELECT bx, by FROM grid
+               ORDER BY bx DESC, by DESC LIMIT 1) t
+           ON d.bx = t.bx AND d.by = t.by"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
+    "q181_slope_path" -> slopePathOracle,
     "q50_generate_series" ->
       """SELECT generate_series::BIGINT AS n
          FROM generate_series(0, 999, 7)""",
