@@ -155,6 +155,9 @@ object GeoFunctions {
   /** Convex hull of a vertex array (CCW, no closing duplicate). */
   def st_convex_hull(ring: Column): Column = c(STConvexHull(e(ring)))
 
+  def st_concave_hull(ring: Column, k: Column): Column =
+    c(STConcaveHull(e(ring), e(k)))
+
   /** Point buffer as a regular n-gon (area 0.5·n·r²·sin(2π/n)). */
   def st_buffer_point(p: Column, r: Column, nSegs: Int = 32): Column =
     c(STBufferPoint(e(p), e(r.cast("double")), e(lit(nSegs))))

@@ -332,6 +332,108 @@ private[graft] object GeomAlg {
   def toRing(pts: Array[(Double, Double)]): GenericArrayData =
     new GenericArrayData(pts.map { case (x, y) =>
       InternalRow(x, y): Any })
+
+  /** Moreira-Santos k-NN concave hull (see STConcaveHull Scaladoc). */
+  def concaveHull(px0: Array[Double], py0: Array[Double], k0: Int)
+      : Array[(Double, Double)] = {
+    val (px, py) = openRing(px0, py0)
+    val pts = px.zip(py).distinct
+    if (pts.length <= 3) return convexHull(px, py)
+    var k = math.max(3, k0)
+    while (k < pts.length) {
+      knnHull(pts, k) match {
+        case Some(h) => return h
+        case None => k += 1
+      }
+    }
+    convexHull(px, py)
+  }
+
+  private def segIntersects(a: (Double, Double), b: (Double, Double),
+      c: (Double, Double), d: (Double, Double)): Boolean = {
+    // Proper intersection only (shared endpoints don't count).
+    val d1 = cross(c._1, c._2, d._1, d._2, a._1, a._2)
+    val d2 = cross(c._1, c._2, d._1, d._2, b._1, b._2)
+    val d3 = cross(a._1, a._2, b._1, b._2, c._1, c._2)
+    val d4 = cross(a._1, a._2, b._1, b._2, d._1, d._2)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  private def insideOrOn(p: (Double, Double),
+      hull: IndexedSeq[(Double, Double)]): Boolean = {
+    val n = hull.length
+    var i = 0
+    // On-boundary (within eps of a segment) counts as inside.
+    while (i < n) {
+      val (a, b) = (hull(i), hull((i + 1) % n))
+      val (dx, dy) = (b._1 - a._1, b._2 - a._2)
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / len2))
+      val (cx, cy) = (a._1 + t * dx, a._2 + t * dy)
+      if (math.hypot(p._1 - cx, p._2 - cy) < 1e-9) return true
+      i += 1
+    }
+    var inside = false
+    i = 0
+    while (i < n) {
+      val (a, b) = (hull(i), hull((i + 1) % n))
+      if ((a._2 > p._2) != (b._2 > p._2)) {
+        val xInt = a._1 + (p._2 - a._2) / (b._2 - a._2) * (b._1 - a._1)
+        if (p._1 < xInt) inside = !inside
+      }
+      i += 1
+    }
+    inside
+  }
+
+  private def knnHull(pts: Array[(Double, Double)], k: Int)
+      : Option[Array[(Double, Double)]] = {
+    val start = pts.minBy(p => (p._2, p._1))
+    val hull = scala.collection.mutable.ArrayBuffer(start)
+    val used = scala.collection.mutable.Set(start)
+    var current = start
+    var prevAngle = 0.0
+    var step = 1
+    val maxSteps = pts.length * 4
+    while (step <= maxSteps) {
+      if (step == 4) used.remove(start) // start re-eligible after 3 moves
+      val cands = pts.iterator.filter(p => !used.contains(p))
+        .toArray
+        .sortBy(p => (math.hypot(p._1 - current._1, p._2 - current._2),
+          p._1, p._2))
+        .take(k)
+        // Largest clockwise (right-hand) turn from the incoming
+        // direction first.
+        .sortBy { p =>
+          val ang = math.atan2(p._2 - current._2, p._1 - current._1)
+          val diff = prevAngle - ang
+          -(diff - 2 * math.Pi * math.floor(diff / (2 * math.Pi)))
+        }
+      val next = cands.find { c =>
+        // The step edge must not cross the hull built so far (edges
+        // sharing the current vertex are adjacent, not crossings).
+        !(1 until hull.length - 1).exists(i =>
+          segIntersects(current, c, hull(i - 1), hull(i)))
+      }
+      next match {
+        case None => return None // stranded: widen k
+        case Some(n) if n == start =>
+          val h = hull.toArray
+          return if (pts.forall(p => used.contains(p) ||
+            insideOrOn(p, h))) Some(h) else None
+        case Some(n) =>
+          prevAngle = math.atan2(current._2 - n._2, current._1 - n._1)
+          hull += n
+          used += n
+          current = n
+      }
+      step += 1
+    }
+    None
+  }
 }
 
 /** ST_CONVEXHULL over a vertex array → CCW hull ring (no closing
@@ -350,6 +452,36 @@ case class STConvexHull(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** ST_CONCAVEHULL(points, k) — the k-nearest-neighbours concave hull
+  * (Moreira & Santos 2007), implemented independently from the paper's
+  * pseudocode. Reference surface: `HeavyDBSqlOperatorTable.java:300,3213`
+  * in /root/reference (GEOS-backed there). Walk: start at the lowest
+  * point, repeatedly step to the k-NN candidate with the largest
+  * clockwise turn from the incoming direction that does not intersect
+  * the hull so far; if the walk strands or leaves points outside,
+  * retry with k+1; convex hull is the terminal fallback. Deterministic:
+  * ties in the k-NN sort break on (dist, x, y).
+  */
+case class STConcaveHull(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = GeomUtil.ringType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomUtil.checkRing(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName k must be int, got ${right.dataType.simpleString}")
+  }
+  override def prettyName: String = "st_concavehull"
+  override protected def nullSafeEval(ring: Any, kIn: Any): Any = {
+    val a = ring.asInstanceOf[ArrayData]
+    GeomAlg.toRing(GeomAlg.concaveHull(
+      GeomUtil.xs(a), GeomUtil.ys(a), kIn.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** ST_BUFFER of a point: regular n-gon approximation of the radius-r

