@@ -133,4 +133,32 @@ class ModelSpec extends AnyFunSuite {
       eng.sql("EVALUATE MODEL nope"))
     eng.sql("DROP MODEL m_arity")
   }
+
+  test("one-hot encoder: top-k by frequency, min proportion, OTHERS") {
+    // Planted skew: a=5, b=3, c=1, d=1 over 10 rows.
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("cat")
+    def sums(encoded: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val ohCols = encoded.columns.filter(_.startsWith("oh_"))
+      val r = encoded.agg(sum(col(ohCols.head)).as(ohCols.head),
+        ohCols.tail.map(c => sum(col(c)).as(c)): _*).collect().head
+      ohCols.map(c => c -> r.getAs[Long](c)).toMap
+    }
+    // top-2 + OTHERS: c and d fold into the OTHERS bucket.
+    val top2 = sums(operators.MLFunctions.oneHotEncode(
+      df, "cat", topK = 2, minProp = 0.0, includeOthers = true))
+    assert(top2 == Map("oh_a" -> 5L, "oh_b" -> 3L, "oh_others" -> 2L))
+    // min proportion 0.2 drops c and d even with a large k.
+    val minp = sums(operators.MLFunctions.oneHotEncode(
+      df, "cat", topK = 10, minProp = 0.2, includeOthers = false))
+    assert(minp == Map("oh_a" -> 5L, "oh_b" -> 3L))
+    // tie at count 1 breaks by category value: c before d at k=3.
+    val tie = sums(operators.MLFunctions.oneHotEncode(
+      df, "cat", topK = 3, minProp = 0.0, includeOthers = true))
+    assert(tie == Map("oh_a" -> 5L, "oh_b" -> 3L, "oh_c" -> 1L,
+      "oh_others" -> 1L))
+  }
 }
