@@ -28,7 +28,11 @@ object ConnectedComponents {
     var labels = nodes.select(col("id"))
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
+    var round = 0
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
     while (changed > 0) {
+      val t0 = System.nanoTime()
+      round += 1
       val nbr = edges.join(labels, edges("b_id") === labels("id"))
         .groupBy(col("a_id")).agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("a_id", "id")
@@ -45,6 +49,8 @@ object ConnectedComponents {
       val m = merged.localCheckpoint()
       changed = m.filter(col("nl") < col("label")).count()
       labels = m.select(col("id"), col("nl").as("label"))
+      if (verbose) System.err.println(
+        f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     labels
   }

@@ -45,10 +45,12 @@ object Scale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
     val scales = Seq(
       ("docs_500", sf001, 1),
       ("docs_5k", sf01, 1),
       ("docs_40k", sf01, 8))
+      .filter { case (l, _, _) => only.forall(_ == l) }
     scales.foreach { case (label, d, mult) =>
       val docs = corpus(spark, d, mult).localCheckpoint()
       val nDocs = docs.count()
@@ -65,7 +67,9 @@ object Scale {
         s""""t_groups_s":${f"$tGroups%.2f"}}""")
     }
     // IVF ANN at 1x and 4x embeddings (500 -> 2000 vectors).
-    Seq(("emb_500", sf001), ("emb_2k", sf01)).foreach { case (label, d) =>
+    Seq(("emb_500", sf001), ("emb_2k", sf01))
+      .filter { case (l, _) => only.forall(_ == l) }
+      .foreach { case (label, d) =>
       val (row, tIvf) = timed(
         AnnIvf.queries.toMap.apply("q99_ann_ivf")(spark, d).collect().head)
       println(s"""{"scale":"$label","t_ivf_s":${f"$tIvf%.2f"},""" +
