@@ -486,6 +486,9 @@ object TableFunctions {
         .select(col("sx"), col("sy"), col("tx"), col("ty"),
           (col("dd") * pow(lit(1.0) + abs(col("slope")),
             lit(SlopeExponent))).as("w"))
+        // Materialize ONCE: the superstep loop joins this every round —
+        // without the checkpoint each round re-aggregates the raster.
+        .localCheckpoint()
       val origin = grid.orderBy(col("bx").asc, col("by").asc).limit(1)
       var lab = origin.select(col("bx"), col("by"), lit(0.0).as("dist"),
         concat(lit("("), col("bx"), lit(","), col("by"), lit(")"))
@@ -514,7 +517,7 @@ object TableFunctions {
 
   private val SlopeExponent = 3.0
   private val SlopeMaxPct = 300.0
-  private val SlopeIters = 24
+  private val SlopeIters = 16
 
   /** Unrolled Bellman-Ford oracle for q181: iteration K's frame is the
     * (dist, path)-argmin of frame K-1 union its one-step expansions —
