@@ -113,6 +113,11 @@ object RangeJoin {
             0)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+        // Materialized once (the staged-metadata pattern): the band
+        // statistic and BOTH join sides read this table, so the
+        // windowed sessionization runs a single time and the 1-row
+        // max-duration lookup is a cheap scan, not a third full pass.
+        .localCheckpoint()
       val bMax = math.max(1L,
         sess.agg(max(col("e_us") - col("s_us"))).head().getLong(0))
       val a = sess.select(col("user_id").as("a_user"),
