@@ -141,6 +141,70 @@ object H3 {
     (xr * scale + 4.0 * baseCell(cell), yr * scale)
   }
 
+  /** Inverse mapping (H3_PointToCell / H3_LonLatToCell,
+    * `ExtensionFunctionsH3.hpp:23-46` in /root/reference): quantize the
+    * local-frame point to the nearest res-r hex via cube rounding, then
+    * extract the digit path EXACTLY with the integer inverses of the
+    * aperture-7 axial matrices (Ap7 = [[2,1],[-1,3]], Ap7r =
+    * [[3,-1],[1,2]], both det 7 — the walk is a bijection on the axial
+    * lattice, so each level has a unique digit whose residual is
+    * divisible by 7). Round-trips cellToXY exactly for every valid
+    * cell (H3Spec property).
+    */
+  def pointToCell(x: Double, y: Double, res: Int): Long = {
+    val bc = math.max(0, math.min(NumBaseCells - 1,
+      math.round(x / 4.0).toInt))
+    val scale = math.pow(7.0, res / 2.0)
+    val lx = (x - 4.0 * bc) * scale
+    val ly = y * scale
+    // Undo the forward map's rotate-back for odd (Class III) res.
+    val (rx, ry) =
+      if (res % 2 == 1) (lx * RotCos - ly * RotSin,
+        lx * RotSin + ly * RotCos)
+      else (lx, ly)
+    // Fractional axial, then cube rounding to the nearest hex center.
+    val bf = ry / Sqrt3_2
+    val af = rx + 0.5 * bf
+    var (a, b) = {
+      val (cx, cz) = (af, bf)
+      val cy = -cx - cz
+      var (ix, iy, iz) = (math.round(cx), math.round(cy), math.round(cz))
+      val (dx, dy, dz) =
+        (math.abs(ix - cx), math.abs(iy - cy), math.abs(iz - cz))
+      if (dx > dy && dx > dz) ix = -iy - iz
+      else if (dy > dz) iy = -ix - iz
+      else iz = -ix - iy
+      (ix, iz)
+    }
+    val axialUnits =
+      Array((0L, 0L), (-1L, -1L), (0L, 1L), (-1L, 0L),
+        (1L, 0L), (0L, -1L), (1L, 1L))
+    val digits = new Array[Int](res)
+    var r = res
+    while (r >= 1) {
+      var found = -1
+      var d = 0
+      while (d < 7 && found < 0) {
+        val p = a - axialUnits(d)._1
+        val q = b - axialUnits(d)._2
+        // inverse x7: odd r walked Ap7r, even r walked Ap7.
+        val (sa, sb) =
+          if (r % 2 == 1) (2 * p + q, -p + 3 * q)
+          else (3 * p - q, p + 2 * q)
+        if (sa % 7 == 0 && sb % 7 == 0) {
+          found = d
+          a = sa / 7
+          b = sb / 7
+        }
+        d += 1
+      }
+      if (found < 0) return -1L // off this base cell's lattice
+      digits(r - 1) = found
+      r -= 1
+    }
+    if (a != 0 || b != 0) -1L else build(bc, digits.toSeq)
+  }
+
   /** Hexagon boundary (6 vertices, un-closed, matching H3's
     * cellToBoundary convention) around the cell center; circumradius
     * 1/sqrt(3) in res-local units. Pentagon base cells at res 0 get 5
@@ -198,6 +262,27 @@ case class H3CellToBoundary(child: Expression)
     copy(child = c)
 }
 
+/** H3_PointToCell(POINT struct(x, y), res) -> BIGINT (local frame). */
+case class H3PointToCell(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == H3.PointType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (point, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "h3_pointtocell"
+  override protected def nullSafeEval(p: Any, r: Any): Any = {
+    val row = p.asInstanceOf[InternalRow]
+    H3.pointToCell(row.getDouble(0), row.getDouble(1),
+      r.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Column-level wrappers for the H3 family. */
 object H3Functions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -207,6 +292,11 @@ object H3Functions {
     column(H3CellToPoint(expression(cell)))
   def h3_celltoboundary_polygon(cell: Column): Column =
     column(H3CellToBoundary(expression(cell)))
+  def h3_pointtocell(p: Column, res: Column): Column =
+    column(H3PointToCell(expression(p), expression(res)))
+  def h3_lonlattocell(lon: Column, lat: Column, res: Column): Column =
+    h3_pointtocell(struct(lon.cast("double").as("x"),
+      lat.cast("double").as("y")), res)
 
   /** The bit-layout functions are pure integer/bit Column math —
     * codegen'd built-ins, no custom expression needed.

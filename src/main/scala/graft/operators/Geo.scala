@@ -412,7 +412,12 @@ object Geo {
         pt.getField("x").as("cx"), pt.getField("y").as("cy"),
         element_at(ring, 1).getField("x").as("b0x"),
         element_at(ring, 1).getField("y").as("b0y"),
-        size(ring).as("n_verts"))
+        size(ring).as("n_verts"),
+        // Inverse mapping closes the loop: PointToCell(CellToPoint(c))
+        // must rebuild c exactly (false only for the mode-0 junk cell,
+        // whose center quantizes to the VALID res-0 cell of base 0).
+        (h3_pointtocell(pt, h3_getresolution(col("cell"))) === col("cell"))
+          .as("pt_rt_ok"))
     }),
 
     // ST_ConcaveHull (`HeavyDBSqlOperatorTable.java:300,3213` in
@@ -467,21 +472,21 @@ object Geo {
     val digitMask = (1L << 45) - 1
     val rc = "(5/(2*sqrt(7)))"          // Class-III rotation cos
     val rs = "(sqrt(3)/(2*sqrt(7)))"    // Class-III rotation sin
-    s"""WITH cells(cell, res, valid, n_verts, cx, cy) AS (VALUES
-         ($c1, 0, true, 6, 0.0, 0.0),
-         ($c2, 0, true, 5, 16.0, 0.0),
-         ($c3, 1, true, 6, 40.0, 0.0),
-         ($c4, 1, true, 6,
+    s"""WITH cells(cell, res, valid, n_verts, pt_rt_ok, cx, cy) AS (VALUES
+         ($c1, 0, true, 6, true, 0.0, 0.0),
+         ($c2, 0, true, 5, true, 16.0, 0.0),
+         ($c3, 1, true, 6, true, 40.0, 0.0),
+         ($c4, 1, true, 6, true,
           40.0 + (1.0*$rc + 0.0*$rs)*pow(7.0,-0.5),
           (-1.0*$rs + 0.0*$rc)*pow(7.0,-0.5)),
-         ($c5, 2, true, 6, 148.0 + (-2.0)*pow(7.0,-1.0), 0.0),
-         ($c6, 3, true, 6,
+         ($c5, 2, true, 6, true, 148.0 + (-2.0)*pow(7.0,-1.0), 0.0),
+         ($c6, 3, true, 6, true,
           484.0 + (1.0*$rc + (8*(sqrt(3)/2))*$rs)*pow(7.0,-1.5),
           (-1.0*$rs + (8*(sqrt(3)/2))*$rc)*pow(7.0,-1.5)),
-         ($c7, 1, false, 6,
+         ($c7, 1, false, 6, true,
           16.0 + (-0.5*$rc + (-(sqrt(3)/2))*$rs)*pow(7.0,-0.5),
           (0.5*$rs + (-(sqrt(3)/2))*$rc)*pow(7.0,-0.5)),
-         (123, 0, false, 6, 0.0, 0.0))
+         (123, 0, false, 6, false, 0.0, 0.0))
        SELECT cell::BIGINT AS cell, res::INT AS res, valid,
               ((cell & $clearMask) | $digitMask)::BIGINT AS parent0,
               lower(to_hex(cell)) AS hexstr,
@@ -489,7 +494,7 @@ object Geo {
               cx, cy,
               cx + pow(7.0, -res/2.0)/sqrt(3)*cos(radians(30.0)) AS b0x,
               cy + pow(7.0, -res/2.0)/sqrt(3)*sin(radians(30.0)) AS b0y,
-              n_verts::INT AS n_verts
+              n_verts::INT AS n_verts, pt_rt_ok
        FROM cells"""
   }
 
