@@ -303,6 +303,32 @@ object TextAnalysis {
         // Spark's int64 even when values are identical (round-4 red row).
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Domain-mixture rebalancing — the dataset-mixing step of a training
+    // pipeline: per-domain acceptance rates (here: down-sample every
+    // lang to the minority lang's volume) applied via the same
+    // engine-independent Knuth multiplicative hash as q168, so the
+    // sample is deterministic, repartition-stable, and exactly
+    // replayable by the oracle. Plan shape: one small grouped aggregate
+    // (domain dim) broadcast back onto the corpus, then a pure filter —
+    // one corpus scan, no corpus-sized shuffle before the final
+    // per-domain rollup.
+    "q183_domain_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_in"))
+        .withColumn("rate",
+          min(col("n_in")).over(Window.partitionBy()).cast("double") /
+            col("n_in"))
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      docs.join(broadcast(counts), Seq("lang"))
+        .filter(h.cast("double") < col("rate") * lit(4294967296.0))
+        .groupBy(col("lang"))
+        .agg(first(col("n_in")).as("n_in"),
+          count(lit(1)).cast("long").as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
     })
   )
 
@@ -538,6 +564,21 @@ object TextAnalysis {
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split,
                 count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS id_sum
-         FROM b GROUP BY 1"""
+         FROM b GROUP BY 1""",
+    "q183_domain_mixture" ->
+      """WITH c AS (
+           SELECT lang, count(*)::BIGINT AS n_in
+           FROM documents GROUP BY lang),
+         r AS (
+           SELECT lang, n_in,
+                  min(n_in) OVER ()::DOUBLE / n_in AS rate FROM c),
+         s AS (
+           SELECT d.lang, d.doc_id, r.n_in
+           FROM documents d JOIN r ON d.lang = r.lang
+           WHERE ((d.doc_id * 2654435761) % 4294967296)::DOUBLE
+                 < r.rate * 4294967296.0)
+         SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM s GROUP BY lang, n_in"""
   )
 }
