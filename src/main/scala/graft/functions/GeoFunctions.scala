@@ -304,6 +304,21 @@ object GeoFunctions {
       reg.registerFunction(FunctionIdentifier("st_simplify"),
         new ExpressionInfo("graft", "st_simplify"),
         ex => STSimplify(ex(0), Cast(ex(1), DoubleType)))
+      reg.registerFunction(FunctionIdentifier("st_concavehull"),
+        new ExpressionInfo("graft", "st_concavehull"),
+        ex => STConcaveHull(ex(0),
+          ex.lift(1).map(Cast(_, IntegerType)).getOrElse(Literal(3))))
+      // H3 family (reference HeavyDBSqlOperatorTable.java:346-348):
+      // the custom-Expression pair plus the bit-math compositions.
+      reg.registerFunction(FunctionIdentifier("h3_celltopoint"),
+        new ExpressionInfo("graft", "h3_celltopoint"),
+        ex => H3CellToPoint(ex.head))
+      reg.registerFunction(FunctionIdentifier("h3_celltoboundary_polygon"),
+        new ExpressionInfo("graft", "h3_celltoboundary_polygon"),
+        ex => H3CellToBoundary(ex.head))
+      reg.registerFunction(FunctionIdentifier("h3_pointtocell"),
+        new ExpressionInfo("graft", "h3_pointtocell"),
+        ex => H3PointToCell(ex(0), Cast(ex(1), IntegerType)))
     }
     // Column-composition functions register through the eager bridge:
     // the composition expands into the same codegen'd built-in tree the
@@ -324,6 +339,16 @@ object GeoFunctions {
       registerCols("st_maxdistance", ex => st_max_distance(ex(0), ex(1)))
       registerCols("st_dfullywithin",
         ex => st_dfully_within(ex(0), ex(1), ex(2)))
+      registerCols("h3_getresolution",
+        ex => H3Functions.h3_getresolution(ex(0)))
+      registerCols("h3_isvalidcell",
+        ex => H3Functions.h3_isvalidcell(ex(0)))
+      registerCols("h3_celltostring",
+        ex => H3Functions.h3_celltostring(ex(0)))
+      registerCols("h3_stringtocell",
+        ex => H3Functions.h3_stringtocell(ex(0)))
+      registerCols("h3_lonlattocell",
+        ex => H3Functions.h3_lonlattocell(ex(0), ex(1), ex(2)))
     }
   }
 }

@@ -296,7 +296,7 @@ object H3Functions {
     column(H3PointToCell(expression(p), expression(res)))
   def h3_lonlattocell(lon: Column, lat: Column, res: Column): Column =
     h3_pointtocell(struct(lon.cast("double").as("x"),
-      lat.cast("double").as("y")), res)
+      lat.cast("double").as("y")), res.cast("int"))
 
   /** The bit-layout functions are pure integer/bit Column math —
     * codegen'd built-ins, no custom expression needed.

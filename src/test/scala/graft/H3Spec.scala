@@ -76,4 +76,25 @@ class H3Spec extends AnyFunSuite {
     val eps = 0.01 * math.pow(7.0, -1.5)
     assert(H3.pointToCell(x + eps, y - eps, 3) == c)
   }
+
+  test("H3 family is reachable through the SQL surface") {
+    val spark = SparkTestSession.spark
+    val eng = HeavyEngine(spark, "/root/testdata/sf0.001")
+    val c = H3.build(9, Seq(4, 2))
+    val r = eng.sql(
+      s"""SELECT h3_getresolution(${c}L) AS res,
+                 h3_isvalidcell(${c}L) AS valid,
+                 h3_stringtocell(h3_celltostring(${c}L)) AS rt,
+                 h3_pointtocell(h3_celltopoint(${c}L), 2) AS inv,
+                 st_concavehull(
+                   array(named_struct('x', 0.0d, 'y', 0.0d),
+                         named_struct('x', 1.0d, 'y', 0.0d),
+                         named_struct('x', 0.0d, 'y', 1.0d)), 3) AS hull
+      """).collect().head
+    assert(r.getAs[Int]("res") == 2)
+    assert(r.getAs[Boolean]("valid"))
+    assert(r.getAs[Long]("rt") == c)
+    assert(r.getAs[Long]("inv") == c)
+    assert(r.getAs[scala.collection.Seq[Any]]("hull").size == 3)
+  }
 }
