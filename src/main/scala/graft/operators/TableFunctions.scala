@@ -447,6 +447,87 @@ object TableFunctions {
           (col("dot") / (col("n1") * col("n2"))).as("cos_sim"))
     }),
 
+    // tf_feature_similarity two-cursor signature
+    // (`SimilarityTableFunctions.hpp:162`: primary cursor vs a SEPARATE
+    // comparison cursor — q54 covers the one-cursor self-similarity
+    // signature at :324). Primary = users < 15, comparison = users
+    // 15-29; cosine over event-type count vectors; sparse-key join on
+    // the shared feature space, no dense matrix.
+    "q184_feature_similarity_cross" -> ((s, d) => {
+      val counts = events(s, d)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val norms = counts.groupBy(col("user_id"))
+        .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val prim = counts.filter(col("user_id") < 15)
+        .select(col("user_id").as("u1"), col("event_type"),
+          col("c").as("c1"))
+      val comp = counts.filter(col("user_id") >= 15)
+        .select(col("user_id").as("u2"), col("event_type"),
+          col("c").as("c2"))
+      prim.join(comp, "event_type")
+        .groupBy(col("u1"), col("u2"))
+        .agg(sum(col("c1") * col("c2")).as("dot"))
+        .join(norms.select(col("user_id").as("u1"),
+          col("nrm").as("n1")), "u1")
+        .join(norms.select(col("user_id").as("u2"),
+          col("nrm").as("n2")), "u2")
+        .select(col("u1"), col("u2"),
+          (col("dot") / (col("n1") * col("n2"))).as("cos_sim"))
+    }),
+
+    // tf_raster_contour_polygons (`RasterContourTableFunctions.hpp`
+    // polygons variant; q164 is the lines variant with exact
+    // marching-squares boundaries): filled contour BANDS. Spark-first
+    // scope: cells are banded by floor((z - z_min) / interval) and each
+    // band aggregates its cell-union metrics (cell count, area, bbox) —
+    // the analytics contract of filled contours without GDAL's vector
+    // ring assembly (documented; the exact boundary geometry lives in
+    // q164). One grouped aggregate over the raster, one window for the
+    // global z_min — no driver-side work.
+    "q185_raster_contour_polygons" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val binSize = 5.0
+      val interval = 50.0
+      val grid = t(s, d, "part").select(
+          (col("p_size").cast("double") - 25.0).as("x"),
+          (col("p_retailprice") % 50.0).as("y"),
+          col("p_retailprice").as("z"))
+        .groupBy(floor(col("x") / binSize).cast("int").as("bin_x"),
+          floor(col("y") / binSize).cast("int").as("bin_y"))
+        .agg(avg(col("z")).as("z"))
+        .withColumn("z_min", min(col("z")).over(Window.partitionBy()))
+      grid
+        .withColumn("band",
+          floor((col("z") - col("z_min")) / interval).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          (count(lit(1)) * lit(binSize * binSize)).cast("double")
+            .as("area"),
+          min(col("bin_x")).as("x_min"), max(col("bin_x")).as("x_max"),
+          min(col("bin_y")).as("y_min"), max(col("bin_y")).as("y_max"))
+    }),
+
+    // tf_geo_multi_rasterize (`GeoRasterTableFunctions.hpp:1415`):
+    // multiple z metrics rasterized in ONE pass, emitted as an array
+    // column — still a single grouped aggregate, the per-metric agg
+    // types (avg, max, min here) mirror the reference's agg_types list.
+    "q186_geo_multi_rasterize" -> ((s, d) => {
+      val binSize = 5.0
+      t(s, d, "part").select(
+          (col("p_size").cast("double") - 25.0).as("x"),
+          (col("p_retailprice") % 50.0).as("y"),
+          col("p_retailprice").as("z1"),
+          col("p_partkey").cast("double").as("z2"))
+        .groupBy(floor(col("x") / binSize).cast("int").as("bin_x"),
+          floor(col("y") / binSize).cast("int").as("bin_y"))
+        .agg(avg(col("z1")).as("a1"), max(col("z1")).as("a2"),
+          min(col("z2")).as("a3"))
+        .select(col("bin_x"), col("bin_y"),
+          array(col("a1"), col("a2"), col("a3")).as("z"))
+    }),
+
     // tf_raster_graph_shortest_slope_weighted_path
     // (`Graph/GraphTableFunctions.hpp:519-560`, edge weights :433-451 in
     // /root/reference): rasterize points, connect 8-neighbor cells with
@@ -577,6 +658,51 @@ object TableFunctions {
 
   val oracles: Seq[(String, String)] = Seq(
     "q181_slope_path" -> slopePathOracle,
+    "q184_feature_similarity_cross" ->
+      """WITH counts AS (
+           SELECT user_id, event_type, count(*)::DOUBLE AS c
+           FROM events WHERE user_id < 30
+           GROUP BY user_id, event_type),
+         norms AS (
+           SELECT user_id, sqrt(sum(c * c)) AS nrm
+           FROM counts GROUP BY user_id),
+         dots AS (
+           SELECT a.user_id AS u1, b.user_id AS u2, sum(a.c * b.c) AS dot
+           FROM counts a JOIN counts b ON a.event_type = b.event_type
+           WHERE a.user_id < 15 AND b.user_id >= 15
+           GROUP BY a.user_id, b.user_id)
+         SELECT u1, u2, dot / (n1.nrm * n2.nrm) AS cos_sim
+         FROM dots
+         JOIN norms n1 ON n1.user_id = u1
+         JOIN norms n2 ON n2.user_id = u2""",
+    "q185_raster_contour_polygons" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z
+           FROM part),
+         grid AS (
+           SELECT floor(x / 5.0)::INT AS bin_x,
+                  floor(y / 5.0)::INT AS bin_y, avg(z) AS z
+           FROM p GROUP BY 1, 2),
+         g2 AS (
+           SELECT *, min(z) OVER () AS z_min FROM grid)
+         SELECT floor((z - z_min) / 50.0)::INT AS band,
+                count(*)::BIGINT AS n_cells,
+                (count(*) * 25.0)::DOUBLE AS area,
+                min(bin_x) AS x_min, max(bin_x) AS x_max,
+                min(bin_y) AS y_min, max(bin_y) AS y_max
+         FROM g2 GROUP BY 1""",
+    "q186_geo_multi_rasterize" ->
+      """WITH p AS (
+           SELECT p_size::DOUBLE - 25.0 AS x,
+                  fmod(p_retailprice, 50.0) AS y,
+                  p_retailprice AS z1, p_partkey::DOUBLE AS z2
+           FROM part)
+         SELECT floor(x / 5.0)::INT AS bin_x,
+                floor(y / 5.0)::INT AS bin_y,
+                [avg(z1), max(z1), min(z2)] AS z
+         FROM p GROUP BY 1, 2""",
     "q50_generate_series" ->
       """SELECT generate_series::BIGINT AS n
          FROM generate_series(0, 999, 7)""",
