@@ -450,9 +450,10 @@ object TableFunctions {
     // tf_feature_similarity two-cursor signature
     // (`SimilarityTableFunctions.hpp:162`: primary cursor vs a SEPARATE
     // comparison cursor — q54 covers the one-cursor self-similarity
-    // signature at :324). Primary = users < 15, comparison = users
-    // 15-29; cosine over event-type count vectors; sparse-key join on
-    // the shared feature space, no dense matrix.
+    // signature at :324). Primary = even users, comparison = odd users
+    // (both cursors non-empty at every sf); cosine over event-type
+    // count vectors; sparse-key join on the shared feature space, no
+    // dense matrix.
     "q184_feature_similarity_cross" -> ((s, d) => {
       val counts = events(s, d)
         .filter(col("user_id") < 30)
@@ -460,10 +461,10 @@ object TableFunctions {
         .agg(count(lit(1)).cast("double").as("c"))
       val norms = counts.groupBy(col("user_id"))
         .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
-      val prim = counts.filter(col("user_id") < 15)
+      val prim = counts.filter(col("user_id") % 2 === 0)
         .select(col("user_id").as("u1"), col("event_type"),
           col("c").as("c1"))
-      val comp = counts.filter(col("user_id") >= 15)
+      val comp = counts.filter(col("user_id") % 2 === 1)
         .select(col("user_id").as("u2"), col("event_type"),
           col("c").as("c2"))
       prim.join(comp, "event_type")
@@ -669,7 +670,7 @@ object TableFunctions {
          dots AS (
            SELECT a.user_id AS u1, b.user_id AS u2, sum(a.c * b.c) AS dot
            FROM counts a JOIN counts b ON a.event_type = b.event_type
-           WHERE a.user_id < 15 AND b.user_id >= 15
+           WHERE a.user_id % 2 = 0 AND b.user_id % 2 = 1
            GROUP BY a.user_id, b.user_id)
          SELECT u1, u2, dot / (n1.nrm * n2.nrm) AS cos_sim
          FROM dots
