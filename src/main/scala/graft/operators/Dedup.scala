@@ -337,8 +337,10 @@ object Dedup {
             .as("dup_of"))
     }),
 
-    // SimHash (Charikar): 64-bit signature from token hashes — one
-    // aggregation pass with 64 bit-vote sums, reassembled into a long.
+    // SimHash (Charikar): 60-bit signature from portable md5-prefix
+    // token hashes (SimhashBits = 60, replayable bit-for-bit in DuckDB)
+    // — one aggregation pass with 60 bit-vote sums, reassembled into a
+    // long.
     "q43_dedup_simhash" -> ((s, d) =>
       simhashOf(t(s, d, "documents"))),
 

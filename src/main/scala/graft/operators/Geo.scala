@@ -424,10 +424,10 @@ object Geo {
     // /root/reference; GEOS there, Moreira-Santos k-NN hull here — see
     // GeomExpressions.STConcaveHull). Planted shapes whose hulls are
     // known in closed form: a U (concave hull follows the notch, convex
-    // hull closes it), a square with interior point (hulls coincide;
-    // interior point excluded), and a comb (three concave teeth). The
-    // oracle pins vertex count, concave/convex areas, and the exact
-    // vertex walk.
+    // hull closes it), a square with interior point (the k=3 k-NN walk
+    // dips inward through the interior point, concave area 3.0 vs
+    // convex 4.0), and a comb (three concave teeth). The oracle pins
+    // vertex count, concave/convex areas, and the exact vertex walk.
     "q182_concave_hull" -> ((s, _) => {
       def ringOf(pts: (Double, Double)*): Column =
         array(pts.map { case (x, y) =>

@@ -430,7 +430,10 @@ object MLFunctions {
     */
   def oneHotEncode(df: DataFrame, c: String, topK: Int, minProp: Double,
       includeOthers: Boolean): DataFrame = {
-    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+    // NULL categories never become indicator columns — they bucket into
+    // oh_others (when enabled) like any non-top-k value.
+    val counts = df.where(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val total = counts.map(_._2).sum.toDouble
     val cats = counts
@@ -439,13 +442,24 @@ object MLFunctions {
       .take(topK).map(_._1)
     def sanitize(v: String): String =
       "oh_" + v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-    val encoded = cats.foldLeft(df) { (acc, cat) =>
-      acc.withColumn(sanitize(cat),
-        when(col(c) === cat, 1).otherwise(0))
+    // Distinct categories can sanitize to the same column name
+    // ("A-B" and "a b" → oh_a_b); suffix later collisions with their
+    // rank so no indicator silently overwrites another.
+    val names = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      cats.zipWithIndex.map { case (cat, i) =>
+        val base = sanitize(cat)
+        val k = seen.getOrElse(base, 0)
+        seen(base) = k + 1
+        if (k == 0) base else s"${base}_$i"
+      }
+    }
+    val encoded = cats.zip(names).foldLeft(df) { case (acc, (cat, nm)) =>
+      acc.withColumn(nm, when(col(c) === cat, 1).otherwise(0))
     }
     if (includeOthers)
       encoded.withColumn("oh_others",
-        when(!col(c).isin(cats: _*), 1).otherwise(0))
+        when(col(c).isNull || !col(c).isin(cats: _*), 1).otherwise(0))
     else encoded
   }
 

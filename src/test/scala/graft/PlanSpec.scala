@@ -100,4 +100,25 @@ class PlanSpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.toString
     assert(scans.contains("PushedFilters: ["), scans.take(2000))
   }
+
+  test("sequence packing windows are sharded, never single-partition") {
+    // Round-5 perf-weak flag: an unpartitioned WindowExec funnels the
+    // whole corpus through ONE partition. The shipped q175 must window
+    // per shard, and the former global-min window sites (q183, q185)
+    // must plan with no WindowExec at all (broadcast 1-row crossJoin).
+    // Collected from the optimized LOGICAL plan: AQE wraps the physical
+    // plan in AdaptiveSparkPlanExec, which hides WindowExec from collect.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val packWins = SparkEntry.queries("q175_sequence_packing")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(packWins.nonEmpty, "q175 must still use a window")
+    assert(packWins.forall(_.partitionSpec.nonEmpty),
+      "q175 window lost its shard partitioning")
+    for (q <- Seq("q183_domain_mixture", "q185_raster_contour_polygons")) {
+      val wins = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.isEmpty, s"$q plans a Window; expected broadcast " +
+        "1-row-aggregate crossJoin for the global min")
+    }
+  }
 }
