@@ -280,6 +280,23 @@ object Ddl {
   // (`Catalog/DdlCommandExecutor.h:131` AlterTableAlterColumnCommand).
   private val AlterColType: Regex =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(\w+(?:\([\d,\s]*\))?)\s*""".r
+  // Runtime UDF registration (`UdfCompiler/UdfCompiler.cpp`,
+  // `RuntimeLibManager/` in /root/reference — there user C++ is compiled
+  // and loaded at runtime; here the body is a SQL expression template
+  // registered as a macro, expanded into codegen'd Catalyst trees at
+  // every call site — no interpretation, no UDF black box):
+  //   CREATE [OR REPLACE] FUNCTION name(p1, p2, ...) AS <expression>
+  //   DROP FUNCTION [IF EXISTS] name
+  // Created functions appear in SHOW FUNCTIONS alongside the built-in
+  // extension surface; only created functions can be dropped.
+  private val CreateFunction: Regex =
+    """(?is)\s*CREATE\s+((?:OR\s+REPLACE\s+)?)FUNCTION\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*""".r
+  private val DropFunction: Regex =
+    """(?is)\s*DROP\s+FUNCTION\s+((?:IF\s+EXISTS\s+)?)(\w+)\s*""".r
+
+  // created-function catalog: name → (params, body) — powers the
+  // exists/replace checks and limits DROP FUNCTION to user functions.
+  private val udfCatalog = new ConcurrentHashMap[String, (Seq[String], String)]()
 
   // ---- comments + storage details ------------------------------------
 
@@ -635,6 +652,23 @@ object Ddl {
           if (cn.equalsIgnoreCase(colName)) col(cn).cast(dt).as(cn)
           else col(cn)
         }.toSeq: _*))
+        done
+      case CreateFunction(orReplace, name, params, body) =>
+        val nm = name.toLowerCase
+        require(orReplace.trim.nonEmpty || !udfCatalog.containsKey(nm),
+          s"function already exists: $nm (use CREATE OR REPLACE FUNCTION)")
+        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        functions.GraftFunctions.registerSqlMacro(spark, nm, ps, body)
+        udfCatalog.put(nm, (ps, body))
+        done
+      case DropFunction(ifExists, name) =>
+        import org.apache.spark.sql.catalyst.FunctionIdentifier
+        val nm = name.toLowerCase
+        if (udfCatalog.remove(nm) != null)
+          spark.sessionState.functionRegistry
+            .dropFunction(FunctionIdentifier(nm))
+        else require(ifExists.trim.nonEmpty,
+          s"function not found or not a created function: $nm")
         done
       case CopyFrom(name, path) =>
         val schema = table(spark, name).schema

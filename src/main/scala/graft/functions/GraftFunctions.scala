@@ -115,29 +115,43 @@ object GraftFunctions {
     * registers these in its Calcite operator table,
     * `java/calcite/.../HeavyDBSqlOperatorTable.java`).
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** SQL-macro registration: the body is parsed once per call site and
+    * the parameter placeholders replaced by the caller's argument
+    * expressions (case-insensitive name match). The analyzer then
+    * resolves the built-in functions inside the body — so these expand
+    * to the SAME codegen'd expression trees as the Column-API versions
+    * (no UDF black boxes). Also the runtime path of `CREATE FUNCTION`
+    * (Ddl router): the reference compiles user C++ at runtime
+    * (`UdfCompiler/UdfCompiler.cpp` in /root/reference); the Spark-first
+    * analog is an expression template expanded at plan time.
+    */
+  def registerSqlMacro(spark: org.apache.spark.sql.SparkSession,
+      name: String, params: Seq[String], body: String): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val lowered = params.map(_.toLowerCase)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == params.length,
+          s"$name expects ${params.length} arguments, got ${exprs.length}")
+        val sub = lowered.zip(exprs).toMap
+        spark.sessionState.sqlParser.parseExpression(body).transformUp {
+          case a: UnresolvedAttribute if sub.contains(a.name.toLowerCase) =>
+            sub(a.name.toLowerCase)
+        }
+      })
+  }
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     val reg = spark.sessionState.functionRegistry
 
-    // SQL-macro registration: the body is parsed once per call site and
-    // the `__pN` placeholders replaced by the caller's argument
-    // expressions. The analyzer then resolves the built-in functions
-    // inside the body — so these expand to the SAME codegen'd expression
-    // trees as the Column-API versions above (no UDF black boxes).
     def registerMacro(name: String, params: Seq[String], body: String): Unit =
-      reg.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft", name),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == params.length,
-            s"$name expects ${params.length} arguments, got ${exprs.length}")
-          val sub = params.zip(exprs).toMap
-          spark.sessionState.sqlParser.parseExpression(body).transformUp {
-            case a: UnresolvedAttribute if sub.contains(a.name) => sub(a.name)
-          }
-        })
+      registerSqlMacro(spark, name, params, body)
 
     reg.registerFunction(
       FunctionIdentifier("jarowinkler_similarity"),

@@ -71,6 +71,27 @@ object DdlDml {
       eng.sql("""SELECT p_partkey, base_price, markup, tag,
                         base_price * markup AS marked
                  FROM alt_part2""")
+    }),
+
+    // CREATE FUNCTION lifecycle (`UdfCompiler/UdfCompiler.cpp`,
+    // `RuntimeLibManager/` in /root/reference — runtime-registered user
+    // functions; here SQL expression templates expanded at plan time):
+    // two created functions, one calling through the other, used from a
+    // plain SQL aggregate. The oracle inlines the same expressions —
+    // results must hash-match, proving the macro expansion is exactly
+    // the written expression and stays inside codegen.
+    "q187_create_function" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("""CREATE OR REPLACE FUNCTION net_price(price, disc)
+                 AS price * (1.0 - disc)""")
+      eng.sql("""CREATE OR REPLACE FUNCTION taxed(p, t)
+                 AS p * (1.0 + t)""")
+      eng.sql("""SELECT l_returnflag,
+                        round(sum(taxed(net_price(l_extendedprice,
+                                                  l_discount), l_tax)), 2)
+                          AS revenue,
+                        count(*) AS n
+                 FROM lineitem GROUP BY l_returnflag""")
     })
   )
 
@@ -101,6 +122,12 @@ object DdlDml {
       """SELECT p_partkey, p_retailprice AS base_price,
                 1.25::DOUBLE AS markup, NULL::VARCHAR AS tag,
                 p_retailprice * 1.25 AS marked
-         FROM part WHERE p_partkey < 500"""
+         FROM part WHERE p_partkey < 500""",
+    "q187_create_function" ->
+      """SELECT l_returnflag,
+                round(sum((l_extendedprice * (1.0 - l_discount))
+                          * (1.0 + l_tax)), 2) AS revenue,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -307,4 +307,33 @@ class DdlSpec extends AnyFunSuite {
     assert(got == 30L)
     eng.sql("DROP TABLE t_all")
   }
+
+  test("CREATE FUNCTION lifecycle: create, call, replace, list, drop") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP FUNCTION IF EXISTS double_it")
+    eng.sql("CREATE FUNCTION double_it(x) AS x * 2")
+    assert(eng.sql("SELECT double_it(21) AS v").collect().head.getInt(0)
+      == 42)
+    // expands inside real queries (argument is a column, not a literal)
+    assert(eng.sql(
+      """SELECT max(double_it(p_size)) AS m FROM part""")
+      .collect().head.getInt(0) ==
+      eng.sql("SELECT max(p_size) * 2 AS m FROM part")
+        .collect().head.getInt(0))
+    // listed by SHOW FUNCTIONS next to the built-in extension surface
+    val fns = eng.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("double_it") && fns.contains("quarterday"))
+    // plain CREATE on an existing name is refused; OR REPLACE swaps body
+    intercept[Exception] { eng.sql("CREATE FUNCTION double_it(x) AS x") }
+    eng.sql("CREATE OR REPLACE FUNCTION double_it(x) AS x * 3")
+    assert(eng.sql("SELECT double_it(10) AS v").collect().head.getInt(0)
+      == 30)
+    // wrong arity fails at plan time
+    intercept[Exception] { eng.sql("SELECT double_it(1, 2)").collect() }
+    eng.sql("DROP FUNCTION double_it")
+    intercept[Exception] { eng.sql("SELECT double_it(1)").collect() }
+    // built-ins cannot be dropped; IF EXISTS tolerates missing names
+    intercept[Exception] { eng.sql("DROP FUNCTION quarterday") }
+    eng.sql("DROP FUNCTION IF EXISTS no_such_function")
+  }
 }
