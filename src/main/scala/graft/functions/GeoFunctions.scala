@@ -349,6 +349,10 @@ object GeoFunctions {
         ex => H3Functions.h3_stringtocell(ex(0)))
       registerCols("h3_lonlattocell",
         ex => H3Functions.h3_lonlattocell(ex(0), ex(1), ex(2)))
+      registerCols("h3_celltolon",
+        ex => H3Functions.h3_celltolon(ex(0)))
+      registerCols("h3_celltolat",
+        ex => H3Functions.h3_celltolat(ex(0)))
     }
   }
 }

@@ -25,12 +25,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * vectors, ijk->hex2d) on a LOCAL PLANAR frame per base cell: each
   * base cell is anchored at x = 4*baseCell, child walks descend the
   * aperture-7 hierarchy, and the net Class-III rotation is undone so
-  * every resolution shares one frame. The icosahedral gnomonic
-  * unprojection to geodetic lon/lat requires the H3 base-cell dataset
-  * (not derivable offline) and is documented out of scope — the same
-  * accepted-omission category as general-SRID ST_Transform. Within the
-  * local frame the geometry is exact and closed-form, which is what the
-  * differential oracle (planted cell ids) verifies.
+  * every resolution shares one frame. Within the local frame the
+  * geometry is exact and closed-form, which is what the differential
+  * oracle (planted cell ids) verifies.
+  *
+  * GEODETIC ANCHORING — documented omission, with the exact boundary:
+  * projecting the local frame to true lon/lat needs the H3 icosahedral
+  * datasets: faceCenterGeo (20 face-center lat/lng), faceAxesAzRadsCII
+  * (20 face i-axis azimuths), baseCellData (122 rows of home face +
+  * face-local ijk + pentagon flag + cw offset faces), and the
+  * face-overage adjustment tables — ~600 floating-point/int constants
+  * in total. They are published (Uber H3, Apache-2.0) but NOT available
+  * in this offline environment: the reference does not vendor them
+  * either — `Geospatial/H3Shim.cpp:26` in /root/reference just includes
+  * the external `<h3/h3api.h>` and links libh3. Reconstructing the
+  * constants from memory would produce silently-wrong geodetic output,
+  * strictly worse than the exact, clearly-scoped local frame.
+  * Activation contract when the dataset can be vendored: the
+  * reference's own pinned vector (`Tests/GeospatialTest.cpp:4317-4341`)
+  * — H3_LonLatToCell(60.0, 40.0, 15) = 0x8f2195c2c540080, whose center
+  * is (59.9999887940966801, 40.0000005857359184) and whose boundary is
+  * the kWKTValues hexagon; recorded as an ignored test in H3Spec.
   */
 object H3 {
 
@@ -290,6 +305,14 @@ object H3Functions {
 
   def h3_celltopoint(cell: Column): Column =
     column(H3CellToPoint(expression(cell)))
+  /** H3_CellToLon / H3_CellToLat (`Geospatial/H3Shim.cpp:52-60` in
+    * /root/reference): scalar accessors over the cell-center point.
+    * Local planar frame — see the geodetic-anchoring note on [[H3]].
+    */
+  def h3_celltolon(cell: Column): Column =
+    column(H3CellToPoint(expression(cell))).getField("x")
+  def h3_celltolat(cell: Column): Column =
+    column(H3CellToPoint(expression(cell))).getField("y")
   def h3_celltoboundary_polygon(cell: Column): Column =
     column(H3CellToBoundary(expression(cell)))
   def h3_pointtocell(p: Column, res: Column): Column =

@@ -77,6 +77,33 @@ class H3Spec extends AnyFunSuite {
     assert(H3.pointToCell(x + eps, y - eps, 3) == c)
   }
 
+  test("CellToLon/CellToLat are the point accessors (local frame)") {
+    val spark = SparkTestSession.spark
+    import graft.functions.H3Functions._
+    import org.apache.spark.sql.functions._
+    val c = H3.build(16, Seq(1, 3, 2, 5))
+    val (x, y) = H3.cellToXY(c)
+    val r = spark.range(1)
+      .select(h3_celltolon(lit(c)).as("lon"), h3_celltolat(lit(c)).as("lat"))
+      .collect().head
+    assert(r.getDouble(0) == x && r.getDouble(1) == y)
+  }
+
+  // GEODETIC ACTIVATION CONTRACT — enable when the H3 icosahedral
+  // datasets (faceCenterGeo / faceAxesAzRadsCII / baseCellData, ~600
+  // published constants; see the H3 object's scaladoc) can be vendored.
+  // Values are the reference's only pinned geodetic vector
+  // (`Tests/GeospatialTest.cpp:4317-4341` in /root/reference).
+  ignore("geodetic: LonLatToCell(60,40,15) and center match libh3") {
+    val cell = 0x8f2195c2c540080L // 644605580338790528
+    assert(H3.isValid(cell) && H3.resolution(cell) == 15
+      && H3.baseCell(cell) == 16)
+    val (lon, lat) = H3.cellToXY(cell) // must become geodetic lon/lat
+    assert(math.abs(lon - 59.9999887940966801) < 1e-10)
+    assert(math.abs(lat - 40.0000005857359184) < 1e-10)
+    assert(H3.pointToCell(60.0, 40.0, 15) == cell)
+  }
+
   test("H3 family is reachable through the SQL surface") {
     val spark = SparkTestSession.spark
     val eng = HeavyEngine(spark, "/root/testdata/sf0.001")
