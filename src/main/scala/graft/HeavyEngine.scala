@@ -30,7 +30,19 @@ final class HeavyEngine private (val spark: SparkSession) {
     * like the reference's `ParserWrapper` statement classification;
     * everything else is a query handed to Catalyst.
     */
-  def sql(query: String): DataFrame = query match {
+  /** Reference hints recorded by the most recent `sql` call (the
+    * introspection surface of the reference's RegisteredQueryHint) —
+    * see [[plans.QueryHints]] for the no-op mapping rationale.
+    */
+  @volatile var lastHints: Map[String, String] = Map.empty
+
+  def sql(query: String): DataFrame = {
+    val hinted = plans.QueryHints.parse(query)
+    lastHints = hinted.hints
+    routeSql(hinted.cleaned)
+  }
+
+  private def routeSql(query: String): DataFrame = query match {
     // Reference EXPLAIN forms (`Parser/ParserWrapper.h:34-48`):
     // EXPLAIN OPTIMIZED / EXPLAIN CALCITE / EXPLAIN PLAN map onto
     // Spark's extended explain (EXPLAIN <LLVM IR> has no analog —

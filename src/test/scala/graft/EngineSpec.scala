@@ -86,6 +86,30 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.head.getString(0).contains("Physical Plan"))
   }
 
+  test("reference query hints are parsed, recorded, and no-op'd") {
+    // `QueryEngine/QueryHint.h:65-94`: comment hints like cpu_mode /
+    // watchdog / query_time_limit(N). They must be accepted (reference
+    // SQL runs unchanged), introspectable (lastHints, the
+    // RegisteredQueryHint analog), and stripped as no-ops — while
+    // Spark-native hints in the SAME block still reach Catalyst.
+    val eng = HeavyEngine(spark, sf)
+    val n = eng.sql(
+      """SELECT /*+ cpu_mode, watchdog, query_time_limit(1000) */
+               count(*) AS n FROM nation""").collect().head.getLong(0)
+    assert(eng.lastHints == Map("cpu_mode" -> "", "watchdog" -> "",
+      "query_time_limit" -> "1000"))
+    assert(n == eng.sql("SELECT count(*) AS n FROM nation")
+      .collect().head.getLong(0))
+    // mixed block: reference hint stripped+recorded, BROADCAST survives
+    val df = eng.sql(
+      """SELECT /*+ disable_loop_join, BROADCAST(region) */ n_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey""")
+    assert(eng.lastHints == Map("disable_loop_join" -> ""))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(df.count() > 0)
+  }
+
   test("sample_ratio is deterministic and near the requested fraction") {
     import graft.functions.GraftFunctions.sample_ratio
     val li = Tables.t(spark, sf, "lineitem")
