@@ -196,6 +196,59 @@ object TextAnalysis {
           max(col("doc_id")).as("last_doc"))
     }),
 
+    // Exact-substring (span) dedup — Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better": training corpora
+    // contain verbatim repeated SPANS inside otherwise-distinct
+    // documents, which exact-doc dedup (q40) and near-dup minhash (q42)
+    // both miss. The paper's suffix array is replaced by the
+    // Spark-scale equivalent: sliding token windows (W=20, stride 10)
+    // hashed with the portable 60-bit md5 prefix — one explode + a
+    // two-level aggregate, O(tokens) work, shuffle keyed on window
+    // hash, no all-pairs stage, embarrassingly parallel at 100 TB. A
+    // window hash seen in >= 2 DISTINCT docs marks the span duplicated;
+    // per-doc output reports the duplicated-window fraction and a
+    // flag at > 0.5. Three planted docs (negative ids, the q122/q177
+    // pattern) pin the trigger: two share a long verbatim run at
+    // different offsets (cross-doc dup at aligned strides), one is
+    // internally repetitive but unshared (must NOT flag — distinct-doc
+    // guard). The oracle replays windows, hashes, and flags exactly.
+    "q188_substring_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 20
+      val S = 10
+      val phrase = "the quick brown fox " * 10
+      val planted = Seq(
+        (-1L, ("alpha beta " * 15).trim),
+        (-2L, phrase + "tail one"),
+        (-3L, "head two " + phrase.trim)
+      ).toDF("doc_id", "text")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val tk = split(trim(col("text")), "\\s+")
+      val nWin = greatest(lit(0),
+        (floor((size(tk) - W) / S) + 1).cast("int"))
+      val win = docs.select(col("doc_id"),
+          explode(when(nWin > 0, transform(sequence(lit(0), nWin - 1),
+            i => concat_ws(" ", slice(tk, i * S + 1, lit(W)))))
+            .otherwise(array().cast("array<string>"))).as("w"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val dup = win.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("h"), lit(1L).as("dup"))
+      win.join(dup, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum(coalesce(col("dup"), lit(0L))).cast("long")
+            .as("n_dup_windows"))
+        .withColumn("dup_frac",
+          col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double"))
+        .withColumn("flagged", col("dup_frac") > 0.5)
+    }),
+
     // Repetition-based quality filters (Gopher-style count-fraction
     // approximations of Rae et al. 2021, table A1 — the paper's bigram
     // rule is a *character*-fraction of the top 2-gram; here we use the
@@ -497,6 +550,50 @@ object TextAnalysis {
                 sum(n_tok)::BIGINT AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2""",
+    "q188_substring_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT -1::BIGINT, trim(repeat('alpha beta ', 15))
+           UNION ALL
+           SELECT -2::BIGINT, repeat('the quick brown fox ', 10)
+                              || 'tail one'
+           UNION ALL
+           SELECT -3::BIGINT, 'head two '
+                              || trim(repeat('the quick brown fox ', 10))),
+         tok AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM docs),
+         wins AS (
+           SELECT doc_id, tk,
+                  unnest(generate_series(0, nwin - 1)) AS i
+           FROM (SELECT doc_id, tk,
+                        -- guard BEFORE dividing: DuckDB // truncates
+                        -- toward zero (Spark floor() rounds down), so
+                        -- the engines only agree on non-negative input
+                        CASE WHEN len(tk) >= 20
+                             THEN (len(tk) - 20) // 10 + 1
+                             ELSE 0 END AS nwin
+                 FROM tok)
+           WHERE nwin > 0),
+         win AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(array_to_string(
+                     tk[i*10+1 : i*10+20], ' ')), 1, 15))::BIGINT AS h
+           FROM wins),
+         dup AS (
+           SELECT h FROM win GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2)
+         SELECT w.doc_id,
+                count(*)::BIGINT AS n_windows,
+                sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dup_windows,
+                (sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE) AS dup_frac,
+                (sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE) > 0.5 AS flagged
+         FROM win w LEFT JOIN dup d ON w.h = d.h
+         GROUP BY w.doc_id""",
     "q177_repetition_filter" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
