@@ -249,6 +249,48 @@ object TextAnalysis {
         .withColumn("flagged", col("dup_frac") > 0.5)
     }),
 
+    // Eval-set contamination scoring by n-gram overlap — the GPT-3
+    // methodology (Brown et al. 2020, appendix C: a test example is
+    // contaminated when its N-grams appear in the training data; N=8
+    // here vs the paper's 13, sized to the small fixture docs). The
+    // train/test membership comes from the same engine-portable Knuth
+    // split hash as q168, so the whole pipeline is deterministic and
+    // replayable. Complements q172 (LSH decontamination finds NEAR-dup
+    // train/test pairs; this scores VERBATIM overlap fractions).
+    // Scale shape: the distinct train-gram set is built with one
+    // shuffle, test grams left-join it on the gram hash — no all-pairs
+    // stage, no corpus broadcast, O(tokens) end to end.
+    "q189_ngram_contamination" -> ((s, d) => {
+      val N = 8
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
+      val bucket = h % 100
+      val tagged = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("split", when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test"))
+      val tk = split(trim(col("text")), "\\s+")
+      val nG = size(tk) - lit(N - 1)
+      val grams = tagged.select(col("doc_id"), col("split"),
+          explode(when(nG > 0, transform(sequence(lit(0), nG - 1),
+            i => concat_ws(" ", slice(tk, i + 1, lit(N)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("doc_id"), col("split"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+      val trainGrams = grams.where(col("split") === "train")
+        .select(col("h")).distinct().withColumn("hit", lit(1L))
+      grams.where(col("split") === "test")
+        .join(trainGrams, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long")
+            .as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") /
+            col("n_grams").cast("double"))
+        .withColumn("clean", col("contamination") <= 0.1)
+    }),
+
     // Repetition-based quality filters (Gopher-style count-fraction
     // approximations of Rae et al. 2021, table A1 — the paper's bigram
     // rule is a *character*-fraction of the top 2-gram; here we use the
@@ -594,6 +636,35 @@ object TextAnalysis {
                  / count(*)::DOUBLE) > 0.5 AS flagged
          FROM win w LEFT JOIN dup d ON w.h = d.h
          GROUP BY w.doc_id""",
+    "q189_ngram_contamination" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS tk,
+                  CASE WHEN ((doc_id & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 80 THEN 'train'
+                       WHEN ((doc_id & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+         g AS (
+           SELECT doc_id, split,
+                  ('0x' || substr(md5(array_to_string(
+                     tk[i : i+7], ' ')), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, split, tk,
+                        unnest(generate_series(1, len(tk) - 7)) AS i
+                 FROM t WHERE len(tk) >= 8)),
+         tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+         te AS (SELECT doc_id, h FROM g WHERE split = 'test')
+         SELECT te.doc_id,
+                count(*)::BIGINT AS n_grams,
+                sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_contaminated,
+                (sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE) AS contamination,
+                (sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE) <= 0.1 AS clean
+         FROM te LEFT JOIN tr ON te.h = tr.h
+         GROUP BY te.doc_id""",
     "q177_repetition_filter" ->
       """WITH docs AS (
            SELECT doc_id, text FROM documents
