@@ -87,6 +87,29 @@ object Sources {
         .unionAll(variant("plain", dictEnable = false))
     }),
 
+    // JSONL (newline-delimited JSON) round-trip — the de-facto
+    // interchange format of LLM training-data pipelines (every open
+    // corpus release ships .jsonl[.gz] shards). The reference's import
+    // surface is COPY-based (`ImportExport/Importer.cpp`); Spark-first
+    // this is a one-line schema-pinned `spark.read.json` whose parse
+    // runs codegen'd per partition — a 100 TB JSONL directory scans
+    // with the same parallelism as parquet. The aggregate carries an
+    // md5-prefix text checksum so the hash gate proves the JSON
+    // escape/unescape cycle is byte-lossless, not just row-count-safe.
+    "q190_jsonl_source" -> ((s, d) => {
+      val dir = graft.Stage.scratchDir("graft_jsonl") + "/docs"
+      t(s, d, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).cast("long").as("text_sum"))
+    }),
+
     // Catalog-as-table: fixture tables with their column counts.
     "q79_catalog_tables" -> ((s, d) => {
       val spark = s
@@ -122,6 +145,12 @@ object Sources {
          UNION ALL
          SELECT 'plain' AS variant, n_like, n_ilike, n_eq, n_lt, n_types
          FROM m""",
+    "q190_jsonl_source" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+                sum(doc_id)::BIGINT AS id_sum,
+                sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+                  AS text_sum
+         FROM documents GROUP BY lang""",
     "q79_catalog_tables" ->
       """SELECT * FROM (VALUES
            ('customer', 5), ('documents', 5), ('embeddings', 3),
