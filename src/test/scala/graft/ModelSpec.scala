@@ -161,4 +161,24 @@ class ModelSpec extends AnyFunSuite {
     assert(tie == Map("oh_a" -> 5L, "oh_b" -> 3L, "oh_c" -> 1L,
       "oh_others" -> 1L))
   }
+
+  test("one-hot encoder: NULL categories and sanitized-name collisions") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    // "A-B" and "a b" both sanitize to oh_a_b; NULLs must bucket into
+    // OTHERS rather than NPE or become an indicator column.
+    val df = Seq(Some("A-B"), Some("A-B"), Some("a b"), None, None)
+      .toDF("cat")
+    val enc = operators.MLFunctions.oneHotEncode(
+      df, "cat", topK = 5, minProp = 0.0, includeOthers = true)
+    val ohCols = enc.columns.filter(_.startsWith("oh_"))
+    assert(ohCols.length == 3, ohCols.mkString(","))  // 2 cats + others
+    assert(ohCols.count(_.startsWith("oh_a_b")) == 2) // suffixed, no clobber
+    val r = enc.agg(sum(col(ohCols(0))).as("c0"),
+      sum(col(ohCols(1))).as("c1"), sum(col("oh_others")).as("o"))
+      .collect().head
+    assert(Set(r.getLong(0), r.getLong(1)) == Set(2L, 1L))
+    assert(r.getLong(2) == 2L) // both NULL rows land in OTHERS
+  }
 }
