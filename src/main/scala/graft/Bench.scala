@@ -42,6 +42,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Stage.scratchDir("warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Focused re-benchmark (regression checks): run only these queries

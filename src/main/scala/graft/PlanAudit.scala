@@ -16,6 +16,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Stage.scratchDir("warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def count(s: String, what: String): Int =

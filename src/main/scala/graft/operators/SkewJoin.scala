@@ -45,6 +45,46 @@ object SkewJoin {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // Bucketed CO-LOCATED join — the storage-layout answer to the
+    // shuffle (the reference co-locates via shard_key DDL,
+    // `Parser/ParserNode.h` CREATE TABLE ... SHARD KEY +
+    // `Fragmenter/InsertOrderFragmenter.cpp` shard routing; Spark's
+    // equivalent is bucketBy + saveAsTable). Both sides written
+    // bucketed AND sorted on the join key join with ZERO Exchange and
+    // ZERO Sort — at 100 TB that is the difference between a
+    // corpus-sized shuffle per join and a metadata-only plan; the
+    // repeated-join fact/dim workload amortizes one bucketed write
+    // across every subsequent join. PlanSpec pins the no-Exchange,
+    // no-Sort plan with broadcast disabled; the gated query pins result
+    // equality with the plain-join oracle.
+    "q191_bucketed_join" -> ((s, d) => {
+      val db = "graft_bkt"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'${graft.Stage.scratchDir("graft_bucketed")}'")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      // repartition on the key first: one file per bucket is what lets
+      // the join also elide the Sort (multi-file buckets only guarantee
+      // per-FILE order, so Spark would re-sort each bucket).
+      o.repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.b_orders")
+      l.repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.b_lineitem")
+      s.table(s"$db.b_orders")
+        .join(s.table(s"$db.b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
     })
   )
 
@@ -52,6 +92,12 @@ object SkewJoin {
     "q154_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus""",
+    "q191_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty,
+                sum(o_orderkey)::BIGINT AS key_sum
          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus"""
   )

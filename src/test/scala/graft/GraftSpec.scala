@@ -13,6 +13,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Stage.scratchDir("warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

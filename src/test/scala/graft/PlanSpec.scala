@@ -101,6 +101,33 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.contains("PushedFilters: ["), scans.take(2000))
   }
 
+  test("bucketed co-located join plans with zero exchange and zero sort") {
+    // Both sides bucketed+sorted on the join key (q191): with broadcast
+    // off, the sort-merge join must read bucket-aligned files directly —
+    // no Exchange (the 100 TB shuffle), no per-task Sort.
+    // The Sort elision additionally needs the bucketed-scan ordering
+    // flag (off by default since Spark 3.0 because multi-file buckets
+    // only guarantee per-file order; q191 writes one file per bucket,
+    // which is exactly the case the flag exists for).
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val order = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val oldB = spark.conf.get(bcast)
+    val oldO = spark.conf.get(order, "false")
+    try {
+      spark.conf.set(bcast, "-1")
+      spark.conf.set(order, "true")
+      SparkEntry.queries("q191_bucketed_join")(spark, sf) // builds tables
+      val joined = spark.table("graft_bkt.b_orders")
+        .join(spark.table("graft_bkt.b_lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(!plan.contains("Sort "), plan.take(2000))
+    } finally { spark.conf.set(bcast, oldB); spark.conf.set(order, oldO) }
+  }
+
   test("sequence packing windows are sharded, never single-partition") {
     // Round-5 perf-weak flag: an unpartitioned WindowExec funnels the
     // whole corpus through ONE partition. The shipped q175 must window
