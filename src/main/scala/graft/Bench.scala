@@ -13,20 +13,19 @@ import java.nio.file.{Files, Paths, Path}
   *  - every query is fully materialized: a `noop`-format write forces
   *    every column through the executor (a bare .count() lets Catalyst
   *    prune all projections and benchmarks a metadata row count);
-  *  - the warm-up pass is itself timed, then each query runs
-  *    SPARK_GRAFT_BENCH_ITERS more timed passes (default 1) and reports
-  *    the MINIMUM across all passes — min-of-k is the standard
-  *    spike-resistant capability estimate (a 20 s cold-JIT spike like
-  *    r15's q74_pca costs one spike of wall and is then corrected by its
-  *    sub-second warm rerun, instead of 4x the spike);
-  *  - once total elapsed query time exceeds SPARK_GRAFT_BENCH_BUDGET_SECS
-  *    (default 390 s, checked with the query's own warm time as the
-  *    conservative rerun estimate) every remaining query degrades to the
-  *    single warm-up run, bounding worst-case wall;
-  *  - the summary JSON is REWRITTEN after every query (BENCH_OUT + the
-  *    /tmp fallback + repo BENCH_LOCAL.json) AND printed after every
-  *    query, so both the file and a stdout tail-capture hold a valid
-  *    partial table at any kill point instead of `parsed: null`.
+  *  - TWO passes. Pass 1 warms (and records) every query once, so a
+  *    COMPLETE table exists as early as possible no matter where a
+  *    driver timeout lands. Pass 2 reruns queries in DESCENDING
+  *    warm-time order — the queries whose cold pass most overstates
+  *    steady-state (a 20 s cold-JIT spike like r15's q74_pca, 25 s cold
+  *    vs 2.7 s warm for the q42 dedup chain) get corrected first — and
+  *    each query reports the MINIMUM across its passes. Reruns stop
+  *    once total elapsed measured time exceeds
+  *    SPARK_GRAFT_BENCH_BUDGET_SECS (default 330 s), bounding wall;
+  *  - the summary JSON is REWRITTEN after every measurement (BENCH_OUT
+  *    + the /tmp fallback + repo BENCH_LOCAL.json) AND printed, so both
+  *    the file and a stdout tail-capture hold a valid table at any kill
+  *    point instead of `parsed: null`.
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -36,7 +35,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "390.0").toDouble
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "330.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,34 +77,37 @@ object Bench {
     }
 
     var elapsed = 0.0
-    var results = Vector.empty[(String, Double)]
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    def snapshot(): String =
+      writeSummary(order.toSeq.map(n => n -> best(n)))
+    def timed(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      materialize(fn(spark, sfDir))
+      val t = (System.nanoTime() - t0) / 1e9
+      elapsed += t
+      t
+    }
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        val secs =
-          try {
-            val t0 = System.nanoTime()
-            materialize(fn(spark, sfDir)) // warm-up (timed: budget fallback)
-            val tWarm = (System.nanoTime() - t0) / 1e9
-            // The warm time bounds the rerun cost from above (JIT/codegen/
-            // scan caches are hot), so elapsed + tWarm is a conservative
-            // budget check for allowing the rerun.
-            if (elapsed + tWarm > budget) { elapsed += tWarm; tWarm }
-            else {
-              val times = (1 to iters).map { _ =>
-                val t1 = System.nanoTime()
-                materialize(fn(spark, sfDir))
-                (System.nanoTime() - t1) / 1e9
-              }
-              elapsed += tWarm + times.sum
-              (tWarm +: times).min
-            }
-          } catch { case _: Throwable => -1.0 }
-        results :+= (name -> secs)
-        // incremental file rewrite AND stdout line: a timeout at any
-        // point leaves valid partial data in both channels
-        println(writeSummary(results))
-      }
+    // Pass 1: warm every query once — the table is COMPLETE from here on.
+    qs.foreach { case (name, fn) =>
+      order += name
+      best(name) = try timed(fn) catch { case _: Throwable => -1.0 }
+      println(snapshot()) // incremental: a timeout still yields data
+    }
+    // Pass 2 (xN): refine with warm reruns, most-cold-distorted first,
+    // until the measurement budget runs out.
+    (1 to iters).foreach { _ =>
+      qs.sortBy { case (name, _) => -best(name) }
+        .foreach { case (name, fn) =>
+          if (best(name) >= 0 && elapsed < budget) {
+            val t = try timed(fn) catch { case _: Throwable => best(name) }
+            best(name) = math.min(best(name), t)
+            println(snapshot())
+          }
+        }
+    }
     spark.stop()
   }
 }
