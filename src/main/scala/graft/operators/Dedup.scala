@@ -29,6 +29,8 @@ object Dedup {
 
   private val K = 32          // minhash permutations
   private val BANDS = 8       // LSH bands (rows per band = K / BANDS = 4)
+  private val SignBits = 8    // q192 sign-bucket bits (dims 0..7)
+  private val SignMargin = 0.02 // q192 multi-probe flip threshold
 
   /** (doc_id, shingle) pairs: 3-word shingles of the normalized text.
     * Duplicate shingles within a doc are dropped (set semantics).
@@ -417,6 +419,63 @@ object Dedup {
         .filter(col("a_id") < 30)
         .agg(count(lit(1)).as("n_found"),
           (min(col("max_jaccard")) === 1.0).as("all_exact"))
+    }),
+
+    // SemDeDup-style SCALE PATH for embedding near-dup (q44 is the
+    // bounded all-pairs baseline): bucket vectors by the SIGNS of their
+    // first SignBits stored coordinates (multi-probe: a coordinate
+    // within SignMargin of zero probes the flipped bucket too), pair
+    // only within a bucket, then verify candidates with exact cosine.
+    // Reading the sign of a STORED float involves zero arithmetic, so
+    // both engines derive identical buckets — the oracle replays the
+    // whole pruned pipeline bit-for-bit (a kmeans coarse quantizer, as
+    // in q99, could not be replayed in SQL). At 100 TB: bucket
+    // assignment is a pure projection over the scan, candidate pairs
+    // form only inside a bucket (sub-quadratic, same argument as LSH
+    // banding), and the exact-cosine verify touches candidates only.
+    "q192_semdedup_signbuckets" -> ((s, d) => {
+      import graft.functions.GraftFunctions.cosine_similarity
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val b0 = (0 until SignBits).map(j =>
+        when(col("embedding").getItem(j) >= lit(0f), lit(1 << j))
+          .otherwise(lit(0))).reduce(_ + _)
+      // Probe set per vector: primary bucket + one flip per
+      // near-zero coordinate (null entries filtered out).
+      val flips = (0 until SignBits).map(j =>
+        when(abs(col("embedding").getItem(j)) < lit(SignMargin),
+          col("b0").bitwiseXOR(lit(1 << j))))
+      val probes = emb.withColumn("b0", b0)
+        .select(col("vec_id"), explode(array_distinct(filter(
+          array(col("b0") +: flips: _*), x => x.isNotNull))).as("bucket"))
+      // Candidates: distinct within-bucket pairs; staged — both the
+      // per-vec candidate count and the cosine verify read it.
+      val cand = stage(probes.select(col("bucket"), col("vec_id").as("a_id"))
+        .join(probes.select(col("bucket"), col("vec_id").as("b_id")),
+          Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct(), "sign_cand")
+      val candN = cand.select(col("a_id").as("vec_id"))
+        .unionAll(cand.select(col("b_id").as("vec_id")))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_cand"))
+      val verified = cand
+        .join(emb.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_e")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_e")), "b_id")
+        .filter(cosine_similarity(col("a_e"), col("b_e")) > 0.3)
+        .select(col("a_id"), col("b_id"))
+      emb.select(col("vec_id"))
+        .join(candN, Seq("vec_id"), "left")
+        .join(verified.select(col("a_id").as("vec_id"),
+            col("b_id").as("nb"))
+          .unionAll(verified.select(col("b_id").as("vec_id"),
+            col("a_id").as("nb")))
+          .groupBy(col("vec_id")).agg(min(col("nb")).as("min_nb")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          least(coalesce(col("min_nb"), col("vec_id")), col("vec_id"))
+            .as("dup_of"))
     })
   )
 
@@ -453,6 +512,50 @@ object Dedup {
                 true AS no_copy_canonical""",
     "q172_decontamination" ->
       """SELECT 30::BIGINT AS n_found, true AS all_exact""",
+    // Full differential oracle: bucket ids come from STORED float signs
+    // (no arithmetic → bit-identical across engines), so DuckDB replays
+    // the multi-probe bucketing, candidate pairing, and cosine verify.
+    "q192_semdedup_signbuckets" ->
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         bkt AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform([0,1,2,3,4,5,6,7], j ->
+                    CASE WHEN embedding[j+1] >= 0 THEN 1<<j ELSE 0 END))
+                    ::INT AS b0
+           FROM emb),
+         probes AS MATERIALIZED (
+           SELECT DISTINCT vec_id, bucket FROM (
+             SELECT vec_id, b0 AS bucket FROM bkt
+             UNION ALL
+             SELECT vec_id, xor(b0::BIGINT, (1::BIGINT << j))::INT
+               AS bucket
+             FROM bkt, range(0, 8) t(j)
+             WHERE abs(embedding[j+1]) < 0.02)),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT p1.vec_id AS a_id, p2.vec_id AS b_id
+           FROM probes p1 JOIN probes p2
+             ON p1.bucket = p2.bucket AND p1.vec_id < p2.vec_id),
+         candn AS (
+           SELECT vec_id, count(*)::BIGINT AS n_cand FROM (
+             SELECT a_id AS vec_id FROM cand
+             UNION ALL SELECT b_id FROM cand) GROUP BY vec_id),
+         ver AS (
+           SELECT c.a_id, c.b_id
+           FROM cand c
+           JOIN emb a ON a.vec_id = c.a_id
+           JOIN emb b ON b.vec_id = c.b_id
+           WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]) > 0.3),
+         neigh AS (
+           SELECT vec_id, min(nb) AS min_nb FROM (
+             SELECT a_id AS vec_id, b_id AS nb FROM ver
+             UNION ALL SELECT b_id, a_id FROM ver) GROUP BY vec_id)
+         SELECT e.vec_id,
+                coalesce(cn.n_cand, 0)::BIGINT AS n_cand,
+                least(coalesce(n.min_nb, e.vec_id), e.vec_id) AS dup_of
+         FROM emb e
+         LEFT JOIN candn cn ON cn.vec_id = e.vec_id
+         LEFT JOIN neigh n ON n.vec_id = e.vec_id""",
     // Full differential oracles for the signature queries: every hash in
     // the chain is the portable 60-bit md5 prefix, so DuckDB replays the
     // exact signatures, bands, candidate pairs, and verdicts.

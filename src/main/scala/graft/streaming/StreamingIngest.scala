@@ -209,11 +209,58 @@ object StreamingIngest {
         col("n_events"), col("total_value")))
   }
 
+  /** Stream-stream interval join (§2.11): two watermarked cursors over
+    * the event stream — each view joined to the clicks that follow it
+    * within 30 minutes for the same user (the funnel/attribution shape).
+    * The watermark + time-range condition bound BOTH sides' join state:
+    * Spark evicts a buffered row once the other side's watermark passes
+    * its last possible match, so state stays proportional to the window,
+    * not the stream — an unconstrained stream-stream join would grow
+    * state forever. Inner joins emit matches immediately, so append mode
+    * captures every pair; DuckDB replays the identical interval join as
+    * a batch query.
+    */
+  def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = graft.Stage.scratchDir("graft_stream_ssj")
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val views = eventStream(spark, FileSource(dir))
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = eventStream(spark, FileSource(dir))
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    withStatePartitions(spark) {
+      val q = views.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("click_id"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, "graft_ckpt_ssj").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
     "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d)),
     "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d)),
-    "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d))
+    "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d)),
+    "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -228,6 +275,16 @@ object StreamingIngest {
          FROM events GROUP BY 1, 2""",
     "q153_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q193_stream_stream_join" ->
+      """WITH v AS (
+           SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vts
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id, event_id AS click_id, ts::TIMESTAMP AS cts
+           FROM events WHERE event_type = 'click')
+         SELECT v.user_id, view_id, click_id
+         FROM v JOIN c ON c.user_id = v.user_id
+           AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE""",
     "q173_stream_static_join" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
                 'cat_' || substr(event_type, 1, 1) AS category,
