@@ -92,6 +92,25 @@ object DdlDml {
                           AS revenue,
                         count(*) AS n
                  FROM lineitem GROUP BY l_returnflag""")
+    }),
+
+    // Directory-partitioned table layout + partition-pruned readback
+    // (`Catalog/TableDescriptor.h:53-67` options surface; the reference
+    // skips fragments via min/max chunk metadata — a partition_key
+    // layout makes the skip structural: pruned directories are never
+    // listed, which is what survives a 100 TB corpus where per-file
+    // footer checks alone would still cost a full listing). The gated
+    // query pins result equality through the partitioned round-trip;
+    // PlanSpec pins PartitionFilters on the scan.
+    "q195_partition_pruning" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP TABLE IF EXISTS pdocs")
+      eng.sql("""CREATE TABLE pdocs WITH (partition_key='lang') AS
+                 SELECT doc_id, lang, length(text) AS text_len
+                 FROM documents""")
+      eng.sql("""SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+                        sum(text_len) AS len_sum
+                 FROM pdocs WHERE lang IN ('en', 'de') GROUP BY lang""")
     })
   )
 
@@ -128,6 +147,11 @@ object DdlDml {
                 round(sum((l_extendedprice * (1.0 - l_discount))
                           * (1.0 + l_tax)), 2) AS revenue,
                 count(*) AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q195_partition_pruning" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+                sum(doc_id)::BIGINT AS id_sum,
+                sum(length(text))::BIGINT AS len_sum
+         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang"""
   )
 }

@@ -437,6 +437,28 @@ object TextAnalysis {
         .agg(first(col("n_in")).as("n_in"),
           count(lit(1)).cast("long").as("n_sampled"),
           sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // BPE pair statistics — the inner loop of tokenizer training
+    // (Sennrich et al. 2016: count adjacent symbol pairs weighted by
+    // word frequency; the argmax pair becomes the next merge rule).
+    // Scale shape: one shuffle from the corpus down to the word
+    // VOCABULARY (sublinear in corpus size), then the pair explode runs
+    // over the vocabulary only, then one more shuffle on pair — both
+    // aggregations get map-side partials. Output: top-20 symbol pairs.
+    "q194_bpe_pair_counts" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(regexp_replace(trim(lower(col("text"))),
+          "[^a-z0-9 ]", ""), " +")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
     })
   )
 
@@ -763,6 +785,21 @@ object TextAnalysis {
                  < r.rate * 4294967296.0)
          SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
                 sum(doc_id)::BIGINT AS id_sum
-         FROM s GROUP BY lang, n_in"""
+         FROM s GROUP BY lang, n_in""",
+    "q194_bpe_pair_counts" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(regexp_replace(
+             lower(text), '[^a-z0-9 ]', '', 'g')), ' +')) AS w
+           FROM documents),
+         words AS (
+           SELECT w, count(*)::BIGINT AS freq FROM toks
+           WHERE length(w) >= 2 GROUP BY w),
+         pairs AS (
+           SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+             i -> substr(w, i, 2))) AS pair, freq
+           FROM words),
+         agg AS (
+           SELECT pair, sum(freq)::BIGINT AS n FROM pairs GROUP BY pair)
+         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20"""
   )
 }

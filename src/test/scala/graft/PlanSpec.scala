@@ -101,6 +101,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.contains("PushedFilters: ["), scans.take(2000))
   }
 
+  test("partition_key layout prunes partitions at the scan") {
+    SparkEntry.queries("q195_partition_pruning")(spark, sf) // builds pdocs
+    val df = spark.table("pdocs")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    // The lang filter must land in PartitionFilters (directory pruning),
+    // not PushedFilters (per-file evaluation).
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      plan.take(2000))
+  }
+
   test("bucketed co-located join plans with zero exchange and zero sort") {
     // Both sides bucketed+sorted on the join key (q191): with broadcast
     // off, the sort-merge join must read bucket-aligned files directly —
