@@ -459,6 +459,34 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)
+    }),
+
+    // Document chunking — fixed-size token windows with overlap (the
+    // context-window prep step for RAG indexing / training example
+    // construction): 64-token chunks on a 48-token stride (16-token
+    // overlap). Pure per-row explode — embarrassingly parallel, no
+    // shuffle at all until a downstream op asks for one. Chunk text is
+    // emitted as its md5 (the downstream identity a chunk store keys
+    // on) plus token counts, keeping the gated row compact.
+    "q196_doc_chunking" -> ((s, d) => {
+      val chunk = 64
+      val stride = 48
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
+            " +").as("toks"))
+        .filter(size(col("toks")) >= 1)
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+            .as("tok_start"))
+        .select(col("doc_id"),
+          (col("tok_start") / stride).cast("long").as("chunk_idx"),
+          col("tok_start").cast("long").as("tok_start"),
+          slice(col("toks"), col("tok_start") + 1, lit(chunk)).as("ck"))
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+          size(col("ck")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
     })
   )
 
@@ -800,6 +828,27 @@ object TextAnalysis {
            FROM words),
          agg AS (
            SELECT pair, sum(freq)::BIGINT AS n FROM pairs GROUP BY pair)
-         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20"""
+         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""",
+    "q196_doc_chunking" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split_regex(trim(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g')), ' +') AS toks
+           FROM documents),
+         starts AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0, len(toks) - 1, 48))
+                    AS tok_start
+           FROM d WHERE len(toks) >= 1),
+         chunks AS (
+           SELECT doc_id,
+                  (tok_start // 48)::BIGINT AS chunk_idx,
+                  tok_start::BIGINT AS tok_start,
+                  toks[tok_start + 1 : tok_start + 64] AS ck
+           FROM starts)
+         SELECT doc_id, chunk_idx, tok_start,
+                len(ck)::BIGINT AS n_tok,
+                md5(array_to_string(ck, ' ')) AS chunk_hash
+         FROM chunks"""
   )
 }
