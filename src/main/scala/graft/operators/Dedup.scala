@@ -433,6 +433,11 @@ object Dedup {
     // assignment is a pure projection over the scan, candidate pairs
     // form only inside a bucket (sub-quadratic, same argument as LSH
     // banding), and the exact-cosine verify touches candidates only.
+    // Scale knobs: SignBits grows with the corpus (buckets = 2^bits;
+    // pick bits ~ log2(n / target_bucket_size)), and a skewed corpus
+    // takes the same HOT_BUCKET_CAP star-pairing as lshCandidates
+    // above — the fixture measures flat (max bucket 16 vs mean 8.9 at
+    // sf0.1), so the cap stays out of the gated query.
     "q192_semdedup_signbuckets" -> ((s, d) => {
       import graft.functions.GraftFunctions.cosine_similarity
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))

@@ -487,6 +487,34 @@ object TextAnalysis {
         .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
           size(col("ck")).cast("long").as("n_tok"),
           md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
+    }),
+
+    // Temperature-weighted domain mixture (the standard multilingual /
+    // multi-domain LLM mixing rule: sample domain i proportional to
+    // p_i^alpha, alpha = 1/T — XLM-R/mT5-style exponent sampling; q183
+    // is the T→inf full-equalization special case). alpha = 0.5 keeps
+    // the math on sqrt, which IEEE-754 rounds correctly in BOTH engines
+    // (a general pow() would not be bit-portable), so acceptance rate
+    // sqrt(n_min/n_i) — normalized to 1 at the rarest domain — is
+    // engine-identical and the portable-hash accept test replays
+    // exactly. Same scale shape as q183: broadcast domain dim, one
+    // corpus scan, no corpus shuffle before the rollup.
+    "q197_temperature_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val langN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      val rates = langN
+        .crossJoin(broadcast(langN.agg(min(col("n_in")).as("min_n"))))
+        .withColumn("rate",
+          sqrt(col("min_n").cast("double") / col("n_in")))
+        .drop("min_n")
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(h.cast("double") < col("rate") * lit(4294967296.0))
+        .groupBy(col("lang"))
+        .agg(first(col("n_in")).as("n_in"),
+          count(lit(1)).cast("long").as("n_sampled"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
     })
   )
 
@@ -849,6 +877,22 @@ object TextAnalysis {
          SELECT doc_id, chunk_idx, tok_start,
                 len(ck)::BIGINT AS n_tok,
                 md5(array_to_string(ck, ' ')) AS chunk_hash
-         FROM chunks"""
+         FROM chunks""",
+    "q197_temperature_mixture" ->
+      """WITH c AS (
+           SELECT lang, count(*)::BIGINT AS n_in
+           FROM documents GROUP BY lang),
+         r AS (
+           SELECT lang, n_in,
+                  sqrt(min(n_in) OVER ()::DOUBLE / n_in) AS rate FROM c),
+         s AS (
+           SELECT d.lang, d.doc_id, r.n_in
+           FROM documents d JOIN r ON d.lang = r.lang
+           WHERE (((d.doc_id & 2147483647) * 2654435761)
+                  % 4294967296)::DOUBLE
+                 < r.rate * 4294967296.0)
+         SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM s GROUP BY lang, n_in"""
   )
 }
