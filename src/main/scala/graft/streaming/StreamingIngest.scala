@@ -255,12 +255,73 @@ object StreamingIngest {
     spark.read.parquet(outDir)
   }
 
+  /** Typed event row / emitted alert row for the custom-state query. */
+  final case class Ev(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class ErrorRunAlert(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** Custom per-key streaming state via `flatMapGroupsWithState` — the
+    * state-machine API that session_window/dropDuplicates can't express:
+    * per user, count CONSECUTIVE 'error' events (any other type resets
+    * the run) and emit an alert exactly when a run reaches 3. State is
+    * one Int per user (bounded by key cardinality); events inside a
+    * micro-batch arrive unordered, so the handler sorts its batch slice
+    * by (event time, event_id) before advancing the machine — the same
+    * deterministic order the batch oracle replays with gaps-and-islands
+    * SQL. The fixture drives one micro-batch; the run counter carried in
+    * GroupState is what makes the machine correct across batch
+    * boundaries in a live stream.
+    */
+  def streamedErrorRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val outDir = graft.Stage.scratchDir("graft_stream_runs")
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val src = eventStream(spark, FileSource(dir))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[Ev]
+    val alerts = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, ErrorRunAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Int]) =>
+          var run = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ErrorRunAlert]
+          it.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano,
+              e.event_id)).foreach { e =>
+            if (e.event_type == "error") {
+              run += 1
+              if (run == 3) out += ErrorRunAlert(uid, e.event_id, e.ts)
+            } else run = 0
+          }
+          state.update(run)
+          out.iterator
+      }
+    withStatePartitions(spark) {
+      val q = alerts.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, "graft_ckpt_runs").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
     "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d)),
     "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d)),
     "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d)),
-    "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d))
+    "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d)),
+    "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -285,6 +346,22 @@ object StreamingIngest {
          SELECT v.user_id, view_id, click_id
          FROM v JOIN c ON c.user_id = v.user_id
            AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE""",
+    // Gaps-and-islands batch replay of the consecutive-error state
+    // machine: islands of 'error' rows share the count of non-error
+    // rows at-or-before them; the 3rd error of an island is the alert.
+    "q198_stream_custom_state" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts::TIMESTAMP AS mts, event_type,
+                  count(*) FILTER (event_type <> 'error')
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts::TIMESTAMP, event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, event_id, mts,
+                  row_number() OVER (PARTITION BY user_id, grp
+                                     ORDER BY mts, event_id) AS k
+           FROM e WHERE event_type = 'error')
+         SELECT user_id, event_id, mts AS ts FROM runs WHERE k = 3""",
     "q173_stream_static_join" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
                 'cat_' || substr(event_type, 1, 1) AS category,
