@@ -515,6 +515,55 @@ object TextAnalysis {
         .agg(first(col("n_in")).as("n_in"),
           count(lit(1)).cast("long").as("n_sampled"),
           sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // CAPSTONE: the whole curation pipeline as ONE DataFrame program —
+    // language ID (q45) → quality + fingerprint (q142) → exact-dedup
+    // canonical → keep decision → deterministic split (q168) →
+    // per-(split, language) corpus stats. Composition is the point:
+    // every stage is a codegen'd projection over the SAME single corpus
+    // scan except the two intrinsic shuffles (the fingerprint canonical
+    // aggregate and the final rollup) — at 100 TB the plan is
+    // scan → project → shuffle → filter → shuffle, end to end.
+    "q200_curation_pipeline" -> ((s, d) => {
+      val scored = langMarkers.foldLeft(
+        t(s, d, "documents").select(col("doc_id"), col("text"))) {
+        case (df, (lang, re)) =>
+          df.withColumn(s"score_$lang", regexp_count(lowerText, lit(re)))
+      }.withColumn("score_zh",
+        regexp_count(col("text"), lit("[一-鿿]")))
+      val langs = Seq("en", "es", "fr", "de", "zh")
+      val best = langs.map(l => col(s"score_$l")).reduce(
+        (a, b) => greatest(a, b))
+      val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+        when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+      }
+      val nWords = size(split(trim(col("text")), " +"))
+      val stop = regexp_count(lowerText,
+        lit("\\b(the|and|of|is|to|in|it|that|a|for)\\b"))
+      val quality = least(lit(1.0),
+        (stop.cast("double") / nWords.cast("double")) * 4.0 +
+          when(nWords.between(50, 100000), 0.5).otherwise(0.0))
+      val normalized = regexp_replace(
+        regexp_replace(lowerText, "[^a-z0-9 ]", ""), " +", " ")
+      val base = scored.select(col("doc_id"), pred.as("lang_pred"),
+        md5(normalized).as("fp"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        quality.as("quality"))
+      val canonical = base.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
+      base.join(canonical, "fp")
+        .filter(col("doc_id") === col("canon_id") &&
+          col("quality") >= 0.5 && col("ws_tokens").between(5, 10000))
+        .withColumn("split",
+          when(h % 100 < 80, "train").when(h % 100 < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang_pred"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("tok_sum"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
     })
   )
 
@@ -842,6 +891,66 @@ object TextAnalysis {
          SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
                 sum(doc_id)::BIGINT AS id_sum
          FROM s GROUP BY lang, n_in""",
+    "q200_curation_pipeline" -> {
+      val ms = langMarkers.toMap
+      s"""WITH scored AS (
+           SELECT doc_id, text,
+                  len(regexp_extract_all(lower(text),
+                    '${ms("en")}'))::INT AS s_en,
+                  len(regexp_extract_all(lower(text),
+                    '${ms("es")}'))::INT AS s_es,
+                  len(regexp_extract_all(lower(text),
+                    '${ms("fr")}'))::INT AS s_fr,
+                  len(regexp_extract_all(lower(text),
+                    '${ms("de")}'))::INT AS s_de,
+                  len(regexp_extract_all(text,
+                    '[\\x{4e00}-\\x{9fff}]'))::INT AS s_zh
+           FROM documents),
+         lang AS (
+           SELECT doc_id, text,
+                  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0
+                         THEN 'und'
+                       WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh)
+                         THEN 'en'
+                       WHEN s_es = greatest(s_es, s_fr, s_de, s_zh)
+                         THEN 'es'
+                       WHEN s_fr = greatest(s_fr, s_de, s_zh) THEN 'fr'
+                       WHEN s_de = greatest(s_de, s_zh) THEN 'de'
+                       ELSE 'zh' END AS lang_pred
+           FROM scored),
+         s AS (
+           SELECT doc_id, lang_pred,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp,
+                  len(string_split_regex(trim(text), '\\s+'))::INT
+                    AS ws_tokens,
+                  len(string_split_regex(trim(text), ' +'))::INT
+                    AS n_words,
+                  len(regexp_extract_all(lower(text),
+                    '\\b(the|and|of|is|to|in|it|that|a|for)\\b'))::INT
+                    AS stop
+           FROM lang),
+         q AS (
+           SELECT doc_id, lang_pred, fp, ws_tokens,
+                  least(1.0::DOUBLE, (stop::DOUBLE / n_words) * 4.0 +
+                    CASE WHEN n_words BETWEEN 50 AND 100000
+                         THEN 0.5 ELSE 0.0 END) AS quality
+           FROM s),
+         c AS (SELECT fp, min(doc_id) AS canon_id FROM q GROUP BY fp),
+         kept AS (
+           SELECT q.doc_id, q.lang_pred, q.ws_tokens,
+                  ((q.doc_id & 2147483647) * 2654435761)
+                    % 4294967296 % 100 AS b
+           FROM q JOIN c ON c.fp = q.fp
+           WHERE q.doc_id = c.canon_id AND q.quality >= 0.5
+             AND q.ws_tokens BETWEEN 5 AND 10000)
+         SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang_pred, count(*)::BIGINT AS n_docs,
+                sum(ws_tokens)::BIGINT AS tok_sum,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM kept GROUP BY 1, 2"""
+    },
     "q194_bpe_pair_counts" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(trim(regexp_replace(
