@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -111,12 +111,188 @@ object AnnIvf {
             .as("sublinear_scan"),
           (col("hits") >= lit(0.2) * col("n_q") * lit(TOPK) &&
             col("hits") <= col("n_q") * lit(TOPK)).as("recall_ok"))
+    }),
+
+    // Scalar quantization of the embedding column — the storage-side
+    // companion to IVF: int8 (levels=127) cuts a float32 corpus 4x and
+    // int4 (levels=7, sign + 3 bits) 8x, which at 100 TB is the
+    // difference between an ANN index that fits executor memory and one
+    // that doesn't. Quantization is a PURE PROJECTION (per-vector
+    // max-abs scale, round-half-up clamp) — zero shuffle; the only
+    // shuffle in the whole query is the final per-label aggregate.
+    // Round-half-up is spelled floor(v*s + 0.5) because floor is the
+    // one rounding primitive Spark and DuckDB define identically.
+    "q201_embedding_quantization" -> ((s, d) => {
+      val errs = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("x"))
+        .withColumn("dq8", dequantized(col("x"), 127.0))
+        .withColumn("dq4", dequantized(col("x"), 7.0))
+        .withColumn("norm2",
+          aggregate(transform(col("x"), a => a * a), lit(0.0), _ + _))
+        .withColumn("rel_err_q8", sqrt(
+          aggregate(zip_with(col("x"), col("dq8"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _) / col("norm2")))
+        .withColumn("rel_err_q4", sqrt(
+          aggregate(zip_with(col("x"), col("dq4"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _) / col("norm2")))
+      errs.groupBy(col("label"))
+        .agg(count(lit(1)).cast("int").as("n_vecs"),
+          round(avg(col("rel_err_q8")), 6).as("avg_rel_err_q8"),
+          round(max(col("rel_err_q8")), 6).as("max_rel_err_q8"),
+          round(avg(col("rel_err_q4")), 6).as("avg_rel_err_q4"))
+        .orderBy(col("label"))
+    }),
+
+    // Does search still work in compressed space? Recall@10 of int4
+    // brute-force vs exact brute-force, per probe vector. Probes are a
+    // broadcast dim (|corpus|/125 rows) against one corpus scan; both
+    // rankings come off the SAME staged sims table (one scan, two
+    // window ranks). The cosine is computed dot/sqrt(n2a*n2b) in the
+    // exact arithmetic shape the DuckDB oracle uses, so ranks agree
+    // bit-for-bit (adjacent top-rank sim gaps measured >= 1e-4 vs
+    // ~1e-15 engine float noise).
+    "q202_quantized_recall" -> ((s, d) => {
+      val deq = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("x"))
+        .withColumn("dq", dequantized(col("x"), 7.0))
+      def dotp(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+      val probes = broadcast(deq
+        .filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("p_id"), col("x").as("px"),
+          col("dq").as("pdq")))
+      val sims = stage(deq.crossJoin(probes)
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id"),
+          (dotp(col("px"), col("x")) /
+            sqrt(dotp(col("px"), col("px")) * dotp(col("x"), col("x"))))
+            .as("sim_x"),
+          (dotp(col("pdq"), col("dq")) /
+            sqrt(dotp(col("pdq"), col("pdq")) * dotp(col("dq"), col("dq"))))
+            .as("sim_q")), "q202_sims")
+      val wx = Window.partitionBy(col("p_id"))
+        .orderBy(col("sim_x").desc, col("vec_id"))
+      val wq = Window.partitionBy(col("p_id"))
+        .orderBy(col("sim_q").desc, col("vec_id"))
+      val rx = sims.withColumn("r", row_number().over(wx))
+        .filter(col("r") <= TOPK).select(col("p_id"), col("vec_id"))
+      val rq = sims.withColumn("r", row_number().over(wq))
+        .filter(col("r") <= TOPK)
+        .select(col("p_id"), col("vec_id"), lit(1).as("hit"))
+      rx.join(rq, Seq("p_id", "vec_id"), "left")
+        .groupBy(col("p_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / lit(10.0))
+          .as("recall_at_10"))
+        .select(col("p_id").as("probe_id"), col("recall_at_10"))
+        .orderBy(col("probe_id"))
     })
   )
+
+  /** Dequantize(quantize(x)) with a per-vector max-abs scale mapping
+    * onto the symmetric integer grid [-levels, levels]. Returning the
+    * dequantized doubles (rather than the int codes) keeps the
+    * reconstruction-error and quantized-search arithmetic replayable
+    * verbatim in the oracle.
+    */
+  private[graft] def dequantized(x: Column, levels: Double): Column = {
+    val mx = array_max(transform(x, a => abs(a)))
+    val scale = when(mx > lit(0.0), lit(levels) / mx).otherwise(lit(0.0))
+    transform(x, a =>
+      when(scale > lit(0.0),
+        greatest(lit(-levels), least(lit(levels),
+          floor(a * scale + lit(0.5)).cast("double"))) / scale)
+        .otherwise(lit(0.0)))
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "q99_ann_ivf" ->
       """SELECT 5::BIGINT AS n_queries, 16::INT AS k, 8::INT AS nprobe,
-                true AS sublinear_scan, true AS recall_ok"""
+                true AS sublinear_scan, true AS recall_ok""",
+    "q201_embedding_quantization" ->
+      """WITH x AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (
+           SELECT vec_id, label, x,
+                  CASE WHEN list_max(list_transform(x, a -> abs(a))) > 0
+                       THEN 127.0 / list_max(list_transform(x, a -> abs(a)))
+                       ELSE 0.0 END AS s8,
+                  CASE WHEN list_max(list_transform(x, a -> abs(a))) > 0
+                       THEN 7.0 / list_max(list_transform(x, a -> abs(a)))
+                       ELSE 0.0 END AS s4
+           FROM x),
+         deq AS (
+           SELECT vec_id, label, x,
+                  list_transform(x, a -> CASE WHEN s8 > 0
+                    THEN greatest(-127.0, least(127.0, floor(a*s8 + 0.5))) / s8
+                    ELSE 0.0 END) AS dq8,
+                  list_transform(x, a -> CASE WHEN s4 > 0
+                    THEN greatest(-7.0, least(7.0, floor(a*s4 + 0.5))) / s4
+                    ELSE 0.0 END) AS dq4
+           FROM s),
+         errs AS (
+           SELECT label,
+                  sqrt(list_aggregate(list_transform(list_zip(x, dq8),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')
+                    / list_aggregate(list_transform(x, a -> a*a), 'sum'))
+                    AS rel_err_q8,
+                  sqrt(list_aggregate(list_transform(list_zip(x, dq4),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')
+                    / list_aggregate(list_transform(x, a -> a*a), 'sum'))
+                    AS rel_err_q4
+           FROM deq)
+         SELECT label, count(*)::INT AS n_vecs,
+                round(avg(rel_err_q8), 6) AS avg_rel_err_q8,
+                round(max(rel_err_q8), 6) AS max_rel_err_q8,
+                round(avg(rel_err_q4), 6) AS avg_rel_err_q4
+         FROM errs GROUP BY label""",
+    "q202_quantized_recall" ->
+      """WITH x AS (
+           SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (
+           SELECT vec_id, x,
+                  CASE WHEN list_max(list_transform(x, a -> abs(a))) > 0
+                       THEN 7.0 / list_max(list_transform(x, a -> abs(a)))
+                       ELSE 0.0 END AS s4
+           FROM x),
+         deq AS (
+           SELECT vec_id, x,
+                  list_transform(x, a -> CASE WHEN s4 > 0
+                    THEN greatest(-7.0, least(7.0, floor(a*s4 + 0.5))) / s4
+                    ELSE 0.0 END) AS dq
+           FROM s),
+         probes AS (
+           SELECT vec_id AS p_id, x AS px, dq AS pdq FROM deq
+           WHERE vec_id % 125 = 0),
+         sims AS (
+           SELECT p.p_id, c.vec_id,
+                  list_aggregate(list_transform(list_zip(p.px, c.x),
+                      z -> z[1]*z[2]), 'sum')
+                    / sqrt(list_aggregate(list_transform(p.px, a -> a*a), 'sum')
+                         * list_aggregate(list_transform(c.x, a -> a*a), 'sum'))
+                    AS sim_x,
+                  list_aggregate(list_transform(list_zip(p.pdq, c.dq),
+                      z -> z[1]*z[2]), 'sum')
+                    / sqrt(list_aggregate(list_transform(p.pdq, a -> a*a), 'sum')
+                         * list_aggregate(list_transform(c.dq, a -> a*a), 'sum'))
+                    AS sim_q
+           FROM probes p JOIN deq c ON c.vec_id <> p.p_id),
+         rx AS (
+           SELECT p_id, vec_id,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY sim_x DESC, vec_id) AS r
+           FROM sims),
+         rq AS (
+           SELECT p_id, vec_id,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY sim_q DESC, vec_id) AS r
+           FROM sims)
+         SELECT rx.p_id AS probe_id,
+                (count(rq.vec_id)::DOUBLE / 10.0) AS recall_at_10
+         FROM rx LEFT JOIN rq
+           ON rq.p_id = rx.p_id AND rq.vec_id = rx.vec_id AND rq.r <= 10
+         WHERE rx.r <= 10
+         GROUP BY rx.p_id"""
   )
 }
