@@ -126,8 +126,13 @@ object AnnIvf {
       val errs = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("x"))
-        .withColumn("dq8", dequantized(col("x"), 127.0))
-        .withColumn("dq4", dequantized(col("x"), 7.0))
+        // scales land in named columns FIRST: referencing them from the
+        // per-element lambda keeps the array_max subtree evaluated once
+        // per row, not once per element (O(d) not O(d^2) per vector)
+        .withColumn("s8", scaleFor(col("x"), 127.0))
+        .withColumn("s4", scaleFor(col("x"), 7.0))
+        .withColumn("dq8", dequantized(col("x"), col("s8"), 127.0))
+        .withColumn("dq4", dequantized(col("x"), col("s4"), 7.0))
         .withColumn("norm2",
           aggregate(transform(col("x"), a => a * a), lit(0.0), _ + _))
         .withColumn("rel_err_q8", sqrt(
@@ -153,24 +158,30 @@ object AnnIvf {
     // bit-for-bit (adjacent top-rank sim gaps measured >= 1e-4 vs
     // ~1e-15 engine float noise).
     "q202_quantized_recall" -> ((s, d) => {
+      def dotp(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+      // per-row norms are computed ONCE before the pair join — the
+      // arithmetic (sequential sum over the same array) is identical to
+      // the oracle's per-pair spelling, so sims match bit-for-bit while
+      // the join-side cost drops from 3 to 1 dot products per pair
       val deq = t(s, d, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("x"))
-        .withColumn("dq", dequantized(col("x"), 7.0))
-      def dotp(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+        .withColumn("s4", scaleFor(col("x"), 7.0))
+        .withColumn("dq", dequantized(col("x"), col("s4"), 7.0))
+        .withColumn("n2x", dotp(col("x"), col("x")))
+        .withColumn("n2q", dotp(col("dq"), col("dq")))
       val probes = broadcast(deq
         .filter(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("p_id"), col("x").as("px"),
-          col("dq").as("pdq")))
+          col("dq").as("pdq"), col("n2x").as("p_n2x"),
+          col("n2q").as("p_n2q")))
       val sims = stage(deq.crossJoin(probes)
         .filter(col("vec_id") =!= col("p_id"))
         .select(col("p_id"), col("vec_id"),
-          (dotp(col("px"), col("x")) /
-            sqrt(dotp(col("px"), col("px")) * dotp(col("x"), col("x"))))
+          (dotp(col("px"), col("x")) / sqrt(col("p_n2x") * col("n2x")))
             .as("sim_x"),
-          (dotp(col("pdq"), col("dq")) /
-            sqrt(dotp(col("pdq"), col("pdq")) * dotp(col("dq"), col("dq"))))
+          (dotp(col("pdq"), col("dq")) / sqrt(col("p_n2q") * col("n2q")))
             .as("sim_q")), "q202_sims")
       val wx = Window.partitionBy(col("p_id"))
         .orderBy(col("sim_x").desc, col("vec_id"))
@@ -190,21 +201,31 @@ object AnnIvf {
     })
   )
 
-  /** Dequantize(quantize(x)) with a per-vector max-abs scale mapping
-    * onto the symmetric integer grid [-levels, levels]. Returning the
-    * dequantized doubles (rather than the int codes) keeps the
-    * reconstruction-error and quantized-search arithmetic replayable
-    * verbatim in the oracle.
+  /** Per-vector max-abs quantization scale onto [-levels, levels];
+    * 0.0 marks the all-zero vector (dequantized maps it to zeros).
     */
-  private[graft] def dequantized(x: Column, levels: Double): Column = {
+  private[graft] def scaleFor(x: Column, levels: Double): Column = {
     val mx = array_max(transform(x, a => abs(a)))
-    val scale = when(mx > lit(0.0), lit(levels) / mx).otherwise(lit(0.0))
+    when(mx > lit(0.0), lit(levels) / mx).otherwise(lit(0.0))
+  }
+
+  /** Dequantize(quantize(x)) with a precomputed scale column (stage the
+    * scale into a named column first — an inline expression would be
+    * re-evaluated per element). Returning the dequantized doubles
+    * (rather than the int codes) keeps the reconstruction-error and
+    * quantized-search arithmetic replayable verbatim in the oracle.
+    */
+  private[graft] def dequantized(x: Column, scale: Column,
+      levels: Double): Column =
     transform(x, a =>
       when(scale > lit(0.0),
         greatest(lit(-levels), least(lit(levels),
           floor(a * scale + lit(0.5)).cast("double"))) / scale)
         .otherwise(lit(0.0)))
-  }
+
+  /** Spec convenience: scale computed inline (fixture-sized inputs). */
+  private[graft] def dequantized(x: Column, levels: Double): Column =
+    dequantized(x, scaleFor(x, levels), levels)
 
   val oracles: Seq[(String, String)] = Seq(
     "q99_ann_ivf" ->

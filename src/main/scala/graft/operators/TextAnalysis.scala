@@ -564,8 +564,63 @@ object TextAnalysis {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("ws_tokens")).cast("long").as("tok_sum"),
           sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Tokenizer vocabulary coverage: truncate the corpus vocabulary to
+    // its top-K tokens by frequency (the fixed-budget vocab a tokenizer
+    // ships with) and measure the out-of-vocabulary rate per language.
+    // Shape at 100 TB: one token-count shuffle with map-side partials,
+    // top-K via TakeOrdered (K rows to the driver — vocab-sized, not
+    // corpus-sized), vocab broadcast back over ONE corpus token pass.
+    // No window function, so no single-partition barrier anywhere.
+    "q203_vocab_coverage" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val vocab = broadcast(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(VocabK)
+          .select(col("tok"), lit(1).as("in_vocab")))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("oov_tokens"),
+          round(count(when(col("in_vocab").isNull, 1)) / count(lit(1)), 6)
+            .as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Batch-shaping economics: pad-to-power-of-2 length bucketing and
+    // the padding waste it costs per bucket — the quantity a training
+    // pipeline trades against q175's sequence packing. The bucket
+    // ladder is integer CASE comparisons (no log2 float edge cases to
+    // disagree on); lengths clamp at the 1024-token context budget.
+    // Pure projection + one aggregate shuffle.
+    "q204_padding_waste" -> ((s, d) => {
+      val n = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(size(split(trim(col("text")), "\\s+")).as("ntok0"))
+        .select(least(col("ntok0"), lit(1024)).as("ntok"),
+          when(col("ntok0") <= 16, 16).when(col("ntok0") <= 32, 32)
+            .when(col("ntok0") <= 64, 64).when(col("ntok0") <= 128, 128)
+            .when(col("ntok0") <= 256, 256).when(col("ntok0") <= 512, 512)
+            .otherwise(1024).as("bucket"))
+      n.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("real_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+        .withColumn("waste_frac",
+          round(lit(1.0) - col("real_tokens") / col("padded_tokens"), 6))
+        .orderBy(col("bucket"))
     })
   )
+
+  /** q203's vocabulary budget: the fixture corpus has 31 distinct
+    * whitespace tokens, so K=16 splits it and yields a non-trivial
+    * (~45%) OOV rate — the gate is discriminating, not vacuous.
+    */
+  private val VocabK = 16
 
   val oracles: Seq[(String, String)] = Seq(
     "q45_langid" -> {
@@ -1002,6 +1057,40 @@ object TextAnalysis {
                  < r.rate * 4294967296.0)
          SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
                 sum(doc_id)::BIGINT AS id_sum
-         FROM s GROUP BY lang, n_in"""
+         FROM s GROUP BY lang, n_in""",
+    "q203_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents WHERE length(trim(text)) > 0),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS c,
+                    row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+             FROM toks GROUP BY tok) WHERE r <= 16)
+         SELECT t.lang,
+                count(*)::BIGINT AS total_tokens,
+                count(CASE WHEN v.tok IS NULL THEN 1 END)::BIGINT
+                  AS oov_tokens,
+                round(count(CASE WHEN v.tok IS NULL THEN 1 END)::DOUBLE
+                      / count(*), 6) AS oov_rate
+         FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         GROUP BY t.lang""",
+    "q204_padding_waste" ->
+      """WITH n AS (
+           SELECT len(string_split_regex(trim(text), '\s+')) AS ntok0
+           FROM documents WHERE length(trim(text)) > 0),
+         b AS (
+           SELECT least(ntok0, 1024) AS ntok,
+                  CASE WHEN ntok0 <= 16 THEN 16 WHEN ntok0 <= 32 THEN 32
+                       WHEN ntok0 <= 64 THEN 64 WHEN ntok0 <= 128 THEN 128
+                       WHEN ntok0 <= 256 THEN 256 WHEN ntok0 <= 512 THEN 512
+                       ELSE 1024 END AS bucket
+           FROM n)
+         SELECT bucket, count(*)::BIGINT AS n_docs,
+                sum(ntok)::BIGINT AS real_tokens,
+                (count(*) * bucket)::BIGINT AS padded_tokens,
+                round(1.0 - sum(ntok)::DOUBLE / (count(*) * bucket), 6)
+                  AS waste_frac
+         FROM b GROUP BY bucket"""
   )
 }
