@@ -461,6 +461,62 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // BPE merge LOOP — q194 counts pairs once; this runs the actual
+    // training iteration (Sennrich et al. 2016): 3 rounds of
+    // (argmax pair -> merge rule -> rewrite vocabulary). Words are
+    // delimited symbol strings '<s><y><m>', so applying a merge is
+    // exactly replace(w, '<p1><p2>', '<p1p2>') — both engines' replace
+    // is greedy leftmost non-overlapping, which IS the BPE merge rule
+    // (the '<a><a><a>' -> '<aa><a>' case), so the DuckDB oracle replays
+    // every round verbatim. Scale shape: the corpus is touched ONCE
+    // (word-count shuffle, sublinear vocabulary out); every round then
+    // iterates over the VOCABULARY with frequencies — pair explode,
+    // argmax via TakeOrdered(1), broadcast of the 1-row merge rule,
+    // per-row rewrite. Each round's vocabulary is staged (write-once)
+    // so round N+1 does not replay round N's lineage.
+    "q205_bpe_merge_loop" -> ((s, d) => {
+      def symsOf(w: Column): Column =
+        regexp_extract_all(w, lit("<([^>]*)>"), lit(1))
+      val toks = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+      var words = graft.Stage(
+        toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .select(concat(lit("<"),
+            array_join(regexp_extract_all(col("word"), lit("."), lit(0)),
+              "><"), lit(">")).as("w"), col("c")),
+        "q205_words0")
+      val roundStats = (1 to 3).map { r =>
+        val pairs = words
+          .select(symsOf(col("w")).as("syms"), col("c"))
+          .select(col("c"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum(col("c")).as("cnt"))
+        val top = pairs
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+        words = graft.Stage(words.crossJoin(broadcast(top))
+          .select(replace(col("w"),
+            concat(lit("<"), col("p1"), lit("><"), col("p2"), lit(">")),
+            concat(lit("<"), col("p1"), col("p2"), lit(">"))).as("w"),
+            col("c")),
+          s"q205_words$r")
+        top.crossJoin(
+            words.select(explode(symsOf(col("w"))).as("sym"))
+              .agg(countDistinct(col("sym")).as("vocab_size_after")))
+          .crossJoin(words.agg(
+            sum(col("c") * size(symsOf(col("w"))))
+              .as("corpus_symbols_after")))
+          .select(lit(r).as("round"), col("p1"), col("p2"),
+            col("cnt").as("pair_count"), col("vocab_size_after"),
+            col("corpus_symbols_after"))
+      }
+      roundStats.reduce((a, b) => a.unionAll(b))
+    }),
+
     // Document chunking — fixed-size token windows with overlap (the
     // context-window prep step for RAG indexing / training example
     // construction): 64-token chunks on a 48-token stride (16-token
@@ -1091,6 +1147,47 @@ object TextAnalysis {
                 (count(*) * bucket)::BIGINT AS padded_tokens,
                 round(1.0 - sum(ntok)::DOUBLE / (count(*) * bucket), 6)
                   AS waste_frac
-         FROM b GROUP BY bucket"""
+         FROM b GROUP BY bucket""",
+    "q205_bpe_merge_loop" -> {
+      // One unrolled merge round: pair counts over the previous
+      // vocabulary, argmax pair, replace-rewrite, per-round stats.
+      // MATERIALIZED pins (memory recipe): DuckDB otherwise inlines the
+      // reused CTEs exponentially across rounds.
+      def round(r: Int): String = {
+        val prev = s"words${r - 1}"
+        s"""pairs$r AS (
+           SELECT syms[i] AS p1, syms[i+1] AS p2, sum(c)::BIGINT AS cnt
+           FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, c
+                 FROM $prev),
+                unnest(range(1, len(syms))) AS u(i)
+           GROUP BY 1, 2),
+         top$r AS MATERIALIZED (
+           SELECT p1, p2, cnt FROM pairs$r
+           ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         words$r AS MATERIALIZED (
+           SELECT replace(v.w, '<'||t.p1||'><'||t.p2||'>',
+                          '<'||t.p1||t.p2||'>') AS w, v.c
+           FROM $prev v CROSS JOIN top$r t),
+         stats$r AS (
+           SELECT $r::INT AS round, t.p1, t.p2, t.cnt AS pair_count,
+                  (SELECT count(DISTINCT sym) FROM words$r,
+                     unnest(regexp_extract_all(w, '<([^>]*)>', 1)) AS u(sym)
+                  )::BIGINT AS vocab_size_after,
+                  (SELECT sum(c * len(regexp_extract_all(w, '<([^>]*)>', 1)))
+                   FROM words$r)::BIGINT AS corpus_symbols_after
+           FROM top$r t)"""
+      }
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         words0 AS MATERIALIZED (
+           SELECT '<' || array_to_string(regexp_extract_all(word, '.'), '><')
+                      || '>' AS w,
+                  count(*)::BIGINT AS c
+           FROM toks WHERE length(word) >= 2 GROUP BY 1),
+         """ + Seq(1, 2, 3).map(round).mkString(",\n         ") + """
+         SELECT * FROM stats1 UNION ALL SELECT * FROM stats2
+         UNION ALL SELECT * FROM stats3"""
+    }
   )
 }
