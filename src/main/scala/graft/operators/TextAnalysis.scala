@@ -439,6 +439,39 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // UP-sampling with stochastic rounding — the third member of the
+    // mixture family: q183 down-samples majorities, q197 tempers rates,
+    // this REPLICATES minorities to majority parity (epoch repetition
+    // factors, e.g. "upsample wiki 3.3x"). A fractional factor w
+    // becomes floor(w) copies plus one more iff the doc's portable hash
+    // falls under frac(w) — deterministic per doc, expected value
+    // exactly w, replayable in the oracle. Shape: weights are a
+    // broadcast dim; the corpus is scanned once and exploded by its
+    // per-row copy count (bounded by the max/min imbalance ratio);
+    // one final rollup shuffle.
+    "q206_upsample_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val langN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      val wts = langN
+        .crossJoin(broadcast(langN.agg(max(col("n_in")).as("mx"))))
+        .select(col("lang"), col("n_in"),
+          (col("mx").cast("double") / col("n_in")).as("wt"))
+      val h = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L)
+      docs.join(broadcast(wts), Seq("lang"))
+        .withColumn("n_copies", floor(col("wt")) +
+          when(h.cast("double") <
+            (col("wt") - floor(col("wt"))) * lit(4294967296.0), 1L)
+            .otherwise(0L))
+        .select(col("doc_id"), col("lang"), col("n_in"),
+          explode(sequence(lit(1L), col("n_copies"))).as("i"))
+        .groupBy(col("lang"))
+        .agg(first(col("n_in")).as("n_in"),
+          count(lit(1)).as("n_emitted"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // BPE pair statistics — the inner loop of tokenizer training
     // (Sennrich et al. 2016: count adjacent symbol pairs weighted by
     // word frequency; the argmax pair becomes the next merge rule).
@@ -1114,6 +1147,29 @@ object TextAnalysis {
          SELECT lang, n_in, count(*)::BIGINT AS n_sampled,
                 sum(doc_id)::BIGINT AS id_sum
          FROM s GROUP BY lang, n_in""",
+    "q206_upsample_repetition" ->
+      """WITH c AS (
+           SELECT lang, count(*)::BIGINT AS n_in
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT lang, n_in,
+                  max(n_in) OVER ()::DOUBLE / n_in AS wt FROM c),
+         n AS (
+           SELECT d.doc_id, d.lang, w.n_in,
+                  floor(w.wt)::BIGINT
+                  + CASE WHEN (((d.doc_id & 2147483647) * 2654435761)
+                               % 4294967296)::DOUBLE
+                              < (w.wt - floor(w.wt)) * 4294967296.0
+                         THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN w ON d.lang = w.lang),
+         e AS (
+           SELECT doc_id, lang, n_in
+           FROM n, unnest(range(1, n_copies + 1)) AS u(i))
+         SELECT lang, any_value(n_in) AS n_in,
+                count(*)::BIGINT AS n_emitted,
+                count(DISTINCT doc_id)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM e GROUP BY lang""",
     "q203_vocab_coverage" ->
       """WITH toks AS (
            SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
