@@ -439,6 +439,44 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Incremental ingest dedup — the production mode at 100 TB is not
+    // "dedupe the corpus once" but "dedupe today's batch against it".
+    // The incoming batch is synthesized deterministically: the src19
+    // partition plays the new feed, plus re-keyed verbatim copies of
+    // every 40th corpus doc (must classify dup_of_corpus) and of every
+    // 3rd batch doc (must classify dup_within_batch — the batch's own
+    // min-id copy stays canonical). Shape: the corpus side reduces to
+    // DISTINCT fingerprints once (at scale: a bucketed fingerprint
+    // index, appended batch-over-batch); the batch joins it hash-keyed
+    // — no corpus rescan per document, no all-pairs anywhere.
+    "q207_incremental_ingest" -> ((s, d) => {
+      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
+        md5(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("fp"))
+      val corpus = fp.filter(col("source") =!= "src19")
+        .select(col("fp")).distinct()
+        .withColumn("in_corpus", lit(1))
+      val feed = fp.filter(col("source") === "src19")
+        .select(col("doc_id"), col("fp"))
+      val batch = feed
+        .unionAll(fp.filter(col("source") =!= "src19" &&
+            col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+        .unionAll(feed.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+      val canon = batch.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("first_id"))
+      batch.join(broadcast(corpus), Seq("fp"), "left")
+        .join(canon, Seq("fp"))
+        .select(col("doc_id"),
+          when(col("in_corpus").isNotNull, "dup_of_corpus")
+            .when(col("doc_id") > col("first_id"), "dup_within_batch")
+            .otherwise("new").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // UP-sampling with stochastic rounding — the third member of the
     // mixture family: q183 down-samples majorities, q197 tempers rates,
     // this REPLICATES minorities to majority parity (epoch repetition
@@ -1170,6 +1208,33 @@ object TextAnalysis {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM e GROUP BY lang""",
+    "q207_incremental_ingest" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (SELECT doc_id, fp FROM fp WHERE source = 'src19'),
+         batch AS (
+           SELECT doc_id, fp FROM feed
+           UNION ALL
+           SELECT doc_id + 1000000, fp FROM fp
+           WHERE source <> 'src19' AND doc_id % 40 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, fp FROM feed WHERE doc_id % 3 = 0),
+         canon AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp),
+         cls AS (
+           SELECT b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM batch b
+           LEFT JOIN corpus c ON c.fp = b.fp
+           JOIN canon k ON k.fp = b.fp)
+         SELECT status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM cls GROUP BY status""",
     "q203_vocab_coverage" ->
       """WITH toks AS (
            SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
