@@ -439,6 +439,28 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Deterministic epoch shuffle — training-data ORDERING: each epoch
+    // reads the corpus in a different pseudo-random but fully
+    // reproducible permutation (order key = portable md5 hash of
+    // epoch || doc id — any worker, any engine, any restart derives the
+    // same order; Dedup.hash60 recipe). At 100 TB the order key is a
+    // write-once sort column per epoch manifest; no shuffle is needed
+    // at read time beyond the manifest sort. The gate pins the top-20
+    // PREFIX of two epochs: both must be permutations of the same
+    // corpus yet start differently (the hash keys make that
+    // astronomically certain, and the differential oracle proves both
+    // engines derive identical orders).
+    "q208_epoch_shuffle" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      Seq(1, 2).map { e =>
+        docs
+          .withColumn("order_key", Dedup.hash60(
+            concat(lit(e.toString), lit("_"), col("doc_id").cast("string"))))
+          .orderBy(col("order_key"), col("doc_id")).limit(20)
+          .select(lit(e).as("epoch"), col("doc_id"), col("order_key"))
+      }.reduce((a, b) => a.unionAll(b))
+    }),
+
     // Incremental ingest dedup — the production mode at 100 TB is not
     // "dedupe the corpus once" but "dedupe today's batch against it".
     // The incoming batch is synthesized deterministically: the src19
@@ -1208,6 +1230,19 @@ object TextAnalysis {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM e GROUP BY lang""",
+    "q208_epoch_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('1_' || doc_id::VARCHAR), 1, 15))
+                    ::BIGINT AS k1,
+                  ('0x' || substr(md5('2_' || doc_id::VARCHAR), 1, 15))
+                    ::BIGINT AS k2
+           FROM documents)
+         (SELECT 1::INT AS epoch, doc_id, k1 AS order_key
+          FROM h ORDER BY k1, doc_id LIMIT 20)
+         UNION ALL
+         (SELECT 2::INT AS epoch, doc_id, k2 AS order_key
+          FROM h ORDER BY k2, doc_id LIMIT 20)""",
     "q207_incremental_ingest" ->
       """WITH fp AS (
            SELECT doc_id, source,
