@@ -481,6 +481,52 @@ object Dedup {
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
           least(coalesce(col("min_nb"), col("vec_id")), col("vec_id"))
             .as("dup_of"))
+    }),
+
+    // LSH recall AUDIT — the dedup chain as an EVALUATED system: on a
+    // bounded slice, compute (a) exact ground truth (inverted-index
+    // all-pairs jaccard >= 0.5 — only pairs sharing a shingle can
+    // qualify, so this is the shingle join, not n²), (b) the LSH
+    // chain's verified pairs. Precision is 1.0 by construction (found
+    // pairs are exact-jaccard-verified), so the audited number is
+    // RECALL — banding theory puts per-pair find probability at
+    // 1-(1-j^4)^8 (K=32, 8 bands), ~0.40 at j=0.5 and ->1 as j->1,
+    // and the hash-based chain makes the realized value deterministic
+    // and replayable. candidate_frac pins the efficiency side: the
+    // fraction of all possible pairs LSH actually surfaced.
+    "q209_lsh_recall_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      val sh = stage(shinglesOf(docs), "q209_sh")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      def jacc(pairs: DataFrame): DataFrame = pairs
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+          "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+          "b_id")
+        .filter(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val cand = stage(lshCandidates(minhashSignatures(sh)), "q209_cand")
+      val found = jacc(cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")),
+          Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c")))
+      val truth = jacc(sh.select(col("doc_id").as("a_id"), col("sh"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("c")))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), col("n_truth"), col("n_candidates"),
+          col("n_found"),
+          round(col("n_found").cast("double") /
+            nullif(col("n_truth"), lit(0)), 6).as("recall"),
+          round(col("n_candidates").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1) / lit(2)), 6)
+            .as("candidate_frac"))
     })
   )
 
@@ -602,6 +648,45 @@ object Dedup {
                 coalesce(n.n_candidates, 0)::BIGINT AS n_candidates,
                 least(coalesce(n.min_nb, d.doc_id), d.doc_id) AS rep_id
          FROM documents d LEFT JOIN neigh n USING (doc_id)"""),
+    // Slice-bounded replay of the whole LSH chain PLUS the exact
+    // inverted-index ground truth, rolled into the audit row.
+    "q209_lsh_recall_audit" -> (lshCtePrefix
+      .replace("FROM documents", "FROM documents WHERE doc_id < 1000") +
+      s""",
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         cinter AS (
+           SELECT p.a_id, p.b_id, count(*) AS c
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         found AS (
+           SELECT i.a_id, i.b_id
+           FROM cinter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.b_id
+           WHERE i.c::DOUBLE / (na.n + nb.n - i.c) >= 0.5),
+         tinter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT i.a_id, i.b_id
+           FROM tinter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.b_id
+           WHERE i.c::DOUBLE / (na.n + nb.n - i.c) >= 0.5),
+         nd AS (SELECT count(*)::BIGINT AS n_docs
+                FROM documents WHERE doc_id < 1000)
+         SELECT nd.n_docs,
+                (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                (SELECT count(*) FROM pairs)::BIGINT AS n_candidates,
+                (SELECT count(*) FROM found)::BIGINT AS n_found,
+                round((SELECT count(*) FROM found)::DOUBLE
+                      / nullif((SELECT count(*) FROM truth), 0), 6)
+                  AS recall,
+                round((SELECT count(*) FROM pairs)::DOUBLE
+                      / (nd.n_docs * (nd.n_docs - 1) / 2), 6)
+                  AS candidate_frac
+         FROM nd"""),
     "q43_dedup_simhash" -> {
       val votes = (0 until SimhashBits).map(j =>
         s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
