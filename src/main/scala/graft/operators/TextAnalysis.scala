@@ -439,6 +439,44 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Ingest drift monitor — before q207 admits a batch, compare its
+    // token-length distribution against the standing corpus: per-bucket
+    // proportions and the total-variation distance (TVD = half the L1
+    // gap; pure arithmetic, no transcendentals to disagree on). At
+    // 100 TB this is one pass over corpus+batch with a 7-bucket
+    // aggregate — the drift gate costs nothing next to the ingest
+    // itself. TVD repeats per row via the 1-row-aggregate broadcast
+    // crossJoin idiom.
+    "q210_drift_monitor" -> ((s, d) => {
+      val b = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select((col("source") === "src19").as("is_batch"),
+          size(split(trim(col("text")), "\\s+")).as("ntok"))
+        .select(col("is_batch"),
+          when(col("ntok") <= 16, 16).when(col("ntok") <= 32, 32)
+            .when(col("ntok") <= 64, 64).when(col("ntok") <= 128, 128)
+            .when(col("ntok") <= 256, 256).when(col("ntok") <= 512, 512)
+            .otherwise(1024).as("bucket"))
+      val g = b.groupBy(col("bucket"))
+        .agg(count(when(!col("is_batch"), 1)).as("n_corpus"),
+          count(when(col("is_batch"), 1)).as("n_batch"))
+      val p = g.crossJoin(broadcast(g.agg(
+          sum(col("n_corpus")).cast("double").as("tc"),
+          sum(col("n_batch")).cast("double").as("tb"))))
+        .select(col("bucket"), col("n_corpus"), col("n_batch"),
+          (col("n_corpus") / col("tc")).as("p_corpus"),
+          (col("n_batch") / col("tb")).as("p_batch"))
+      p.crossJoin(broadcast(p.agg(
+          (lit(0.5) * sum(abs(col("p_corpus") - col("p_batch"))))
+            .as("tvd_raw"))))
+        .select(col("bucket"), col("n_corpus"), col("n_batch"),
+          round(col("p_corpus"), 6).as("p_corpus"),
+          round(col("p_batch"), 6).as("p_batch"),
+          round(abs(col("p_corpus") - col("p_batch")), 6).as("abs_diff"),
+          round(col("tvd_raw"), 6).as("tvd"))
+        .orderBy(col("bucket"))
+    }),
+
     // Deterministic epoch shuffle — training-data ORDERING: each epoch
     // reads the corpus in a different pseudo-random but fully
     // reproducible permutation (order key = portable md5 hash of
@@ -1230,6 +1268,37 @@ object TextAnalysis {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM e GROUP BY lang""",
+    "q210_drift_monitor" ->
+      """WITH n AS (
+           SELECT source = 'src19' AS is_batch,
+                  len(string_split_regex(trim(text), '\s+')) AS ntok
+           FROM documents WHERE length(trim(text)) > 0),
+         b AS (
+           SELECT is_batch,
+                  CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+                       WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+                       WHEN ntok <= 256 THEN 256 WHEN ntok <= 512 THEN 512
+                       ELSE 1024 END AS bucket
+           FROM n),
+         g AS (
+           SELECT bucket,
+                  count(CASE WHEN NOT is_batch THEN 1 END)::BIGINT
+                    AS n_corpus,
+                  count(CASE WHEN is_batch THEN 1 END)::BIGINT AS n_batch
+           FROM b GROUP BY bucket),
+         tot AS (SELECT sum(n_corpus)::DOUBLE AS tc,
+                        sum(n_batch)::DOUBLE AS tb FROM g),
+         p AS (
+           SELECT bucket, n_corpus, n_batch,
+                  n_corpus / tc AS p_corpus, n_batch / tb AS p_batch
+           FROM g, tot),
+         tvd AS (SELECT 0.5 * sum(abs(p_corpus - p_batch)) AS tvd FROM p)
+         SELECT bucket, n_corpus, n_batch,
+                round(p_corpus, 6) AS p_corpus,
+                round(p_batch, 6) AS p_batch,
+                round(abs(p_corpus - p_batch), 6) AS abs_diff,
+                round(tvd.tvd, 6) AS tvd
+         FROM p, tvd""",
     "q208_epoch_shuffle" ->
       """WITH h AS (
            SELECT doc_id,
