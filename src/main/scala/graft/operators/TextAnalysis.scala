@@ -439,6 +439,34 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Deterministic negative sampling — contrastive-pair construction
+    // for embedding training: each anchor doc draws K=4 pseudo-random
+    // negatives keyed by the portable hash of (slot, anchor) mod corpus
+    // size, so every worker/engine/restart draws the SAME negatives
+    // (and the oracle replays the draw). Self-draws are dropped rather
+    // than redrawn — deterministic and replayable, at an expected cost
+    // of K/N negatives. Shape: anchors explode x K (a projection), one
+    // hash-keyed join against the corpus to materialize the negatives,
+    // one rollup shuffle. No randomness API anywhere.
+    "q211_negative_sampling" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val negs = docs.filter(col("doc_id") < 200)
+        .crossJoin(broadcast(docs.agg(
+          (max(col("doc_id")) + 1).as("n_corpus"))))
+        .select(col("doc_id"), col("n_corpus"),
+          explode(array((1 to 4).map(j => lit(j)): _*)).as("j"))
+        .withColumn("neg_id", Dedup.hash60(
+          concat(col("j").cast("string"), lit("_"),
+            col("doc_id").cast("string"))) % col("n_corpus"))
+        .filter(col("neg_id") =!= col("doc_id"))
+      negs.join(docs.select(col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), "neg_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_negs"),
+          sum(col("neg_id")).as("neg_id_sum"),
+          countDistinct(col("neg_lang")).as("n_neg_langs"))
+    }),
+
     // Ingest drift monitor — before q207 admits a batch, compare its
     // token-length distribution against the standing corpus: per-bucket
     // proportions and the total-variation distance (TVD = half the L1
@@ -1268,6 +1296,23 @@ object TextAnalysis {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM e GROUP BY lang""",
+    "q211_negative_sampling" ->
+      """WITH nc AS (SELECT max(doc_id) + 1 AS n_corpus FROM documents),
+         draws AS (
+           SELECT d.doc_id, nc.n_corpus, j,
+                  ('0x' || substr(md5(j::VARCHAR || '_' ||
+                    d.doc_id::VARCHAR), 1, 15))::BIGINT % nc.n_corpus
+                    AS neg_id
+           FROM documents d, nc, unnest(range(1, 5)) AS u(j)
+           WHERE d.doc_id < 200),
+         kept AS (
+           SELECT dr.doc_id, dr.neg_id, c.lang AS neg_lang
+           FROM draws dr JOIN documents c ON c.doc_id = dr.neg_id
+           WHERE dr.neg_id <> dr.doc_id)
+         SELECT doc_id, count(*)::BIGINT AS n_negs,
+                sum(neg_id)::BIGINT AS neg_id_sum,
+                count(DISTINCT neg_lang)::BIGINT AS n_neg_langs
+         FROM kept GROUP BY doc_id""",
     "q210_drift_monitor" ->
       """WITH n AS (
            SELECT source = 'src19' AS is_batch,
