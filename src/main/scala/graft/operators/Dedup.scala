@@ -718,7 +718,7 @@ object Dedup {
     * hot-bucket star cap — step-for-step the Spark pipeline above, with
     * the SAME PermA/PermB/PermC constants interpolated.
     */
-  private def lshCtePrefix: String = {
+  private[operators] def lshCtePrefix: String = {
     val sigAggs = (0 until K).map(i =>
       s"min((${PermA(i)}*lo + ${PermB(i)}*hi + ${PermC(i)}) % $M61) AS h$i")
       .mkString(",\n                  ")

@@ -439,6 +439,40 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Split-leakage audit — the eval-hygiene number nobody computes
+    // until it bites: how many NEAR-DUP pairs (the q41 LSH-verified
+    // jaccard >= 0.5 edge set) straddle the q168 train/val/test
+    // boundary? A random hash split leaks ~2*0.8*0.1 + ... = 34% of
+    // dup pairs across splits by construction — the audit makes that
+    // visible (and the fix is q165's groups: split by dedup GROUP, not
+    // by doc). train_test_pairs isolates the worst kind. Deterministic:
+    // both the edge set and the split are portable-hash-derived.
+    "q212_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      def splitOf(id: Column): Column = {
+        val h = (id.bitwiseAND(lit(2147483647L)) *
+          lit(2654435761L)) % lit(4294967296L)
+        val bucket = h % 100
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test")
+      }
+      val pairs = Dedup.jaccardPairsOf(docs)
+        .select(col("a_id"), col("b_id"),
+          splitOf(col("a_id")).as("a_split"),
+          splitOf(col("b_id")).as("b_split"))
+      pairs.agg(count(lit(1)).as("n_dup_pairs"),
+          count(when(col("a_split") =!= col("b_split"), 1))
+            .as("n_cross_split"),
+          count(when((col("a_split") === "train" &&
+              col("b_split") === "test") ||
+            (col("a_split") === "test" && col("b_split") === "train"), 1))
+            .as("train_test_pairs"))
+        .select(col("n_dup_pairs"), col("n_cross_split"),
+          col("train_test_pairs"),
+          round(col("n_cross_split").cast("double") /
+            nullif(col("n_dup_pairs"), lit(0)), 6).as("leak_frac"))
+    }),
+
     // Deterministic negative sampling — contrastive-pair construction
     // for embedding training: each anchor doc draws K=4 pseudo-random
     // negatives keyed by the portable hash of (slot, anchor) mod corpus
@@ -1296,6 +1330,44 @@ object TextAnalysis {
                 count(DISTINCT doc_id)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM e GROUP BY lang""",
+    // Replays the q41 LSH chain (slice-bounded) + the q168 split hash.
+    "q212_split_leakage" -> (Dedup.lshCtePrefix
+      .replace("FROM documents", "FROM documents WHERE doc_id < 1000") +
+      s""",
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a_id, p.b_id, count(*) AS c
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT i.a_id, i.b_id
+           FROM inter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.b_id
+           WHERE i.c::DOUBLE / (na.n + nb.n - i.c) >= 0.5),
+         sp AS (
+           SELECT a_id, b_id,
+                  CASE WHEN ((a_id & 2147483647) * 2654435761) % 4294967296
+                            % 100 < 80 THEN 'train'
+                       WHEN ((a_id & 2147483647) * 2654435761) % 4294967296
+                            % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS a_split,
+                  CASE WHEN ((b_id & 2147483647) * 2654435761) % 4294967296
+                            % 100 < 80 THEN 'train'
+                       WHEN ((b_id & 2147483647) * 2654435761) % 4294967296
+                            % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS b_split
+           FROM jac)
+         SELECT count(*)::BIGINT AS n_dup_pairs,
+                count(CASE WHEN a_split <> b_split THEN 1 END)::BIGINT
+                  AS n_cross_split,
+                count(CASE WHEN (a_split = 'train' AND b_split = 'test')
+                             OR (a_split = 'test' AND b_split = 'train')
+                           THEN 1 END)::BIGINT AS train_test_pairs,
+                round(count(CASE WHEN a_split <> b_split THEN 1 END)::DOUBLE
+                      / nullif(count(*), 0), 6) AS leak_frac
+         FROM sp"""),
     "q211_negative_sampling" ->
       """WITH nc AS (SELECT max(doc_id) + 1 AS n_corpus FROM documents),
          draws AS (
