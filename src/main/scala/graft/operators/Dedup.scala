@@ -527,6 +527,36 @@ object Dedup {
           round(col("n_candidates").cast("double") /
             (col("n_docs") * (col("n_docs") - 1) / lit(2)), 6)
             .as("candidate_frac"))
+    }),
+
+    // The FIX for q212's finding: key the train/val/test hash on the
+    // dedup-CANONICAL id (each doc's q41 verdict dup_of) instead of the
+    // doc id, so a duplicate inherits its canonical's split and direct
+    // dup pairs can no longer straddle the boundary. One row contrasts
+    // doc-level vs canonical-level leakage on the same edge set
+    // (canonical-level can stay nonzero only along multi-hop chains —
+    // the fully transitive grouping is q165; the fixture's pairs are
+    // planted copies, so here it drops to zero).
+    "q213_group_split_fix" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      def splitOf(id: Column): Column = {
+        val h = (id.bitwiseAND(lit(2147483647L)) *
+          lit(2654435761L)) % lit(4294967296L)
+        when(h % 100 < 80, "train").when(h % 100 < 90, "val")
+          .otherwise("test")
+      }
+      val verdicts = jaccardVerdictsOf(docs)
+      val pairs = jaccardPairsOf(docs).select(col("a_id"), col("b_id"))
+      val keyed = pairs
+        .join(verdicts.select(col("doc_id").as("a_id"),
+          col("dup_of").as("a_can")), "a_id")
+        .join(verdicts.select(col("doc_id").as("b_id"),
+          col("dup_of").as("b_can")), "b_id")
+      keyed.agg(count(lit(1)).as("n_dup_pairs"),
+          count(when(splitOf(col("a_id")) =!= splitOf(col("b_id")), 1))
+            .as("doc_level_leaks"),
+          count(when(splitOf(col("a_can")) =!= splitOf(col("b_can")), 1))
+            .as("canonical_level_leaks"))
     })
   )
 
@@ -687,6 +717,59 @@ object Dedup {
                       / (nd.n_docs * (nd.n_docs - 1) / 2), 6)
                   AS candidate_frac
          FROM nd"""),
+    "q213_group_split_fix" -> (lshCtePrefix
+      .replace("FROM documents", "FROM documents WHERE doc_id < 1000") +
+      s""",
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a_id, p.b_id, count(*) AS c
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS MATERIALIZED (
+           SELECT i.a_id, i.b_id
+           FROM inter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.b_id
+           WHERE i.c::DOUBLE / (na.n + nb.n - i.c) >= 0.5),
+         neigh AS (
+           SELECT doc_id, min(nb) AS min_nb FROM (
+             SELECT a_id AS doc_id, b_id AS nb FROM jac
+             UNION ALL
+             SELECT b_id, a_id FROM jac)
+           GROUP BY doc_id),
+         verd AS MATERIALIZED (
+           SELECT d.doc_id,
+                  least(coalesce(n.min_nb, d.doc_id), d.doc_id) AS dup_of
+           FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+           LEFT JOIN neigh n USING (doc_id)),
+         keyed AS (
+           SELECT j.a_id, j.b_id, va.dup_of AS a_can, vb.dup_of AS b_can
+           FROM jac j
+           JOIN verd va ON va.doc_id = j.a_id
+           JOIN verd vb ON vb.doc_id = j.b_id)
+         SELECT count(*)::BIGINT AS n_dup_pairs,
+                count(CASE WHEN
+                  CASE WHEN ((a_id & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 80 THEN 0
+                       WHEN ((a_id & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 90 THEN 1 ELSE 2 END
+                  <> CASE WHEN ((b_id & 2147483647) * 2654435761)
+                               % 4294967296 % 100 < 80 THEN 0
+                          WHEN ((b_id & 2147483647) * 2654435761)
+                               % 4294967296 % 100 < 90 THEN 1 ELSE 2 END
+                  THEN 1 END)::BIGINT AS doc_level_leaks,
+                count(CASE WHEN
+                  CASE WHEN ((a_can & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 80 THEN 0
+                       WHEN ((a_can & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 90 THEN 1 ELSE 2 END
+                  <> CASE WHEN ((b_can & 2147483647) * 2654435761)
+                               % 4294967296 % 100 < 80 THEN 0
+                          WHEN ((b_can & 2147483647) * 2654435761)
+                               % 4294967296 % 100 < 90 THEN 1 ELSE 2 END
+                  THEN 1 END)::BIGINT AS canonical_level_leaks
+         FROM keyed"""),
     "q43_dedup_simhash" -> {
       val votes = (0 until SimhashBits).map(j =>
         s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
