@@ -545,8 +545,19 @@ object Dedup {
         when(h % 100 < 80, "train").when(h % 100 < 90, "val")
           .otherwise("test")
       }
-      val verdicts = jaccardVerdictsOf(docs)
-      val pairs = jaccardPairsOf(docs).select(col("a_id"), col("b_id"))
+      // ONE chain build: pairs are staged, verdicts derive from them
+      // (jaccardVerdictsOf would rebuild the whole shingle→LSH chain).
+      val pairs = stage(jaccardPairsOf(docs)
+        .select(col("a_id"), col("b_id")), "q213_pairs")
+      val verdicts = docs.select(col("doc_id"))
+        .join(pairs.select(col("a_id").as("doc_id"), col("b_id").as("nb"))
+          .unionAll(pairs.select(col("b_id").as("doc_id"),
+            col("a_id").as("nb")))
+          .groupBy(col("doc_id")).agg(min(col("nb")).as("min_nb")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("min_nb"), col("doc_id")), col("doc_id"))
+            .as("dup_of"))
       val keyed = pairs
         .join(verdicts.select(col("doc_id").as("a_id"),
           col("dup_of").as("a_can")), "a_id")
