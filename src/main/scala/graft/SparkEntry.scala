@@ -33,6 +33,7 @@ object SparkEntry {
     (operators.TaxiParity.queries, operators.TaxiParity.oracles),
     (operators.FlightsParity.queries, operators.FlightsParity.oracles),
     (operators.SyntheticParity.queries, operators.SyntheticParity.oracles),
+    (operators.TpcH.queries, operators.TpcH.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
