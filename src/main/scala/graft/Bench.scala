@@ -66,14 +66,24 @@ object Bench {
       benchOut ++ repoPaths
     }
 
+    // 3-decimal rounding (locale-pinned): ~30% shorter one-line JSON, so
+    // the driver's tail capture is less likely to truncate mid-line.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
     def writeSummary(results: Seq[(String, Double)]): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
+      val total = r3(results.map(_._2).filter(_ >= 0).sum)
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // The FILE keeps the one-line contract. On STDOUT a compact
+      // always-parseable line follows the full table: any tail window
+      // that truncates the ~6 KB table line still ends with valid JSON
+      // carrying the headline number (round-6 verdict "what's wrong" #1).
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
       outPaths.foreach(p => Files.writeString(p, json + "\n"))
-      json
+      json + "\n" + compact
     }
 
     var elapsed = 0.0

@@ -296,7 +296,16 @@ object Ddl {
 
   // created-function catalog: name → (params, body) — powers the
   // exists/replace checks and limits DROP FUNCTION to user functions.
-  private val udfCatalog = new ConcurrentHashMap[String, (Seq[String], String)]()
+  // Keyed per SparkSession (registration already lands in the session's
+  // own functionRegistry): two engines in one JVM must not see each
+  // other's names in the exists/DROP checks.
+  private val udfCatalogs = new ConcurrentHashMap[
+    String, ConcurrentHashMap[String, (Seq[String], String)]]()
+
+  private def udfCatalog(spark: SparkSession)
+      : ConcurrentHashMap[String, (Seq[String], String)] =
+    udfCatalogs.computeIfAbsent(System.identityHashCode(spark).toString,
+      _ => new ConcurrentHashMap[String, (Seq[String], String)]())
 
   // ---- comments + storage details ------------------------------------
 
@@ -655,16 +664,16 @@ object Ddl {
         done
       case CreateFunction(orReplace, name, params, body) =>
         val nm = name.toLowerCase
-        require(orReplace.trim.nonEmpty || !udfCatalog.containsKey(nm),
+        require(orReplace.trim.nonEmpty || !udfCatalog(spark).containsKey(nm),
           s"function already exists: $nm (use CREATE OR REPLACE FUNCTION)")
         val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         functions.GraftFunctions.registerSqlMacro(spark, nm, ps, body)
-        udfCatalog.put(nm, (ps, body))
+        udfCatalog(spark).put(nm, (ps, body))
         done
       case DropFunction(ifExists, name) =>
         import org.apache.spark.sql.catalyst.FunctionIdentifier
         val nm = name.toLowerCase
-        if (udfCatalog.remove(nm) != null)
+        if (udfCatalog(spark).remove(nm) != null)
           spark.sessionState.functionRegistry
             .dropFunction(FunctionIdentifier(nm))
         else require(ifExists.trim.nonEmpty,
