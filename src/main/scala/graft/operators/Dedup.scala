@@ -568,6 +568,93 @@ object Dedup {
             .as("doc_level_leaks"),
           count(when(splitOf(col("a_can")) =!= splitOf(col("b_can")), 1))
             .as("canonical_level_leaks"))
+    }),
+
+    // MULTI-HOP closure of q213: q213 keys the split on the DIRECT-pair
+    // canonical, and its own docs note that multi-hop chains need q165's
+    // transitive groups. This plants a 3-generation near-dup chain per
+    // base doc — A = first 70% of the tokens, B = all of them, C = last
+    // 70% — so J(A,B) ≈ J(B,C) ≈ 0.7 (chain edges) while J(A,C) ≈ 0.4
+    // sits BELOW the 0.5 verify threshold (no direct A-C pair). Under
+    // direct-pair keying C inherits B's id while B inherits A's, so a
+    // B-C pair is keyed (A, B) and leaks whenever A and B hash to
+    // different splits; under the q165 CC canonical all three key to A
+    // and a leak is structurally impossible (both endpoints of any
+    // surviving pair share a component). One staged pair chain feeds
+    // the verdicts, the CC labels, and every count (q213's reuse
+    // lesson); the oracle replays the whole pipeline differentially,
+    // with CC as unrolled min-label rounds (planted components have
+    // diameter ≤ a few hops).
+    "q236_transitive_split_fix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val norm = split(regexp_replace(trim(lower(col("text"))),
+        "[^a-z0-9 ]", ""), " +")
+      val base = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id"), norm.as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("n7", (col("n") * 7 / 10).cast("int"))
+      val gA = base.select((col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), lit(1), col("n7"))).as("text"))
+      val gB = base.select((col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ", col("toks")).as("text"))
+      val gC = base.select((col("doc_id") + 30000).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("n") - col("n7") + 1,
+          col("n7"))).as("text"))
+      // Bases 0..39 are EXCLUDED from the corpus: the full-copy B must
+      // not short-circuit the chain by linking back to its original.
+      val corpus = docs.filter(col("doc_id") >= 40 && col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+        .unionByName(gA).unionByName(gB).unionByName(gC)
+      val pairs = stage(jaccardPairsOf(corpus)
+        .select(col("a_id"), col("b_id")), "q236_pairs")
+      val pp = pairs.filter(col("a_id") >= 10000 && col("b_id") >= 10000)
+      val pnodes = corpus.filter(col("doc_id") >= 10000)
+        .select(col("doc_id"))
+      // Direct-pair canonicals (q213 keying) over the planted subgraph.
+      val verd = pnodes
+        .join(pp.select(col("a_id").as("doc_id"), col("b_id").as("nb"))
+          .unionAll(pp.select(col("b_id").as("doc_id"),
+            col("a_id").as("nb")))
+          .groupBy(col("doc_id")).agg(min(col("nb")).as("min_nb")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("min_nb"), col("doc_id")), col("doc_id"))
+            .as("dup_of"))
+      // Transitive canonicals (q165 keying) over the SAME staged edges.
+      val cc = ConnectedComponents.run(
+        pnodes.select(col("doc_id").as("id")),
+        pp.unionAll(pp.select(col("b_id").as("a_id"),
+          col("a_id").as("b_id"))))
+        .select(col("id").as("doc_id"), col("label").as("cc_can"))
+      def splitOf(id: Column): Column = {
+        val h = (id.bitwiseAND(lit(2147483647L)) *
+          lit(2654435761L)) % lit(4294967296L)
+        when(h % 100 < 80, "train").when(h % 100 < 90, "val")
+          .otherwise("test")
+      }
+      val keyed = pp
+        .join(verd.select(col("doc_id").as("a_id"),
+          col("dup_of").as("a_dir")), "a_id")
+        .join(verd.select(col("doc_id").as("b_id"),
+          col("dup_of").as("b_dir")), "b_id")
+        .join(cc.select(col("doc_id").as("a_id"),
+          col("cc_can").as("a_cc")), "a_id")
+        .join(cc.select(col("doc_id").as("b_id"),
+          col("cc_can").as("b_cc")), "b_id")
+      val pairAgg = keyed.agg(
+        count(lit(1)).as("n_planted_pairs"),
+        count(when(col("a_id") < 20000 &&
+          col("b_id") === col("a_id") + 10000, 1)).as("n_ab_edges"),
+        count(when(col("a_id") >= 20000 && col("a_id") < 30000 &&
+          col("b_id") === col("a_id") + 10000, 1)).as("n_bc_edges"),
+        count(when(splitOf(col("a_dir")) =!= splitOf(col("b_dir")), 1))
+          .as("direct_leaks"),
+        count(when(splitOf(col("a_cc")) =!= splitOf(col("b_cc")), 1))
+          .as("transitive_leaks"))
+      val mh = verd.join(cc, "doc_id")
+        .agg(count(when(col("dup_of") =!= col("cc_can"), 1))
+          .as("n_multihop_docs"))
+      pairAgg.crossJoin(broadcast(mh))
     })
   )
 
@@ -781,6 +868,109 @@ object Dedup {
                                % 4294967296 % 100 < 90 THEN 1 ELSE 2 END
                   THEN 1 END)::BIGINT AS canonical_level_leaks
          FROM keyed"""),
+    // Differential replay of the WHOLE q236 pipeline: planted-chain
+    // corpus construction, LSH chain, jaccard verify, direct-pair
+    // verdicts, and transitive CC labels as unrolled min-label rounds
+    // (planted components are a few fused 3-node chains — diameter far
+    // below the 8 unrolled rounds).
+    "q236_transitive_split_fix" -> {
+      def sqlSplit(c: String): String =
+        s"""CASE WHEN (($c & 2147483647) * 2654435761)
+                      % 4294967296 % 100 < 80 THEN 0
+                 WHEN (($c & 2147483647) * 2654435761)
+                      % 4294967296 % 100 < 90 THEN 1 ELSE 2 END"""
+      val ccRounds = (1 to 8).map { r =>
+        s""",
+         lbl$r AS MATERIALIZED (
+           SELECT l.id, least(l.lbl, coalesce(min(nb.lbl), l.lbl)) AS lbl
+           FROM lbl${r - 1} l
+           LEFT JOIN pe2 e ON e.a_id = l.id
+           LEFT JOIN lbl${r - 1} nb ON nb.id = e.b_id
+           GROUP BY l.id, l.lbl)"""
+      }.mkString
+      val corpusCte = """WITH chainbase AS (
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(trim(lower(text)),
+                    '[^a-z0-9 ]', '', 'g'), ' +') AS btoks
+           FROM documents WHERE doc_id < 40),
+         bsz AS (
+           SELECT doc_id, btoks, len(btoks) AS n,
+                  (len(btoks)*7)//10 AS n7
+           FROM chainbase),
+         corpus AS MATERIALIZED (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id >= 40 AND doc_id < 1000
+           UNION ALL
+           SELECT doc_id + 10000,
+                  array_to_string(list_slice(btoks, 1, n7), ' ')
+           FROM bsz
+           UNION ALL
+           SELECT doc_id + 20000, array_to_string(btoks, ' ') FROM bsz
+           UNION ALL
+           SELECT doc_id + 30000,
+                  array_to_string(list_slice(btoks, n - n7 + 1, n), ' ')
+           FROM bsz)
+"""
+      corpusCte +
+        lshCtePrefix.replace("WITH toks", ", toks")
+          .replace("FROM documents)", "FROM corpus)") +
+        s""",
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.a_id, p.b_id, count(*) AS c
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS MATERIALIZED (
+           SELECT i.a_id, i.b_id
+           FROM inter i JOIN sizes na ON na.doc_id = i.a_id
+           JOIN sizes nb ON nb.doc_id = i.b_id
+           WHERE i.c::DOUBLE / (na.n + nb.n - i.c) >= 0.5),
+         pp AS MATERIALIZED (
+           SELECT a_id, b_id FROM jac
+           WHERE a_id >= 10000 AND b_id >= 10000),
+         pnodes AS (SELECT doc_id AS id FROM corpus WHERE doc_id >= 10000),
+         pe2 AS MATERIALIZED (
+           SELECT a_id, b_id FROM pp
+           UNION ALL SELECT b_id, a_id FROM pp),
+         pneigh AS (
+           SELECT a_id AS id, min(b_id) AS min_nb FROM pe2 GROUP BY a_id),
+         verd AS MATERIALIZED (
+           SELECT p.id AS doc_id,
+                  least(coalesce(n.min_nb, p.id), p.id) AS dup_of
+           FROM pnodes p LEFT JOIN pneigh n ON n.id = p.id),
+         lbl0 AS MATERIALIZED (SELECT id, id AS lbl FROM pnodes)$ccRounds,
+         cc AS (SELECT id AS doc_id, lbl FROM lbl8),
+         keyed AS (
+           SELECT pp.a_id, pp.b_id, va.dup_of AS a_dir, vb.dup_of AS b_dir,
+                  ca.lbl AS a_cc, cb.lbl AS b_cc
+           FROM pp
+           JOIN verd va ON va.doc_id = pp.a_id
+           JOIN verd vb ON vb.doc_id = pp.b_id
+           JOIN cc ca ON ca.doc_id = pp.a_id
+           JOIN cc cb ON cb.doc_id = pp.b_id),
+         mh AS (
+           SELECT count(CASE WHEN v.dup_of <> c.lbl THEN 1 END)::BIGINT
+                    AS n_multihop_docs
+           FROM verd v JOIN cc c ON c.doc_id = v.doc_id)
+         SELECT k.n_planted_pairs, k.n_ab_edges, k.n_bc_edges,
+                k.direct_leaks, k.transitive_leaks, mh.n_multihop_docs
+         FROM (
+           SELECT count(*)::BIGINT AS n_planted_pairs,
+                  count(CASE WHEN a_id < 20000 AND b_id = a_id + 10000
+                    THEN 1 END)::BIGINT AS n_ab_edges,
+                  count(CASE WHEN a_id >= 20000 AND a_id < 30000
+                    AND b_id = a_id + 10000 THEN 1 END)::BIGINT
+                    AS n_bc_edges,
+                  count(CASE WHEN ${sqlSplit("a_dir")} <>
+                    ${sqlSplit("b_dir")} THEN 1 END)::BIGINT
+                    AS direct_leaks,
+                  count(CASE WHEN ${sqlSplit("a_cc")} <>
+                    ${sqlSplit("b_cc")} THEN 1 END)::BIGINT
+                    AS transitive_leaks
+           FROM keyed) k CROSS JOIN mh"""
+    },
     "q43_dedup_simhash" -> {
       val votes = (0 until SimhashBits).map(j =>
         s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
