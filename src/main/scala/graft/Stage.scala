@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentHashMap
 
 /** Write-once staging-table materialization, shared by the dedup and ANN
   * pipelines. A multi-use intermediate inside a single plan is otherwise
@@ -29,13 +31,36 @@ object Stage {
     Files.deleteIfExists(p)
   }
 
+  // Session-scoped materialization cache (round-6 verdict "next round"
+  // #4): combined runs — Verify sweeps, the bench, a user session mixing
+  // q41/q42/q165/q209-style calls — previously rebuilt the shared
+  // shingle→minhash→LSH chain once per operator call. Keyed by
+  // (session, name) with Catalyst `sameResult` plan equality as the
+  // input fingerprint, so an IDENTICAL staged computation returns the
+  // existing parquet scan and a different input (a corpus slice, a
+  // planted-copy union, the next round of an iterative loop) still
+  // materializes its own. Inputs are immutable fixture parquet or
+  // version-addressed managed tables, so plan equality implies result
+  // equality.
+  private case class Entry(plan: LogicalPlan, df: DataFrame)
+  private val cache = new ConcurrentHashMap[String, List[Entry]]()
+
   /** Materialize df as parquet under the session staging root and return
-    * a scan of it.
+    * a scan of it; an identical (session, name, plan) is staged once.
     */
-  def apply(df: DataFrame, name: String): DataFrame = {
-    val dir = Files.createTempDirectory(root, name).toString
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+  def apply(df: DataFrame, name: String): DataFrame = synchronized {
+    val plan = df.queryExecution.analyzed
+    val key = System.identityHashCode(df.sparkSession) + ":" + name
+    val entries = cache.getOrDefault(key, Nil)
+    entries.find(_.plan.sameResult(plan)) match {
+      case Some(e) => e.df
+      case None =>
+        val dir = Files.createTempDirectory(root, name).toString
+        df.write.mode("overwrite").parquet(dir)
+        val out = df.sparkSession.read.parquet(dir)
+        cache.put(key, Entry(plan, out) :: entries)
+        out
+    }
   }
 
   /** A scratch directory under the same reclaimed session root — for any
