@@ -63,6 +63,12 @@ object Stage {
     }
   }
 
+  /** Drop all cached materializations (staged parquet stays on disk
+    * until the shutdown hook; only the reuse index is reset). Used by
+    * the scale harness to measure a full chain rebuild with warm JIT.
+    */
+  def clearCache(): Unit = synchronized { cache.clear() }
+
   /** A scratch directory under the same reclaimed session root — for any
     * session-lifetime working dir (managed tables, stream landing zones,
     * COPY targets) so everything disappears with the JVM.
