@@ -85,6 +85,36 @@ object SkewJoin {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("qty"),
           sum(col("o_orderkey")).cast("long").as("key_sum"))
+    }),
+
+    // TPC-H-derived SKEW variant: remap o_custkey to a zipfian head
+    // (rank-r head key absorbs a 1/r share of ~60% of all orders; the
+    // hottest key alone carries ~22% of the fact table) and run the
+    // customer ⋈ orders join the TPC-H suite (Q3/Q10/Q13/Q18 shapes)
+    // actually exercises — through saltedJoin, so no reducer sees the
+    // hot key whole. The remap is integer-exact in both engines: the
+    // portable 60-bit md5 hash of o_orderkey mod 1000 walks a CASE
+    // ladder whose thresholds are the normalized zipf(1) CDF over
+    // ranks 1..8. The unsalted DuckDB oracle pins that salting is
+    // result-invariant on realistically skewed data (q154 pins it on
+    // the uniform fixture).
+    "q237_tpch_skew_salted" -> ((s, d) => {
+      val h = conv(substring(md5(col("o_orderkey").cast("string")),
+        1, 15), 16, 10).cast("long")
+      val v = pmod(h, lit(1000L))
+      val ord = t(s, d, "orders")
+        .withColumn("sk_custkey",
+          when(v < 221, 1L).when(v < 331, 2L).when(v < 405, 3L)
+            .when(v < 460, 4L).when(v < 504, 5L).when(v < 541, 6L)
+            .when(v < 573, 7L).when(v < 600, 8L)
+            .otherwise(col("o_custkey")))
+        .select(col("sk_custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("sk_custkey"), col("c_mktsegment"))
+      saltedJoin(ord, cust, "sk_custkey", salt = 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
     })
   )
 
@@ -99,6 +129,23 @@ object SkewJoin {
                 round(sum(l_quantity), 2) AS qty,
                 sum(o_orderkey)::BIGINT AS key_sum
          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-         GROUP BY o_orderstatus"""
+         GROUP BY o_orderstatus""",
+    "q237_tpch_skew_salted" ->
+      """WITH sk AS (
+           SELECT CASE WHEN v < 221 THEN 1 WHEN v < 331 THEN 2
+                       WHEN v < 405 THEN 3 WHEN v < 460 THEN 4
+                       WHEN v < 504 THEN 5 WHEN v < 541 THEN 6
+                       WHEN v < 573 THEN 7 WHEN v < 600 THEN 8
+                       ELSE o_custkey END AS sk_custkey,
+                  o_totalprice
+           FROM (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                          % 1000 AS v,
+                        o_custkey, o_totalprice
+                 FROM orders) h
+         )
+         SELECT c_mktsegment, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM sk JOIN customer ON c_custkey = sk_custkey
+         GROUP BY c_mktsegment"""
   )
 }

@@ -32,6 +32,32 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(spread >= 6, s"hot key used only $spread of 8 salts")
   }
 
+  test("q237 zipf remap: head is genuinely skewed and salted apart") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val h = conv(substring(md5(col("o_orderkey").cast("string")),
+      1, 15), 16, 10).cast("long")
+    val v = pmod(h, lit(1000L))
+    val ord = Tables.t(spark, sf, "orders")
+      .withColumn("sk_custkey",
+        when(v < 221, 1L).when(v < 331, 2L).when(v < 405, 3L)
+          .when(v < 460, 4L).when(v < 504, 5L).when(v < 541, 6L)
+          .when(v < 573, 7L).when(v < 600, 8L)
+          .otherwise(col("o_custkey")))
+    val total = ord.count().toDouble
+    val hot = ord.filter(col("sk_custkey") === 1L).count().toDouble
+    // zipf(1) head: rank-1 key should carry ~22% of the fact table —
+    // far past AQE's default 5x-median skew trigger
+    assert(hot / total > 0.15, s"hot share ${hot / total}")
+    // and the salted big side spreads those rows over most of the 16
+    // salt buckets, so no single reducer sees the key whole
+    val spread = ord.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(16)))
+      .filter(col("sk_custkey") === 1L)
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(spread >= 12, s"hot key used only $spread of 16 salts")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
