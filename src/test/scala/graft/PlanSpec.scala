@@ -139,6 +139,23 @@ class PlanSpec extends AnyFunSuite {
     } finally { spark.conf.set(bcast, oldB); spark.conf.set(order, oldO) }
   }
 
+  test("TPC-H family: pushed filters, broadcast dims, zero cartesian") {
+    // Q6 is the pure-scan query: its date/discount/quantity predicates
+    // must reach the parquet reader, not a post-scan Filter only.
+    val q6 = planOf("q219_tpch_q06")
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      q6.take(2000))
+    // Q3's customer/orders sides are dimension-sized at this sf and
+    // must broadcast, never cartesian.
+    val q3 = planOf("q216_tpch_q03")
+    assert(q3.contains("BroadcastExchange"), q3.take(2000))
+    // The whole 22-query family plans with zero CartesianProduct —
+    // correlated scalar subqueries (Q2/Q11/Q16/Q22) become broadcast
+    // 1-row joins, not products.
+    for (q <- SparkEntry.queries.keys.filter(_.contains("_tpch_")))
+      assert(!planOf(q).contains("CartesianProduct"), q)
+  }
+
   test("sequence packing windows are sharded, never single-partition") {
     // Round-5 perf-weak flag: an unpartitioned WindowExec funnels the
     // whole corpus through ONE partition. The shipped q175 must window
