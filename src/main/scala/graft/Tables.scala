@@ -18,18 +18,35 @@ object Tables {
 
   /** Read one fixture table.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS); Spark's µs `TimestampType`
-    * can't hold it natively (SURVEY.md §7.4 — reference TIMESTAMP(9),
-    * `Shared/sqltypes.h:77`). We read nanos as long and truncate to µs,
-    * matching DuckDB's ns→µs truncation so oracle comparisons line up.
+    * `events.ts` normalizes to µs `TimestampType` whatever physical form
+    * the generated parquet carries — fixture generations have shipped it
+    * both as TIMESTAMP(NANOS) (reference TIMESTAMP(9), SURVEY.md §7.4 /
+    * `Shared/sqltypes.h:77`; read as int64 ns, truncated to µs exactly
+    * like DuckDB truncates) and as naive TIMESTAMP(MICROS) (inferred
+    * TIMESTAMP_NTZ under Spark's default `inferTimestampNTZ`; cast to
+    * instant under the engine's pinned UTC session zone). Dispatching on
+    * the INFERRED SCHEMA rather than assuming one generation keeps every
+    * events query working across driver-side data regenerations.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Thread hygiene first: schema inference resolves SQLConf through the
+    // active-session thread-local, and a pool thread that never created
+    // the session (ConcurrencySpec futures, test-runner threads) would
+    // otherwise read default confs.
+    SparkSession.setActiveSession(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // Integer `div`, NOT `/`: ns epoch values exceed 2^53, so double
-      // division loses the low microsecond bit (off-by-1 µs timestamps).
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        // ns-int64 generation: integer `div`, NOT `/` — ns epoch values
+        // exceed 2^53, double division would lose the low µs bit.
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // µs naive generation: same wall clock, session zone is UTC.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else df
   }
 
@@ -43,7 +60,12 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val key = System.identityHashCode(spark).toString
-    if (registeredDir.put(key, dir) != dir)
+    if (registeredDir.get(key) != dir) {
+      // Register first, commit the idempotence key only on success — a
+      // mid-loop failure must not leave the session marked "registered"
+      // with half the views missing.
       names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(key, dir)
+    }
   }
 }

@@ -209,8 +209,8 @@ object TpcH {
         .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_11"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(rev).as("revenue"))
@@ -285,7 +285,7 @@ object TpcH {
     // crossJoin, the global-agg idiom; fraction 0.002 sized to fixtures).
     "q224_tpch_q11" -> ((s, d) => {
       val suppN = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val psn = partsupp(s, d)
@@ -448,7 +448,7 @@ object TpcH {
         .filter(col("ps_availqty") > col("qty96") * 0.5)
         .select(col("ps_suppkey"))
       t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_14")),
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
         .select(col("s_name"))
@@ -592,8 +592,8 @@ FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
         AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31') shipping
 GROUP BY supp_nation, cust_nation, l_year"""),
 
@@ -636,12 +636,12 @@ ORDER BY revenue DESC, c_custkey LIMIT 20"""),
     "q224_tpch_q11" -> (ctePrefix + """
 SELECT ps_partkey, sum(ps_supplycost*ps_availqty) AS value
 FROM partsupp, supplier, nation
-WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
 GROUP BY ps_partkey
 HAVING sum(ps_supplycost*ps_availqty) > (
   SELECT sum(ps_supplycost*ps_availqty) * 0.002
   FROM partsupp, supplier, nation
-  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')"""),
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3')"""),
 
     "q225_tpch_q12" -> (ctePrefix + """
 SELECT l_shipmode,
@@ -726,7 +726,7 @@ WHERE s_suppkey IN (
                          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
                            AND l_shipdate >= TIMESTAMP '1996-01-01'
                            AND l_shipdate < TIMESTAMP '1997-01-01'))
-  AND s_nationkey = n_nationkey AND n_name = 'NATION_14'"""),
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'"""),
 
     "q234_tpch_q21" -> (ctePrefix + """
 SELECT s_name, count(*) AS numwait

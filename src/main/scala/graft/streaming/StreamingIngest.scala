@@ -78,17 +78,24 @@ object StreamingIngest {
           .option("startingOffsets", k.startingOffsets)
           .load())
       case FileSource(dir) =>
-        // File-source schema must be declared (ts is ns in the fixture —
-        // read as long, convert to µs timestamp like Tables.t).
+        // File-source schema must be declared up front; take it from a
+        // batch inference of the same file so the stream reads whatever
+        // physical ts form this fixture generation carries (ns-int64 or
+        // naive µs — see Tables.t), then normalize identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val srcDir = java.nio.file.Paths.get(
           graft.Stage.scratchDir("graft_stream_src"))
         java.nio.file.Files.createSymbolicLink(
           srcDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
-        nsToMicros(spark.readStream
-          .schema(eventWireSchema)
-          .parquet(srcDir.toString))
+        val inferred = spark.read.parquet(s"$dir/events.parquet").schema
+        val raw = spark.readStream.schema(inferred).parquet(srcDir.toString)
+        inferred("ts").dataType match {
+          case LongType => nsToMicros(raw)
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
     }
 
   /** Stateful-operator partition count. Fixed at the query's FIRST batch
