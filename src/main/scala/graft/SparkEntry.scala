@@ -34,6 +34,9 @@ object SparkEntry {
     (operators.FlightsParity.queries, operators.FlightsParity.oracles),
     (operators.SyntheticParity.queries, operators.SyntheticParity.oracles),
     (operators.TpcH.queries, operators.TpcH.oracles),
+    (operators.LogsParity.queries, operators.LogsParity.oracles),
+    (operators.HptParity.queries, operators.HptParity.oracles),
+    (operators.Dsir.queries, operators.Dsir.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
