@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-7 families: logs benchmark via the regex source
+  * (q238-q241), flights_hpt sub-second timestamps (q242-q245), and the
+  * DSIR / unigram-surprise data-selection scores (q246-q247).
+  */
+class NewFamiliesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("logs family: parse is staged parquet, no text scan in the query") {
+    // First call writes the text corpus and stages the parsed relation;
+    // every family member must then plan as a parquet scan of the staged
+    // parse (one regex pass per session, not one per query).
+    val p1 = SparkEntry.queries("q238_logs_hourly_max")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val p2 = SparkEntry.queries("q241_logs_sev_hourly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    for (p <- Seq(p1, p2)) {
+      assert(p.contains("FileScan parquet"), p.take(800))
+      assert(!p.contains("FileScan text"), p.take(800))
+    }
+  }
+
+  test("logs round trip preserves every row") {
+    val parsed = SparkEntry.queries("q240_logs_api_counts")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val events = Tables.t(spark, sf, "events").count()
+    assert(parsed == events)
+  }
+
+  test("hpt ns policy: hour keys are exact int64 nanosecond multiples") {
+    val rows = SparkEntry.queries("q245_hpt_ns_policy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h_ns")
+      assert(h % hourNs == 0, s"h_ns $h not hour-aligned")
+      assert(r.getAs[Long]("ns_min") >= h &&
+        r.getAs[Long]("ns_max") < h + hourNs)
+    }
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.t(spark, sf, "events").count())
+  }
+
+  test("hpt µs literals filter a strict subset") {
+    val all = Tables.t(spark, sf, "events").count()
+    val inRange = SparkEntry.queries("q244_hpt_range_us")(spark, sf)
+      .agg(sum(col("size"))).collect()(0).getLong(0)
+    assert(inRange > 0 && inRange < all)
+  }
+
+  test("dsir importance: top-20, scores non-increasing, en-dominated") {
+    val rows = SparkEntry.queries("q246_dsir_importance")(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // The target domain is lang='en'; the top-ranked docs should skew en.
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val enTop = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*) && col("lang") === "en")
+      .count()
+    assert(enTop >= 10, s"only $enTop of 20 top-DSIR docs are en")
+  }
+
+  test("unigram surprise: one row per language, finite positive scores") {
+    val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
+    val langs = rows.map(_.getAs[String]("lang")).toSet
+    assert(rows.length == langs.size)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_surprise")
+      assert(avg > 0 && !avg.isNaN && !avg.isInfinite)
+      assert(r.getAs[Double]("min_surprise") <= avg &&
+        avg <= r.getAs[Double]("max_surprise"))
+    }
+  }
+}
