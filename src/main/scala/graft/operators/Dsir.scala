@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
-/** Data-selection scoring for LLM training corpora (q246-q247):
+/** Data-selection scoring for LLM training corpora (q246-q248):
   * hashed-n-gram importance weights (DSIR; Xie et al. 2023, "Data
-  * Selection for Language Models via Importance Resampling") and a
+  * Selection for Language Models via Importance Resampling"), a
   * unigram-LM negative-log-likelihood quality score (the perplexity
-  * proxy of CCNet; Wenzek et al. 2020).
+  * proxy of CCNet; Wenzek et al. 2020), and a train-split bigram LM
+  * with Stupid Backoff (Brants et al. 2007, "Large Language Models in
+  * Machine Translation") scoring held-out documents.
   *
   * Both are corpus-statistic → per-document-score pipelines, the shape
   * that matters at 100 TB: ONE tokenizing scan builds the statistics
@@ -63,6 +65,70 @@ object Dsir {
         .limit(20)
     }),
 
+    // Bigram LM with Stupid Backoff (Brants et al. 2007) — the next
+    // model order above q247's unigram proxy, and the first one where
+    // train/eval separation matters: the model is COUNTED ON THE TRAIN
+    // SPLIT ONLY (q168's Knuth-hash split), so eval-doc bigrams genuinely
+    // back off (unseen bigram -> 0.4 * c1(w2)/N; unseen unigram -> the
+    // 1e-9 floor, identical literal in both engines). Score = mean log S
+    // per eval doc, rolled up per language with integer backoff/OOV
+    // counts as the float-free part of the gate.
+    //
+    // Scale: bigram extraction is a per-row zip_with over the token
+    // array (zero shuffle); the model tables are corpus-derived and join
+    // by hash on their keys (vocab and bigram-vocab are heavy-tailed —
+    // NOT broadcast); the train-total is a broadcast 1-row aggregate.
+    "q248_bigram_backoff" -> ((s, d) => {
+      val knuth = (col("doc_id").bitwiseAND(lit(2147483647L)) *
+        lit(2654435761L)) % lit(4294967296L) % 100
+      val base = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("split", when(knuth < 80, "train").otherwise("eval"))
+        .withColumn("a", filter(
+          split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
+            " +"), w => w =!= ""))
+      val uni = base.select(col("split"), explode(col("a")).as("w"))
+      val trainUni = uni.filter(col("split") === "train")
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val nTrain = trainUni.agg(sum(col("c1")).cast("double").as("n_train"))
+      val bg = base.filter(size(col("a")) >= 2)
+        .select(col("doc_id"), col("lang"), col("split"),
+          explode(zip_with(
+            slice(col("a"), lit(1), size(col("a")) - 1),
+            slice(col("a"), lit(2), size(col("a")) - 1),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("z"))
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("z.w1"), col("z.w2"))
+      val trainBig = bg.filter(col("split") === "train")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val scored = bg.filter(col("split") === "eval")
+        .join(trainBig, Seq("w1", "w2"), "left")
+        .join(trainUni.select(col("w").as("w1"), col("c1").as("c1w1")),
+          Seq("w1"), "left")
+        .join(trainUni.select(col("w").as("w2"), col("c1").as("c1w2")),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(nTrain))
+        .select(col("doc_id"), col("lang"),
+          col("c2").isNull.as("backed"),
+          (col("c2").isNull && col("c1w2").isNull).as("oov"),
+          log(greatest(
+            when(col("c2").isNotNull, col("c2") / col("c1w1"))
+              .otherwise(lit(0.4) * coalesce(col("c1w2"), lit(0L)) /
+                col("n_train")),
+            lit(1e-9))).as("log_s"))
+      scored.groupBy(col("doc_id"), col("lang"))
+        .agg(avg(col("log_s")).as("mls"),
+          sum(when(col("backed"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("oov"), 1L).otherwise(0L)).as("no"),
+          count(lit(1)).as("nbg"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("mls")), 4).as("avg_logscore"),
+          sum(col("nb")).as("n_backoff"),
+          sum(col("no")).as("n_oov"),
+          sum(col("nbg")).as("n_bigrams"))
+    }),
+
     // Unigram-LM surprise: -mean log p(token) under the corpus's own
     // unigram distribution — the CCNet perplexity-bucket filter with the
     // LM reduced to order 0 (offline-honest: no external LM weights).
@@ -113,6 +179,54 @@ object Dsir {
           GROUP BY doc_id
           ORDER BY score DESC, doc_id
           LIMIT 20""",
+    "q248_bigram_backoff" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CASE WHEN ((doc_id & 2147483647) * 2654435761)
+                            % 4294967296 % 100 < 80
+                       THEN 'train' ELSE 'eval' END AS split,
+                  list_filter(string_split_regex(regexp_replace(
+                    trim(lower(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+                    w -> w <> '') AS a
+           FROM documents WHERE length(trim(text)) > 0),
+         uni AS (SELECT split, unnest(a) AS w FROM d),
+         tu AS (SELECT w, count(*) AS c1 FROM uni
+                WHERE split = 'train' GROUP BY w),
+         nt AS (SELECT sum(c1)::DOUBLE AS n_train FROM tu),
+         bg AS (
+           SELECT doc_id, lang, split, z[1] AS w1, z[2] AS w2
+           FROM (SELECT doc_id, lang, split,
+                        unnest(list_zip(a[:-2], a[2:])) AS z
+                 FROM d WHERE len(a) >= 2)),
+         scored AS (
+           SELECT b.doc_id, b.lang,
+                  tb.c2 IS NULL AS backed,
+                  (tb.c2 IS NULL AND u2.c1 IS NULL) AS oov,
+                  ln(greatest(
+                    CASE WHEN tb.c2 IS NOT NULL
+                         THEN tb.c2 / u1.c1
+                         ELSE 0.4 * coalesce(u2.c1, 0) / nt.n_train END,
+                    1e-9)) AS log_s
+           FROM bg b
+           LEFT JOIN (SELECT w1, w2, count(*) AS c2 FROM bg
+                      WHERE split = 'train' GROUP BY w1, w2) tb
+             ON b.w1 = tb.w1 AND b.w2 = tb.w2
+           LEFT JOIN tu u1 ON b.w1 = u1.w
+           LEFT JOIN tu u2 ON b.w2 = u2.w
+           CROSS JOIN nt
+           WHERE b.split = 'eval'),
+         per_doc AS (
+           SELECT doc_id, lang, avg(log_s) AS mls,
+                  sum(CASE WHEN backed THEN 1 ELSE 0 END)::BIGINT AS nb,
+                  sum(CASE WHEN oov THEN 1 ELSE 0 END)::BIGINT AS no,
+                  count(*)::BIGINT AS nbg
+           FROM scored GROUP BY doc_id, lang)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+                round(avg(mls), 4) AS avg_logscore,
+                sum(nb)::BIGINT AS n_backoff,
+                sum(no)::BIGINT AS n_oov,
+                sum(nbg)::BIGINT AS n_bigrams
+         FROM per_doc GROUP BY lang""",
     "q247_unigram_surprise" ->
       s"""WITH tok AS ($tokSql),
           wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

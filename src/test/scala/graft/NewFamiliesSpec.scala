@@ -66,6 +66,17 @@ class NewFamiliesSpec extends AnyFunSuite {
     assert(enTop >= 10, s"only $enTop of 20 top-DSIR docs are en")
   }
 
+  test("bigram backoff: backoff genuinely fires on held-out docs") {
+    val rows = SparkEntry.queries("q248_bigram_backoff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (nb, no, nbg) = rows.map(r => (r.getAs[Long]("n_backoff"),
+      r.getAs[Long]("n_oov"), r.getAs[Long]("n_bigrams")))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert(nb > 0, "no bigram ever backed off — train/eval split inert")
+    assert(no <= nb && nb <= nbg)
+    rows.foreach(r => assert(r.getAs[Double]("avg_logscore") < 0))
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet
