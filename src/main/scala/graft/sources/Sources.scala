@@ -110,6 +110,63 @@ object Sources {
             .cast("long")).cast("long").as("text_sum"))
     }),
 
+    // Arrow fetch benchmark parity: the reference's arrow_flights suite
+    // (`Benchmarks/queries/arrow_flights/Q001-Q005.sql`, driven by
+    // `run_benchmark_arrow.py` over `sql_execute_df`) measures pulling a
+    // WIDE multi-column row-set through the Arrow wire, not an
+    // aggregate. Same shape here: every events column, deterministic
+    // LIMIT, serialized to Arrow IPC batches executor-side and
+    // deserialized back; the gate is a full-width checksum row (portable
+    // md5 prefixes for strings, integer-scaled doubles, µs-exact ts
+    // extent) computed AFTER the round trip, so any value the wire
+    // mangles breaks the hash.
+    "q249_arrow_fetch" -> ((s, d) => {
+      val wide = t(s, d, "events").orderBy(col("event_id")).limit(1000)
+      val back = ArrowBridge.fromArrowBatches(s,
+        ArrowBridge.toArrowBatches(wide, maxRecordsPerBatch = 256),
+        wide.schema.json)
+      back.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        sum(col("user_id")).cast("long").as("user_sum"),
+        sum(conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+          .cast("long")).cast("long").as("type_sum"),
+        sum(conv(substring(md5(col("props")), 1, 8), 16, 10)
+          .cast("long")).cast("long").as("props_sum"),
+        sum(floor(abs(col("value")) * 1000).cast("long")).cast("long")
+          .as("value_sum"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+    }),
+
+    // FSI append lifecycle parity: the reference's st-queries suite runs
+    // pre-append / append / post-append passes over FSI tables
+    // (`Benchmarks/st-queries/taxis-fsi-parquet-pre-append`,
+    // `queries/fsi_append/taxis/Q01.sql`). Same lifecycle through the
+    // Ddl layer: land 80% of events as parquet, CREATE FOREIGN TABLE,
+    // count; land the rest — the count must NOT move (snapshot
+    // semantics); REFRESH FOREIGN TABLE; count again. All three counts
+    // in one gated row.
+    "q250_fsi_append" -> ((s, d) => {
+      val eng = graft.HeavyEngine(s, d)
+      val dir = graft.Stage.scratchDir("ft_append")
+      val name = "ft_ev_" + math.abs(dir.hashCode)
+      val ev = t(s, d, "events")
+      ev.filter(col("event_id") % 5 =!= 0)
+        .write.mode("append").parquet(dir)
+      eng.sql(s"CREATE FOREIGN TABLE $name WITH (path='$dir', format='parquet')")
+      val pre = eng.sql(s"SELECT count(*) AS n FROM $name")
+        .collect()(0).getLong(0)
+      ev.filter(col("event_id") % 5 === 0)
+        .write.mode("append").parquet(dir)
+      val snap = eng.sql(s"SELECT count(*) AS n FROM $name")
+        .collect()(0).getLong(0)
+      eng.sql(s"REFRESH FOREIGN TABLE $name")
+      eng.sql(s"""SELECT CAST($pre AS BIGINT) AS n_pre,
+                         CAST($snap AS BIGINT) AS n_snapshot,
+                         count(*) AS n_post
+                  FROM $name""")
+    }),
+
     // Catalog-as-table: fixture tables with their column counts.
     "q79_catalog_tables" -> ((s, d) => {
       val spark = s
@@ -121,6 +178,25 @@ object Sources {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q249_arrow_fetch" ->
+      """WITH f AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+         SELECT count(*) AS n,
+                sum(event_id)::BIGINT AS id_sum,
+                sum(user_id)::BIGINT AS user_sum,
+                sum(('0x' || substr(md5(event_type), 1, 8))::BIGINT)::BIGINT
+                  AS type_sum,
+                sum(('0x' || substr(md5(props), 1, 8))::BIGINT)::BIGINT
+                  AS props_sum,
+                sum(floor(abs(value) * 1000)::BIGINT)::BIGINT AS value_sum,
+                min(ts) AS ts_min, max(ts) AS ts_max
+         FROM f""",
+    "q250_fsi_append" ->
+      """SELECT (SELECT count(*) FROM events
+                 WHERE event_id % 5 <> 0)::BIGINT AS n_pre,
+                (SELECT count(*) FROM events
+                 WHERE event_id % 5 <> 0)::BIGINT AS n_snapshot,
+                count(*)::BIGINT AS n_post
+         FROM events""",
     "q77_regex_source" ->
       """SELECT event_type, count(*) AS n,
                 sum(user_id)::BIGINT AS user_sum,
