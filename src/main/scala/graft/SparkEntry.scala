@@ -37,6 +37,7 @@ object SparkEntry {
     (operators.LogsParity.queries, operators.LogsParity.oracles),
     (operators.HptParity.queries, operators.HptParity.oracles),
     (operators.Dsir.queries, operators.Dsir.oracles),
+    (operators.Retrieval.queries, operators.Retrieval.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
