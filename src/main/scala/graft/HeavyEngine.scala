@@ -39,24 +39,74 @@ final class HeavyEngine private (val spark: SparkSession) {
   def sql(query: String): DataFrame = {
     val hinted = plans.QueryHints.parse(query)
     lastHints = hinted.hints
-    routeSql(hinted.cleaned)
+    // keep_result / keep_table_function_result are the two reference
+    // hints with a faithful Spark analog, so they have TEETH (the rest
+    // of the hint surface stays recorded-no-op — QueryHints scaladoc):
+    // the reference's DataRecycler caches a hinted query's result set
+    // and serves identical queries from it (`Tests/DataRecyclerTest.cpp`,
+    // `QueryEngine/DataRecycler/`). Here the result materializes ONCE
+    // through the session staging root (a distributed parquet write, not
+    // executor storage) and an identical later query — plan equality via
+    // Catalyst sameResult, exactly the recycler's resolved-plan cache
+    // key — returns a scan of the staged result instead of re-executing.
+    // Matching reference semantics, a kept result is a SNAPSHOT: it
+    // serves until the engine is discarded, not invalidated by later
+    // DML (the reference drops kept results on table update; our managed
+    // tables are copy-on-write versions, so a stale hit is the hinted
+    // query's pinned version — callers opt in per query). Statements the
+    // Ddl layer handles (DDL/DML, side-effecting) never recycle — the
+    // route below runs exactly once either way.
+    routeSql(hinted.cleaned,
+      wantKeep = hinted.hints.contains("keep_result") ||
+        hinted.hints.contains("keep_table_function_result"))
   }
 
-  private def routeSql(query: String): DataFrame = query match {
-    // Reference EXPLAIN forms (`Parser/ParserWrapper.h:34-48`):
-    // EXPLAIN OPTIMIZED / EXPLAIN CALCITE / EXPLAIN PLAN map onto
-    // Spark's extended explain (EXPLAIN <LLVM IR> has no analog —
-    // WholeStageCodegen source is the closest, via CODEGEN).
-    case HeavyEngine.ExplainForm(form, rest) =>
-      val mode = form.toUpperCase match {
-        case "OPTIMIZED" | "CALCITE" => "EXTENDED"
-        case _ => "FORMATTED"
-      }
-      spark.sql(s"EXPLAIN $mode $rest")
-    case q =>
-      Ddl.route(spark, q).getOrElse(
-        spark.sql(functions.GraftFunctions.rewriteDatetimeDialect(q)))
+  /** Instance-scoped recycled-result store (the reference's recycler is
+    * per-executor-process; two engines over one SparkSession stay
+    * isolated here). List, not hash map: plan equality is structural
+    * (`sameResult`), and the store is user-hinted so it stays small.
+    */
+  private val recycled =
+    scala.collection.mutable.ListBuffer
+      .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        DataFrame)]
+  @volatile private var hits = 0L
+  @volatile private var misses = 0L
+
+  private def recycle(df: DataFrame): DataFrame = synchronized {
+    val plan = df.queryExecution.analyzed
+    recycled.find(_._1.sameResult(plan)) match {
+      case Some((_, kept)) => hits += 1; kept
+      case None =>
+        misses += 1
+        val kept = Stage(df, "keep_result")
+        recycled += plan -> kept
+        kept
+    }
   }
+
+  /** (hits, misses, entries) — the reference recycler's metric surface. */
+  def recyclerStats: (Long, Long, Int) =
+    synchronized { (hits, misses, recycled.size) }
+
+  private def routeSql(query: String, wantKeep: Boolean = false): DataFrame =
+    query match {
+      // Reference EXPLAIN forms (`Parser/ParserWrapper.h:34-48`):
+      // EXPLAIN OPTIMIZED / EXPLAIN CALCITE / EXPLAIN PLAN map onto
+      // Spark's extended explain (EXPLAIN <LLVM IR> has no analog —
+      // WholeStageCodegen source is the closest, via CODEGEN).
+      case HeavyEngine.ExplainForm(form, rest) =>
+        val mode = form.toUpperCase match {
+          case "OPTIMIZED" | "CALCITE" => "EXTENDED"
+          case _ => "FORMATTED"
+        }
+        spark.sql(s"EXPLAIN $mode $rest")
+      case q =>
+        Ddl.route(spark, q).getOrElse {
+          val df = spark.sql(functions.GraftFunctions.rewriteDatetimeDialect(q))
+          if (wantKeep) recycle(df) else df
+        }
+    }
 
   def table(name: String): DataFrame = spark.table(name)
 

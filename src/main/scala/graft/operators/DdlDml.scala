@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import graft.HeavyEngine
 
 /** DDL/DML round-trips through the `HeavyEngine.sql` statement router —
@@ -111,10 +112,41 @@ object DdlDml {
       eng.sql("""SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
                         sum(text_len) AS len_sum
                  FROM pdocs WHERE lang IN ('en', 'de') GROUP BY lang""")
+    }),
+
+    // Result-set recycler through the reference's keep_result hint
+    // (`QueryEngine/DataRecycler/`, `Tests/DataRecyclerTest.cpp`,
+    // QueryHint.h kKeepResult): the hinted aggregate materializes once,
+    // the identical re-issue is a recycler HIT whose physical plan is a
+    // bare scan of the kept result (no aggregate re-execution), and a
+    // different hinted query is a second MISS — (hits, misses, entries)
+    // = (1, 2, 2). The recycled rows crossJoin the 1-row gate frame so
+    // the values themselves stay hash-compared vs DuckDB.
+    "q254_result_recycler" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      val q = """SELECT /*+ keep_result */ l_returnflag,
+                        count(*) AS n, round(sum(l_quantity), 2) AS qty
+                 FROM lineitem GROUP BY l_returnflag"""
+      eng.sql(q)                 // miss: executes + stages the result
+      val again = eng.sql(q)     // hit: served from the kept result
+      eng.sql("""SELECT /*+ keep_result */ count(*) AS n
+                 FROM orders""") // different plan: second miss
+      val plan = again.queryExecution.executedPlan.toString
+      val (h, m, e) = eng.recyclerStats
+      again.crossJoin(
+        s.range(1).select(
+          lit(h == 1 && m == 2 && e == 2).as("recycler_counts_ok"),
+          lit(plan.contains("FileScan parquet") &&
+            !plan.contains("HashAggregate")).as("hit_plan_is_scan")))
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q254_result_recycler" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(sum(l_quantity), 2) AS qty,
+                true AS recycler_counts_ok, true AS hit_plan_is_scan
+         FROM lineitem GROUP BY l_returnflag""",
     "q66_crud_roundtrip" ->
       """WITH base AS (
            SELECT o_orderkey, o_orderstatus, o_totalprice

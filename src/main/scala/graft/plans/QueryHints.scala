@@ -18,6 +18,10 @@ package graft.plans
   * no-ops — while any non-reference hint in the same comment block
   * (Spark-native like BROADCAST) is left in place for Catalyst.
   *
+  * Exception with TEETH: keep_result / keep_table_function_result
+  * activate HeavyEngine's result-set recycler (the DataRecycler analog,
+  * `Tests/DataRecyclerTest.cpp`) — see HeavyEngine.sql.
+  *
   * Closest live analogs, for callers that want teeth:
   *  - query_time_limit(ms) → HeavyEngine.withInterrupt + a timer;
   *  - disable_loop_join → fail if the plan contains a

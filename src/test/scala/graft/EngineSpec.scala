@@ -120,4 +120,29 @@ class EngineSpec extends AnyFunSuite {
     assert(k1 == k2)
     assert(math.abs(k1 / n - 0.25) < 0.03)
   }
+
+  test("keep_result recycler: hit serves the kept scan, engines are " +
+      "isolated, unhinted queries never recycle") {
+    val q = """SELECT /*+ keep_result */ r_regionkey, count(*) AS n
+               FROM region GROUP BY r_regionkey"""
+    val eng = HeavyEngine(spark, sf)
+    val first = eng.sql(q).collect().sortBy(_.get(0).toString)
+    val hit = eng.sql(q)
+    assert(eng.recyclerStats == ((1L, 1L, 1)))
+    // the hit's physical plan is a scan of the kept result, not a
+    // re-executed aggregate — and the rows are identical.
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") &&
+      !plan.contains("HashAggregate"), plan.take(500))
+    assert(hit.collect().sortBy(_.get(0).toString).sameElements(first))
+    // unhinted identical query: executes normally, counters untouched.
+    eng.sql("SELECT r_regionkey, count(*) AS n FROM region GROUP BY 1")
+    assert(eng.recyclerStats == ((1L, 1L, 1)))
+    // a second engine over the SAME session shares nothing (the
+    // reference recycler is per-process; ours is per-engine).
+    val eng2 = HeavyEngine(spark, sf)
+    assert(eng2.recyclerStats == ((0L, 0L, 0)))
+    eng2.sql(q)
+    assert(eng2.recyclerStats == ((0L, 1L, 1)))
+  }
 }
