@@ -39,6 +39,7 @@ object SparkEntry {
     (operators.Dsir.queries, operators.Dsir.oracles),
     (operators.Retrieval.queries, operators.Retrieval.oracles),
     (operators.DataOps.queries, operators.DataOps.oracles),
+    (operators.ProductAnalytics.queries, operators.ProductAnalytics.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

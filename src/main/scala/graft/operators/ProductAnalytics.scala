@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Product-analytics / time-series operators over the events stream —
+  * the interactive dashboard workloads the reference's deployments run
+  * (its events-style demos and the `Tests/ExecuteTest.cpp` date_trunc /
+  * window surfaces): regular-grid resampling with gap fill, funnel
+  * conversion, cohort retention, and event-transition statistics.
+  *
+  * Scale notes: q260's gap fill is a banded equi-join (the q174
+  * interval-band trick pointed at LOCF) — NO global window touches the
+  * time spine; q261 is three per-user aggregates chained by hash joins
+  * on user_id; q262 is two aggregates; q263's only window partitions by
+  * user_id (bounded per-user history). Everything shuffles on its
+  * natural key exactly once per stage.
+  */
+object ProductAnalytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q260: LOCF lookback band (hours). Two adjacent bands are
+  // probed, so any gap <= BAND hours fills; both engines replay the
+  // same bands, so the (never-observed-at-fixture-scale) longer gap
+  // would produce the same NULL in both.
+  private val BAND_H = 96L
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // Resample 'view' events onto a complete hourly spine (min..max
+    // observed hour) with last-observation-carried-forward fill. The
+    // spine is sequence()-generated and exploded — no fixture row is
+    // assumed for empty hours; the fill is an as-of lookup expressed as
+    // a BANDED equi-join + max(struct) (one shuffle), never a global
+    // window over the spine. Value sums aggregate as DECIMAL so the
+    // per-hour average is exact-sum / count — engine-identical.
+    "q260_resample_gapfill" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("event_type") === "view")
+        .groupBy(date_trunc("hour", col("ts")).as("oh"))
+        .agg(sum(col("value").cast("decimal(14,2)")).as("sv"),
+          count(lit(1)).as("n"))
+      val bounds = obs.agg(min(col("oh")).as("h0"), max(col("oh")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val bandOf = (c: Column) =>
+        floor(unix_timestamp(c) / lit(BAND_H * 3600L)).cast("long")
+      // Each observation serves its own band and the next one, so a
+      // spine hour's single-band probe still sees >= BAND_H of history.
+      val served = obs.select(col("oh"), col("sv"), col("n"),
+        explode(array(bandOf(col("oh")), bandOf(col("oh")) + 1)).as("b"))
+      val filled = spine.withColumn("b", bandOf(col("h")))
+        .join(served, Seq("b"), "left")
+        .filter(col("oh").isNull || col("oh") <= col("h"))
+        .groupBy(col("h"))
+        .agg(max(struct(col("oh"), col("sv"), col("n"))).as("last"))
+        .select(col("h"), col("last.oh").as("last_obs_h"),
+          (col("last.oh") === col("h")).as("observed"),
+          when(col("last.n").isNotNull,
+            round(col("last.sv").cast("double") / col("last.n"), 4))
+            .as("filled_avg"))
+      filled.withColumn("observed", coalesce(col("observed"), lit(false)))
+    }),
+
+    // Funnel conversion: signup -> view within 7 days -> purchase
+    // within 7 days of that view, per user, each stage anchored at the
+    // EARLIEST qualifying event (min-aggregate semantics, so the result
+    // is order-independent). Three per-user aggregates chained by two
+    // hash joins on user_id; one output row of stage counts + rates.
+    "q261_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val v0 = ev.filter(col("event_type") === "view").as("v")
+        .join(s0, Seq("user_id"))
+        .filter(col("ts") > col("t_signup") &&
+          col("ts") <= col("t_signup") + expr("interval 7 days"))
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(col("ts")).as("t_view"))
+      val p0 = ev.filter(col("event_type") === "purchase").as("p")
+        .join(v0, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("interval 7 days"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val c1 = s0.agg(count(lit(1)).as("n_signup"))
+      val c2 = v0.agg(count(lit(1)).as("n_view7"))
+      val c3 = p0.agg(count(lit(1)).as("n_purchase7"))
+      c1.crossJoin(c2).crossJoin(c3)
+        .select(col("n_signup"), col("n_view7"), col("n_purchase7"),
+          round(col("n_view7") / col("n_signup"), 4).as("view_rate"),
+          round(col("n_purchase7") / col("n_view7"), 4).as("purchase_rate"))
+    }),
+
+    // Cohort retention: cohort = ISO week of the user's first event,
+    // activity offset = whole weeks since the cohort week. Two
+    // aggregates (first-event per user, then the cohort x offset
+    // matrix); day arithmetic is integer, so the matrix is float-free.
+    "q262_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), col("cohort_week"))
+            .cast("long") / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    }),
+
+    // Event-transition statistics (first-order Markov): consecutive
+    // event pairs per user ordered by (ts, event_id) — the per-user
+    // LAG window of q20 pointed at path analysis — rolled up to
+    // transition counts and per-source probabilities.
+    "q263_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(totals, Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n") / col("tot"), 4).as("p"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q260_resample_gapfill" ->
+      s"""WITH obs AS (
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS oh,
+                   sum(value::DECIMAL(14,2)) AS sv, count(*) AS n
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+          bounds AS (SELECT min(oh) AS h0, max(oh) AS h1 FROM obs),
+          spine AS (
+            SELECT unnest(generate_series(h0, h1,
+              INTERVAL 1 HOUR))::TIMESTAMP AS h FROM bounds),
+          served AS (
+            SELECT oh, sv, n,
+                   (epoch(oh) // ${BAND_H * 3600L})::BIGINT AS b FROM obs
+            UNION ALL
+            SELECT oh, sv, n,
+                   (epoch(oh) // ${BAND_H * 3600L})::BIGINT + 1 FROM obs),
+          cand AS (
+            SELECT s.h, v.oh, v.sv, v.n
+            FROM spine s LEFT JOIN served v
+              ON v.b = (epoch(s.h) // ${BAND_H * 3600L})::BIGINT
+            WHERE v.oh IS NULL OR v.oh <= s.h),
+          lastv AS (
+            SELECT h, max(oh) AS last_obs_h, arg_max(sv, oh) AS sv,
+                   arg_max(n, oh) AS n
+            FROM cand GROUP BY h)
+          SELECT h, last_obs_h,
+                 coalesce(last_obs_h = h, false) AS observed,
+                 CASE WHEN n IS NOT NULL
+                      THEN round(sv::DOUBLE / n, 4) END AS filled_avg
+          FROM lastv""",
+    "q261_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, min(ts) AS t_signup FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         v0 AS (
+           SELECT e.user_id, min(e.ts) AS t_view
+           FROM events e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts > s0.t_signup
+             AND e.ts <= s0.t_signup + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         p0 AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN v0 ON v0.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > v0.t_view
+             AND e.ts <= v0.t_view + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s0)::BIGINT AS n_signup,
+                (SELECT count(*) FROM v0)::BIGINT AS n_view7,
+                (SELECT count(*) FROM p0)::BIGINT AS n_purchase7,
+                round((SELECT count(*) FROM v0)
+                  / (SELECT count(*) FROM s0), 4) AS view_rate,
+                round((SELECT count(*) FROM p0)
+                  / (SELECT count(*) FROM v0), 4) AS purchase_rate""",
+    "q262_cohort_retention" ->
+      """WITH first_e AS (
+           SELECT user_id,
+                  date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+           FROM events GROUP BY user_id)
+         SELECT f.cohort_week,
+                (date_diff('day', f.cohort_week,
+                  date_trunc('week', e.ts)) // 7)::INT AS week_offset,
+                count(DISTINCT e.user_id)::BIGINT AS active_users
+         FROM events e JOIN first_e f ON f.user_id = e.user_id
+         GROUP BY 1, 2""",
+    "q263_event_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         pairs AS (
+           SELECT prev_type, event_type, count(*)::BIGINT AS n
+           FROM seq WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type),
+         totals AS (
+           SELECT prev_type, sum(n)::BIGINT AS tot FROM pairs
+           GROUP BY prev_type)
+         SELECT p.prev_type, p.event_type, p.n, round(p.n / t.tot, 4) AS p
+         FROM pairs p JOIN totals t ON t.prev_type = p.prev_type"""
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the product-analytics family (q260-q263). */
+class ProductAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q260: spine is complete and every hour is filled") {
+    val rows = SparkEntry.queries("q260_resample_gapfill")(spark, sf)
+      .collect()
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("h").getTime).sorted
+    // Contiguous hourly spine: max-min spans exactly (n-1) hours.
+    assert(hours.last - hours.head == (hours.length - 1) * 3600000L)
+    // LOCF with a 96 h lookback must fill every hour at fixture scale,
+    // and some hours must actually BE gap-filled (else the test is vacuous).
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("filled_avg")), r.toString)
+      assert(r.getAs[java.sql.Timestamp]("last_obs_h")
+        .compareTo(r.getAs[java.sql.Timestamp]("h")) <= 0, r.toString)
+    }
+    assert(rows.exists(r => !r.getAs[Boolean]("observed")))
+  }
+
+  test("q261: funnel stages are monotone non-increasing") {
+    val r = SparkEntry.queries("q261_funnel")(spark, sf).collect()(0)
+    val (a, b, c) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_view7"),
+      r.getAs[Long]("n_purchase7"))
+    assert(a >= b && b >= c && c >= 0, r.toString)
+  }
+
+  test("q262: week_offset 0 exists for every cohort and users add up") {
+    val rows = SparkEntry.queries("q262_cohort_retention")(spark, sf)
+      .collect()
+    val byCohort = rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_week"))
+    byCohort.foreach { case (ck, rs) =>
+      // The first-activity week IS the cohort week, so offset 0 exists
+      // and is each cohort's maximum (retention can only shed users).
+      val off0 = rs.find(_.getAs[Int]("week_offset") == 0)
+      assert(off0.isDefined, s"cohort $ck missing offset 0")
+      val m = off0.get.getAs[Long]("active_users")
+      rs.foreach(r => assert(r.getAs[Long]("active_users") <= m, r.toString))
+    }
+    val users = Tables.t(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(byCohort.values.flatten
+      .filter(_.getAs[Int]("week_offset") == 0)
+      .map(_.getAs[Long]("active_users")).sum == users)
+  }
+
+  test("q263: transition probabilities sum to 1 per source type") {
+    val rows = SparkEntry.queries("q263_event_transitions")(spark, sf)
+      .collect()
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(tot - 1.0) < 0.01, s"$src sums to $tot")
+    }
+  }
+}
