@@ -40,6 +40,7 @@ object SparkEntry {
     (operators.Retrieval.queries, operators.Retrieval.oracles),
     (operators.DataOps.queries, operators.DataOps.oracles),
     (operators.ProductAnalytics.queries, operators.ProductAnalytics.oracles),
+    (operators.MixturePlanning.queries, operators.MixturePlanning.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
