@@ -112,6 +112,35 @@ object ProductAnalytics {
         .agg(countDistinct(col("user_id")).as("active_users"))
     }),
 
+    // Last-touch attribution: each purchase is attributed to the
+    // user's most recent non-purchase event within 24 h — the as-of
+    // lookup shape (q149) expressed as a per-user IGNORE-NULLS running
+    // last over (ts, event_id) order. The carried value is packed as a
+    // string so the window needs no struct ordering; purchases outside
+    // the 24 h lookback attribute to 'none'. One shuffle on user_id.
+    "q266_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = when(col("event_type") =!= "purchase",
+        concat_ws("|", unix_micros(col("ts")), col("event_type")))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("src", last(packed, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("value"),
+          when(col("src").isNotNull &&
+            unix_micros(col("ts")) - split(col("src"), "\\|")(0)
+              .cast("long") <= 24L * 3600 * 1000000,
+            split(col("src"), "\\|")(1)).otherwise("none")
+            .as("attributed_to"))
+        .groupBy(col("attributed_to"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(14,2)")).cast("double"), 2)
+            .as("total_value"))
+    }),
+
     // Event-transition statistics (first-order Markov): consecutive
     // event pairs per user ordered by (ts, event_id) — the per-user
     // LAG window of q20 pointed at path analysis — rolled up to
@@ -198,6 +227,27 @@ object ProductAnalytics {
                 count(DISTINCT e.user_id)::BIGINT AS active_users
          FROM events e JOIN first_e f ON f.user_id = e.user_id
          GROUP BY 1, 2""",
+    "q266_attribution" ->
+      """WITH packed AS (
+           SELECT user_id, ts, event_id, event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                      THEN epoch_us(ts) || '|' || event_type END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS src
+           FROM events),
+         attributed AS (
+           SELECT value,
+                  CASE WHEN src IS NOT NULL AND
+                    epoch_us(ts) - string_split(src, '|')[1]::BIGINT
+                      <= 24::BIGINT * 3600 * 1000000
+                   THEN string_split(src, '|')[2] ELSE 'none' END
+                    AS attributed_to
+           FROM packed WHERE event_type = 'purchase')
+         SELECT attributed_to, count(*)::BIGINT AS n_purchases,
+                round(sum(value::DECIMAL(14,2))::DOUBLE, 2) AS total_value
+         FROM attributed GROUP BY attributed_to""",
     "q263_event_transitions" ->
       """WITH seq AS (
            SELECT user_id, event_type,

@@ -50,6 +50,16 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("active_users")).sum == users)
   }
 
+  test("q266: attribution partitions all purchases exactly once") {
+    val rows = SparkEntry.queries("q266_attribution")(spark, sf).collect()
+    val attributed = rows.map(_.getAs[Long]("n_purchases")).sum
+    val purchases = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases, s"$attributed != $purchases")
+    // Purchases never self-attribute.
+    assert(!rows.exists(_.getAs[String]("attributed_to") == "purchase"))
+  }
+
   test("q263: transition probabilities sum to 1 per source type") {
     val rows = SparkEntry.queries("q263_event_transitions")(spark, sf)
       .collect()
