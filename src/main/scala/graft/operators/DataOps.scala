@@ -110,36 +110,53 @@ object DataOps {
     // the 4096-bit filter is stored as <=137 thirty-bit words (30-bit
     // masks keep every word positive in both engines' BIGINTs), built
     // with ONE aggregate over dim-key hashes and broadcast to the fact
-    // scan. A fact row survives iff all k=3 probe bits are set; the
-    // exact semi-join then grades the filter: false negatives must be 0
-    // (the correctness contract), false positives are the measured cost
-    // of the 0.5 KB filter. At 100 TB this is the map-side filter that
-    // keeps 90%+ of a selective join's probe rows out of the shuffle.
+    // scan. The k=3 probe bits come from Kirsch-Mitzenmacher double
+    // hashing (bit_i = (h1 + i*step) mod m, both halves of ONE portable
+    // md5), so the probe side computes a single hash per fact row and
+    // tests all three bits inline through three broadcast joins — no
+    // explode, no per-row re-aggregation, ZERO added shuffle on the
+    // fact table. False negatives must be 0 (the correctness contract);
+    // false positives are the measured cost of the 0.5 KB filter. At
+    // 100 TB this is the map-side filter that keeps 90%+ of a selective
+    // join's probe rows out of the shuffle.
     "q256_bloom_join_prune" -> ((s, d) => {
-      val probes = array(lit(0), lit(1), lit(2))
-      def bloomBit(key: Column, i: Column): Column =
-        h60(concat_ws(":", lit("bloom"), i, key)) % 4096
+      // h1 = low 30 bits, step = 1 + (high 30 bits % 4095) so the
+      // stride is never 0 (mod 4096 the three bits stay distinct-ish).
+      def bloomBits(key: Column): Seq[Column] = {
+        val h = h60(concat_ws(":", lit("bloom"), key))
+        val h1 = h % 4096
+        val step = (expr("1") + shiftright(h, 30) % 4095)
+        (0 until 3).map(i => (h1 + lit(i) * step) % 4096)
+      }
       val dim = t(s, d, "part").filter(col("p_type") === "ECONOMY")
         .select(col("p_partkey").as("k")).distinct()
-      val words = dim.select(explode(probes).as("i"), col("k"))
-        .select(bloomBit(col("k"), col("i")).as("bit"))
+      val words = dim.select(explode(array(bloomBits(col("k")): _*)).as("bit"))
         .select(expr("bit div 30").as("word"),
           expr("shiftleft(1L, cast(bit % 30 as int))").as("m"))
         .groupBy(col("word")).agg(expr("bit_or(m)").as("bits"))
+      // Materialize the single md5 hash as a concrete column BEFORE the
+      // per-bit derivations, so no join boundary re-evaluates it.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      val flags = li.select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), explode(probes).as("i"))
-        .withColumn("bit", bloomBit(col("l_partkey"), col("i")))
-        .withColumn("word", expr("bit div 30"))
-        .withColumn("m", expr("shiftleft(1L, cast(bit % 30 as int))"))
-        .join(broadcast(words), Seq("word"), "left")
-        .withColumn("hit",
-          col("bits").isNotNull && col("bits").bitwiseAND(col("m")) =!= 0)
-        // Pass iff NO probe missed (identical fact rows may collapse
-        // into one group, so "all hits" must not be spelled "sum = 3").
-        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .agg((sum(when(col("hit"), 0).otherwise(1)) === 0).as("bloom_pass"))
+        .withColumn("h", h60(concat_ws(":", lit("bloom"), col("l_partkey"))))
+      def bitsFromH(h: Column): Seq[Column] = {
+        val h1 = h % 4096
+        val step = lit(1L) + shiftright(h, 30) % 4095
+        (0 until 3).map(i => (h1 + lit(i) * step) % 4096)
+      }
+      val probed = bitsFromH(col("h")).zipWithIndex
+        .foldLeft(li) { case (df, (bitCol, i)) =>
+          df.withColumn(s"bit$i", bitCol)
+            .withColumn(s"word$i", expr(s"bit$i div 30"))
+            .withColumn(s"m$i", expr(s"shiftleft(1L, cast(bit$i % 30 as int))"))
+            .join(broadcast(words.select(col("word").as(s"word$i"),
+              col("bits").as(s"bits$i"))), Seq(s"word$i"), "left")
+        }
+      val hitAll = (0 until 3).map(i =>
+        col(s"bits$i").isNotNull &&
+          col(s"bits$i").bitwiseAND(col(s"m$i")) =!= 0).reduce(_ && _)
+      val flags = probed
+        .withColumn("bloom_pass", hitAll)
         .join(broadcast(dim.withColumn("dim_hit", lit(1))),
           col("l_partkey") === col("k"), "left")
         .withColumn("is_match", col("dim_hit").isNotNull)
@@ -308,32 +325,42 @@ object DataOps {
       """WITH dim AS (
            SELECT DISTINCT p_partkey AS k FROM part
            WHERE p_type = 'ECONOMY'),
+         dh AS (
+           SELECT ('0x' || substr(md5('bloom:' || k), 1, 15))::BIGINT
+             AS h FROM dim),
          dbits AS (
            SELECT DISTINCT
-                  ('0x' || substr(md5('bloom:' || i || ':' || k), 1, 15))
-                    ::BIGINT % 4096 AS bit
-           FROM dim, (SELECT unnest([0, 1, 2]) AS i)),
+                  (h % 4096 + i * (1 + (h >> 30) % 4095)) % 4096 AS bit
+           FROM dh, (SELECT unnest([0, 1, 2]) AS i)),
          words AS (
            SELECT bit // 30 AS word,
                   bit_or(1::BIGINT << (bit % 30)::INT) AS bits
            FROM dbits GROUP BY bit // 30),
          probe AS (
-           SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.i,
-                  ('0x' || substr(md5('bloom:' || p.i || ':' ||
-                    l.l_partkey), 1, 15))::BIGINT % 4096 AS bit
-           FROM lineitem l, (SELECT unnest([0, 1, 2]) AS i) p),
-         hits AS (
-           SELECT pr.l_orderkey, pr.l_linenumber, pr.l_partkey,
-                  CASE WHEN w.bits IS NOT NULL AND
-                    (w.bits & (1::BIGINT << (pr.bit % 30)::INT)) <> 0
-                    THEN 1 ELSE 0 END AS hit
-           FROM probe pr LEFT JOIN words w ON w.word = pr.bit // 30),
-         flags AS (
            SELECT l_orderkey, l_linenumber, l_partkey,
-                  sum(CASE WHEN hit = 0 THEN 1 ELSE 0 END) = 0
+                  ('0x' || substr(md5('bloom:' || l_partkey), 1, 15))
+                    ::BIGINT AS h
+           FROM lineitem),
+         pbits AS (
+           SELECT l_orderkey, l_linenumber, l_partkey,
+                  (h % 4096) % 4096 AS bit0,
+                  (h % 4096 + 1 * (1 + (h >> 30) % 4095)) % 4096 AS bit1,
+                  (h % 4096 + 2 * (1 + (h >> 30) % 4095)) % 4096 AS bit2
+           FROM probe),
+         flags AS (
+           SELECT p.l_orderkey, p.l_linenumber, p.l_partkey,
+                  (w0.bits IS NOT NULL AND
+                     (w0.bits & (1::BIGINT << (p.bit0 % 30)::INT)) <> 0)
+                  AND (w1.bits IS NOT NULL AND
+                     (w1.bits & (1::BIGINT << (p.bit1 % 30)::INT)) <> 0)
+                  AND (w2.bits IS NOT NULL AND
+                     (w2.bits & (1::BIGINT << (p.bit2 % 30)::INT)) <> 0)
                     AS bloom_pass,
-                  l_partkey IN (SELECT k FROM dim) AS is_match
-           FROM hits GROUP BY l_orderkey, l_linenumber, l_partkey)
+                  p.l_partkey IN (SELECT k FROM dim) AS is_match
+           FROM pbits p
+           LEFT JOIN words w0 ON w0.word = p.bit0 // 30
+           LEFT JOIN words w1 ON w1.word = p.bit1 // 30
+           LEFT JOIN words w2 ON w2.word = p.bit2 // 30)
          SELECT count(*)::BIGINT AS n_probe,
                 sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT
                   AS bloom_pass,
