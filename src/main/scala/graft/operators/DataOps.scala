@@ -174,6 +174,33 @@ object DataOps {
           (col("n_probe") - col("bloom_pass")) / col("n_probe"), 4))
     }),
 
+    // Join-size estimation from per-key group statistics — the
+    // cardinality stats a planner consults BEFORE running a join (the
+    // reference sizes hash tables from expression ranges and needs
+    // exactly these counts). |A self-join on k| = sum c(k)^2, computed
+    // from one aggregate over the fact table; the key histogram also
+    // yields the skew diagnostics (max key count, top-key fraction)
+    // that drive the salted-join decision (q154/q237). No join is
+    // executed: at 100 TB this one-pass estimate is what tells you the
+    // self-join would explode BEFORE you pay for it.
+    "q268_join_size_estimate" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+      val dimKeys = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey").as("k")).distinct()
+      val withDim = cnt.join(broadcast(dimKeys),
+        col("l_partkey") === col("k"), "left")
+      withDim.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("total_rows"),
+        max(col("c")).as("max_key_cnt"),
+        sum(col("c") * col("c")).as("est_selfjoin_pairs"),
+        sum(when(col("k").isNotNull, col("c")).otherwise(0L))
+          .as("est_dimjoin_rows"))
+        .withColumn("skew_frac",
+          round(col("max_key_cnt") / col("total_rows"), 6))
+    }),
+
     // ROUGE-1/2 between paired documents (candidate = even doc_id,
     // reference = the next doc) — exact n-gram multiset overlap
     // (sum of min counts), precision/recall/F1. Tokenization is the
@@ -377,6 +404,21 @@ object DataOps {
                 round((count(*) - sum(CASE WHEN bloom_pass THEN 1 ELSE 0
                   END)) / count(*), 4) AS pruned_frac
          FROM flags""",
+    "q268_join_size_estimate" ->
+      """WITH cnt AS (
+           SELECT l_partkey, count(*)::BIGINT AS c FROM lineitem
+           GROUP BY l_partkey),
+         dim AS (
+           SELECT DISTINCT p_partkey AS k FROM part
+           WHERE p_type = 'ECONOMY')
+         SELECT count(*)::BIGINT AS n_keys,
+                sum(c)::BIGINT AS total_rows,
+                max(c) AS max_key_cnt,
+                sum(c * c)::BIGINT AS est_selfjoin_pairs,
+                sum(CASE WHEN d.k IS NOT NULL THEN c ELSE 0 END)::BIGINT
+                  AS est_dimjoin_rows,
+                round(max(c) / sum(c), 6) AS skew_frac
+         FROM cnt LEFT JOIN dim d ON d.k = cnt.l_partkey""",
     "q257_rouge_eval" ->
       """WITH d AS (
            SELECT doc_id,

@@ -141,6 +141,44 @@ object ProductAnalytics {
             .as("total_value"))
     }),
 
+    // A/B experiment analysis: users deterministically hash-assigned to
+    // two arms, per-user purchase revenue kept in INTEGER CENTS so the
+    // arm sums and sums-of-squares are exact; mean/variance/Welch-t are
+    // then a fixed chain of correctly-rounded double ops replayed
+    // verbatim by the oracle. One shuffle (per-user rollup) + a 1-row
+    // conditional aggregate — the experimentation readout at any scale.
+    "q267_ab_test" -> ((s, d) => {
+      val per = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(14,2)") * 100).cast("long"))
+          .otherwise(0L)).as("cents"))
+        .withColumn("arm", when(
+          conv(substring(md5(concat_ws("", lit("ab:"), col("user_id"))),
+            1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+        .withColumn("c2", col("cents") * col("cents"))
+      def armAgg(a: String, c: Column) =
+        sum(when(col("arm") === a, c).otherwise(0L))
+      val stats = per.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        armAgg("A", col("cents")).as("s_a"),
+        armAgg("B", col("cents")).as("s_b"),
+        armAgg("A", col("c2")).as("ss_a"),
+        armAgg("B", col("c2")).as("ss_b"))
+      val meanA = col("s_a") / col("n_a") / 100.0
+      val meanB = col("s_b") / col("n_b") / 100.0
+      val varA = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+        (col("n_a") - 1) / 10000.0
+      val varB = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+        (col("n_b") - 1) / 10000.0
+      stats.select(col("n_a"), col("n_b"),
+        round(meanA, 4).as("mean_a"), round(meanB, 4).as("mean_b"),
+        round(varA, 4).as("var_a"), round(varB, 4).as("var_b"),
+        round((meanA - meanB) /
+          sqrt(varA / col("n_a") + varB / col("n_b")), 4).as("t_stat"))
+    }),
+
     // Event-transition statistics (first-order Markov): consecutive
     // event pairs per user ordered by (ts, event_id) — the per-user
     // LAG window of q20 pointed at path analysis — rolled up to
@@ -248,6 +286,46 @@ object ProductAnalytics {
          SELECT attributed_to, count(*)::BIGINT AS n_purchases,
                 round(sum(value::DECIMAL(14,2))::DOUBLE, 2) AS total_value
          FROM attributed GROUP BY attributed_to""",
+    "q267_ab_test" ->
+      """WITH per AS (
+           SELECT user_id,
+                  sum(CASE WHEN event_type = 'purchase'
+                       THEN (value::DECIMAL(14,2) * 100)::BIGINT
+                       ELSE 0 END) AS cents
+           FROM events GROUP BY user_id),
+         armd AS (
+           SELECT cents, cents * cents AS c2,
+                  CASE WHEN ('0x' || substr(md5('ab:' || user_id), 1, 15))
+                         ::BIGINT % 2 = 0
+                       THEN 'A' ELSE 'B' END AS arm
+           FROM per),
+         stats AS (
+           SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_a,
+                  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_b,
+                  sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END)::BIGINT
+                    AS s_a,
+                  sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END)::BIGINT
+                    AS s_b,
+                  sum(CASE WHEN arm = 'A' THEN c2 ELSE 0 END)::BIGINT
+                    AS ss_a,
+                  sum(CASE WHEN arm = 'B' THEN c2 ELSE 0 END)::BIGINT
+                    AS ss_b
+           FROM armd)
+         SELECT n_a, n_b,
+                round(s_a / n_a / 100.0, 4) AS mean_a,
+                round(s_b / n_b / 100.0, 4) AS mean_b,
+                round((ss_a - s_a * s_a / n_a) / (n_a - 1) / 10000.0, 4)
+                  AS var_a,
+                round((ss_b - s_b * s_b / n_b) / (n_b - 1) / 10000.0, 4)
+                  AS var_b,
+                round((s_a / n_a / 100.0 - s_b / n_b / 100.0)
+                  / sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / 10000.0
+                           / n_a
+                         + (ss_b - s_b * s_b / n_b) / (n_b - 1) / 10000.0
+                           / n_b), 4) AS t_stat
+         FROM stats""",
     "q263_event_transitions" ->
       """WITH seq AS (
            SELECT user_id, event_type,

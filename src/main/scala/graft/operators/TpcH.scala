@@ -496,6 +496,36 @@ object TpcH {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").cast("string").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+    }),
+
+    // TPC-H refresh streams (RF1 insert / RF2 delete, spec §2.27-2.28)
+    // as a functional simulation: a deterministic hash splits orders
+    // into base (90%), the RF1 insert batch (10%), and the RF2 delete
+    // keys (a different 10%); lineitem cascades by orderkey (the spec's
+    // referential rule). The post-refresh state is verified by count +
+    // exact-decimal revenue — the ACID-ish maintenance counterpart to
+    // q259's incremental aggregate. Insert is a union, delete is an
+    // anti-join: both are the 100 TB shapes (no row rewrite).
+    "q269_tpch_refresh" -> ((s, d) => {
+      val hk = conv(substring(md5(concat_ws("", lit("rf:"),
+        col("o_orderkey"))), 1, 15), 16, 10).cast("long") % 10
+      val orders = t(s, d, "orders").withColumn("hk", hk)
+      val base = orders.filter(col("hk") =!= 0).drop("hk")
+      val rf1 = orders.filter(col("hk") === 0).drop("hk")
+      val rf2keys = orders.filter(col("hk") === 1)
+        .select(col("o_orderkey"))
+      val post = base.unionByName(rf1)
+        .join(rf2keys, Seq("o_orderkey"), "left_anti")
+      val liPost = t(s, d, "lineitem")
+        .join(rf2keys.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+      val oc = post.agg(count(lit(1)).as("n_orders"))
+      val lc = liPost.agg(count(lit(1)).as("n_lineitems"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(4,2)") -
+            col("l_discount").cast("decimal(4,2)")))
+          .cast("double"), 2).as("total_revenue"))
+      oc.crossJoin(lc)
     })
   )
 
@@ -522,6 +552,25 @@ part2 AS (
 """
 
   val oracles: Seq[(String, String)] = Seq(
+
+    "q269_tpch_refresh" ->
+      """WITH hk AS (
+           SELECT o_orderkey,
+                  ('0x' || substr(md5('rf:' || o_orderkey), 1, 15))
+                    ::BIGINT % 10 AS h
+           FROM orders),
+         rf2 AS (SELECT o_orderkey FROM hk WHERE h = 1),
+         post AS (
+           SELECT o.* FROM orders o
+           WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM rf2)),
+         li_post AS (
+           SELECT l.* FROM lineitem l
+           WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM rf2))
+         SELECT (SELECT count(*) FROM post)::BIGINT AS n_orders,
+                (SELECT count(*) FROM li_post)::BIGINT AS n_lineitems,
+                (SELECT round(sum(l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2)))
+                   ::DOUBLE, 2) FROM li_post) AS total_revenue""",
 
     "q214_tpch_q01" -> (ctePrefix + """
 SELECT l_returnflag, l_linestatus,

@@ -73,6 +73,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.values.sum == total - inNeither, rows.toString)
   }
 
+  test("q268: the one-pass estimates equal the actually-executed joins") {
+    val r = SparkEntry.queries("q268_join_size_estimate")(spark, sf)
+      .collect()(0)
+    val li = Tables.t(spark, sf, "lineitem")
+    val selfPairs = li.select(col("l_partkey")).as("a")
+      .join(li.select(col("l_partkey")).as("b"), "l_partkey").count()
+    assert(r.getAs[Long]("est_selfjoin_pairs") == selfPairs)
+    val dim = Tables.t(spark, sf, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val dimRows = li.join(dim, li("l_partkey") === dim("p_partkey"),
+      "left_semi").count()
+    assert(r.getAs[Long]("est_dimjoin_rows") == dimRows)
+  }
+
   test("q259: merged base+delta aggregate equals the full recompute") {
     val rows = SparkEntry.queries("q259_incremental_mv")(spark, sf)
       .collect()

@@ -60,6 +60,16 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(!rows.exists(_.getAs[String]("attributed_to") == "purchase"))
   }
 
+  test("q267: arms partition users; variances are non-negative") {
+    val r = SparkEntry.queries("q267_ab_test")(spark, sf).collect()(0)
+    val users = Tables.t(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(r.getAs[Double]("var_a") >= 0 && r.getAs[Double]("var_b") >= 0)
+    // Hash assignment is unbiased-ish: neither arm may be empty or tiny.
+    assert(r.getAs[Long]("n_a") * 5 > users && r.getAs[Long]("n_b") * 5 > users)
+  }
+
   test("q263: transition probabilities sum to 1 per source type") {
     val rows = SparkEntry.queries("q263_event_transitions")(spark, sf)
       .collect()
