@@ -118,7 +118,10 @@ object DataOps {
     // fact table. False negatives must be 0 (the correctness contract);
     // false positives are the measured cost of the 0.5 KB filter. At
     // 100 TB this is the map-side filter that keeps 90%+ of a selective
-    // join's probe rows out of the shuffle.
+    // join's probe rows out of the shuffle. Sizing rule (measured in
+    // SCALE.md): provision m at ~10 bits per dim key — the fixed
+    // m=4096 here is sized for the sf0.1 dim and measurably saturates
+    // at sf1 (pruning decays, correctness holds).
     "q256_bloom_join_prune" -> ((s, d) => {
       // h1 = low 30 bits, step = 1 + (high 30 bits % 4095) so the
       // stride is never 0 (mod 4096 the three bits stay distinct-ish).
