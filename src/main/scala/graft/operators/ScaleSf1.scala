@@ -161,6 +161,12 @@ object ScaleRun {
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
       val q = qs(name)
+      // Isolate queries from each other: measured 2-3x repeat-pass
+      // inflation for late queries in a long sweep came from
+      // accumulated cache/heap pressure, not the queries themselves
+      // (SCALE.md round-7 addendum).
+      spark.catalog.clearCache()
+      System.gc()
       // Pass 1: JIT/codegen warm-up (also populates the stage cache).
       materialize(q(spark, dir))
       // Pass 2: full chain rebuild, warm JIT, counters on.
