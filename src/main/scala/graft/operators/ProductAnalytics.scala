@@ -198,10 +198,91 @@ object ProductAnalytics {
       pairs.join(totals, Seq("prev_type"))
         .select(col("prev_type"), col("event_type"), col("n"),
           round(col("n") / col("tot"), 4).as("p"))
+    }),
+
+    // Volume-anomaly detection: hourly event counts per type, flagged
+    // when a bucket exceeds mean + 3*stddev of its type's distribution.
+    // Counts are integers, so mean/std derive from exact integer sums
+    // (sum, sum-of-squares) and the z-test is one fixed double chain —
+    // the q267 discipline pointed at ops monitoring. Two aggregates
+    // (bucket rollup, per-type moments) + a broadcast join back.
+    "q270_anomaly_hours" -> ((s, d) => {
+      val buckets = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val moments = buckets.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("ss"))
+      val mean = col("s") / col("k")
+      val variance = (col("ss") - col("s") * col("s") / col("k")) /
+        (col("k") - 1)
+      val thr = mean + lit(3.0) * sqrt(variance)
+      buckets.join(broadcast(moments), Seq("event_type"))
+        .filter(col("n") > thr)
+        .select(col("event_type"), col("h"), col("n"),
+          round(mean, 4).as("mean_n"), round(thr, 4).as("threshold"))
+    }),
+
+    // Right-to-be-forgotten erasure audit: the users selected for
+    // erasure (deterministic hash slice) are anti-joined out of the
+    // event stream; the audit row carries how much was removed AND a
+    // residual count that must be zero — erasure that cannot prove
+    // completeness is not erasure. Anti-join + two aggregates; at
+    // 100 TB the erase set is a broadcast manifest and the rewrite is
+    // partition-local.
+    "q271_erasure_audit" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val erase = ev.select(col("user_id")).distinct()
+        .filter(conv(substring(md5(concat_ws("", lit("gdpr:"),
+          col("user_id"))), 1, 15), 16, 10).cast("long") % 10 === 0)
+      val post = ev.join(erase, Seq("user_id"), "left_anti")
+      val residual = post.join(erase, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("residual_events"))
+      val nUsers = erase.agg(count(lit(1)).as("n_users_erased"))
+      val nPost = post.agg(count(lit(1)).as("n_events_left"))
+      val nAll = ev.agg(count(lit(1)).as("n_events_before"))
+      nUsers.crossJoin(nAll).crossJoin(nPost).crossJoin(residual)
+        .select(col("n_users_erased"), col("n_events_before"),
+          col("n_events_left"),
+          (col("n_events_before") - col("n_events_left"))
+            .as("n_events_removed"),
+          col("residual_events"))
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q270_anomaly_hours" ->
+      """WITH buckets AS (
+           SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         moments AS (
+           SELECT event_type, count(*)::BIGINT AS k,
+                  sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS ss
+           FROM buckets GROUP BY event_type)
+         SELECT b.event_type, b.h, b.n,
+                round(m.s / m.k, 4) AS mean_n,
+                round(m.s / m.k + 3.0 * sqrt(
+                  (m.ss - m.s * m.s / m.k) / (m.k - 1)), 4) AS threshold
+         FROM buckets b JOIN moments m ON m.event_type = b.event_type
+         WHERE b.n > m.s / m.k + 3.0 * sqrt(
+           (m.ss - m.s * m.s / m.k) / (m.k - 1))""",
+    "q271_erasure_audit" ->
+      """WITH erase AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE ('0x' || substr(md5('gdpr:' || user_id), 1, 15))::BIGINT
+             % 10 = 0),
+         post AS (
+           SELECT e.* FROM events e
+           WHERE e.user_id NOT IN (SELECT user_id FROM erase))
+         SELECT (SELECT count(*) FROM erase)::BIGINT AS n_users_erased,
+                (SELECT count(*) FROM events)::BIGINT AS n_events_before,
+                (SELECT count(*) FROM post)::BIGINT AS n_events_left,
+                ((SELECT count(*) FROM events)
+                 - (SELECT count(*) FROM post))::BIGINT AS n_events_removed,
+                (SELECT count(*) FROM post
+                 WHERE user_id IN (SELECT user_id FROM erase))::BIGINT
+                  AS residual_events""",
     "q260_resample_gapfill" ->
       s"""WITH obs AS (
             SELECT date_trunc('hour', ts)::TIMESTAMP AS oh,

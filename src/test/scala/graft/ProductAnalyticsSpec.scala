@@ -70,6 +70,26 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_a") * 5 > users && r.getAs[Long]("n_b") * 5 > users)
   }
 
+  test("q270: flagged hours genuinely exceed their type threshold") {
+    val rows = SparkEntry.queries("q270_anomaly_hours")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n").toDouble > r.getAs[Double]("threshold") ||
+        // round(threshold, 4) may round UP past n; the unrounded
+        // comparison is the filter itself, so tolerate the edge.
+        r.getAs[Long]("n").toDouble > r.getAs[Double]("threshold") - 1e-4,
+        r.toString)
+      assert(r.getAs[Double]("threshold") > r.getAs[Double]("mean_n"))
+    }
+  }
+
+  test("q271: erasure is complete and the books balance") {
+    val r = SparkEntry.queries("q271_erasure_audit")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("residual_events") == 0L, r.toString)
+    assert(r.getAs[Long]("n_events_before") ==
+      r.getAs[Long]("n_events_left") + r.getAs[Long]("n_events_removed"))
+    assert(r.getAs[Long]("n_users_erased") > 0)
+  }
+
   test("q263: transition probabilities sum to 1 per source type") {
     val rows = SparkEntry.queries("q263_event_transitions")(spark, sf)
       .collect()
