@@ -267,6 +267,69 @@ object StreamingIngest {
       ts: java.sql.Timestamp, event_type: String)
   final case class ErrorRunAlert(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp)
+  final case class FunnelConv(user_id: Long, t_purchase: java.sql.Timestamp)
+
+  /** Streaming funnel (q272): the q261 signup->view->purchase funnel as
+    * a per-user state machine over `flatMapGroupsWithState` — proof the
+    * batch analytics family has a streaming-parity member. State is two
+    * numbers (stage, anchor µs); events are processed in (ts, event_id)
+    * order within each batch slice, and because the batch funnel anchors
+    * every stage at the EARLIEST qualifying event, the greedy in-order
+    * pass computes exactly the batch answer (first signup = min signup;
+    * first view after it within 7 days = min qualifying view; same for
+    * purchase). Emits one conversion row per user, at most once.
+    */
+  def streamedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val outDir = graft.Stage.scratchDir("graft_stream_funnel")
+    val ckptBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val src = eventStream(spark, FileSource(dir))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[Ev]
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+    val convs = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Int, Long)]) =>
+          var (stage, anchor) = state.getOption.getOrElse((0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConv]
+          it.toSeq.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.toInstant.getNano,
+              e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            (stage, e.event_type) match {
+              case (0, "signup") => stage = 1; anchor = t
+              case (1, "view")
+                  if t > anchor && t <= anchor + sevenDaysUs =>
+                stage = 2; anchor = t
+              case (2, "purchase")
+                  if t > anchor && t <= anchor + sevenDaysUs =>
+                stage = 3; out += FunnelConv(uid, e.ts)
+              case _ => ()
+            }
+          }
+          state.update((stage, anchor))
+          out.iterator
+      }
+    withStatePartitions(spark) {
+      val q = convs.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(ckptBase, "graft_ckpt_funnel").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
 
   /** Custom per-key streaming state via `flatMapGroupsWithState` — the
     * state-machine API that session_window/dropDuplicates can't express:
@@ -328,7 +391,8 @@ object StreamingIngest {
     "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d)),
     "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d)),
     "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d)),
-    "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d))
+    "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d)),
+    "q272_stream_funnel" -> ((s, d) => streamedFunnel(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -369,6 +433,25 @@ object StreamingIngest {
                                      ORDER BY mts, event_id) AS k
            FROM e WHERE event_type = 'error')
          SELECT user_id, event_id, mts AS ts FROM runs WHERE k = 3""",
+    // Batch replay of the streamed funnel state machine = q261's
+    // min-anchored stage chain, emitting (user, purchase time).
+    "q272_stream_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, min(ts::TIMESTAMP) AS t_signup FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         v0 AS (
+           SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_view
+           FROM events e JOIN s0 ON s0.user_id = e.user_id
+           WHERE e.event_type = 'view' AND e.ts::TIMESTAMP > s0.t_signup
+             AND e.ts::TIMESTAMP <= s0.t_signup + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         p0 AS (
+           SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+           FROM events e JOIN v0 ON v0.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > v0.t_view
+             AND e.ts::TIMESTAMP <= v0.t_view + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+         SELECT user_id, t_purchase FROM p0""",
     "q173_stream_static_join" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
                 'cat_' || substr(event_type, 1, 1) AS category,
