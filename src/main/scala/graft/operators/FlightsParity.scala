@@ -37,7 +37,48 @@ object FlightsParity {
       t(s, d, "events")
         .groupBy(col("event_type"),
           dayofweek(col("ts")).as("dow"))
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"))),
+
+    // Q017: two-key group with three averages (origin/dest pair panel);
+    // the second metric derives from props length (events carries one
+    // native numeric).
+    "q273_fl_pair_multiavg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("user_id div 15").as("dest_bucket"))
+        .agg(avg(col("value")).as("avg_v"),
+          avg(length(col("props"))).as("avg_w"),
+          avg(col("value") + length(col("props"))).as("avg_vw"))),
+
+    // Q012/Q016: the dashboard scatter panel — a timestamp-range filter
+    // with per-carrier avg x / avg y / count size.
+    "q274_fl_dashboard" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type").as("key0"))
+        .agg(avg(col("value")).as("x"),
+          avg(length(col("props"))).as("y"),
+          count(lit(1)).as("size"))),
+
+    // Q011: selective filter + raw projection with LIMIT (the record
+    // inspector). The reference's limit is orderless; the parity query
+    // pins (ts, event_id) order so the hash gate is deterministic.
+    "q275_fl_projection_limit" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "error" && col("value") > 30.0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+        .limit(5000)),
+
+    // Q014: the month x ISO-day-of-week heatmap under a range filter.
+    "q276_fl_month_isodow" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-04 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-28 00:00:00").cast("timestamp"))
+        .groupBy(month(col("ts")).as("key0"),
+          (weekday(col("ts")) + 1).as("key1"))
+        .agg(count(lit(1)).as("color")))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -54,6 +95,32 @@ object FlightsParity {
       """SELECT event_type,
                 (dayofweek(ts::TIMESTAMP) + 1)::INT AS dow,
                 count(*) AS n
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q273_fl_pair_multiavg" ->
+      """SELECT event_type, user_id // 15 AS dest_bucket,
+                avg(value) AS avg_v,
+                avg(length(props)) AS avg_w,
+                avg(value + length(props)) AS avg_vw
+         FROM events GROUP BY 1, 2""",
+    "q274_fl_dashboard" ->
+      """SELECT event_type AS key0, avg(value) AS x,
+                avg(length(props)) AS y, count(*)::BIGINT AS size
+         FROM events
+         WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts::TIMESTAMP < TIMESTAMP '2024-01-22 00:00:00'
+         GROUP BY 1""",
+    "q275_fl_projection_limit" ->
+      """SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+         FROM events
+         WHERE event_type = 'error' AND value > 30.0
+         ORDER BY ts, event_id LIMIT 5000""",
+    "q276_fl_month_isodow" ->
+      """SELECT month(ts::TIMESTAMP)::INT AS key0,
+                isodow(ts::TIMESTAMP)::INT AS key1,
+                count(*)::BIGINT AS color
+         FROM events
+         WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-04 00:00:00'
+           AND ts::TIMESTAMP < TIMESTAMP '2024-01-28 00:00:00'
+         GROUP BY 1, 2"""
   )
 }

@@ -45,7 +45,32 @@ object TaxiParity {
         .groupBy(col("pc"), col("yr"),
           floor(col("value")).cast("long").as("dist"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pc"), col("yr"), col("dist")))
+        .orderBy(col("n").desc, col("pc"), col("yr"), col("dist"))),
+
+    // MQ05: deterministic pseudo-sample via the Knuth multiplicative
+    // hash on the stable row id (`MOD(MOD(rowid, 2^32)*2654435761,
+    // 2^32) < T`, the reference's literal formula with its own
+    // threshold constant ~1.17%), under a bbox-style range predicate
+    // (value band stands in for the dropoff box). Pure integer math —
+    // the oracle replays the sample bit-for-bit.
+    "q277_taxi_mq05_rowid_sample" -> ((s, d) =>
+      t(s, d, "events")
+        .filter((col("event_id") % 4294967296L * 2654435761L
+          % 4294967296L < 50391620L) &&
+          col("value") >= 20.0 && col("value") <= 40.0)
+        .agg(count(lit(1)).as("n"))),
+
+    // MQ06: SAMPLE_RATIO(r) + the same predicate. Production maps
+    // SAMPLE_RATIO to the registered macro (xxhash64-keyed, q59); the
+    // parity gate uses the engine-portable md5 hash at the same ratio
+    // so the sampled COUNT replays exactly in both engines.
+    "q278_taxi_mq06_sample_ratio" -> ((s, d) =>
+      t(s, d, "events")
+        .filter((conv(substring(md5(concat_ws("", lit("sr:"),
+          col("event_id"))), 1, 15), 16, 10).cast("long") % 1000000L
+          < lit((0.0138281891 * 1000000L).toLong)) &&
+          col("value") >= 20.0 && col("value") <= 40.0)
+        .agg(count(lit(1)).as("n")))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -61,6 +86,16 @@ object TaxiParity {
     "q113_taxi_mq04" ->
       """SELECT user_id % 10 AS pc, year(ts::TIMESTAMP)::INT AS yr,
                 floor(value)::BIGINT AS dist, count(*) AS n
-         FROM events GROUP BY 1, 2, 3"""
+         FROM events GROUP BY 1, 2, 3""",
+    "q277_taxi_mq05_rowid_sample" ->
+      """SELECT count(*) AS n FROM events
+         WHERE (event_id % 4294967296) * 2654435761 % 4294967296
+                 < 50391620
+           AND value >= 20.0 AND value <= 40.0""",
+    "q278_taxi_mq06_sample_ratio" ->
+      """SELECT count(*) AS n FROM events
+         WHERE ('0x' || substr(md5('sr:' || event_id), 1, 15))::BIGINT
+                 % 1000000 < 13828
+           AND value >= 20.0 AND value <= 40.0"""
   )
 }
