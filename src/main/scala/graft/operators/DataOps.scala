@@ -285,6 +285,34 @@ object DataOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     }),
 
+    // Pipeline lineage manifest: each curation stage (raw -> exact-
+    // deduped -> curated) is reduced to a content-addressed fingerprint
+    // — the bit_xor of per-row portable hashes over (doc_id, content).
+    // XOR is commutative/associative, so the fingerprint is independent
+    // of partitioning, task order, and engine — two runs (or two
+    // engines) produced the same dataset iff the manifests match. This
+    // is dataset versioning for the q200-style pipeline: at 100 TB the
+    // manifest is one aggregate per stage, and reproducibility checks
+    // compare 3 numbers instead of 3 corpora.
+    "q279_lineage_manifest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          h60(concat_ws(":", col("doc_id"), md5(col("text")))).as("h"),
+          md5(col("text")).as("fp"))
+      val raw = docs
+      val deduped = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .join(docs, col("keep_id") === col("doc_id"))
+      val curated = deduped.filter(col("n_chars") >= 50)
+      def manifest(df: DataFrame, stage: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h)").as("fingerprint"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("fingerprint"))
+      manifest(raw, "raw")
+        .unionByName(manifest(deduped, "deduped"))
+        .unionByName(manifest(curated, "curated"))
+    }),
+
     // Incremental aggregate maintenance: per-customer order counts and
     // revenue as base (< 1997) + delta (>= 1997) partial aggregates
     // merged by re-aggregation, PROVEN equal to the full recompute.
@@ -510,6 +538,23 @@ object DataOps {
          SELECT status, count(*)::BIGINT AS n_docs,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM j GROUP BY status""",
+    "q279_lineage_manifest" ->
+      """WITH docs AS (
+           SELECT doc_id, n_chars, md5(text) AS fp,
+                  ('0x' || substr(md5(doc_id || ':' || md5(text)), 1, 15))
+                    ::BIGINT AS h
+           FROM documents),
+         deduped AS (
+           SELECT d.* FROM docs d
+           JOIN (SELECT fp, min(doc_id) AS keep_id FROM docs GROUP BY fp)
+             k ON k.keep_id = d.doc_id),
+         curated AS (SELECT * FROM deduped WHERE n_chars >= 50)
+         SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs,
+                bit_xor(h) AS fingerprint FROM docs
+         UNION ALL
+         SELECT 'deduped', count(*)::BIGINT, bit_xor(h) FROM deduped
+         UNION ALL
+         SELECT 'curated', count(*)::BIGINT, bit_xor(h) FROM curated""",
     "q259_incremental_mv" ->
       """WITH o AS (
            SELECT o_custkey, o_orderdate,

@@ -87,6 +87,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("est_dimjoin_rows") == dimRows)
   }
 
+  test("q279: fingerprints are partitioning-independent and consistent") {
+    val rows = SparkEntry.queries("q279_lineage_manifest")(spark, sf)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("fingerprint"))).toMap
+    assert(rows.keySet == Set("raw", "deduped", "curated"))
+    // Same doc set => same fingerprint, regardless of partitioning.
+    val docs = Tables.t(spark, sf, "documents")
+    val fp = docs.repartition(7)
+      .select(conv(substring(md5(concat_ws(":", col("doc_id"),
+        md5(col("text")))), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
+      .collect()(0).getLong(0)
+    assert(fp == rows("raw")._2)
+    // Curated is a subset of deduped; equal sets iff equal fingerprints.
+    assert(rows("curated")._1 <= rows("deduped")._1)
+    assert((rows("raw")._1 == rows("deduped")._1) ==
+      (rows("raw")._2 == rows("deduped")._2))
+  }
+
   test("q259: merged base+delta aggregate equals the full recompute") {
     val rows = SparkEntry.queries("q259_incremental_mv")(spark, sf)
       .collect()
