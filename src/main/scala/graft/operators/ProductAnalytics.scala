@@ -247,10 +247,61 @@ object ProductAnalytics {
           (col("n_events_before") - col("n_events_left"))
             .as("n_events_removed"),
           col("residual_events"))
+    }),
+
+    // Supervised feature-matrix construction for time-series
+    // forecasting: daily revenue per event type with lag-1, lag-7 and
+    // trailing-7-day-mean features — the (X, y) table a forecasting
+    // model trains on. Revenue aggregates as DECIMAL cents so lags and
+    // the trailing mean are exact; windows partition by type (bounded
+    // series count), never globally. Rows without a full feature set
+    // are dropped, as a training-matrix builder must.
+    "q280_ts_feature_matrix" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum((col("value").cast("decimal(14,2)") * 100).cast("long"))
+          .as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-7, -1)
+      daily
+        .withColumn("lag1", lag(col("cents"), 1).over(w))
+        .withColumn("lag7", lag(col("cents"), 7).over(w))
+        .withColumn("n7", count(col("cents")).over(w7))
+        .withColumn("sum7", sum(col("cents")).over(w7))
+        .filter(col("lag1").isNotNull && col("lag7").isNotNull &&
+          col("n7") === 7)
+        .select(col("event_type"), col("day"),
+          round(col("cents") / 100.0, 2).as("y"),
+          round(col("lag1") / 100.0, 2).as("x_lag1"),
+          round(col("lag7") / 100.0, 2).as("x_lag7"),
+          round(col("sum7") / 7.0 / 100.0, 4).as("x_ma7"))
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q280_ts_feature_matrix" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP
+                    AS day,
+                  sum((value::DECIMAL(14,2) * 100)::BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         feat AS (
+           SELECT event_type, day, cents,
+                  lag(cents, 1) OVER w AS lag1,
+                  lag(cents, 7) OVER w AS lag7,
+                  count(cents) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7,
+                  sum(cents) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day,
+                round(cents / 100.0, 2) AS y,
+                round(lag1 / 100.0, 2) AS x_lag1,
+                round(lag7 / 100.0, 2) AS x_lag7,
+                round(sum7 / 7.0 / 100.0, 4) AS x_ma7
+         FROM feat
+         WHERE lag1 IS NOT NULL AND lag7 IS NOT NULL AND n7 = 7""",
     "q270_anomaly_hours" ->
       """WITH buckets AS (
            SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
