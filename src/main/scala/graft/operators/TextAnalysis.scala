@@ -717,6 +717,59 @@ object TextAnalysis {
     // shuffle at all until a downstream op asks for one. Chunk text is
     // emitted as its md5 (the downstream identity a chunk store keys
     // on) plus token counts, keeping the gated row compact.
+    // Tokenizer APPLICATION — the other half of the q205 training loop:
+    // re-derive the 3 learned merge rules, then ENCODE the corpus with
+    // them. The encode map is the final vocabulary keyed by the
+    // original word (word -> merged symbol count); encoding the corpus
+    // is one hash join of the token stream against that map (1-char
+    // words, which training excludes, encode as themselves). Reported
+    // per language: tokens, chars, post-merge symbol count, and the
+    // chars-per-symbol compression the 3 merges bought. At 100 TB the
+    // trained map is a write-once table and encode is ONE join — the
+    // loop that turns tokenizer TRAINING into corpus TOKENIZATION.
+    "q281_bpe_encode" -> ((s, d) => {
+      def symsOf(w: Column): Column =
+        regexp_extract_all(w, lit("<([^>]*)>"), lit(1))
+      val toks = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+      var words = graft.Stage(
+        toks.filter(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .select(col("word"), concat(lit("<"),
+            array_join(regexp_extract_all(col("word"), lit("."), lit(0)),
+              "><"), lit(">")).as("w"), col("c")),
+        "q281_words0")
+      (1 to 3).foreach { r =>
+        val pairs = words
+          .select(symsOf(col("w")).as("syms"), col("c"))
+          .select(col("c"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+          .agg(sum(col("c")).as("cnt"))
+        val top = pairs
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+        words = graft.Stage(words.crossJoin(broadcast(top))
+          .select(col("word"), replace(col("w"),
+            concat(lit("<"), col("p1"), lit("><"), col("p2"), lit(">")),
+            concat(lit("<"), col("p1"), col("p2"), lit(">"))).as("w"),
+            col("c")),
+          s"q281_words$r")
+      }
+      val encodeMap = words
+        .select(col("word"), size(symsOf(col("w"))).as("nsym"))
+      toks.join(encodeMap, Seq("word"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("word"))).as("chars_total"),
+          sum(coalesce(col("nsym"), lit(1))).as("symbols_after"))
+        .withColumn("compression",
+          round(col("chars_total") / col("symbols_after"), 4))
+    }),
+
     "q196_doc_chunking" -> ((s, d) => {
       val chunk = 64
       val stride = 48
@@ -1490,6 +1543,48 @@ object TextAnalysis {
                 round(1.0 - sum(ntok)::DOUBLE / (count(*) * bucket), 6)
                   AS waste_frac
          FROM b GROUP BY bucket""",
+    "q281_bpe_encode" -> {
+      // q205's unrolled rounds, with the ORIGINAL word carried through
+      // each rewrite so the final vocabulary doubles as the encode map.
+      def round(r: Int): String = {
+        val prev = s"words${r - 1}"
+        s"""pairs$r AS (
+           SELECT syms[i] AS p1, syms[i+1] AS p2, sum(c)::BIGINT AS cnt
+           FROM (SELECT regexp_extract_all(w, '<([^>]*)>', 1) AS syms, c
+                 FROM $prev),
+                unnest(range(1, len(syms))) AS u(i)
+           GROUP BY 1, 2),
+         top$r AS MATERIALIZED (
+           SELECT p1, p2, cnt FROM pairs$r
+           ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         words$r AS MATERIALIZED (
+           SELECT v.word,
+                  replace(v.w, '<'||t.p1||'><'||t.p2||'>',
+                          '<'||t.p1||t.p2||'>') AS w, v.c
+           FROM $prev v CROSS JOIN top$r t)"""
+      }
+      """WITH toks AS (
+           SELECT lang,
+                  unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents WHERE length(trim(text)) > 0),
+         words0 AS MATERIALIZED (
+           SELECT word,
+                  '<' || array_to_string(regexp_extract_all(word, '.'), '><')
+                      || '>' AS w,
+                  count(*)::BIGINT AS c
+           FROM toks WHERE length(word) >= 2 GROUP BY 1),
+         """ + Seq(1, 2, 3).map(round).mkString(",\n         ") + """,
+         emap AS (
+           SELECT word, len(regexp_extract_all(w, '<([^>]*)>', 1)) AS nsym
+           FROM words3)
+         SELECT t.lang, count(*)::BIGINT AS n_tokens,
+                sum(length(t.word))::BIGINT AS chars_total,
+                sum(coalesce(e.nsym, 1))::BIGINT AS symbols_after,
+                round(sum(length(t.word)) / sum(coalesce(e.nsym, 1)), 4)
+                  AS compression
+         FROM toks t LEFT JOIN emap e ON e.word = t.word
+         GROUP BY t.lang"""
+    },
     "q205_bpe_merge_loop" -> {
       // One unrolled merge round: pair counts over the previous
       // vocabulary, argmax pair, replace-rewrite, per-round stats.
