@@ -38,11 +38,10 @@ object DataOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Engine-portable 60-bit hash (Dedup.hash60 twin — DuckDB replays it
-    * as ('0x' || substr(md5(x),1,15))::BIGINT).
+  /** Engine-portable 60-bit hash — the one Dedup.hash60 recipe (DuckDB
+    * replays it as ('0x' || substr(md5(x),1,15))::BIGINT).
     */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60(c: Column): Column = Dedup.hash60(c)
 
   // ---- q255 helpers ------------------------------------------------
   /** Morton code: interleave the low 8 bits of x (even positions) and
@@ -123,17 +122,22 @@ object DataOps {
     // m=4096 here is sized for the sf0.1 dim and measurably saturates
     // at sf1 (pruning decays, correctness holds).
     "q256_bloom_join_prune" -> ((s, d) => {
-      // h1 = low 30 bits, step = 1 + (high 30 bits % 4095) so the
-      // stride is never 0 (mod 4096 the three bits stay distinct-ish).
-      def bloomBits(key: Column): Seq[Column] = {
-        val h = h60(concat_ws(":", lit("bloom"), key))
+      // ONE bit-derivation function serves build and probe sides — the
+      // filter's correctness contract (false_neg = 0) is exactly that
+      // both sides compute identical bits. h1 = low 12 bits of the
+      // portable hash; step = 1 + (high bits % 4095) so the stride is
+      // never 0 (mod 4096 the three bits stay distinct-ish).
+      def bloomBits(h: Column): Seq[Column] = {
         val h1 = h % 4096
-        val step = (expr("1") + shiftright(h, 30) % 4095)
+        val step = lit(1L) + shiftright(h, 30) % 4095
         (0 until 3).map(i => (h1 + lit(i) * step) % 4096)
       }
+      def keyHash(key: Column): Column =
+        h60(concat_ws(":", lit("bloom"), key))
       val dim = t(s, d, "part").filter(col("p_type") === "ECONOMY")
         .select(col("p_partkey").as("k")).distinct()
-      val words = dim.select(explode(array(bloomBits(col("k")): _*)).as("bit"))
+      val words = dim
+        .select(explode(array(bloomBits(keyHash(col("k"))): _*)).as("bit"))
         .select(expr("bit div 30").as("word"),
           expr("shiftleft(1L, cast(bit % 30 as int))").as("m"))
         .groupBy(col("word")).agg(expr("bit_or(m)").as("bits"))
@@ -141,13 +145,8 @@ object DataOps {
       // per-bit derivations, so no join boundary re-evaluates it.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-        .withColumn("h", h60(concat_ws(":", lit("bloom"), col("l_partkey"))))
-      def bitsFromH(h: Column): Seq[Column] = {
-        val h1 = h % 4096
-        val step = lit(1L) + shiftright(h, 30) % 4095
-        (0 until 3).map(i => (h1 + lit(i) * step) % 4096)
-      }
-      val probed = bitsFromH(col("h")).zipWithIndex
+        .withColumn("h", keyHash(col("l_partkey")))
+      val probed = bloomBits(col("h")).zipWithIndex
         .foldLeft(li) { case (df, (bitCol, i)) =>
           df.withColumn(s"bit$i", bitCol)
             .withColumn(s"word$i", expr(s"bit$i div 30"))

@@ -20,8 +20,7 @@ object MixturePlanning {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60(c: Column): Column = Dedup.hash60(c)
 
   val queries: Seq[(String, Q)] = Seq(
 

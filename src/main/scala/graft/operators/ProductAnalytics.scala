@@ -53,11 +53,16 @@ object ProductAnalytics {
       // spine hour's single-band probe still sees >= BAND_H of history.
       val served = obs.select(col("oh"), col("sv"), col("n"),
         explode(array(bandOf(col("oh")), bandOf(col("oh")) + 1)).as("b"))
-      val filled = spine.withColumn("b", bandOf(col("h")))
-        .join(served, Seq("b"), "left")
-        .filter(col("oh").isNull || col("oh") <= col("h"))
-        .groupBy(col("h"))
-        .agg(max(struct(col("oh"), col("sv"), col("n"))).as("last"))
+      // The as-of qualifier (oh <= h) lives in the JOIN CONDITION, not a
+      // post-filter: a spine hour whose band holds only LATER
+      // observations must surface as a null-filled row, not vanish.
+      val sp = spine.withColumn("b", bandOf(col("h"))).as("sp")
+      val filled = sp.join(served.as("sv"),
+          col("sv.b") === col("sp.b") && col("sv.oh") <= col("sp.h"),
+          "left")
+        .groupBy(col("sp.h").as("h"))
+        .agg(max(struct(col("sv.oh").as("oh"), col("sv.sv").as("sv"),
+          col("sv.n").as("n"))).as("last"))
         .select(col("h"), col("last.oh").as("last_obs_h"),
           (col("last.oh") === col("h")).as("observed"),
           when(col("last.n").isNotNull,
@@ -154,8 +159,8 @@ object ProductAnalytics {
           (col("value").cast("decimal(14,2)") * 100).cast("long"))
           .otherwise(0L)).as("cents"))
         .withColumn("arm", when(
-          conv(substring(md5(concat_ws("", lit("ab:"), col("user_id"))),
-            1, 15), 16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+          Dedup.hash60(concat_ws("", lit("ab:"), col("user_id")))
+            % 2 === 0, "A").otherwise("B"))
         .withColumn("c2", col("cents") * col("cents"))
       def armAgg(a: String, c: Column) =
         sum(when(col("arm") === a, c).otherwise(0L))
@@ -232,11 +237,17 @@ object ProductAnalytics {
     // partition-local.
     "q271_erasure_audit" -> ((s, d) => {
       val ev = t(s, d, "events")
+      def isErased(u: Column): Column =
+        Dedup.hash60(concat_ws("", lit("gdpr:"), u)) % 10 === 0
       val erase = ev.select(col("user_id")).distinct()
-        .filter(conv(substring(md5(concat_ws("", lit("gdpr:"),
-          col("user_id"))), 1, 15), 16, 10).cast("long") % 10 === 0)
+        .filter(isErased(col("user_id")))
       val post = ev.join(erase, Seq("user_id"), "left_anti")
-      val residual = post.join(erase, Seq("user_id"), "left_semi")
+      // The residual check derives INDEPENDENTLY of the erase-set
+      // plumbing (re-applying the predicate to the post table), so a
+      // bug in the manifest or the anti-join actually shows up — a
+      // semi-join of post against the same erase set would be zero by
+      // construction and prove nothing.
+      val residual = post.filter(isErased(col("user_id")))
         .agg(count(lit(1)).as("residual_events"))
       val nUsers = erase.agg(count(lit(1)).as("n_users_erased"))
       val nPost = post.agg(count(lit(1)).as("n_events_left"))
@@ -257,10 +268,21 @@ object ProductAnalytics {
     // series count), never globally. Rows without a full feature set
     // are dropped, as a training-matrix builder must.
     "q280_ts_feature_matrix" -> ((s, d) => {
-      val daily = t(s, d, "events")
+      val daily0 = t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(sum((col("value").cast("decimal(14,2)") * 100).cast("long"))
           .as("cents"))
+      // Zero-revenue days are MATERIALIZED on a per-type calendar spine
+      // before the lags, so a row offset IS a calendar offset — row-based
+      // lag over a gappy daily aggregate would silently hand the model
+      // "lag-7" features from more than a week ago.
+      val bounds = daily0.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = daily0.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val daily = spine.join(daily0, Seq("event_type", "day"), "left")
+        .withColumn("cents", coalesce(col("cents"), lit(0L)))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val w7 = w.rowsBetween(-7, -1)
       daily
@@ -280,11 +302,20 @@ object ProductAnalytics {
 
   val oracles: Seq[(String, String)] = Seq(
     "q280_ts_feature_matrix" ->
-      """WITH daily AS (
+      """WITH daily0 AS (
            SELECT event_type, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP
                     AS day,
                   sum((value::DECIMAL(14,2) * 100)::BIGINT) AS cents
            FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0),
+         spine AS (
+           SELECT t.event_type, unnest(generate_series(b.d0, b.d1,
+             INTERVAL 1 DAY))::TIMESTAMP AS day
+           FROM (SELECT DISTINCT event_type FROM daily0) t, bounds b),
+         daily AS (
+           SELECT s.event_type, s.day, coalesce(d.cents, 0) AS cents
+           FROM spine s LEFT JOIN daily0 d
+             ON d.event_type = s.event_type AND d.day = s.day),
          feat AS (
            SELECT event_type, day, cents,
                   lag(cents, 1) OVER w AS lag1,
@@ -332,8 +363,8 @@ object ProductAnalytics {
                 ((SELECT count(*) FROM events)
                  - (SELECT count(*) FROM post))::BIGINT AS n_events_removed,
                 (SELECT count(*) FROM post
-                 WHERE user_id IN (SELECT user_id FROM erase))::BIGINT
-                  AS residual_events""",
+                 WHERE ('0x' || substr(md5('gdpr:' || user_id), 1, 15))
+                   ::BIGINT % 10 = 0)::BIGINT AS residual_events""",
     "q260_resample_gapfill" ->
       s"""WITH obs AS (
             SELECT date_trunc('hour', ts)::TIMESTAMP AS oh,
@@ -353,7 +384,7 @@ object ProductAnalytics {
             SELECT s.h, v.oh, v.sv, v.n
             FROM spine s LEFT JOIN served v
               ON v.b = (epoch(s.h) // ${BAND_H * 3600L})::BIGINT
-            WHERE v.oh IS NULL OR v.oh <= s.h),
+             AND v.oh <= s.h),
           lastv AS (
             SELECT h, max(oh) AS last_obs_h, arg_max(sv, oh) AS sv,
                    arg_max(n, oh) AS n
@@ -365,19 +396,19 @@ object ProductAnalytics {
           FROM lastv""",
     "q261_funnel" ->
       """WITH s0 AS (
-           SELECT user_id, min(ts) AS t_signup FROM events
+           SELECT user_id, min(ts::TIMESTAMP) AS t_signup FROM events
            WHERE event_type = 'signup' GROUP BY user_id),
          v0 AS (
-           SELECT e.user_id, min(e.ts) AS t_view
+           SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_view
            FROM events e JOIN s0 ON s0.user_id = e.user_id
-           WHERE e.event_type = 'view' AND e.ts > s0.t_signup
-             AND e.ts <= s0.t_signup + INTERVAL 7 DAY
+           WHERE e.event_type = 'view' AND e.ts::TIMESTAMP > s0.t_signup
+             AND e.ts::TIMESTAMP <= s0.t_signup + INTERVAL 7 DAY
            GROUP BY e.user_id),
          p0 AS (
-           SELECT e.user_id, min(e.ts) AS t_purchase
+           SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
            FROM events e JOIN v0 ON v0.user_id = e.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > v0.t_view
-             AND e.ts <= v0.t_view + INTERVAL 7 DAY
+           WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > v0.t_view
+             AND e.ts::TIMESTAMP <= v0.t_view + INTERVAL 7 DAY
            GROUP BY e.user_id)
          SELECT (SELECT count(*) FROM s0)::BIGINT AS n_signup,
                 (SELECT count(*) FROM v0)::BIGINT AS n_view7,
@@ -389,11 +420,12 @@ object ProductAnalytics {
     "q262_cohort_retention" ->
       """WITH first_e AS (
            SELECT user_id,
-                  date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+                  date_trunc('week', min(ts::TIMESTAMP))::TIMESTAMP
+                    AS cohort_week
            FROM events GROUP BY user_id)
          SELECT f.cohort_week,
                 (date_diff('day', f.cohort_week,
-                  date_trunc('week', e.ts)) // 7)::INT AS week_offset,
+                  date_trunc('week', e.ts::TIMESTAMP)) // 7)::INT AS week_offset,
                 count(DISTINCT e.user_id)::BIGINT AS active_users
          FROM events e JOIN first_e f ON f.user_id = e.user_id
          GROUP BY 1, 2""",
@@ -401,16 +433,18 @@ object ProductAnalytics {
       """WITH packed AS (
            SELECT user_id, ts, event_id, event_type, value,
                   last_value(CASE WHEN event_type <> 'purchase'
-                      THEN epoch_us(ts) || '|' || event_type END
-                    IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      THEN epoch_us(ts::TIMESTAMP) || '|' || event_type
+                      END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                    ORDER BY ts::TIMESTAMP, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     AS src
            FROM events),
          attributed AS (
            SELECT value,
                   CASE WHEN src IS NOT NULL AND
-                    epoch_us(ts) - string_split(src, '|')[1]::BIGINT
+                    epoch_us(ts::TIMESTAMP)
+                      - string_split(src, '|')[1]::BIGINT
                       <= 24::BIGINT * 3600 * 1000000
                    THEN string_split(src, '|')[2] ELSE 'none' END
                     AS attributed_to
@@ -462,7 +496,7 @@ object ProductAnalytics {
       """WITH seq AS (
            SELECT user_id, event_type,
                   lag(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS prev_type
+                    ORDER BY ts::TIMESTAMP, event_id) AS prev_type
            FROM events),
          pairs AS (
            SELECT prev_type, event_type, count(*)::BIGINT AS n

@@ -51,14 +51,21 @@ object TaxiParity {
     // hash on the stable row id (`MOD(MOD(rowid, 2^32)*2654435761,
     // 2^32) < T`, the reference's literal formula with its own
     // threshold constant ~1.17%), under a bbox-style range predicate
-    // (value band stands in for the dropoff box). Pure integer math —
-    // the oracle replays the sample bit-for-bit.
-    "q277_taxi_mq05_rowid_sample" -> ((s, d) =>
+    // (value band stands in for the dropoff box). The multiply is
+    // 16-bit-split (2654435761 = 40503*65536 + 31153) so the mod-2^32
+    // product never exceeds signed-64-bit range — a naive a*2654435761
+    // overflows for a > ~3.47e9, which real 100 TB row ids reach
+    // (Spark would wrap silently, DuckDB would abort). Pure integer
+    // math — the oracle replays the sample bit-for-bit.
+    "q277_taxi_mq05_rowid_sample" -> ((s, d) => {
+      val a = col("event_id") % 4294967296L
+      val knuth = ((a * 40503L % 4294967296L) * 65536L +
+        a * 31153L) % 4294967296L
       t(s, d, "events")
-        .filter((col("event_id") % 4294967296L * 2654435761L
-          % 4294967296L < 50391620L) &&
+        .filter(knuth < 50391620L &&
           col("value") >= 20.0 && col("value") <= 40.0)
-        .agg(count(lit(1)).as("n"))),
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // MQ06: SAMPLE_RATIO(r) + the same predicate. Production maps
     // SAMPLE_RATIO to the registered macro (xxhash64-keyed, q59); the
@@ -66,9 +73,8 @@ object TaxiParity {
     // so the sampled COUNT replays exactly in both engines.
     "q278_taxi_mq06_sample_ratio" -> ((s, d) =>
       t(s, d, "events")
-        .filter((conv(substring(md5(concat_ws("", lit("sr:"),
-          col("event_id"))), 1, 15), 16, 10).cast("long") % 1000000L
-          < lit((0.0138281891 * 1000000L).toLong)) &&
+        .filter((Dedup.hash60(concat_ws("", lit("sr:"), col("event_id")))
+          % 1000000L < lit((0.0138281891 * 1000000L).toLong)) &&
           col("value") >= 20.0 && col("value") <= 40.0)
         .agg(count(lit(1)).as("n")))
   )
@@ -89,7 +95,8 @@ object TaxiParity {
          FROM events GROUP BY 1, 2, 3""",
     "q277_taxi_mq05_rowid_sample" ->
       """SELECT count(*) AS n FROM events
-         WHERE (event_id % 4294967296) * 2654435761 % 4294967296
+         WHERE ((event_id % 4294967296) * 40503 % 4294967296 * 65536
+                + (event_id % 4294967296) * 31153) % 4294967296
                  < 50391620
            AND value >= 20.0 AND value <= 40.0""",
     "q278_taxi_mq06_sample_ratio" ->

@@ -507,8 +507,7 @@ object TpcH {
     // q259's incremental aggregate. Insert is a union, delete is an
     // anti-join: both are the 100 TB shapes (no row rewrite).
     "q269_tpch_refresh" -> ((s, d) => {
-      val hk = conv(substring(md5(concat_ws("", lit("rf:"),
-        col("o_orderkey"))), 1, 15), 16, 10).cast("long") % 10
+      val hk = Dedup.hash60(concat_ws("", lit("rf:"), col("o_orderkey"))) % 10
       val orders = t(s, d, "orders").withColumn("hk", hk)
       val base = orders.filter(col("hk") =!= 0).drop("hk")
       val rf1 = orders.filter(col("hk") === 0).drop("hk")

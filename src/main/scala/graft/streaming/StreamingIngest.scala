@@ -108,6 +108,18 @@ object StreamingIngest {
     */
   private val StatePartitions = "8"
 
+  /** Fresh checkpoint dir on tmpfs when present — the durability story
+    * for these run-to-completion harnesses is the parquet result table,
+    * not the checkpoint (offset/commit log fsyncs).
+    */
+  private def ckptDir(prefix: String): String = {
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
@@ -123,18 +135,10 @@ object StreamingIngest {
     // processAllAvailable beats Trigger.AvailableNow here: AvailableNow
     // adds a planning batch plus a watermark-commit no-data batch
     // (measured +1-2 s per query on the single-batch fixture).
-    // Checkpoint (offset/commit log fsyncs) goes to tmpfs when present —
-    // the durability story for this run-to-completion harness is the
-    // parquet result table, not the checkpoint.
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     withStatePartitions(spark) {
       val q = agg.writeStream
         .outputMode("complete")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(ckptBase, "graft_ckpt").toString)
+        .option("checkpointLocation", ckptDir("graft_ckpt"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(outDir)
         }
@@ -173,10 +177,6 @@ object StreamingIngest {
     */
   def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
     val outDir = graft.Stage.scratchDir("graft_stream_dedup")
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     withStatePartitions(spark) {
       val q = eventStream(spark, FileSource(dir))
         .withWatermark("ts", "1 hour")
@@ -184,8 +184,7 @@ object StreamingIngest {
         .select(col("user_id"), col("event_type"))
         .writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(ckptBase, "graft_ckpt_dd").toString)
+        .option("checkpointLocation", ckptDir("graft_ckpt_dd"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(outDir)
         }
@@ -229,10 +228,6 @@ object StreamingIngest {
     */
   def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val outDir = graft.Stage.scratchDir("graft_stream_ssj")
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val views = eventStream(spark, FileSource(dir))
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
@@ -251,8 +246,7 @@ object StreamingIngest {
         .select(col("user_id"), col("view_id"), col("click_id"))
         .writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(ckptBase, "graft_ckpt_ssj").toString)
+        .option("checkpointLocation", ckptDir("graft_ckpt_ssj"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(outDir)
         }
@@ -283,10 +277,6 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val outDir = graft.Stage.scratchDir("graft_stream_funnel")
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val src = eventStream(spark, FileSource(dir))
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .as[Ev]
@@ -320,8 +310,7 @@ object StreamingIngest {
     withStatePartitions(spark) {
       val q = convs.toDF().writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(ckptBase, "graft_ckpt_funnel").toString)
+        .option("checkpointLocation", ckptDir("graft_ckpt_funnel"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(outDir)
         }
@@ -347,10 +336,6 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val outDir = graft.Stage.scratchDir("graft_stream_runs")
-    val ckptBase =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val src = eventStream(spark, FileSource(dir))
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .as[Ev]
@@ -374,8 +359,7 @@ object StreamingIngest {
     withStatePartitions(spark) {
       val q = alerts.toDF().writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory(ckptBase, "graft_ckpt_runs").toString)
+        .option("checkpointLocation", ckptDir("graft_ckpt_runs"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(outDir)
         }
