@@ -41,6 +41,7 @@ object SparkEntry {
     (operators.DataOps.queries, operators.DataOps.oracles),
     (operators.ProductAnalytics.queries, operators.ProductAnalytics.oracles),
     (operators.MixturePlanning.queries, operators.MixturePlanning.oracles),
+    (operators.Similarity.queries, operators.Similarity.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

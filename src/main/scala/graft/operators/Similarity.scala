@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.GraftFunctions._
+
+/** Exact similarity-join and retrieval-refinement operators — the
+  * EXACT counterparts to the approximate chains in Dedup.scala
+  * (MinHash/LSH, q42) and AnnIvf.scala (IVF, q99).
+  *
+  * The reference's similarity hook is tf_feature_similarity
+  * (`QueryEngine/TableFunctions/SystemFunctions/os/
+  * SimilarityTableFunctions.hpp:162` in /root/reference); the
+  * algorithms here are the standard published ones:
+  *
+  * - q282 prefix-filtered exact set-similarity self-join (AllPairs /
+  *   PPJoin family, Bayardo et al. WWW'07, Xiao et al. WWW'08): every
+  *   pair with Jaccard >= t shares at least one element in their
+  *   PREFIXES under any single global element order — so candidates
+  *   form only inside per-element prefix postings, never all-pairs,
+  *   yet the join is EXACT (recall 1.0 by theorem, not by audit).
+  *   Ordering elements rarest-first makes those postings the smallest
+  *   possible ones. Complements q42 (approximate LSH, recall audited
+  *   0.96 by q209) with a guaranteed-complete alternative.
+  * - q283 positional-index phrase query: the search-engine phrase
+  *   shape — postings (token, doc, pos) filtered to the phrase's
+  *   terms FIRST, then adjacency-joined on (doc, pos+1). The phrase
+  *   itself is the corpus's top bigram, derived deterministically.
+  * - q284 MMR diversified re-ranking (Carbonell & Goldstein SIGIR'98):
+  *   greedy max-marginal-relevance selection of 5 results from a
+  *   top-20 relevance pool — the diversity pass after q37/q251
+  *   retrieval. The greedy loop runs on the BOUNDED pool (20 rows);
+  *   the only corpus-scale work is the one top-k pass that builds it.
+  *
+  * Scale design (100 TB):
+  * - q282: one shuffle keyed on element hash for document frequency,
+  *   one per-doc window for prefix ranks, then a join keyed on PREFIX
+  *   elements only. Shingle elements are overwhelmingly df=1, so
+  *   posting lists stay tiny; the length filter (min >= t*max) prunes
+  *   before the verify join; exact intersection counts touch only
+  *   candidate pairs.
+  * - q283: the phrase query filters postings to 2 terms before any
+  *   join — posting-list-sized work, the classic inverted-index plan.
+  * - q284: pool = TakeOrdered top-20 (one corpus pass); all pairwise
+  *   work is 20x20 bounded.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Jaccard threshold for the exact similarity join. */
+  private val T = 0.6
+  /** MMR trade-off: score = MmrL*relevance - (1-MmrL)*max-sim-to-selected. */
+  private val MmrL = 0.7
+  private val PoolK = 20
+  private val MmrK = 5
+
+  private def h60(c: Column): Column = Dedup.hash60(c)
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // Exact Jaccard >= T self-join over 3-word-shingle sets with
+    // prefix filtering. Element order = (document frequency asc,
+    // element asc); prefix size = n - ceil(T*n) + 1. A qualifying pair
+    // MUST collide in the prefixes (AllPairs theorem), so the
+    // candidate join runs on prefix postings only; exact intersection
+    // verifies. Same element universe as the LSH chain (q41/q42) so
+    // the two paths are directly comparable.
+    "q282_exact_similarity_join" -> ((s, d) => {
+      val sets = Dedup.shinglesOf(t(s, d, "documents"))
+        .select(col("doc_id"), h60(col("sh")).as("e"))
+        .distinct()
+      val df_ = sets.groupBy(col("e")).agg(count(lit(1)).as("df"))
+      val sized = sets.join(df_, "e")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("e").asc)
+      val ranked = sized
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val prefix = ranked
+        .filter(col("rn") <= col("n") - ceil(lit(T) * col("n")) + 1)
+        .select(col("doc_id"), col("e"), col("n"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.e") === col("b.e") && col("a.doc_id") < col("b.doc_id"))
+        .filter(least(col("a.n"), col("b.n")) >=
+          lit(T) * greatest(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
+      val inter = cand
+        .join(sets.as("sa"), col("sa.doc_id") === col("a_id"))
+        .join(sets.as("sb"),
+          col("sb.doc_id") === col("b_id") && col("sb.e") === col("sa.e"))
+        .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .withColumn("jaccard",
+          round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+        .filter(col("jaccard") >= T)
+        .select(col("a_id"), col("b_id"), col("na").cast("long").as("na"),
+          col("nb").cast("long").as("nb"), col("n_inter"), col("jaccard"))
+    }),
+
+    // Positional-index phrase query. Stage 1 (phrase selection, zero
+    // shuffle): per-row adjacent-token zip gives global bigram counts;
+    // the top bigram (count desc, phrase asc) is the phrase. Stage 2
+    // (the phrase QUERY — the plan a search engine runs): postings
+    // (doc_id, pos, tok) are filtered to the phrase's two terms
+    // BEFORE the adjacency self-join on (doc_id, pos+1). Top-10
+    // matching docs by occurrence count.
+    "q283_phrase_search" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          split(regexp_replace(trim(lower(col("text"))), "[^a-z0-9 ]", ""),
+            " +").as("toks"))
+      val top = toks
+        .select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE zip_with(slice(toks, 1, size(toks) - 1),
+                           slice(toks, 2, size(toks) - 1),
+                           (a, b) -> concat(a, ' ', b)) END"""))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(1)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val postings = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val p1 = postings.join(broadcast(top.select(col("bigram"), col("w1"))),
+        col("tok") === col("w1"))
+      val p2 = postings.join(broadcast(top.select(col("w2"))),
+        col("tok") === col("w2"))
+      p1.as("x")
+        .join(p2.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") === col("x.pos") + 1)
+        .groupBy(col("x.bigram").as("phrase"), col("x.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // MMR re-rank: pool = exact top-20 by cosine to query vec 0
+    // (rounded to 6 dp so ranks are engine-stable, the q202 recipe),
+    // then 5 greedy rounds of argmax(MmrL*rel - (1-MmrL)*max-sim-to-
+    // selected), ties broken by vec_id. Every round's pairwise-sim
+    // table is (pool x selected) <= 20x5 rows.
+    "q284_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q0 = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val poolW = Window.orderBy(col("rel").desc, col("vec_id").asc)
+      val pool = emb.filter(col("vec_id") =!= 0).crossJoin(q0)
+        .select(col("vec_id"), col("embedding"),
+          round(cosine_similarity(col("embedding"), col("q_emb")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(PoolK)
+        .localCheckpoint(true) // bounded 20-row pool; pin for the loop
+      var selected = pool
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding"), col("rel"),
+          lit(1).as("mmr_rank"), col("rel").as("mmr_score"))
+      for (r <- 2 to MmrK) {
+        val selNow = selected.select(col("vec_id").as("s_id"),
+          col("embedding").as("s_emb"))
+        val next = pool.as("c")
+          .join(selNow, col("c.vec_id") === col("s_id"), "left_anti")
+          .crossJoin(selNow)
+          .groupBy(col("c.vec_id").as("vec_id"),
+            col("c.embedding").as("embedding"), col("c.rel").as("rel"))
+          .agg(max(round(cosine_similarity(col("c.embedding"),
+            col("s_emb")), 6)).as("max_sim"))
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            round(lit(MmrL) * col("rel") - lit(1 - MmrL) * col("max_sim"), 6)
+              .as("mmr_score"))
+          .orderBy(col("mmr_score").desc, col("vec_id").asc)
+          .limit(1)
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            lit(r).as("mmr_rank"), col("mmr_score"))
+        selected = selected.unionByName(next).localCheckpoint(true)
+      }
+      selected.select(col("mmr_rank"), col("vec_id"), col("rel"),
+        col("mmr_score"))
+    })
+  )
+
+  // ---- oracles ------------------------------------------------------
+
+  /** Shared shingle-set CTE: same tokenization/shingling as
+    * Dedup.lshCtePrefix, elements hashed with the portable 60-bit md5.
+    */
+  private val setsCte =
+    """WITH toks AS (
+         SELECT doc_id,
+                string_split_regex(regexp_replace(trim(lower(text)),
+                  '[^a-z0-9 ]', '', 'g'), ' +') AS toks
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id,
+                  unnest(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS sh
+           FROM toks)),
+       sets AS (
+         SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(sh), 1, 15))::BIGINT AS e
+         FROM sh)"""
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q282_exact_similarity_join" -> (setsCte +
+      s""",
+         dfreq AS (SELECT e, count(*) AS df FROM sets GROUP BY e),
+         ranked AS (
+           SELECT s.doc_id, s.e,
+                  row_number() OVER (PARTITION BY s.doc_id
+                    ORDER BY f.df ASC, s.e ASC) AS rn,
+                  count(*) OVER (PARTITION BY s.doc_id) AS n
+           FROM sets s JOIN dfreq f USING (e)),
+         prefix AS (
+           SELECT doc_id, e, n FROM ranked
+           WHERE rn <= n - ceil($T * n) + 1),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                  a.n AS na, b.n AS nb
+           FROM prefix a JOIN prefix b
+             ON a.e = b.e AND a.doc_id < b.doc_id
+           WHERE least(a.n, b.n) >= $T * greatest(a.n, b.n)),
+         inter AS (
+           SELECT c.a_id, c.b_id, c.na, c.nb, count(*) AS n_inter
+           FROM cand c
+           JOIN sets sa ON sa.doc_id = c.a_id
+           JOIN sets sb ON sb.doc_id = c.b_id AND sb.e = sa.e
+           GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id, na::BIGINT AS na, nb::BIGINT AS nb,
+                n_inter::BIGINT AS n_inter,
+                round(n_inter::DOUBLE / (na + nb - n_inter), 6) AS jaccard
+         FROM inter
+         WHERE round(n_inter::DOUBLE / (na + nb - n_inter), 6) >= $T"""),
+    "q283_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(regexp_replace(trim(lower(text)),
+                    '[^a-z0-9 ]', '', 'g'), ' +') AS toks
+           FROM documents),
+         bigrams AS (
+           SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1]) END) AS bigram
+           FROM toks),
+         top AS (
+           SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+                  string_split(bigram, ' ')[2] AS w2
+           FROM (SELECT bigram, count(*) AS cnt FROM bigrams GROUP BY 1
+                 ORDER BY cnt DESC, bigram ASC LIMIT 1)),
+         postings AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM toks),
+         hits AS (
+           SELECT t.bigram AS phrase, x.doc_id, count(*) AS n_occ
+           FROM postings x
+           JOIN top t ON x.tok = t.w1
+           JOIN postings y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+                          AND y.tok = t.w2
+           GROUP BY 1, 2)
+         SELECT phrase, doc_id, n_occ FROM hits
+         ORDER BY n_occ DESC, doc_id ASC LIMIT 10""",
+    "q284_mmr_rerank" -> {
+      // 4 unrolled greedy rounds after the seed; each round's argmax
+      // replays the same rounded-double arithmetic.
+      val rounds = (2 to MmrK).map { r =>
+        s""", next$r AS (
+           SELECT c.vec_id, c.rel, $r AS mmr_rank,
+                  round($MmrL * c.rel - ${1 - MmrL} * (
+                    SELECT max(round(list_cosine_similarity(
+                      e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6))
+                    FROM sel${r - 1} s
+                    JOIN embeddings e1 ON e1.vec_id = c.vec_id
+                    JOIN embeddings e2 ON e2.vec_id = s.vec_id), 6)
+                    AS mmr_score
+           FROM pool c
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1),
+         sel$r AS (
+           SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM next$r)"""
+      }.mkString
+      s"""WITH pool AS (
+           SELECT e.vec_id,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[],
+                    q.embedding::DOUBLE[]), 6) AS rel
+           FROM embeddings e,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           WHERE e.vec_id <> 0
+           ORDER BY rel DESC, e.vec_id ASC LIMIT $PoolK),
+         sel1 AS (
+           SELECT vec_id, rel, 1 AS mmr_rank, rel AS mmr_score
+           FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1)$rounds
+         SELECT mmr_rank, vec_id, rel, mmr_score FROM sel$MmrK"""
+    }
+  )
+}
