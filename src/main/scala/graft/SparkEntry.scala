@@ -42,6 +42,7 @@ object SparkEntry {
     (operators.ProductAnalytics.queries, operators.ProductAnalytics.oracles),
     (operators.MixturePlanning.queries, operators.MixturePlanning.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
+    (operators.WebCorpus.queries, operators.WebCorpus.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
