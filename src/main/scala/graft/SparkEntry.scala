@@ -43,6 +43,7 @@ object SparkEntry {
     (operators.MixturePlanning.queries, operators.MixturePlanning.oracles),
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.WebCorpus.queries, operators.WebCorpus.oracles),
+    (operators.Profiling.queries, operators.Profiling.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

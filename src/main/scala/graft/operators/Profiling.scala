@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Warehouse-operations operators: the profiling / sampling / layout
+  * planning / graph-ranking machinery an engine team runs AGAINST the
+  * warehouse (vs DataOps.scala's layout machinery the warehouse runs
+  * on itself).
+  *
+  * - q288 one-pass table profiler (the SUMMARIZE / SHOW TABLE DETAILS
+  *   ergonomic, `Catalog/DdlCommandExecutor` SHOW TABLE DETAILS in
+  *   /root/reference surfaces per-table metadata): per-column rows,
+  *   nulls, exact distinct, min/max — computed in ONE aggregate pass
+  *   (multi-distinct via Spark's Expand) and unpivoted to one row per
+  *   column.
+  * - q289 deterministic stratified sampling: exact K-per-stratum via
+  *   smallest-portable-hash order — the per-language eval-set draw
+  *   that is stable across engines, workers, and restarts (the
+  *   stratified sibling of q168's proportional split).
+  * - q290 compaction planning (the small-file problem): bin-pack a
+  *   file manifest into target-size compaction groups in sorted-fill
+  *   order. The manifest is METADATA-scale (files, not rows), so the
+  *   ordered cumulative sum runs as a broadcast self-join rather than
+  *   any corpus shuffle — at 100 TB the manifest of a 10k-file table
+  *   is still only 10k rows.
+  * - q291 PageRank over the event-transition graph (Page et al. 1999,
+  *   3 iterations) in FIXED-POINT integer arithmetic (scale 1e9,
+  *   damping 17/20): every contribution is an integer expression with
+  *   only floor-division and bounded products, so the ranks are
+  *   order-independent and replay exactly in the oracle — the float
+  *   alternative would hash-diverge on sum order. Per iteration: one
+  *   rank-to-edges hash join + one dst-keyed aggregate, the scalable
+  *   Pregel shape (graph family member next to q53/q137/q165).
+  */
+object Profiling {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def h60(c: Column): Column = Dedup.hash60(c)
+
+  /** lineitem profile targets: (name, kind) where kind picks which
+    * min/max slot the column reports into.
+    */
+  private val ProfCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+
+  private val StratK = 5
+  private val CompactionTarget = 500L
+  /** PageRank fixed-point scale + damping 17/20; bounded so every
+    * intermediate product stays far below 2^63 (base <= 1.7e10 and
+    * edge counts <= ~1e8 keep base*cnt <= ~1.7e18).
+    */
+  private val PrScale = 1000000000L
+  private val PrIters = 3
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // One-pass profiler: a single wide aggregate (count + per-column
+    // nulls/distinct/min/max), then an inline unpivot to one row per
+    // column. Exact distincts share one Expand pass — no per-column
+    // rescans of the fact table.
+    "q288_table_profile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfCols.flatMap {
+        case (c, kind) =>
+          val numView = kind match {
+            case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
+            case "num" => col(c).cast("double")
+            case _ => lit(null).cast("double")
+          }
+          val strView =
+            if (kind == "str") col(c) else lit(null).cast("string")
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            round(min(numView), 6).as(s"mnn_$c"),
+            round(max(numView), 6).as(s"mxn_$c"),
+            min(strView).as(s"mns_$c"),
+            max(strView).as(s"mxs_$c"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val rows = ProfCols.map { case (c, _) =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+          col(s"mnn_$c").as("min_num"), col(s"mxn_$c").as("max_num"),
+          col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
+      }
+      wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+    }),
+
+    // Exact K-per-stratum sample: per-language smallest-hash draw.
+    "q289_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(h60(concat(lit("strat:"), col("doc_id"))).asc,
+          col("doc_id").asc)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= StratK)
+    }),
+
+    // Compaction planning: manifest = weekly order files (integer week
+    // from epoch-day, calendar-free); sorted-fill assignment bin =
+    // floor(cum-size-before / target) over (size desc, file_id asc)
+    // order. The cumulative sum is a broadcast theta self-join on the
+    // BOUNDED manifest — deliberate BNLJ on metadata, never on rows.
+    "q290_compaction_plan" -> ((s, d) => {
+      val manifest = t(s, d, "orders")
+        .select((unix_micros(col("o_orderdate").cast("timestamp"))
+          .cast("double") / lit(86400000000L)).cast("long").as("day"))
+        .select((col("day") / 7L).cast("long").as("file_id"))
+        .groupBy(col("file_id")).agg(count(lit(1)).as("size"))
+      val before = manifest.as("a")
+        .join(broadcast(manifest.as("b")),
+          col("b.size") > col("a.size") ||
+            (col("b.size") === col("a.size") &&
+              col("b.file_id") < col("a.file_id")),
+          "left")
+        .groupBy(col("a.file_id").as("file_id"), col("a.size").as("size"))
+        .agg(coalesce(sum(col("b.size")), lit(0L)).as("cum"))
+      before
+        .withColumn("bin", expr(s"cum DIV $CompactionTarget"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_rows"),
+          round(sum(col("size")) / lit(CompactionTarget.toDouble), 4)
+            .as("utilization"))
+    }),
+
+    // 3-iteration fixed-point PageRank over weighted event-type
+    // transitions. All arithmetic is integer (DIV), so ranks replay
+    // exactly; dangling mass (no-out-edge nodes) follows the standard
+    // "lost mass" convention deterministically in both engines.
+    "q291_pagerank_fixedpoint" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = t(s, d, "events")
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val outW = edges.groupBy(col("src")).agg(sum(col("cnt")).as("w_out"))
+      val nodes = t(s, d, "events").select(col("event_type").as("node"))
+        .distinct()
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      var pr = nodes.crossJoin(broadcast(n))
+        .select(col("node"), col("n_nodes"),
+          expr(s"${PrScale}L DIV n_nodes").as("p"))
+        .localCheckpoint(true)
+      for (_ <- 1 to PrIters) {
+        val contrib = pr
+          .join(edges, pr("node") === edges("src"))
+          .join(outW, "src")
+          .select(col("dst"),
+            expr(s"((p * 17) DIV 20) * cnt DIV w_out").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        pr = pr.join(contrib, pr("node") === contrib("dst"), "left")
+          .select(col("node"), col("n_nodes"),
+            (expr(s"(${PrScale}L * 3 DIV 20) DIV n_nodes") +
+              coalesce(col("inflow"), lit(0L))).as("p"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node"), col("p").as("pr_scaled"),
+        round(col("p") / lit(PrScale.toDouble), 6).as("pr"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q288_table_profile" -> {
+      val arms = ProfCols.map { case (c, kind) =>
+        val (mnn, mxn) = kind match {
+          case "ts" => (s"round(min(epoch_us($c::TIMESTAMP))::DOUBLE, 6)",
+            s"round(max(epoch_us($c::TIMESTAMP))::DOUBLE, 6)")
+          case "num" => (s"round(min($c)::DOUBLE, 6)",
+            s"round(max($c)::DOUBLE, 6)")
+          case _ => ("NULL::DOUBLE", "NULL::DOUBLE")
+        }
+        val (mns, mxs) =
+          if (kind == "str") (s"min($c)", s"max($c)")
+          else ("NULL::VARCHAR", "NULL::VARCHAR")
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+              sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_nulls,
+              count(DISTINCT $c)::BIGINT AS n_distinct,
+              $mnn AS min_num, $mxn AS max_num,
+              $mns AS min_str, $mxs AS max_str
+            FROM lineitem"""
+      }
+      arms.mkString("\n UNION ALL \n")
+    },
+    "q289_stratified_sample" ->
+      s"""SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5('strat:' || doc_id), 1, 15))
+                      ::BIGINT ASC, doc_id ASC)::INT AS rk
+           FROM documents)
+         WHERE rk <= $StratK""",
+    "q290_compaction_plan" ->
+      s"""WITH manifest AS (
+           SELECT (epoch_us(o_orderdate::TIMESTAMP) // 86400000000) // 7
+                    AS file_id,
+                  count(*) AS size
+           FROM orders GROUP BY 1),
+         cums AS (
+           SELECT a.file_id, a.size, coalesce(sum(b.size), 0) AS cum
+           FROM manifest a LEFT JOIN manifest b
+             ON b.size > a.size
+             OR (b.size = a.size AND b.file_id < a.file_id)
+           GROUP BY 1, 2)
+         SELECT (cum // $CompactionTarget)::BIGINT AS bin,
+                count(*)::BIGINT AS n_files,
+                sum(size)::BIGINT AS total_rows,
+                round(sum(size) / ${CompactionTarget.toDouble}, 4)
+                  AS utilization
+         FROM cums GROUP BY 1""",
+    "q291_pagerank_fixedpoint" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s""", p$i AS (
+           SELECT n.node, n.n_nodes,
+                  (($PrScale::BIGINT * 3 // 20) // n.n_nodes) +
+                  coalesce((
+                    SELECT sum(((q.p * 17) // 20) * e.cnt // w.w_out)
+                    FROM p${i - 1} q
+                    JOIN edges e ON e.src = q.node AND e.dst = n.node
+                    JOIN outw w ON w.src = q.node), 0) AS p
+           FROM p0 n)"""
+      }.mkString
+      s"""WITH ev AS (
+           SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+           FROM events),
+         trans AS (
+           SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS dst
+           FROM ev),
+         edges AS (
+           SELECT src, dst, count(*) AS cnt FROM trans
+           WHERE dst IS NOT NULL GROUP BY 1, 2),
+         outw AS (SELECT src, sum(cnt) AS w_out FROM edges GROUP BY 1),
+         nn AS (SELECT count(DISTINCT event_type) AS n_nodes FROM events),
+         p0 AS (
+           SELECT DISTINCT event_type AS node, n_nodes,
+                  $PrScale::BIGINT // n_nodes AS p
+           FROM events, nn)$rounds
+         SELECT node, p::BIGINT AS pr_scaled,
+                round(p / ${PrScale.toDouble}, 6) AS pr
+         FROM p$PrIters"""
+    }
+  )
+}
