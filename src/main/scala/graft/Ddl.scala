@@ -266,6 +266,11 @@ object Ddl {
     """(?is)\s*SHOW\s+TABLE\s+DETAILS(?:\s+(\w+))?\s*""".r
   private val ShowDatabases: Regex =
     """(?is)\s*SHOW\s+DATABASES\s*""".r
+  // SUMMARIZE <table> — per-column profile (rows/nulls/distinct/min/
+  // max) in one aggregate pass; the column-level deepening of SHOW
+  // TABLE DETAILS' per-table stats (Profiling.profile).
+  private val Summarize: Regex =
+    """(?is)\s*SUMMARIZE\s+(\w+)\s*""".r
   private val ShowFunctions: Regex =
     """(?is)\s*SHOW\s+FUNCTIONS\s*""".r
   private val ShowTableFunctions: Regex =
@@ -637,6 +642,8 @@ object Ddl {
       case ShowDatabases() =>
         import spark.implicits._
         Some(Seq("graft").toDF("database_name"))
+      case Summarize(name) =>
+        Some(operators.Profiling.profile(table(spark, name)))
       case ShowFunctions() =>
         import spark.implicits._
         import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -44,6 +44,7 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracles),
     (operators.WebCorpus.queries, operators.WebCorpus.oracles),
     (operators.Profiling.queries, operators.Profiling.oracles),
+    (operators.OpsDiagnostics.queries, operators.OpsDiagnostics.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

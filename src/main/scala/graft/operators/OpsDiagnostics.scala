@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Operational diagnostics + CDC compaction: the run-the-cluster
+  * operators that sit beside the query surface.
+  *
+  * - q292 join-key skew advisor: the pre-flight diagnostic for
+  *   SkewJoin.saltedJoin (q154) and AQE skew splitting — top heavy
+  *   keys with their share of the table and an integer recommended
+  *   salt fan-out (smallest s with cnt/s <= 2x the mean key load).
+  *   The reference hits the same wall as one-sided fragment skew;
+  *   Spark's answer is salting/AQE, and this is the advisor that says
+  *   WHERE and HOW MUCH.
+  * - q293 latest-per-key compaction (CDC upsert semantics): collapse
+  *   an append-only change log to current state — last writer wins
+  *   under the total order (ts, event_id). One max(struct) aggregate:
+  *   the upsert-view pattern every lakehouse table format provides,
+  *   with NO window over the log.
+  * - q294 audience segment overlap: per-user behavior flags distilled
+  *   in one pass, then the pairwise segment intersection matrix
+  *   (n_a, n_b, n_both, Jaccard) via a user-keyed self-join of the
+  *   BOUNDED flags table — the product-analytics cousin of the
+  *   dedup-pair machinery.
+  *
+  * Scale: q292 is one key-count aggregate + a top-k; q293 one
+  * key-keyed aggregate (map-side combinable max(struct)); q294's
+  * self-join runs on (user x segment) rows — |users| x small-k, and
+  * the final matrix is k^2 rows.
+  */
+object OpsDiagnostics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TopSkew = 10
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // Skew advisor over the events join key (user_id). salt_rec is the
+    // integer fan-out that brings the key's per-task load under 2x the
+    // mean: ceil(cnt * n_keys / (2 * total)) — all-integer ceil-div.
+    "q292_skew_advisor" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(stats))
+        .select(col("user_id"), col("cnt"),
+          round(col("cnt") / col("total"), 6).as("frac"),
+          greatest(lit(1L),
+            expr("(cnt * n_keys + 2 * total - 1) DIV (2 * total)"))
+            .as("salt_rec"))
+        .orderBy(col("cnt").desc, col("user_id").asc)
+        .limit(TopSkew)
+    }),
+
+    // CDC upsert view: entity key = (user_id, event_type); last writer
+    // wins under (ts, event_id). max(struct) carries the winning value
+    // out of the aggregate — no per-key window, map-side combinable.
+    "q293_cdc_latest_compaction" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("w"))
+        .select(col("user_id"), col("event_type"), col("n_versions"),
+          col("w.ts").as("last_ts"), col("w.event_id").as("last_event_id"),
+          col("w.value").as("last_value"))
+    }),
+
+    // Segment overlap matrix: segments = event types; one pass builds
+    // distinct (user, segment) membership, a user-keyed self-join
+    // counts intersections, and singleton sizes broadcast back in.
+    "q294_segment_overlap" -> ((s, d) => {
+      val memb = t(s, d, "events")
+        .select(col("user_id"), col("event_type").as("seg"))
+        .distinct()
+      val sizes = memb.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val both = memb.as("a")
+        .join(memb.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.seg") < col("b.seg"))
+        .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.withColumnRenamed("seg", "seg_a")
+          .withColumnRenamed("n", "n_a")), "seg_a")
+        .join(broadcast(sizes.withColumnRenamed("seg", "seg_b")
+          .withColumnRenamed("n", "n_b")), "seg_b")
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6)
+            .as("jaccard"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q292_skew_advisor" ->
+      s"""WITH counts AS (
+           SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+         stats AS (
+           SELECT count(*) AS n_keys, sum(cnt) AS total FROM counts)
+         SELECT user_id, cnt::BIGINT AS cnt,
+                round(cnt / total, 6) AS frac,
+                greatest(1, (cnt * n_keys + 2 * total - 1)
+                  // (2 * total))::BIGINT AS salt_rec
+         FROM counts, stats
+         ORDER BY cnt DESC, user_id ASC LIMIT $TopSkew""",
+    "q293_cdc_latest_compaction" ->
+      """WITH ranked AS (
+           SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+                  value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rk,
+                  count(*) OVER (PARTITION BY user_id, event_type)
+                    AS n_versions
+           FROM events)
+         SELECT user_id, event_type, n_versions::BIGINT AS n_versions,
+                ts AS last_ts, event_id AS last_event_id,
+                value AS last_value
+         FROM ranked WHERE rk = 1""",
+    "q294_segment_overlap" ->
+      """WITH memb AS (
+           SELECT DISTINCT user_id, event_type AS seg FROM events),
+         sizes AS (SELECT seg, count(*) AS n FROM memb GROUP BY seg),
+         ov AS (
+           SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_both
+           FROM memb a JOIN memb b
+             ON a.user_id = b.user_id AND a.seg < b.seg
+           GROUP BY 1, 2)
+         SELECT seg_a, seg_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+                n_both::BIGINT AS n_both,
+                round(n_both / (sa.n + sb.n - n_both), 6) AS jaccard
+         FROM ov
+         JOIN sizes sa ON sa.seg = ov.seg_a
+         JOIN sizes sb ON sb.seg = ov.seg_b"""
+  )
+}

@@ -41,6 +41,49 @@ object Profiling {
 
   private def h60(c: Column): Column = Dedup.hash60(c)
 
+  /** Generic one-pass column profiler (the SUMMARIZE ergonomic):
+    * derives each column's stat slots from the schema — numerics and
+    * timestamps report min/max into the num slots (timestamps as epoch
+    * micros), strings into the str slots, opaque types counts-only.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val kinds: Seq[(String, String)] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: NumericType => f.name -> "num"
+        case _: TimestampType | _: TimestampNTZType | _: DateType =>
+          f.name -> "ts"
+        case _: StringType => f.name -> "str"
+        case _ => f.name -> "other"
+      }
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: kinds.flatMap {
+      case (c, kind) =>
+        val numView = kind match {
+          case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
+          case "num" => col(c).cast("double")
+          case _ => lit(null).cast("double")
+        }
+        val strView =
+          if (kind == "str") col(c) else lit(null).cast("string")
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          round(min(numView), 6).as(s"mnn_$c"),
+          round(max(numView), 6).as(s"mxn_$c"),
+          min(strView).as(s"mns_$c"),
+          max(strView).as(s"mxs_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = kinds.map { case (c, _) =>
+      struct(lit(c).as("column_name"), col("n_rows"),
+        col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+        col(s"mnn_$c").as("min_num"), col(s"mxn_$c").as("max_num"),
+        col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** lineitem profile targets: (name, kind) where kind picks which
     * min/max slot the column reports into.
     */
@@ -65,35 +108,9 @@ object Profiling {
     // One-pass profiler: a single wide aggregate (count + per-column
     // nulls/distinct/min/max), then an inline unpivot to one row per
     // column. Exact distincts share one Expand pass — no per-column
-    // rescans of the fact table.
-    "q288_table_profile" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfCols.flatMap {
-        case (c, kind) =>
-          val numView = kind match {
-            case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
-            case "num" => col(c).cast("double")
-            case _ => lit(null).cast("double")
-          }
-          val strView =
-            if (kind == "str") col(c) else lit(null).cast("string")
-          Seq(
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-            countDistinct(col(c)).as(s"nd_$c"),
-            round(min(numView), 6).as(s"mnn_$c"),
-            round(max(numView), 6).as(s"mxn_$c"),
-            min(strView).as(s"mns_$c"),
-            max(strView).as(s"mxs_$c"))
-      }
-      val wide = li.agg(aggs.head, aggs.tail: _*)
-      val rows = ProfCols.map { case (c, _) =>
-        struct(lit(c).as("column_name"), col("n_rows"),
-          col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
-          col(s"mnn_$c").as("min_num"), col(s"mxn_$c").as("max_num"),
-          col(s"mns_$c").as("min_str"), col(s"mxs_$c").as("max_str"))
-      }
-      wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
-    }),
+    // rescans of the fact table. Also the engine's SUMMARIZE command
+    // (HeavyEngine.sql("SUMMARIZE t") routes here via Ddl).
+    "q288_table_profile" -> ((s, d) => profile(t(s, d, "lineitem"))),
 
     // Exact K-per-stratum sample: per-language smallest-hash draw.
     "q289_stratified_sample" -> ((s, d) => {

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the ops-diagnostics family (q292 skew advisor, q293 CDC
+  * latest-per-key, q294 segment overlap) + the SUMMARIZE command.
+  */
+class OpsDiagnosticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("skew advisor: fractions sum under 1, salt brings load under " +
+      "2x mean") {
+    val rows = SparkEntry.queries("q292_skew_advisor")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ev = Tables.t(spark, sf, "events")
+    val total = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      val salt = r.getAs[Long]("salt_rec")
+      // the recommendation's contract: per-salt-bucket load <= 2x mean
+      assert(cnt.toDouble / salt <= 2.0 * total / nKeys + 1e-9)
+      // ...and salt is minimal (salt-1 would overload, unless salt=1)
+      if (salt > 1)
+        assert(cnt.toDouble / (salt - 1) > 2.0 * total / nKeys - 1e-9)
+    }
+    // ordered heaviest-first
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cdc latest: the winning version is the max (ts, event_id) and " +
+      "version counts cover the log") {
+    val rows = SparkEntry.queries("q293_cdc_latest_compaction")(spark, sf)
+      .collect()
+    val logSize = Tables.t(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == logSize)
+    // replay one entity end-to-end
+    val probe = rows.maxBy(_.getAs[Long]("n_versions"))
+    val (u, et) = (probe.getAs[Long]("user_id"),
+      probe.getAs[String]("event_type"))
+    val last = Tables.t(spark, sf, "events")
+      .filter(col("user_id") === u && col("event_type") === et)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+      .collect().head
+    assert(probe.getAs[Long]("last_event_id") ==
+      last.getAs[Long]("event_id"))
+    assert(probe.getAs[Double]("last_value") ==
+      last.getAs[Double]("value"))
+  }
+
+  test("segment overlap: symmetric-free matrix with consistent sizes") {
+    val rows = SparkEntry.queries("q294_segment_overlap")(spark, sf)
+      .collect()
+    val types = Tables.t(spark, sf, "events")
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2) // each pair once
+    rows.foreach { r =>
+      assert(r.getAs[String]("seg_a") < r.getAs[String]("seg_b"))
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val j = r.getAs[Long]("n_both").toDouble /
+        (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+          r.getAs[Long]("n_both"))
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-12)
+    }
+  }
+
+  test("SUMMARIZE <table> routes to the one-pass profiler") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_prof")
+    eng.sql("CREATE TABLE t_prof AS SELECT CAST(1 AS BIGINT) AS k, " +
+      "'x' AS s UNION ALL SELECT 2, NULL UNION ALL SELECT 2, 'y'")
+    val prof = eng.sql("SUMMARIZE t_prof").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(prof.keySet == Set("k", "s"))
+    assert(prof("k").getAs[Long]("n_rows") == 3L)
+    assert(prof("k").getAs[Long]("n_distinct") == 2L)
+    assert(prof("k").getAs[Double]("max_num") == 2.0)
+    assert(prof("s").getAs[Long]("n_nulls") == 1L)
+    assert(prof("s").getAs[String]("min_str") == "x")
+    eng.sql("DROP TABLE t_prof")
+  }
+}
