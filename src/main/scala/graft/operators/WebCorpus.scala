@@ -21,6 +21,10 @@ import graft.Tables.t
   *   [valid_from, valid_to) validity windows and an is_current flag —
   *   the dimension-history operator every warehouse ships
   *   (Kimball SCD2), expressed as two per-key windows.
+  * - q295 point-in-time join against that SCD2 history: facts resolve
+  *   the dimension version valid AT their own timestamp — an equi-join
+  *   on the dimension key with the validity window as an in-group
+  *   filter, never a range shuffle.
   * - q287 time-decayed engagement score: half-life-weighted event sums
   *   where every term is an EXACTLY-representable dyadic double
   *   (integer cents x 0.5^n, n <= 20), so the aggregate is
@@ -112,6 +116,39 @@ object WebCorpus {
           col("valid_to").isNull.as("is_current"))
     }),
 
+    // Point-in-time (temporal) join against the q286 SCD2 history:
+    // each order resolves its customer's status AS OF the order's own
+    // timestamp — equi-join on the dimension key, validity-window
+    // filter inside the key group ([valid_from, valid_to), open end).
+    // The canonical SCD2 consumer: key-hash shuffle only, never a
+    // range shuffle, because the window predicate rides the equi-join.
+    "q295_pit_scd2_join" -> ((s, d) => {
+      val ev = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("ts"), col("o_orderkey"))
+      val wo = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts").asc, col("o_orderkey").asc)
+      val hist = ev
+        .withColumn("prev", lag(col("status"), 1).over(wo))
+        .filter(col("prev").isNull || col("prev") =!= col("status"))
+        .withColumn("version", row_number().over(wo))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wo))
+        .select(col("o_custkey").as("h_custkey"), col("version"),
+          col("status").as("h_status"), col("ts").as("valid_from"),
+          col("valid_to"))
+      t(s, d, "orders").as("f")
+        .join(hist,
+          col("f.o_custkey") === col("h_custkey") &&
+            col("valid_from") <= col("f.o_orderdate") &&
+            (col("valid_to").isNull ||
+              col("f.o_orderdate") < col("valid_to")),
+          "left")
+        .select(col("f.o_orderkey").as("o_orderkey"),
+          col("f.o_custkey").as("o_custkey"),
+          col("f.o_orderdate").as("ts"),
+          col("h_status").as("status_asof"), col("version"))
+    }),
+
     // Half-life-decayed engagement: score(u) = sum over events of
     // round(value*100) * 0.5^min(age_weeks, MaxExp), anchored at the
     // corpus max timestamp. cents <= ~2^15 and exponent <= 20 keep
@@ -195,6 +232,34 @@ object WebCorpus {
                 lead(ts) OVER (PARTITION BY o_custkey
                   ORDER BY ts ASC, o_orderkey ASC) IS NULL AS is_current
          FROM changes""",
+    "q295_pit_scd2_join" ->
+      """WITH ev AS (
+           SELECT o_custkey, o_orderstatus AS status,
+                  o_orderdate::TIMESTAMP AS ts, o_orderkey
+           FROM orders),
+         hist AS (
+           SELECT o_custkey AS h_custkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY ts ASC, o_orderkey ASC)::INT AS version,
+                  status AS h_status, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY o_custkey
+                    ORDER BY ts ASC, o_orderkey ASC) AS valid_to
+           FROM (
+             SELECT * FROM (
+               SELECT o_custkey, status, ts, o_orderkey,
+                      lag(status) OVER (PARTITION BY o_custkey
+                        ORDER BY ts ASC, o_orderkey ASC) AS prev
+               FROM ev)
+             WHERE prev IS NULL OR prev <> status))
+         SELECT f.o_orderkey, f.o_custkey,
+                f.o_orderdate::TIMESTAMP AS ts,
+                h.h_status AS status_asof, h.version
+         FROM orders f
+         LEFT JOIN hist h
+           ON h.h_custkey = f.o_custkey
+          AND h.valid_from <= f.o_orderdate::TIMESTAMP
+          AND (h.valid_to IS NULL
+               OR f.o_orderdate::TIMESTAMP < h.valid_to)""",
     "q287_decayed_engagement" ->
       s"""WITH anchor AS (SELECT max(ts::TIMESTAMP) AS t_ref FROM events),
          scored AS (

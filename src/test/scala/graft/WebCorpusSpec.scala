@@ -50,6 +50,29 @@ class WebCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-time join: every fact resolves exactly one version " +
+      "and the resolved status matches the raw log") {
+    val rows = SparkEntry.queries("q295_pit_scd2_join")(spark, sf).collect()
+    val nOrders = Tables.t(spark, sf, "orders").count()
+    assert(rows.length == nOrders) // windows tile time: no dup/loss
+    assert(rows.forall(_.getAs[String]("status_asof") != null))
+    // an order's as-of status must equal its own recorded status when
+    // the order itself opened a version (change rows), and in general
+    // the status of the latest change at-or-before its ts.
+    val hist = SparkEntry.queries("q286_scd2_history")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.take(500).foreach { r =>
+      val ts = r.getAs[java.time.LocalDateTime]("ts")
+      val expect = hist(r.getAs[Long]("o_custkey"))
+        .filter(h => !h.getAs[java.time.LocalDateTime]("valid_from")
+          .isAfter(ts))
+        .maxBy(_.getAs[Int]("version"))
+      assert(r.getAs[String]("status_asof") ==
+        expect.getAs[String]("status"))
+      assert(r.getAs[Int]("version") == expect.getAs[Int]("version"))
+    }
+  }
+
   test("decayed engagement: exact dyadic terms replay bit-for-bit") {
     import spark.implicits._
     val rows = SparkEntry.queries("q287_decayed_engagement")(spark, sf)
