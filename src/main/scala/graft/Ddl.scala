@@ -149,6 +149,40 @@ object Ddl {
     swapIn(spark, name, updated)
   }
 
+  /** MERGE INTO — upsert as ONE full-outer join + projection
+    * copy-on-write rewrite (the Delta/Iceberg MERGE plan shape).
+    * Presence is tracked by marker columns, not key nullability, so
+    * null join keys behave like SQL MERGE (never match).
+    */
+  def mergeInto(spark: SparkSession, name: String, src: DataFrame,
+      onCond: String, updates: Option[Seq[(String, String)]],
+      isDelete: Boolean,
+      insert: Option[Seq[(String, String)]]): Unit = {
+    val tgt = table(spark, name)
+    val j = tgt.withColumn("__tp", lit(1)).as("t")
+      .join(src.withColumn("__sp", lit(1)).as("s"),
+        expr(onCond), "full_outer")
+    val tp = col("t.__tp").isNotNull
+    val sp = col("s.__sp").isNotNull
+    val updMap = updates.getOrElse(Nil)
+      .map { case (k, v) => k.replaceAll("(?i)^t\\.", "") -> v }.toMap
+    val insMap = insert.getOrElse(Nil).toMap
+    val out = tgt.schema.fields.toSeq.map { f =>
+      val keep = col(s"t.`${f.name}`")
+      val upd = updMap.get(f.name).map(expr).getOrElse(keep)
+      val ins = insMap.get(f.name).map(expr)
+        .getOrElse(lit(null))
+      when(tp && sp, if (isDelete) keep else upd)
+        .when(tp && !sp, keep)
+        .otherwise(ins)
+        .cast(f.dataType).as(f.name)
+    }
+    val kept = j.filter((tp && !sp) ||
+      (tp && sp && lit(!isDelete)) ||
+      (!tp && sp && lit(insert.isDefined)))
+    swapIn(spark, name, kept.select(out: _*))
+  }
+
   /** DELETE FROM ... WHERE cond — copy-on-write anti-filter. */
   def delete(spark: SparkSession, name: String, where: Option[String]): Unit = {
     val df = table(spark, name)
@@ -182,6 +216,19 @@ object Ddl {
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Delete: Regex =
     """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?\s*""".r
+  // MERGE INTO — the lakehouse upsert staple (capability-add beyond
+  // the reference's UPDATE/DELETE, like INTERSECT/GROUPING SETS):
+  //   MERGE INTO t USING (<src select>|<table>) [AS] s ON t.k = s.k
+  //   WHEN MATCHED THEN {UPDATE SET c = expr, ... | DELETE}
+  //   [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+  // Executes as ONE full-outer join + projection copy-on-write rewrite
+  // (the Delta/Iceberg MERGE plan shape); target rows never scan twice.
+  private val MergeInto: Regex =
+    ("""(?is)\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?t\s+USING\s+(.*?)""" +
+      """\s+ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+""" +
+      """(?:UPDATE\s+SET\s+(.*?)|(DELETE))\s*""" +
+      """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
+      """\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*)?""").r
   private val Drop: Regex =
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val DumpTable: Regex =
@@ -538,6 +585,27 @@ object Ddl {
         done
       case InsertSelect(name, select) =>
         insertInto(spark, name, spark.sql(select)); done
+      case MergeInto(name, using, onCond, sets, del, insCols, insVals) =>
+        val srcDf = {
+          val u = using.trim.replaceAll("(?is)\\s+(?:AS\\s+)?s\\s*$", "")
+          val inner =
+            if (u.startsWith("(")) u.stripPrefix("(").stripSuffix(")")
+            else s"SELECT * FROM $u"
+          spark.sql(inner)
+        }
+        val updates = Option(sets).map(s => splitTop(s).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          (k.trim, v.trim)
+        })
+        val ins = (Option(insCols), Option(insVals)) match {
+          case (Some(cs), Some(vs)) =>
+            Some(cs.split(",").map(_.trim).toSeq.zip(
+              splitTop(vs).map(_.trim)))
+          case _ => None
+        }
+        mergeInto(spark, name, srcDf, onCond, updates,
+          Option(del).isDefined, ins)
+        done
       case Update(name, sets, where) =>
         val assignments = splitTop(sets).map { a =>
           val Array(k, v) = a.split("=", 2)

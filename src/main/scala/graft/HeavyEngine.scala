@@ -103,8 +103,27 @@ final class HeavyEngine private (val spark: SparkSession) {
         spark.sql(s"EXPLAIN $mode $rest")
       case q =>
         Ddl.route(spark, q).getOrElse {
-          val df = spark.sql(functions.GraftFunctions.rewriteDatetimeDialect(q))
-          if (wantKeep) recycle(df) else df
+          HeavyEngine.splitQualify(q) match {
+            case Some((sel, pred, tail)) =>
+              val base = spark.sql(
+                functions.GraftFunctions.rewriteDatetimeDialect(sel))
+              val filtered = base
+                .withColumn("__qualify", org.apache.spark.sql.functions
+                  .expr(functions.GraftFunctions
+                    .rewriteDatetimeDialect(pred)))
+                .filter(org.apache.spark.sql.functions.col("__qualify"))
+                .drop("__qualify")
+              val out = if (tail.isEmpty) filtered else {
+                val v = s"__qualify_${System.nanoTime()}"
+                filtered.createOrReplaceTempView(v)
+                spark.sql(s"SELECT * FROM $v $tail")
+              }
+              if (wantKeep) recycle(out) else out
+            case None =>
+              val df = spark.sql(
+                functions.GraftFunctions.rewriteDatetimeDialect(q))
+              if (wantKeep) recycle(df) else df
+          }
         }
     }
 
@@ -133,6 +152,46 @@ final class HeavyEngine private (val spark: SparkSession) {
 object HeavyEngine {
   private val ExplainForm =
     """(?is)\s*EXPLAIN\s+(OPTIMIZED|CALCITE|PLAN)\s+(.*)""".r
+
+  /** QUALIFY support (dialect sugar, DuckDB/Snowflake-style): split
+    * `<select> QUALIFY <pred> [ORDER BY ...|LIMIT ...]` at the
+    * top level (never inside parens or string literals). The predicate
+    * may reference select aliases OR contain inline window functions —
+    * execution projects it as a hidden column (windows are legal in
+    * projections, not in WHERE), filters, and drops it.
+    */
+  private[graft] def splitQualify(q: String)
+      : Option[(String, String, String)] = {
+    val up = q.toUpperCase
+    def topLevelIndexOf(word: String, from: Int): Int = {
+      var depth = 0; var inStr = false; var i = from
+      while (i < q.length) {
+        val c = q.charAt(i)
+        if (c == '\'') inStr = !inStr
+        else if (!inStr && c == '(') depth += 1
+        else if (!inStr && c == ')') depth -= 1
+        else if (!inStr && depth == 0 && up.startsWith(word, i) &&
+          (i == 0 || !Character.isLetterOrDigit(q.charAt(i - 1))) &&
+          (i + word.length >= q.length ||
+            !Character.isLetterOrDigit(q.charAt(i + word.length))))
+          return i
+        i += 1
+      }
+      -1
+    }
+    val qi = topLevelIndexOf("QUALIFY", 0)
+    if (qi < 0) None
+    else {
+      val afterPred = {
+        val ob = topLevelIndexOf("ORDER", qi + 7)
+        val li = topLevelIndexOf("LIMIT", qi + 7)
+        Seq(ob, li).filter(_ >= 0).minOption.getOrElse(q.length)
+      }
+      Some((q.substring(0, qi).trim,
+        q.substring(qi + 7, afterPred).trim,
+        q.substring(afterPred).trim))
+    }
+  }
 
   /** Engine over `spark` with the fixture tables at `dir` registered. */
   def apply(spark: SparkSession, dir: String): HeavyEngine = {

@@ -139,9 +139,75 @@ object DdlDml {
           lit(plan.contains("FileScan parquet") &&
             !plan.contains("HashAggregate")).as("hit_plan_is_scan")))
     })
+    ,
+
+    // MERGE INTO (upsert DML, capability-add): CTAS a half-keyed
+    // target, merge a source that both overlaps and extends it —
+    // matched rows update (flag 'M', price accumulates), unmatched
+    // insert (flag 'I') — then aggregate readback per flag. The oracle
+    // replays the merge as a FULL OUTER join projection.
+    "q296_merge_upsert" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP TABLE IF EXISTS merge_tgt")
+      eng.sql("""CREATE TABLE merge_tgt AS
+                 SELECT o_orderkey AS k, o_orderstatus AS st,
+                        o_totalprice AS tp
+                 FROM orders WHERE o_orderkey % 2 = 0""")
+      eng.sql("""MERGE INTO merge_tgt t
+                 USING (SELECT o_orderkey AS k, o_totalprice AS tp
+                        FROM orders WHERE o_orderkey % 3 = 0) s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET st = 'M', tp = t.tp + s.tp
+                 WHEN NOT MATCHED THEN INSERT (k, st, tp)
+                 VALUES (s.k, 'I', s.tp)""")
+      eng.sql("""SELECT st, count(*) AS n, sum(k) AS ksum,
+                        round(sum(tp), 2) AS tpsum
+                 FROM merge_tgt GROUP BY st""")
+    }),
+
+    // QUALIFY clause (dialect sugar the modern engines ship;
+    // HeavyEngine.splitQualify): filter on a window rank without a
+    // subquery — top-2 orders per customer. DuckDB runs the SAME text
+    // natively, so the oracle IS the query.
+    "q297_qualify_clause" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+                        row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM orders
+                 QUALIFY rn <= 2
+                 ORDER BY o_custkey, rn LIMIT 100""")
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q296_merge_upsert" ->
+      """WITH tgt AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+           FROM orders WHERE o_orderkey % 2 = 0),
+         src AS (
+           SELECT o_orderkey AS k, o_totalprice AS tp
+           FROM orders WHERE o_orderkey % 3 = 0),
+         merged AS (
+           SELECT coalesce(t.k, s.k) AS k,
+                  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'M'
+                       WHEN t.k IS NOT NULL THEN t.st
+                       ELSE 'I' END AS st,
+                  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL
+                         THEN t.tp + s.tp
+                       WHEN t.k IS NOT NULL THEN t.tp
+                       ELSE s.tp END AS tp
+           FROM tgt t FULL OUTER JOIN src s ON t.k = s.k)
+         SELECT st, count(*)::BIGINT AS n, sum(k)::BIGINT AS ksum,
+                round(sum(tp), 2) AS tpsum
+         FROM merged GROUP BY st""",
+    "q297_qualify_clause" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
+         FROM orders
+         QUALIFY rn <= 2
+         ORDER BY o_custkey, rn LIMIT 100""",
     "q254_result_recycler" ->
       """SELECT l_returnflag, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty,

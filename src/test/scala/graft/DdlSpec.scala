@@ -336,4 +336,47 @@ class DdlSpec extends AnyFunSuite {
     intercept[Exception] { eng.sql("DROP FUNCTION quarterday") }
     eng.sql("DROP FUNCTION IF EXISTS no_such_function")
   }
+  test("MERGE INTO: matched-DELETE variant and null keys never match") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_merge")
+    eng.sql("CREATE TABLE t_merge (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO t_merge VALUES (1, 'a'), (2, 'b'), " +
+      "(CAST(NULL AS BIGINT), 'n')")
+    // delete matched keys {2}; null-key row must survive (MERGE ON
+    // null = null is not a match)
+    eng.sql("MERGE INTO t_merge t USING " +
+      "(SELECT CAST(2 AS BIGINT) AS k UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT)) s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    val left = eng.sql("SELECT v FROM t_merge").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("a", "n"))
+    // upsert: update 1, insert 9
+    eng.sql("MERGE INTO t_merge t USING " +
+      "(SELECT CAST(1 AS BIGINT) AS k, 'A' AS v UNION ALL " +
+      "SELECT 9, 'I') s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    val got = eng.sql("SELECT k, v FROM t_merge").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "A"), (Some(9L), "I"), (None, "n")))
+    eng.sql("DROP TABLE t_merge")
+  }
+
+  test("QUALIFY: inline window predicate (no alias) also works") {
+    val eng = HeavyEngine(spark, sf)
+    val rows = eng.sql(
+      """SELECT o_custkey, o_orderkey FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderkey) = 1""").collect()
+    val nCust = Tables.t(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.length == nCust) // exactly one row per customer
+    // and the kept row is each customer's min orderkey
+    val minKeys = Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.min("o_orderkey").as("mk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == minKeys(r.getLong(0))))
+  }
 }
