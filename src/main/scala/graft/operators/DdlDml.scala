@@ -177,6 +177,31 @@ object DdlDml {
                  FROM orders
                  QUALIFY rn <= 2
                  ORDER BY o_custkey, rn LIMIT 100""")
+    }),
+
+    // WITH RECURSIVE through the engine (Spark 4's UnionLoop): bounded
+    // 3-hop path enumeration over the event-transition graph — the
+    // SQL-standard recursion the reference's Calcite layer parses but
+    // its engine lacks; DuckDB replays the same recursion natively.
+    // (The operator-level BFS siblings are q53/q137; this is the SQL
+    // surface over the same graph.)
+    "q298_recursive_cte" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("""WITH RECURSIVE reach(node, hops) AS (
+                   SELECT 'signup' AS node, 0 AS hops
+                   UNION ALL
+                   SELECT e.dst, r.hops + 1
+                   FROM reach r
+                   JOIN (SELECT DISTINCT src, dst FROM (
+                           SELECT event_type AS src,
+                                  lead(event_type) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+                           FROM events)
+                         WHERE dst IS NOT NULL) e ON e.src = r.node
+                   WHERE r.hops < 3)
+                 SELECT node, count(*) AS n_paths, min(hops) AS first_hop
+                 FROM reach GROUP BY node""")
     })
   )
 
@@ -208,6 +233,22 @@ object DdlDml {
          FROM orders
          QUALIFY rn <= 2
          ORDER BY o_custkey, rn LIMIT 100""",
+    "q298_recursive_cte" ->
+      """WITH RECURSIVE reach(node, hops) AS (
+           SELECT 'signup' AS node, 0 AS hops
+           UNION ALL
+           SELECT e.dst, r.hops + 1
+           FROM reach r
+           JOIN (SELECT DISTINCT src, dst FROM (
+                   SELECT event_type AS src,
+                          lead(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts::TIMESTAMP, event_id) AS dst
+                   FROM events)
+                 WHERE dst IS NOT NULL) e ON e.src = r.node
+           WHERE r.hops < 3)
+         SELECT node, count(*)::BIGINT AS n_paths,
+                min(hops)::INT AS first_hop
+         FROM reach GROUP BY node""",
     "q254_result_recycler" ->
       """SELECT l_returnflag, count(*) AS n,
                 round(sum(l_quantity), 2) AS qty,
