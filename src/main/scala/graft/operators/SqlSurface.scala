@@ -165,10 +165,60 @@ object SqlSurface {
                  FROM big_orders v JOIN customer c
                    ON c.c_custkey = v.o_custkey
                  GROUP BY c.c_mktsegment""")
-    })
+    }),
+
+    // Modern-dialect parity trio — each runs NATIVELY in both engines
+    // (Spark 4 and DuckDB), so the oracle is the same statement:
+    // GROUP BY ALL (q299), SQL-standard UNPIVOT (q300), correlated
+    // LATERAL join (q301 — the per-row-subquery shape; Spark plans it
+    // as a DomainJoin/rewritten equi-join, never a per-row re-scan).
+    "q299_group_by_all" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT l_returnflag, l_linestatus,
+                  count(*) AS n, round(sum(l_quantity), 2) AS qty
+           FROM lineitem GROUP BY ALL""")),
+
+    "q300_unpivot" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT o_orderkey, metric, round(val, 2) AS val
+           FROM (SELECT o_orderkey, o_totalprice AS price,
+                        o_totalprice * 0.1 AS tax10
+                 FROM orders WHERE o_orderkey < 200)
+           UNPIVOT (val FOR metric IN (price, tax10))""")),
+
+    "q301_lateral_join" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT n.n_name, top.o_orderkey, top.o_totalprice
+           FROM nation n
+           JOIN LATERAL (
+             SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+           ) AS top""")
+    )
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q299_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+              count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ALL""",
+    "q300_unpivot" ->
+      """SELECT o_orderkey, metric, round(val, 2) AS val
+         FROM (SELECT o_orderkey, o_totalprice AS price,
+                      o_totalprice * 0.1 AS tax10
+               FROM orders WHERE o_orderkey < 200)
+         UNPIVOT (val FOR metric IN (price, tax10))""",
+    "q301_lateral_join" ->
+      """SELECT n.n_name, top.o_orderkey, top.o_totalprice
+         FROM nation n
+         JOIN LATERAL (
+           SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+         ) AS top ON true""",
     // DuckDB dayofweek: 0=Sunday..6=Saturday (Spark's dayofweek is
     // 1=Sunday..7=Saturday — hence the +1 / %7 shifts).
     "q62_extract_extended" ->
