@@ -263,6 +263,75 @@ object StreamingIngest {
       ts: java.sql.Timestamp)
   final case class FunnelConv(user_id: Long, t_purchase: java.sql.Timestamp)
 
+  /** Streaming CDC apply (q302): the change log arrives as THREE
+    * micro-batches (maxFilesPerTrigger=1 over a 3-file landing dir);
+    * each batch pre-reduces to latest-per-key and MERGEs into the
+    * managed `cdc_state` table (Ddl.mergeInto — the q296 upsert DML as
+    * a streaming sink). The matched-update keeps the later (ts,
+    * event_id) writer and accumulates version counts, so the final
+    * state is BATCH-ORDER-INDEPENDENT and must equal the one-shot
+    * batch compaction (q293) exactly — the lakehouse streaming-upsert
+    * contract. State growth: the managed table is copy-on-write
+    * per batch; at production scale the same loop lands on a format
+    * with row-level merge, the plan shape (per-batch reduce + keyed
+    * merge join) unchanged.
+    */
+  def streamedCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val landing = java.nio.file.Paths.get(
+      graft.Stage.scratchDir("graft_cdc_src"))
+    val ev = graft.Tables.t(spark, dir, "events")
+    // 3 deterministic arrival slices (NOT time-ordered — later batches
+    // can carry earlier events, which is what the merge must absorb).
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/slice=$i")
+    }
+    graft.Ddl.route(spark, "DROP TABLE IF EXISTS cdc_state")
+    graft.Ddl.createTable(spark, "cdc_state", StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("last_ts", org.apache.spark.sql.types.TimestampType),
+      StructField("last_event_id", LongType),
+      StructField("last_value", DoubleType),
+      StructField("n_versions", LongType))))
+    val schema = spark.read.parquet(s"$landing/slice=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/slice=*")
+    val newer = "s.mts > t.last_ts OR " +
+      "(s.mts = t.last_ts AND s.meid > t.last_event_id)"
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir("graft_cdc_ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val src = batch.groupBy(col("user_id"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              max(struct(col("ts"), col("event_id"), col("value"))).as("w"))
+            .select(col("user_id"), col("event_type"), col("cnt"),
+              col("w.ts").as("mts"), col("w.event_id").as("meid"),
+              col("w.value").as("mval"))
+          graft.Ddl.mergeInto(spark, "cdc_state", src,
+            "t.user_id = s.user_id AND t.event_type = s.event_type",
+            Some(Seq(
+              "last_ts" -> s"CASE WHEN $newer THEN s.mts ELSE t.last_ts END",
+              "last_event_id" ->
+                s"CASE WHEN $newer THEN s.meid ELSE t.last_event_id END",
+              "last_value" ->
+                s"CASE WHEN $newer THEN s.mval ELSE t.last_value END",
+              "n_versions" -> "t.n_versions + s.cnt")),
+            isDelete = false,
+            insert = Some(Seq("user_id" -> "s.user_id",
+              "event_type" -> "s.event_type", "last_ts" -> "s.mts",
+              "last_event_id" -> "s.meid", "last_value" -> "s.mval",
+              "n_versions" -> "s.cnt")))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("cdc_state")
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        col("last_ts"), col("last_event_id"), col("last_value"))
+  }
+
   /** Streaming funnel (q272): the q261 signup->view->purchase funnel as
     * a per-user state machine over `flatMapGroupsWithState` — proof the
     * batch analytics family has a streaming-parity member. State is two
@@ -376,7 +445,8 @@ object StreamingIngest {
     "q173_stream_static_join" -> ((s, d) => streamedEnrichedAgg(s, d)),
     "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d)),
     "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d)),
-    "q272_stream_funnel" -> ((s, d) => streamedFunnel(s, d))
+    "q272_stream_funnel" -> ((s, d) => streamedFunnel(s, d)),
+    "q302_stream_cdc_apply" -> ((s, d) => streamedCdcApply(s, d))
   )
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
@@ -391,6 +461,21 @@ object StreamingIngest {
          FROM events GROUP BY 1, 2""",
     "q153_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    // The streamed CDC state must equal the one-shot batch compaction
+    // (q293's last-writer-wins view, replayed directly over events).
+    "q302_stream_cdc_apply" ->
+      """WITH ranked AS (
+           SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+                  value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rk,
+                  count(*) OVER (PARTITION BY user_id, event_type)
+                    AS n_versions
+           FROM events)
+         SELECT user_id, event_type, n_versions::BIGINT AS n_versions,
+                ts AS last_ts, event_id AS last_event_id,
+                value AS last_value
+         FROM ranked WHERE rk = 1""",
     "q193_stream_stream_join" ->
       """WITH v AS (
            SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vts
