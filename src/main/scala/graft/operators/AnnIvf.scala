@@ -36,6 +36,8 @@ object AnnIvf {
   private val K = 16
   private val NPROBE = 8
   private val TOPK = 10
+  /** q303: leading dims kept in the matryoshka-truncated ranking. */
+  private val TruncDims = 16
 
   /** Write-once staging (shared graft.Stage util): the candidate set
     * feeds both the ranking and the scan-fraction stat; staging avoids a
@@ -198,6 +200,57 @@ object AnnIvf {
           .as("recall_at_10"))
         .select(col("p_id").as("probe_id"), col("recall_at_10"))
         .orderBy(col("probe_id"))
+    }),
+
+    // Matryoshka-style truncation eval (Kusupati et al. 2022): how much
+    // ranking quality survives keeping only the FIRST 16 of 64 dims
+    // (4x storage/compute cut on the read path — the MRL trade next to
+    // q201's int8/int4 scalar quantization). Same staged-sims + dual
+    // window recipe as q202; adds the rank of the true (full-dim) top-1
+    // inside the truncated ranking as an INTEGER-scaled reciprocal
+    // rank (2520 = lcm(1..10), so rr is exact arithmetic, no float
+    // division before the hash gate).
+    "q303_matryoshka_eval" -> ((s, d) => {
+      def dotp(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("x"))
+        .withColumn("xt", slice(col("x"), 1, TruncDims))
+        .withColumn("n2f", dotp(col("x"), col("x")))
+        .withColumn("n2t", dotp(col("xt"), col("xt")))
+      val probes = broadcast(base
+        .filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("p_id"), col("x").as("px"),
+          col("xt").as("pxt"), col("n2f").as("p_n2f"),
+          col("n2t").as("p_n2t")))
+      val sims = stage(base.crossJoin(probes)
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id"),
+          (dotp(col("px"), col("x")) / sqrt(col("p_n2f") * col("n2f")))
+            .as("sim_f"),
+          (dotp(col("pxt"), col("xt")) / sqrt(col("p_n2t") * col("n2t")))
+            .as("sim_t")), "q303_sims")
+      val wf = Window.partitionBy(col("p_id"))
+        .orderBy(col("sim_f").desc, col("vec_id"))
+      val wt = Window.partitionBy(col("p_id"))
+        .orderBy(col("sim_t").desc, col("vec_id"))
+      val rf = sims.withColumn("r", row_number().over(wf))
+        .filter(col("r") <= TOPK)
+        .select(col("p_id"), col("vec_id"), col("r").as("r_full"))
+      val rt = sims.withColumn("r", row_number().over(wt))
+        .filter(col("r") <= TOPK)
+        .select(col("p_id"), col("vec_id"), col("r").as("r_trunc"))
+      val joined = rf.join(rt, Seq("p_id", "vec_id"), "left")
+      joined.groupBy(col("p_id"))
+        .agg(sum(when(col("r_trunc").isNotNull, 1L).otherwise(0L))
+          .as("n_top10_kept"),
+          max(when(col("r_full") === 1,
+            coalesce(expr("2520 DIV r_trunc"), lit(0L))))
+            .as("rr_top1_scaled"))
+        .select(col("p_id").as("probe_id"), col("n_top10_kept"),
+          col("rr_top1_scaled"))
+        .orderBy(col("probe_id"))
     })
   )
 
@@ -228,6 +281,46 @@ object AnnIvf {
     dequantized(x, scaleFor(x, levels), levels)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q303_matryoshka_eval" ->
+      s"""WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS x,
+                  (embedding::DOUBLE[])[1:$TruncDims] AS xt
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, x, xt,
+                  list_sum(list_transform(x, v -> v * v)) AS n2f,
+                  list_sum(list_transform(xt, v -> v * v)) AS n2t
+           FROM base),
+         probes AS (
+           SELECT vec_id AS p_id, x AS px, xt AS pxt, n2f AS p_n2f,
+                  n2t AS p_n2t
+           FROM n WHERE vec_id % 125 = 0),
+         sims AS (
+           SELECT p.p_id, e.vec_id,
+                  list_dot_product(p.px, e.x) / sqrt(p.p_n2f * e.n2f)
+                    AS sim_f,
+                  list_dot_product(p.pxt, e.xt) / sqrt(p.p_n2t * e.n2t)
+                    AS sim_t
+           FROM n e, probes p WHERE e.vec_id <> p.p_id),
+         rf AS (
+           SELECT p_id, vec_id, r_full FROM (
+             SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+               ORDER BY sim_f DESC, vec_id) AS r_full FROM sims)
+           WHERE r_full <= $TOPK),
+         rt AS (
+           SELECT p_id, vec_id, r_trunc FROM (
+             SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+               ORDER BY sim_t DESC, vec_id) AS r_trunc FROM sims)
+           WHERE r_trunc <= $TOPK)
+         SELECT f.p_id AS probe_id,
+                sum(CASE WHEN t.r_trunc IS NOT NULL THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_top10_kept,
+                max(CASE WHEN f.r_full = 1
+                    THEN coalesce(2520 // t.r_trunc, 0) END)
+                  ::BIGINT AS rr_top1_scaled
+         FROM rf f LEFT JOIN rt t
+           ON t.p_id = f.p_id AND t.vec_id = f.vec_id
+         GROUP BY f.p_id""",
     "q99_ann_ivf" ->
       """SELECT 5::BIGINT AS n_queries, 16::INT AS k, 8::INT AS nprobe,
                 true AS sublinear_scan, true AS recall_ok""",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -92,6 +93,30 @@ object OpsDiagnostics {
           col("n_both"),
           round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6)
             .as("jaccard"))
+    }),
+
+    // Event-log integrity audit: per-producer (user) dup-id counts,
+    // out-of-order arrivals (event-id order vs event-time order), and
+    // the largest silence gap — the ingest-health panel that decides
+    // watermark/window settings for the streaming family. One window
+    // pass + one keyed aggregate.
+    "q304_log_integrity_audit" -> ((s, d) => {
+      val byId = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id").asc)
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_ts_by_id", lag(col("ts"), 1).over(byId))
+        .withColumn("gap_min",
+          floor((unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byTs))) / lit(60000000L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_ids"),
+          sum(when(col("prev_ts_by_id") > col("ts"), 1L).otherwise(0L))
+            .as("n_out_of_order"),
+          max(col("gap_min")).as("max_gap_min"))
+        .orderBy(col("user_id")).limit(50)
     })
   )
 
@@ -134,6 +159,23 @@ object OpsDiagnostics {
                 round(n_both / (sa.n + sb.n - n_both), 6) AS jaccard
          FROM ov
          JOIN sizes sa ON sa.seg = ov.seg_a
-         JOIN sizes sb ON sb.seg = ov.seg_b"""
+         JOIN sizes sb ON sb.seg = ov.seg_b""",
+    "q304_log_integrity_audit" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+         f AS (
+           SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS prev_ts_by_id,
+                  (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)))
+                    // 60000000 AS gap_min
+           FROM e)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+                (count(*) - count(DISTINCT event_id))::BIGINT AS n_dup_ids,
+                sum(CASE WHEN prev_ts_by_id > ts THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_out_of_order,
+                max(gap_min)::BIGINT AS max_gap_min
+         FROM f GROUP BY user_id ORDER BY user_id LIMIT 50"""
   )
 }
