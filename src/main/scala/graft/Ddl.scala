@@ -239,6 +239,13 @@ object Ddl {
     """(?is)\s*OPTIMIZE\s+TABLE\s+(\w+)\s*""".r
   private val ValidateTable: Regex =
     """(?is)\s*VALIDATE\s+TABLE\s+(\w+)\s*""".r
+  // VACUUM <table> — drop all superseded copy-on-write versions of a
+  // managed table, keeping only the current one (the lakehouse
+  // retention command beside OPTIMIZE/VALIDATE; the reference's
+  // analog is epoch-based rollback data, `Catalog/Catalog.cpp`
+  // vacuums on checkpoint).
+  private val VacuumTable: Regex =
+    """(?is)\s*VACUUM\s+(?:TABLE\s+)?(\w+)\s*""".r
   private val CopyFrom: Regex =
     """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val CopyTo: Regex =
@@ -638,6 +645,28 @@ object Ddl {
         import spark.implicits._
         Some(Seq((name, n, df.schema.length))
           .toDF("table_name", "n_rows", "n_cols"))
+      case VacuumTable(name) =>
+        val m = catalog.get(name)
+        require(m != null, s"table not found: $name")
+        val keep = s"v${m.version}"
+        val removed = {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(Paths.get(m.baseDir))
+          val old = try s.iterator().asScala
+            .filter(p => p.getFileName.toString.matches("v\\d+") &&
+              p.getFileName.toString != keep).toList
+          finally s.close()
+          old.foreach { dir =>
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+            finally walk.close()
+          }
+          old.length.toLong
+        }
+        import spark.implicits._
+        Some(Seq((name, removed, keep)).toDF(
+          "table_name", "n_versions_removed", "current_version"))
       // SHOW TABLES: every visible relation — managed tables + temp views
       // (the reference lists the catalog's physical + view entries).
       case ShowTables() =>

@@ -97,6 +97,38 @@ object Multimodal {
       }.toDF("doc_id", "n_frames", "n_sampled", "checksum")
     }),
 
+    // Scene-cut detection over the frame stream (the shot-boundary
+    // pass of a video curation pipeline, here over the same 16-byte
+    // synthetic frames as q155): a cut fires where the sum of absolute
+    // per-position byte diffs between consecutive frames exceeds the
+    // threshold. All-integer per-row work in mapPartitions — the
+    // ffmpeg-backed variant swaps the frame source, not the plumbing.
+    "q305_video_scene_cuts" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frameSize = 16
+      val th = 640L
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val nFrames = bytes.length / frameSize
+            val diffs = (0 until nFrames - 1).map { f =>
+              (0 until frameSize).map { p =>
+                math.abs((bytes(f * frameSize + p) & 0xff) -
+                  (bytes((f + 1) * frameSize + p) & 0xff)).toLong
+              }.sum
+            }
+            val cuts = diffs.zipWithIndex.filter(_._1 > th)
+            (id, nFrames, cuts.length,
+              cuts.headOption.map(_._2 + 1).getOrElse(-1),
+              diffs.sum)
+          }
+        }.toDF("doc_id", "n_frames", "n_cuts", "first_cut_frame",
+          "total_diff")
+    }),
+
     // REAL decode path: deterministic BMP images are produced and then
     // decoded by parsing the actual binary header (no fake) — the
     // partition-parallel encode→binary column→decode pipeline a
@@ -332,6 +364,38 @@ object Multimodal {
                 (4 + n_chars % 8)::INT AS down_h,
                 true AS mean_preserved
          FROM documents""",
+    "q305_video_scene_cuts" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) // 16 AS n_frames
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, i AS idx, n_frames,
+                  (strpos('0123456789abcdef',
+                     substring(hx, 2*i + 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                     substring(hx, 2*i + 2, 1)) - 1 AS byte
+           FROM b, unnest(range(0, n_frames * 16)) AS t(i)),
+         diffs AS (
+           SELECT a.doc_id, a.idx // 16 AS frame, a.n_frames,
+                  sum(abs(a.byte - c.byte)) AS diffsum
+           FROM bytes a JOIN bytes c
+             ON c.doc_id = a.doc_id AND c.idx = a.idx + 16
+           GROUP BY 1, 2, 3),
+         cuts AS (
+           SELECT doc_id, max(n_frames) AS n_frames,
+                  sum(CASE WHEN diffsum > 640 THEN 1 ELSE 0 END) AS n_cuts,
+                  min(CASE WHEN diffsum > 640 THEN frame + 1 END)
+                    AS first_cut,
+                  sum(diffsum) AS total_diff
+           FROM diffs GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(c.n_frames,
+                  octet_length(encode(d.text)) // 16)::INT AS n_frames,
+                coalesce(c.n_cuts, 0)::INT AS n_cuts,
+                coalesce(c.first_cut, -1)::INT AS first_cut_frame,
+                coalesce(c.total_diff, 0)::BIGINT AS total_diff
+         FROM documents d LEFT JOIN cuts c USING (doc_id)""",
     "q155_multimodal_framesample" ->
       """WITH b AS (
            SELECT doc_id, lower(hex(encode(text))) AS hx,

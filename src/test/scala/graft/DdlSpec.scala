@@ -379,4 +379,21 @@ class DdlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == minKeys(r.getLong(0))))
   }
+  test("VACUUM drops superseded versions, keeps the current one intact") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_vac")
+    eng.sql("CREATE TABLE t_vac AS SELECT 1 AS k UNION ALL SELECT 2")
+    eng.sql("UPDATE t_vac SET k = k + 10")
+    eng.sql("UPDATE t_vac SET k = k + 100")
+    val r = eng.sql("VACUUM t_vac").collect().head
+    assert(r.getAs[Long]("n_versions_removed") == 2L)
+    // data must survive the vacuum exactly
+    val got = eng.sql("SELECT k FROM t_vac").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(111, 112))
+    // a second vacuum removes nothing
+    assert(eng.sql("VACUUM t_vac").collect().head
+      .getAs[Long]("n_versions_removed") == 0L)
+    eng.sql("DROP TABLE t_vac")
+  }
 }
