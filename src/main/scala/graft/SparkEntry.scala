@@ -45,6 +45,7 @@ object SparkEntry {
     (operators.WebCorpus.queries, operators.WebCorpus.oracles),
     (operators.Profiling.queries, operators.Profiling.oracles),
     (operators.OpsDiagnostics.queries, operators.OpsDiagnostics.oracles),
+    (operators.GraphAnalytics.queries, operators.GraphAnalytics.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
