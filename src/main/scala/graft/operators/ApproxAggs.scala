@@ -154,6 +154,59 @@ object ApproxAggs {
         (abs(col("est_direct").cast("double") - col("n_exact"))
           / col("n_exact") < 0.05).as("err_ok"),
         col("n_exact"))
+    }),
+
+    // Exact distributed heavy hitters, sketch-pruned: the 2-pass plan
+    // that finds EVERY key with frequency > n/m at 100 TB without ever
+    // shuffling the full key space. Pass 1 runs a Misra-Gries summary
+    // (Misra & Gries 1982) of capacity m inside each partition —
+    // bounded memory, one sequential scan, no shuffle — and emits the
+    // per-partition survivors. Pigeonhole guarantees completeness: if a
+    // key's GLOBAL frequency exceeds n/m, then in at least one
+    // partition its local frequency exceeds n_p/m, and MG never evicts
+    // such a key. Pass 2 exact-counts only the candidate union (<= m
+    // per partition, broadcast) and keeps keys with cnt*m > n — so the
+    // result is EXACT by theorem while the full groupBy it replaces
+    // would shuffle every distinct key. The stream is the q237-style
+    // zipf-skewed user key (60% of events remapped to 8 hot keys by a
+    // portable md5 ladder) — uniform fixtures have no heavy hitters to
+    // find. Complements q151 (CMS counts, approximate) and q292 (skew
+    // advisor: top-k by full groupBy).
+    "q307_heavy_hitters" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val m = 32
+      val h = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val v = pmod(h, lit(1000L))
+      val stream = graft.Stage(t(s, d, "events")
+        .withColumn("k",
+          when(v < 221, 1L).when(v < 331, 2L).when(v < 405, 3L)
+            .when(v < 460, 4L).when(v < 504, 5L).when(v < 541, 6L)
+            .when(v < 573, 7L).when(v < 600, 8L)
+            .otherwise(col("user_id")))
+        .select(col("k")), "q307_stream")
+      val candidates = stream.as[Long].mapPartitions { it =>
+        val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { k =>
+          if (cnt.contains(k)) cnt(k) += 1
+          else if (cnt.size < m) cnt(k) = 1L
+          else { // decrement-all step: O(m), amortized O(1) per item
+            val ks = cnt.keys.toArray
+            ks.foreach { kk =>
+              val nv = cnt(kk) - 1
+              if (nv == 0) cnt.remove(kk) else cnt(kk) = nv
+            }
+          }
+        }
+        cnt.keysIterator
+      }.distinct().toDF("k")
+      val n = stream.count()
+      stream.join(broadcast(candidates), "k")
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * m > n)
+        .select(col("k").as("user_key"), col("cnt"),
+          expr(s"cnt * 1000000 DIV ${n}L").as("share_ppm"))
     })
   )
 
@@ -184,6 +237,23 @@ object ApproxAggs {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_orderkey""",
     "q59_sample_ratio" ->
-      """SELECT count(*) AS n_total, true AS ratio_ok FROM lineitem"""
+      """SELECT count(*) AS n_total, true AS ratio_ok FROM lineitem""",
+    "q307_heavy_hitters" ->
+      """WITH sk AS (
+           SELECT CASE WHEN v < 221 THEN 1 WHEN v < 331 THEN 2
+                       WHEN v < 405 THEN 3 WHEN v < 460 THEN 4
+                       WHEN v < 504 THEN 5 WHEN v < 541 THEN 6
+                       WHEN v < 573 THEN 7 WHEN v < 600 THEN 8
+                       ELSE user_id END AS k
+           FROM (SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 15))
+                          ::BIGINT % 1000 AS v,
+                        user_id
+                 FROM events) h),
+         tot AS (SELECT count(*) AS n FROM sk)
+         SELECT k AS user_key, count(*)::BIGINT AS cnt,
+                (count(*) * 1000000 // (SELECT n FROM tot))::BIGINT
+                  AS share_ppm
+         FROM sk GROUP BY k
+         HAVING count(*) * 32 > (SELECT n FROM tot)"""
   )
 }

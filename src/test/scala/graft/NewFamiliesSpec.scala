@@ -77,6 +77,33 @@ class NewFamiliesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("avg_logscore") < 0))
   }
 
+  test("heavy hitters: result equals the full-groupBy truth and every " +
+      "share is consistent") {
+    val rows = SparkEntry.queries("q307_heavy_hitters")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent truth: full groupBy over the same skewed stream
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val v = pmod(h, lit(1000L))
+    val stream = Tables.t(spark, sf, "events").withColumn("k",
+      when(v < 221, 1L).when(v < 331, 2L).when(v < 405, 3L)
+        .when(v < 460, 4L).when(v < 504, 5L).when(v < 541, 6L)
+        .when(v < 573, 7L).when(v < 600, 8L)
+        .otherwise(col("user_id")))
+    val n = stream.count()
+    val truth = stream.groupBy("k").count()
+      .filter(col("count") * 32 > n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("user_key")).toSet == truth.keySet,
+      "sketch-pruned result differs from the exact heavy-hitter set")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") == truth(r.getAs[Long]("user_key")))
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("cnt") * 1000000L / n)
+    }
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet
