@@ -343,6 +343,70 @@ object DataOps {
           round(col("tot").cast("double"), 2).as("total"), col("mism_total"))
         .orderBy(col("total").desc, col("o_custkey").asc)
         .limit(20)
+    }),
+
+    // Column encoding advisor — the sizing pass behind the reference's
+    // string dictionaries and compressed chunks
+    // (`StringDictionary/StringDictionary.cpp`, fixed-width dict ids;
+    // `DataMgr/ChunkMetadata.h` per-chunk layout): for each candidate
+    // string column, EXACT integer byte accounting of three physical
+    // encodings, then the argmin recommendation.
+    //   plain = sum of value lengths;
+    //   dict  = distinct-value pool + n fixed-width ids, id width =
+    //           ceil(log2(nd)) bits rounded up to whole bytes (computed
+    //           via binary-string length — no float log);
+    //   rle   = per-run head value + a 4-byte run length, runs counted
+    //           WITHIN chunk boundaries (chunk = order group — runs
+    //           never cross chunks, exactly like parquet pages inside
+    //           row groups), so every window is partitioned by
+    //           (column, chunk), never global.
+    // One melt pass over the fact table: scan → explode to
+    // (column, chunk, seq, value) → one partitioned window → one agg.
+    "q308_encoding_advisor" -> ((s, d) => {
+      // l_orderkey is constant inside its chunk (RLE should win),
+      // l_returnflag/l_linestatus are tiny-vocab (dict ids, 1 byte),
+      // l_shipdate is mid-cardinality, l_quantity numeric-as-string.
+      val cols = Seq("l_orderkey", "l_returnflag", "l_linestatus",
+        "l_shipdate", "l_quantity")
+      val melted = t(s, d, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        explode(map(cols.flatMap { c =>
+          // date-normalize the timestamp column so the rendered string
+          // is fixture-generation-independent (µs vs ns physical type)
+          val v = if (c == "l_shipdate") to_date(col(c)).cast("string")
+                  else col(c).cast("string")
+          Seq(lit(c), v)
+        }: _*)).as(Seq("cname", "v")))
+      // (ok, ln) is NOT unique in the fixture — order by (ln, v) so the
+      // in-chunk sequence (and hence the run count) is deterministic.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cname"), col("ok"))
+        .orderBy(col("ln"), col("v"))
+      val runs = melted.withColumn("head",
+        coalesce(col("v") =!= lag(col("v"), 1).over(w), lit(true)))
+      val base = runs.groupBy(col("cname")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(length(col("v"))).as("plain_bytes"),
+        sum(when(col("head"), 1L).otherwise(0L)).as("n_runs"),
+        sum(when(col("head"), length(col("v")) + 4).otherwise(0L))
+          .as("rle_bytes"))
+      val pool = melted.select(col("cname"), col("v")).distinct()
+        .groupBy(col("cname")).agg(sum(length(col("v"))).as("pool_bytes"))
+      base.join(pool, "cname")
+        .withColumn("idx_bits", when(col("n_distinct") === 1, 0)
+          .otherwise(length(bin(col("n_distinct") - 1))))
+        .withColumn("dict_bytes",
+          col("pool_bytes") + col("n_rows") *
+            expr("(idx_bits + 7) DIV 8"))
+        .withColumn("rec_encoding",
+          when(col("plain_bytes") <= col("dict_bytes") &&
+               col("plain_bytes") <= col("rle_bytes"), "plain")
+            .when(col("dict_bytes") <= col("rle_bytes"), "dict")
+            .otherwise("rle"))
+        .select(col("cname"), col("n_rows"), col("n_distinct"),
+          col("plain_bytes"), col("n_runs"), col("rle_bytes"),
+          col("dict_bytes"), col("rec_encoding"))
     })
   )
 
@@ -582,6 +646,52 @@ object DataOps {
                 round(m.tot::DOUBLE, 2) AS total, mism.mism_total
          FROM merged m CROSS JOIN mism
          ORDER BY total DESC, o_custkey ASC
-         LIMIT 20"""
+         LIMIT 20""",
+    "q308_encoding_advisor" ->
+      """WITH m AS (
+           SELECT l_orderkey AS ok, l_linenumber AS ln,
+                  'l_orderkey' AS cname, l_orderkey::VARCHAR AS v
+           FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_returnflag',
+                  l_returnflag FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
+                  l_linestatus FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_shipdate',
+                  l_shipdate::DATE::VARCHAR FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
+                  l_quantity::VARCHAR FROM lineitem),
+         r AS (
+           SELECT cname, v,
+                  CASE WHEN lag(v) OVER (PARTITION BY cname, ok
+                         ORDER BY ln, v) IS DISTINCT FROM v
+                       THEN 1 ELSE 0 END AS head
+           FROM m),
+         base AS (
+           SELECT cname, count(*) AS n_rows,
+                  count(DISTINCT v) AS n_distinct,
+                  sum(length(v))::BIGINT AS plain_bytes,
+                  sum(head)::BIGINT AS n_runs,
+                  sum(CASE WHEN head = 1 THEN length(v) + 4 ELSE 0 END)
+                    ::BIGINT AS rle_bytes
+           FROM r GROUP BY 1),
+         pool AS (
+           SELECT cname, sum(length(v))::BIGINT AS pool_bytes
+           FROM (SELECT DISTINCT cname, v FROM m) GROUP BY 1),
+         sized AS (
+           SELECT b.cname, b.n_rows, b.n_distinct, b.plain_bytes,
+                  b.n_runs, b.rle_bytes,
+                  (p.pool_bytes + b.n_rows *
+                    ((CASE WHEN b.n_distinct = 1 THEN 0
+                           ELSE length(bin(b.n_distinct - 1)) END + 7)
+                      // 8))::BIGINT AS dict_bytes
+           FROM base b JOIN pool p ON b.cname = p.cname)
+         SELECT cname, n_rows::BIGINT AS n_rows,
+                n_distinct::BIGINT AS n_distinct, plain_bytes, n_runs,
+                rle_bytes, dict_bytes,
+                CASE WHEN plain_bytes <= dict_bytes
+                      AND plain_bytes <= rle_bytes THEN 'plain'
+                     WHEN dict_bytes <= rle_bytes THEN 'dict'
+                     ELSE 'rle' END AS rec_encoding
+         FROM sized"""
   )
 }

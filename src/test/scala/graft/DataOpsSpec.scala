@@ -112,4 +112,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.length == 20)
     rows.foreach(r => assert(r.getAs[Long]("mism_total") == 0L, r.toString))
   }
+
+  test("q308: recommendation is the argmin encoding; chunk-constant " +
+      "column compresses via RLE") {
+    val rows = SparkEntry.queries("q308_encoding_advisor")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p, dc, rl) = (r.getAs[Long]("plain_bytes"),
+        r.getAs[Long]("dict_bytes"), r.getAs[Long]("rle_bytes"))
+      val rec = r.getAs[String]("rec_encoding")
+      val best = Seq("plain" -> p, "dict" -> dc, "rle" -> rl)
+        .minBy(_._2)._2
+      assert(Map("plain" -> p, "dict" -> dc, "rle" -> rl)(rec) == best)
+      assert(r.getAs[Long]("n_runs") >= r.getAs[Long]("n_distinct") ||
+        r.getAs[String]("cname") == "l_orderkey")
+    }
+    val ok = rows.find(_.getAs[String]("cname") == "l_orderkey").get
+    // l_orderkey is constant inside each chunk: runs ≈ order count, so
+    // RLE must beat plain by a wide margin and be the recommendation
+    assert(ok.getAs[Long]("rle_bytes") < ok.getAs[Long]("plain_bytes"))
+    assert(ok.getAs[String]("rec_encoding") == "rle")
+  }
 }
