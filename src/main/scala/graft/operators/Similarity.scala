@@ -186,6 +186,49 @@ object Similarity {
       }
       selected.select(col("mmr_rank"), col("vec_id"), col("rel"),
         col("mmr_score"))
+    }),
+
+    // Typo-pair mining via deletion-neighborhood signatures (FastSS,
+    // Bocek et al. 2007; popularized as SymSpell): every pair of
+    // distinct tokens within edit distance 1 shares a common member of
+    // their 1-deletion neighborhoods {t} ∪ D1(t) — delete the differing
+    // char from each side of a substitution, the inserted char for an
+    // insert, nothing for a shared string. So the EXACT ed<=1 self-join
+    // is an equi-join on deletion signatures (posting lists per
+    // signature, never all-pairs) + a levenshtein verify on candidates
+    // only — complete by theorem, like q282's prefix filter. The
+    // all-pairs alternative is quadratic in vocabulary size (millions
+    // of distinct tokens at 100 TB); signatures are linear in total
+    // token length. The corpus is planted with OCR-style corruption
+    // (docs with doc_id%5=0 drop the 2nd char of every token of length
+    // >=4, q122/q236-style) because the clean fixture vocabulary has no
+    // natural ed<=1 pairs. Spelling-variant clustering is the ingest
+    // normalization pass of web-corpus curation (q285's cousin at the
+    // token level).
+    "q309_typo_pairs" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(when(col("doc_id") % 5 === 0 && length(col("tok")) >= 4,
+          concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)")))
+          .otherwise(col("tok")).as("tok"))
+      val vocab = graft.Stage(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("c")),
+        "q309_vocab")
+      val vars = vocab.select(col("tok"), col("c"),
+        explode(expr(
+          """array_append(
+               transform(sequence(1, length(tok)),
+                 i -> concat(substr(tok, 1, i - 1),
+                             substr(tok, i + 1, length(tok)))),
+               tok)""")).as("sig"))
+      vars.as("a").join(vars.as("b"),
+          col("a.sig") === col("b.sig") && col("a.tok") < col("b.tok"))
+        .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+          col("a.c").as("cnt_a"), col("b.c").as("cnt_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
     })
   )
 
@@ -304,6 +347,25 @@ object Similarity {
            SELECT vec_id, rel, 1 AS mmr_rank, rel AS mmr_score
            FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1)$rounds
          SELECT mmr_rank, vec_id, rel, mmr_score FROM sel$MmrK"""
-    }
+    },
+    // Oracle is the BRUTE-FORCE all-pairs levenshtein over the distinct
+    // vocabulary — quadratic, fine at verify scale, impossible at 100 TB
+    // vocabulary sizes; the Spark side's deletion-signature equi-join is
+    // the scale path and must produce the identical pair set.
+    "q309_typo_pairs" ->
+      """WITH tk0 AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         tk AS (
+           SELECT CASE WHEN doc_id % 5 = 0 AND length(tok) >= 4
+                       THEN substr(tok, 1, 1) || substr(tok, 3)
+                       ELSE tok END AS tok
+           FROM tk0 WHERE tok <> ''),
+         freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+         SELECT a.tok AS tok_a, b.tok AS tok_b,
+                a.c::BIGINT AS cnt_a, b.c::BIGINT AS cnt_b
+         FROM freq a JOIN freq b
+           ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1"""
   )
 }

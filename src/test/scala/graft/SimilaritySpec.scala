@@ -101,4 +101,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("vec_id")).toSeq == sel.map(_._1))
   }
+
+  test("q309: deletion-signature join equals brute-force ed<=1 over " +
+      "the vocabulary (FastSS completeness)") {
+    val rows = SparkEntry.queries("q309_typo_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty, "planted corruption produced no typo pairs")
+    // brute-force truth over the same corrupted vocabulary
+    val vocab = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(when(col("doc_id") % 5 === 0 && length(col("tok")) >= 4,
+        concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)")))
+        .otherwise(col("tok")).as("tok"))
+      .distinct().collect().map(_.getString(0))
+    def ed1(a: String, b: String): Boolean = {
+      if (math.abs(a.length - b.length) > 1) false
+      else if (a.length == b.length)
+        a.zip(b).count { case (x, y) => x != y } <= 1
+      else { // one insertion: longer must equal shorter with one skip
+        val (sh, lo) = if (a.length < b.length) (a, b) else (b, a)
+        (0 to sh.length).exists(i =>
+          lo == sh.substring(0, i) + lo(i) + sh.substring(i))
+      }
+    }
+    val truth = (for {
+      a <- vocab; b <- vocab if a < b && ed1(a, b)
+    } yield (a, b)).toSet
+    val got = rows.map(r =>
+      (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"))).toSet
+    assert(got == truth,
+      s"missing=${truth -- got} spurious=${got -- truth}")
+  }
 }
