@@ -129,6 +129,102 @@ object Multimodal {
           "total_diff")
     }),
 
+    // Voice-activity detection over the PCM frame stream (the segment
+    // extraction pass before ASR transcription in a speech-data
+    // pipeline): a frame is speech when its mean-square energy exceeds
+    // the threshold; segments merge across non-speech gaps of <= 2
+    // frames (the standard hangover smoothing that stops a breath pause
+    // from splitting an utterance). Binary decode + per-frame energy is
+    // per-row mapPartitions work (q199's framing at 32 samples); the
+    // segmentation is declarative gaps-and-islands with every window
+    // partitioned by doc_id — decode where Spark SQL can't, windows
+    // where it can.
+    "q310_audio_vad" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val Frame = 32
+      val MsTh = 120000000L
+      val feat = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val n = bytes.length / 2
+            val pcm = Array.tabulate(n) { i =>
+              ((bytes(2 * i) & 0xFF) |
+                ((bytes(2 * i + 1) & 0xFF) << 8)) - 16384
+            }
+            pcm.grouped(Frame).zipWithIndex.map { case (fr, fi) =>
+              var ss = 0L
+              var i = 0
+              while (i < fr.length) { ss += fr(i).toLong * fr(i); i += 1 }
+              (id, fi.toLong, ss / fr.length)
+            }
+          }
+        }.toDF("doc_id", "fi", "ms")
+      val staged = graft.Stage(feat, "q310_frames")
+      val nf = staged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("fi"))
+      val seg = staged.filter(col("ms") > MsTh)
+        .withColumn("pfi", lag(col("fi"), 1).over(w))
+        .withColumn("newseg",
+          when(col("pfi").isNull || col("fi") - col("pfi") - 1 > 2, 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("newseg")).over(w))
+      val perSeg = seg.groupBy(col("doc_id"), col("seg"))
+        .agg(min(col("fi")).as("st"), max(col("fi")).as("en"),
+          count(lit(1)).as("nsp"))
+      val perDoc = perSeg.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segments"), sum(col("nsp")).as("n_speech"),
+        max(col("en") - col("st") + 1).as("longest_seg"),
+        min(col("st")).as("first_seg_start"))
+      nf.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("n_speech"), lit(0L)).as("n_speech"),
+          coalesce(col("longest_seg"), lit(0L)).as("longest_seg"),
+          coalesce(col("first_seg_start"), lit(-1L))
+            .as("first_seg_start"))
+    }),
+
+    // Keyframe selection downstream of q305's shot boundaries: the
+    // representative frame of every shot is its FIRST frame (frame 0
+    // plus the frame after each cut) — the thumbnail/embedding
+    // candidates a video curation pipeline feeds to the expensive
+    // encoder, reducing per-video work from n_frames to n_shots. Same
+    // all-integer per-row framing as q305; the checksum over selected
+    // frame bytes pins exactly WHICH frames were chosen.
+    "q311_video_keyframes" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frameSize = 16
+      val th = 640L
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val nFrames = bytes.length / frameSize
+            def frameSum(f: Int): Long =
+              (0 until frameSize).map(p =>
+                (bytes(f * frameSize + p) & 0xff).toLong).sum
+            val cuts = (0 until nFrames - 1).filter { f =>
+              (0 until frameSize).map { p =>
+                math.abs((bytes(f * frameSize + p) & 0xff) -
+                  (bytes((f + 1) * frameSize + p) & 0xff)).toLong
+              }.sum > th
+            }
+            val kfs = if (nFrames == 0) Seq.empty[Int]
+                      else 0 +: cuts.map(_ + 1)
+            (id, nFrames, kfs.length, kfs.map(frameSum).sum,
+              kfs.lastOption.getOrElse(-1))
+          }
+        }.toDF("doc_id", "n_frames", "n_keyframes", "kf_checksum",
+          "last_kf_frame")
+    }),
+
     // REAL decode path: deterministic BMP images are produced and then
     // decoded by parsing the actual binary header (no fake) — the
     // partition-parallel encode→binary column→decode pipeline a
@@ -396,6 +492,96 @@ object Multimodal {
                 coalesce(c.first_cut, -1)::INT AS first_cut_frame,
                 coalesce(c.total_diff, 0)::BIGINT AS total_diff
          FROM documents d LEFT JOIN cuts c USING (doc_id)""",
+    "q310_audio_vad" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+         samples AS (
+           SELECT doc_id,
+                  list_transform(generate_series(1, length(text) // 2),
+                    i -> ord(substr(text, 2*i - 1, 1))
+                         + 256 * ord(substr(text, 2*i, 1)) - 16384)
+                    AS pcm
+           FROM d),
+         frames AS (
+           SELECT doc_id, (f - 1)::BIGINT AS fi,
+                  pcm[(f-1)*32 + 1 : f*32] AS fr
+           FROM (SELECT doc_id, pcm,
+                        unnest(generate_series(1, (len(pcm) + 31) // 32))
+                          AS f
+                 FROM samples)),
+         feat AS (
+           SELECT doc_id, fi,
+                  list_sum(list_transform(fr, v -> v::BIGINT * v))
+                    // len(fr) AS ms
+           FROM frames),
+         nf AS (SELECT doc_id, count(*) AS n_frames FROM feat GROUP BY 1),
+         sp AS (SELECT doc_id, fi FROM feat WHERE ms > 120000000),
+         seg0 AS (
+           SELECT doc_id, fi,
+                  CASE WHEN lag(fi) OVER w IS NULL
+                         OR fi - lag(fi) OVER w - 1 > 2
+                       THEN 1 ELSE 0 END AS newseg
+           FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+         seg AS (
+           SELECT doc_id, fi,
+                  sum(newseg) OVER (PARTITION BY doc_id ORDER BY fi)
+                    AS seg
+           FROM seg0),
+         pseg AS (
+           SELECT doc_id, seg, min(fi) AS st, max(fi) AS en,
+                  count(*) AS nsp
+           FROM seg GROUP BY 1, 2),
+         pdoc AS (
+           SELECT doc_id, count(*) AS n_segments, sum(nsp) AS n_speech,
+                  max(en - st + 1) AS longest_seg,
+                  min(st) AS first_seg_start
+           FROM pseg GROUP BY 1)
+         SELECT n.doc_id, n.n_frames::BIGINT AS n_frames,
+                coalesce(p.n_segments, 0)::BIGINT AS n_segments,
+                coalesce(p.n_speech, 0)::BIGINT AS n_speech,
+                coalesce(p.longest_seg, 0)::BIGINT AS longest_seg,
+                coalesce(p.first_seg_start, -1)::BIGINT
+                  AS first_seg_start
+         FROM nf n LEFT JOIN pdoc p USING (doc_id)""",
+    "q311_video_keyframes" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) // 16 AS n_frames
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, i AS idx, n_frames,
+                  (strpos('0123456789abcdef',
+                     substring(hx, 2*i + 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                     substring(hx, 2*i + 2, 1)) - 1 AS byte
+           FROM b, unnest(range(0, n_frames * 16)) AS t(i)),
+         diffs AS (
+           SELECT a.doc_id, a.idx // 16 AS frame,
+                  sum(abs(a.byte - c.byte)) AS diffsum
+           FROM bytes a JOIN bytes c
+             ON c.doc_id = a.doc_id AND c.idx = a.idx + 16
+           GROUP BY 1, 2),
+         kf AS (
+           SELECT doc_id, 0 AS frame FROM b WHERE n_frames > 0
+           UNION ALL
+           SELECT doc_id, frame + 1 FROM diffs WHERE diffsum > 640),
+         sums AS (
+           SELECT k.doc_id, count(*) AS n_keyframes,
+                  max(k.frame) AS last_kf,
+                  sum(fs.s) AS checksum
+           FROM kf k JOIN (
+             SELECT doc_id, idx // 16 AS frame, sum(byte) AS s
+             FROM bytes GROUP BY 1, 2) fs
+             ON fs.doc_id = k.doc_id AND fs.frame = k.frame
+           GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(b.n_frames, 0)::INT AS n_frames,
+                coalesce(s.n_keyframes, 0)::INT AS n_keyframes,
+                coalesce(s.checksum, 0)::BIGINT AS kf_checksum,
+                coalesce(s.last_kf, -1)::INT AS last_kf_frame
+         FROM documents d
+         LEFT JOIN b ON b.doc_id = d.doc_id
+         LEFT JOIN sums s ON s.doc_id = d.doc_id""",
     "q155_multimodal_framesample" ->
       """WITH b AS (
            SELECT doc_id, lower(hex(encode(text))) AS hx,
