@@ -384,15 +384,18 @@ object DataOps {
         .orderBy(col("ln"), col("v"))
       val runs = melted.withColumn("head",
         coalesce(col("v") =!= lag(col("v"), 1).over(w), lit(true)))
+      // n_distinct rides the pool aggregate (already a distinct pass) —
+      // a countDistinct beside the other aggs would Expand the full melt
       val base = runs.groupBy(col("cname")).agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(col("v")).as("n_distinct"),
         sum(length(col("v"))).as("plain_bytes"),
         sum(when(col("head"), 1L).otherwise(0L)).as("n_runs"),
         sum(when(col("head"), length(col("v")) + 4).otherwise(0L))
           .as("rle_bytes"))
       val pool = melted.select(col("cname"), col("v")).distinct()
-        .groupBy(col("cname")).agg(sum(length(col("v"))).as("pool_bytes"))
+        .groupBy(col("cname")).agg(
+          count(lit(1)).as("n_distinct"),
+          sum(length(col("v"))).as("pool_bytes"))
       base.join(pool, "cname")
         .withColumn("idx_bits", when(col("n_distinct") === 1, 0)
           .otherwise(length(bin(col("n_distinct") - 1))))

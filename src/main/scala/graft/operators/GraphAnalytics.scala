@@ -48,7 +48,8 @@ object GraphAnalytics {
         .unionAll(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")), "q306_deg")
       // Degree-ordered orientation: s -> t iff (deg_s, s) < (deg_t, t).
-      val dir = und
+      // Staged: consumed three times (both wedge sides + closing probe).
+      val dir = graft.Stage(und
         .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
         .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
         .select(
@@ -59,7 +60,7 @@ object GraphAnalytics {
             .otherwise(struct(col("v").as("s"), col("u").as("tt"),
                    col("du").as("dt"))).as("e"))
         .select(col("e.s").as("s"), col("e.tt").as("tt"),
-                col("e.dt").as("dt"))
+                col("e.dt").as("dt")), "q306_dir")
       // Wedges from a shared source, endpoints ordered by the SAME total
       // order — so the closing edge, if present, is directed exactly
       // (t1 -> t2) and the semi-join below finds it in one probe.
