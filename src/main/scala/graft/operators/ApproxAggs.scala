@@ -207,6 +207,83 @@ object ApproxAggs {
         .filter(col("cnt") * m > n)
         .select(col("k").as("user_key"), col("cnt"),
           expr(s"cnt * 1000000 DIV ${n}L").as("share_ppm"))
+    }),
+
+    // EXACT median at 100 TB without a global sort: the classic
+    // two-pass distributed selection. Pass 1 builds a bounded
+    // value-bucket histogram (one aggregate); the cumulative scan over
+    // the BOUNDED bucket table locates the bucket holding the k-th
+    // value (bounded self-join — no global window, keeping the repo's
+    // no-unpartitioned-window invariant); pass 2 touches only that
+    // bucket and TakeOrdereds its k'-th element. Total: two scans, one
+    // small aggregate, zero full sorts — vs the full-shuffle sort an
+    // ORDER BY median would cost. (In production the probe recurses
+    // until the bucket fits; one level suffices at these sfs and the
+    // recursion is the same two stages again.) Complements q56/q147:
+    // approx sketch / exact-but-grouped percentile.
+    "q313_exact_median_2pass" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val W = 1000.0
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+      val hist = graft.Stage(
+        li.groupBy(floor(col("x") / W).cast("long").as("b"))
+          .agg(count(lit(1)).as("c")), "q313_hist")
+      val n = li.count()
+      val k = (n + 1) / 2
+      val cumBefore = hist.as("a").join(hist.as("b"),
+          col("b.b") < col("a.b"), "left")
+        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
+      val probe = cumBefore
+        .filter(col("before") < k && col("before") + col("c") >= k)
+        .head()
+      val (bSel, before) = (probe.getLong(0), probe.getLong(2))
+      val kin = (k - before).toInt
+      val med = li.filter(floor(col("x") / W).cast("long") === bSel)
+        .orderBy(col("x")).limit(kin)
+        .agg(max(col("x"))).head().getDouble(0)
+      Seq((n, k, bSel, med))
+        .toDF("n_rows", "k_rank", "probe_bucket", "median_exact")
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch through the typed
+    // Aggregator surface (functions/KmvSketch.scala): per-group
+    // sketches, the (k-1)·2^60/h_k estimate, and the min-k-of-union
+    // merge PROVEN equal to the direct whole-table sketch — q171's
+    // rollup contract, but the estimate itself is engine-portable and
+    // hash-compares (HLL's register value is engine-specific; the
+    // oracle replays KMV exactly via the portable md5 hash).
+    "q314_kmv_sketch" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val K = 256
+      val kmv = udaf(new graft.functions.KmvAgg(K))
+      val est = (c: Column) =>
+        lit(255.0) * lit(1152921504606846976.0) / c.cast("double")
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_orderkey").as("id"),
+          Dedup.hash60(col("l_orderkey").cast("string")).as("h"))
+      val perGroup = graft.Stage(
+        li.groupBy(col("g")).agg(kmv(col("h")).as("mins"),
+          countDistinct(col("id")).as("n_exact")), "q314_groups")
+      val gRows = perGroup.select(col("g").as("scope"), col("n_exact"),
+        est(element_at(col("mins"), K)).as("kmv_est"))
+      val direct = li.agg(kmv(col("h")).as("mins"),
+          countDistinct(col("id")).as("n_exact"))
+        .select(col("n_exact"), est(element_at(col("mins"), K)).as("de"))
+      val mergedHk = perGroup.select(explode(col("mins")).as("h"))
+        .distinct().orderBy(col("h")).limit(K)
+        .agg(max(col("h")).as("h_k"))
+      val allRow = direct.crossJoin(broadcast(mergedHk))
+        .select(lit("_all").as("scope"), col("n_exact"),
+          col("de").as("kmv_est"),
+          (est(col("h_k")) === col("de")).as("merge_consistent"))
+      gRows.withColumn("merge_consistent", lit(true))
+        .unionByName(allRow)
+        .withColumn("rel_err",
+          abs(col("kmv_est") - col("n_exact")) / col("n_exact"))
     })
   )
 
@@ -254,6 +331,50 @@ object ApproxAggs {
                 (count(*) * 1000000 // (SELECT n FROM tot))::BIGINT
                   AS share_ppm
          FROM sk GROUP BY k
-         HAVING count(*) * 32 > (SELECT n FROM tot)"""
+         HAVING count(*) * 32 > (SELECT n FROM tot)""",
+    "q313_exact_median_2pass" ->
+      """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
+         nn AS (SELECT count(*) AS n FROM t),
+         kk AS (SELECT (n + 1) // 2 AS k FROM nn)
+         SELECT (SELECT n FROM nn)::BIGINT AS n_rows,
+                (SELECT k FROM kk)::BIGINT AS k_rank,
+                (SELECT floor(x / 1000)::BIGINT FROM t ORDER BY x
+                 LIMIT 1 OFFSET (SELECT k FROM kk) - 1) AS probe_bucket,
+                (SELECT x FROM t ORDER BY x
+                 LIMIT 1 OFFSET (SELECT k FROM kk) - 1) AS median_exact""",
+    "q314_kmv_sketch" ->
+      """WITH t AS (
+           SELECT l_returnflag AS g, l_orderkey AS id,
+                  ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))
+                    ::BIGINT AS h
+           FROM lineitem),
+         dh AS (SELECT DISTINCT g, h FROM t),
+         rk AS (SELECT g, h,
+                  row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM dh),
+         ex AS (SELECT g, count(DISTINCT id) AS n_exact
+                FROM t GROUP BY 1),
+         hk AS (SELECT g, max(h) AS h_k FROM rk WHERE rn <= 256
+                GROUP BY g HAVING count(*) = 256),
+         grows AS (
+           SELECT ex.g AS scope, ex.n_exact::BIGINT AS n_exact,
+                  (255::DOUBLE * 1152921504606846976::DOUBLE)
+                    / hk.h_k::DOUBLE AS kmv_est,
+                  true AS merge_consistent
+           FROM ex JOIN hk ON ex.g = hk.g),
+         rall AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                  FROM (SELECT DISTINCT h FROM t)),
+         arow AS (
+           SELECT '_all' AS scope,
+                  (SELECT count(DISTINCT id) FROM t)::BIGINT AS n_exact,
+                  (255::DOUBLE * 1152921504606846976::DOUBLE)
+                    / (SELECT max(h) FROM rall WHERE rn <= 256)::DOUBLE
+                    AS kmv_est,
+                  true AS merge_consistent),
+         u AS (SELECT * FROM grows UNION ALL SELECT * FROM arow)
+         SELECT scope, n_exact, kmv_est, merge_consistent,
+                abs(kmv_est - n_exact::DOUBLE) / n_exact::DOUBLE
+                  AS rel_err
+         FROM u"""
   )
 }

@@ -33,17 +33,24 @@ object GraphAnalytics {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The part co-purchase graph: undirected edge {u, v} iff some order
+    * contains both parts; canonical u < v, staged (shared by q306/q312).
+    * Per-order item sets are bounded, so the self-join on l_orderkey is
+    * a small intra-group expand.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val items = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    graft.Stage(items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct(), "q306_edges")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q306_triangle_count" -> ((s, d) => {
-      val items = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // Undirected edge list, canonical u < v. Per-order item sets are
-      // bounded, so the self-join on ok is a small intra-group expand.
-      val und = graft.Stage(items.as("a").join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct(), "q306_edges")
+      val und = coPurchaseEdges(s, d)
       val deg = graft.Stage(und.select(col("u").as("n"))
         .unionAll(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")), "q306_deg")
@@ -81,6 +88,46 @@ object GraphAnalytics {
           col("n_wedges"),
           expr("CAST(n_triangles * 3000000 DIV n_wedges AS BIGINT)")
             .as("gcc_ppm"))
+    }),
+
+    // Bounded-round k-core peeling (Batagelj-Zaversnik peel, the
+    // distributed formulation of Montresor et al. 2013): repeatedly
+    // drop every node whose CURRENT degree is below k, with k = the
+    // initial mean degree (data-derived, so the query is meaningful at
+    // every sf). Three rounds, each one degree aggregate + two
+    // left-semi joins against the survivor set — the same
+    // O(rounds)-of-keyed-shuffles shape as the CC/PageRank loops, no
+    // driver-side graph state. The per-round removal counts are the
+    // densification audit a marketplace/fraud pipeline reads; nodes =
+    // endpoints of remaining edges throughout.
+    "q312_kcore_peel" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val e0 = coPurchaseEdges(s, d)
+      val m0 = e0.count()
+      val n0 = e0.select(col("u").as("n"))
+        .unionAll(e0.select(col("v").as("n"))).distinct().count()
+      val k = 2 * m0 / n0
+      var cur = e0
+      val stats = (1 to 3).map { r =>
+        val deg = cur.select(col("u").as("n"))
+          .unionAll(cur.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val keep = graft.Stage(
+          deg.filter(col("deg") >= k).select(col("n")), s"q312_keep$r")
+        val removed = deg.filter(col("deg") < k).count()
+        cur = cur
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+        val mRem = cur.count()
+        val nRem = cur.select(col("u").as("n"))
+          .unionAll(cur.select(col("v").as("n"))).distinct().count()
+        (r, removed, nRem, mRem)
+      }
+      stats.toDF("round", "n_removed", "n_nodes_remaining",
+          "n_edges_remaining")
+        .withColumn("k", lit(k))
     })
   )
 
@@ -110,6 +157,58 @@ object GraphAnalytics {
                 (SELECT c FROM tri)::BIGINT AS n_triangles, n_wedges,
                 ((SELECT c FROM tri) * 3000000 // n_wedges)::BIGINT
                   AS gcc_ppm
-         FROM agg"""
+         FROM agg""",
+    "q312_kcore_peel" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e0 AS (
+           SELECT DISTINCT a.pk AS u, b.pk AS v
+           FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+         kk AS (
+           SELECT (2 * (SELECT count(*) FROM e0)) //
+                  (SELECT count(*) FROM
+                    (SELECT u AS n FROM e0 UNION SELECT v FROM e0))
+             AS k),
+         d1 AS (SELECT n, count(*) AS deg FROM
+                  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+                GROUP BY 1),
+         rm1 AS (SELECT n FROM d1, kk WHERE deg < kk.k),
+         e1 AS (SELECT * FROM e0
+                WHERE u NOT IN (SELECT n FROM rm1)
+                  AND v NOT IN (SELECT n FROM rm1)),
+         d2 AS (SELECT n, count(*) AS deg FROM
+                  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+                GROUP BY 1),
+         rm2 AS (SELECT n FROM d2, kk WHERE deg < kk.k),
+         e2 AS (SELECT * FROM e1
+                WHERE u NOT IN (SELECT n FROM rm2)
+                  AND v NOT IN (SELECT n FROM rm2)),
+         d3 AS (SELECT n, count(*) AS deg FROM
+                  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+                GROUP BY 1),
+         rm3 AS (SELECT n FROM d3, kk WHERE deg < kk.k),
+         e3 AS (SELECT * FROM e2
+                WHERE u NOT IN (SELECT n FROM rm3)
+                  AND v NOT IN (SELECT n FROM rm3))
+         SELECT 1 AS round,
+                (SELECT count(*) FROM rm1)::BIGINT AS n_removed,
+                (SELECT count(*) FROM
+                  (SELECT u AS n FROM e1 UNION SELECT v FROM e1))::BIGINT
+                  AS n_nodes_remaining,
+                (SELECT count(*) FROM e1)::BIGINT AS n_edges_remaining,
+                (SELECT k FROM kk)::BIGINT AS k
+         UNION ALL
+         SELECT 2, (SELECT count(*) FROM rm2)::BIGINT,
+                (SELECT count(*) FROM
+                  (SELECT u AS n FROM e2 UNION SELECT v FROM e2))::BIGINT,
+                (SELECT count(*) FROM e2)::BIGINT,
+                (SELECT k FROM kk)::BIGINT
+         UNION ALL
+         SELECT 3, (SELECT count(*) FROM rm3)::BIGINT,
+                (SELECT count(*) FROM
+                  (SELECT u AS n FROM e3 UNION SELECT v FROM e3))::BIGINT,
+                (SELECT count(*) FROM e3)::BIGINT,
+                (SELECT k FROM kk)::BIGINT"""
   )
 }

@@ -38,4 +38,34 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_wedges") == wedges)
     assert(r.getAs[Long]("gcc_ppm") == 3L * tri * 1000000L / wedges)
   }
+
+  test("k-core peel matches an in-memory peel of the same graph") {
+    val rows = SparkEntry.queries("q312_kcore_peel")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(rows.length == 3)
+    // independent peel
+    val items = Tables.t(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    var edges = items.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val n0 = edges.flatMap(e => Seq(e._1, e._2)).size
+    val k = 2L * edges.size / n0
+    assert(rows.head.getAs[Long]("k") == k)
+    for (r <- 0 until 3) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (kk, vs) => kk -> vs.size }
+      val removed = deg.count(_._2 < k)
+      edges = edges.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      val row = rows(r)
+      assert(row.getAs[Long]("n_removed") == removed)
+      assert(row.getAs[Long]("n_edges_remaining") == edges.size)
+      assert(row.getAs[Long]("n_nodes_remaining") ==
+        edges.flatMap(e => Seq(e._1, e._2)).size)
+    }
+  }
 }

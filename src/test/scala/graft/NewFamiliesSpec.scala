@@ -104,6 +104,41 @@ class NewFamiliesSpec extends AnyFunSuite {
     }
   }
 
+  test("exact 2-pass median equals the sorted median; probe bucket " +
+      "holds it") {
+    val r = SparkEntry.queries("q313_exact_median_2pass")(spark, sf)
+      .collect().head
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val k = (xs.length + 1) / 2
+    assert(r.getAs[Long]("n_rows") == xs.length.toLong)
+    assert(r.getAs[Long]("k_rank") == k.toLong)
+    assert(r.getAs[Double]("median_exact") == xs(k - 1))
+    assert(r.getAs[Long]("probe_bucket") ==
+      math.floor(xs(k - 1) / 1000.0).toLong)
+  }
+
+  test("KMV aggregator: partition merge equals single-pass; estimate " +
+      "within theoretical error") {
+    // direct unit exercise of the Aggregator merge path
+    val agg = new functions.KmvAgg(16)
+    val hs = (1 to 500).map(i => (i * 2654435761L) % 100003L)
+    val single = hs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(
+      hs.take(250).foldLeft(agg.zero)(agg.reduce),
+      hs.drop(250).foldLeft(agg.zero)(agg.reduce))
+    assert(single.toSeq == merged.toSeq, "min-k of union violated")
+    assert(single.length == 16 && single.sorted.sameElements(single))
+    // query-level: every estimate within ~3/sqrt(k) of exact
+    val rows = SparkEntry.queries("q314_kmv_sketch")(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_consistent"))
+      assert(r.getAs[Double]("rel_err") < 3.0 / math.sqrt(256),
+        s"${r.getAs[String]("scope")} err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet
