@@ -62,6 +62,26 @@ object Ddl {
     spark.read.parquet(currentPath(m))
   }
 
+  /** Rewrite `<table> VERSION AS OF <n>` references to temp views over
+    * the pinned version directory — the time-travel read. Copy-on-write
+    * keeps every superseded version on disk until VACUUM, so any
+    * un-vacuumed epoch stays readable; a vacuumed or never-written
+    * version errors with the reason.
+    */
+  def rewriteTimeTravel(spark: SparkSession, q: String): String =
+    TimeTravelRef.replaceAllIn(q, m => {
+      val (name, ver) = (m.group(1), m.group(2).toInt)
+      val mg = catalog.get(name)
+      require(mg != null, s"table not found: $name")
+      val dir = Paths.get(s"${mg.baseDir}/v$ver")
+      require(Files.isDirectory(dir),
+        s"version $ver of $name does not exist (never written, " +
+          "or removed by VACUUM)")
+      val view = s"${name}__v$ver"
+      spark.read.parquet(dir.toString).createOrReplaceTempView(view)
+      view
+    })
+
   /** Write df as the next version of `name`, then swap the pointer.
     * Small versions (by optimizer statistics, no extra scan) collapse to
     * one file — version churn on small tables stays one-task-per-write;
@@ -246,6 +266,12 @@ object Ddl {
   // vacuums on checkpoint).
   private val VacuumTable: Regex =
     """(?is)\s*VACUUM\s+(?:TABLE\s+)?(\w+)\s*""".r
+  // <table> VERSION AS OF <n> — time-travel read of a managed table's
+  // historical copy-on-write version (the lakehouse snapshot-read
+  // companion of VACUUM; the reference's epoch-based rollback keeps the
+  // same superseded-version data, `Catalog/Catalog.cpp` table epochs).
+  private val TimeTravelRef: Regex =
+    """(?is)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val CopyFrom: Regex =
     """(?is)\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val CopyTo: Regex =

@@ -101,7 +101,10 @@ final class HeavyEngine private (val spark: SparkSession) {
           case _ => "FORMATTED"
         }
         spark.sql(s"EXPLAIN $mode $rest")
-      case q =>
+      case q0 =>
+        // time-travel refs resolve to pinned-version views before any
+        // routing (DDL text never contains VERSION AS OF — no-op there)
+        val q = Ddl.rewriteTimeTravel(spark, q0)
         Ddl.route(spark, q).getOrElse {
           HeavyEngine.splitQualify(q) match {
             case Some((sel, pred, tail)) =>

@@ -379,6 +379,33 @@ class DdlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == minKeys(r.getLong(0))))
   }
+  test("VERSION AS OF reads historical versions; VACUUM makes them " +
+      "unreadable with a clear error") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_tt")
+    eng.sql("CREATE TABLE t_tt AS SELECT 1 AS k UNION ALL SELECT 2")
+    eng.sql("UPDATE t_tt SET k = k + 10")
+    // v0 = {1,2}, v1 = {11,12}, current = v1
+    val v0 = eng.sql("SELECT k FROM t_tt VERSION AS OF 0").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(v0 == Seq(1, 2))
+    val v1 = eng.sql("SELECT sum(k)::BIGINT AS s FROM t_tt VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(v1 == 23L)
+    // a historical and the current version can join in one query
+    val joined = eng.sql(
+      """SELECT count(*) AS n FROM t_tt a
+         JOIN t_tt VERSION AS OF 0 b ON a.k = b.k + 10""").collect()
+      .head.getLong(0)
+    assert(joined == 2L)
+    eng.sql("VACUUM t_tt")
+    val err = intercept[IllegalArgumentException] {
+      eng.sql("SELECT * FROM t_tt VERSION AS OF 0")
+    }
+    assert(err.getMessage.contains("VACUUM"))
+    eng.sql("DROP TABLE t_tt")
+  }
+
   test("VACUUM drops superseded versions, keeps the current one intact") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_vac")
