@@ -284,6 +284,27 @@ object ApproxAggs {
         .unionByName(allRow)
         .withColumn("rel_err",
           abs(col("kmv_est") - col("n_exact")) / col("n_exact"))
+    }),
+
+    // Grouped exact top-k through the bounded-buffer Aggregator
+    // (functions/TopKAgg.scala): top-3 lineitems per supplier by
+    // (quantity DESC, orderkey, linenumber). The window equivalent
+    // shuffles and sorts EVERY group's full row set; the aggregator's
+    // partial buffers cap at k rows per (group, partition) before the
+    // exchange — the map-side-combine story, exercised through the
+    // §2.9 UDAF surface and hash-matched against the window form in
+    // DuckDB.
+    "q316_grouped_topk" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, d, "lineitem").select(col("l_suppkey").as("sk"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .groupBy(col("sk"))
+        .agg(topk(col("q"), col("ok"), col("ln")).as("top"))
+        .select(col("sk"), posexplode(col("top")))
+        .select(col("sk"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._1").as("qty"), col("col._2").as("orderkey"),
+          col("col._3").as("linenumber"))
     })
   )
 
@@ -375,6 +396,17 @@ object ApproxAggs {
          SELECT scope, n_exact, kmv_est, merge_consistent,
                 abs(kmv_est - n_exact::DOUBLE) / n_exact::DOUBLE
                   AS rel_err
-         FROM u"""
+         FROM u""",
+    "q316_grouped_topk" ->
+      """WITH r AS (
+           SELECT l_suppkey AS sk, l_quantity::BIGINT AS q,
+                  l_orderkey AS ok, l_linenumber AS ln,
+                  row_number() OVER (PARTITION BY l_suppkey
+                    ORDER BY l_quantity::BIGINT DESC, l_orderkey,
+                             l_linenumber) AS rn
+           FROM lineitem)
+         SELECT sk, rn::INT AS rank, q AS qty, ok AS orderkey,
+                ln AS linenumber
+         FROM r WHERE rn <= 3"""
   )
 }

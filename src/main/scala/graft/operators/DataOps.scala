@@ -410,6 +410,45 @@ object DataOps {
         .select(col("cname"), col("n_rows"), col("n_distinct"),
           col("plain_bytes"), col("n_runs"), col("rle_bytes"),
           col("dict_bytes"), col("rec_encoding"))
+    }),
+
+    // GLOBAL order-preserving string dictionary — the real build path
+    // behind the reference's StringDictionary
+    // (`StringDictionary/StringDictionary.cpp`; KEY_FOR_STRING q95 is
+    // the hash surrogate, this is the dense-id structure itself). The
+    // classic distributed dense-rank assignment WITHOUT a global
+    // window: range-partition the distinct values, rank within each
+    // partition (partitioned window), then add broadcast per-partition
+    // offsets — offset + local rank IS the global dense rank for ANY
+    // range boundaries, because range partitioning totally orders the
+    // partitions. Offsets are one #partitions-row collect (bounded
+    // metadata, like the reference's dictionary segment headers).
+    // id ∈ [0, D) dense and sorted — the property hash surrogates
+    // cannot give (range predicates on ids = range predicates on
+    // values).
+    "q315_global_dict" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val vals = t(s, d, "lineitem")
+        .select(to_date(col("l_shipdate")).cast("string").as("v"))
+        .distinct()
+      val parts = vals.repartitionByRange(8, col("v"))
+        .withColumn("pid", spark_partition_id())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("v"))
+      val ranked = graft.Stage(parts
+        .withColumn("rn", row_number().over(w) - 1), "q315_ranked")
+      val offsets = ranked.groupBy(col("pid"))
+        .agg(count(lit(1)).as("c"))
+        .collect().sortBy(_.getInt(0))
+        .scanLeft((0, 0L)) { case ((_, acc), r) =>
+          (r.getInt(0), acc + r.getLong(1))
+        }
+      val offDf = offsets.init.zip(offsets.tail)
+        .map { case ((_, off), (pid, _)) => (pid, off) }
+        .toSeq.toDF("pid", "off")
+      ranked.join(broadcast(offDf), "pid")
+        .select(col("v"), (col("off") + col("rn")).as("id"))
     })
   )
 
@@ -695,6 +734,10 @@ object DataOps {
                       AND plain_bytes <= rle_bytes THEN 'plain'
                      WHEN dict_bytes <= rle_bytes THEN 'dict'
                      ELSE 'rle' END AS rec_encoding
-         FROM sized"""
+         FROM sized""",
+    "q315_global_dict" ->
+      """SELECT v, (row_number() OVER (ORDER BY v) - 1)::BIGINT AS id
+         FROM (SELECT DISTINCT l_shipdate::DATE::VARCHAR AS v
+               FROM lineitem)"""
   )
 }

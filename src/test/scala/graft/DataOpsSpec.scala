@@ -134,4 +134,15 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ok.getAs[Long]("rle_bytes") < ok.getAs[Long]("plain_bytes"))
     assert(ok.getAs[String]("rec_encoding") == "rle")
   }
+
+  test("q315: dictionary ids are dense 0..D-1 and order-preserving") {
+    val rows = SparkEntry.queries("q315_global_dict")(spark, sf)
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("id")))
+    assert(rows.nonEmpty)
+    val byId = rows.sortBy(_._2)
+    // dense: ids are exactly 0..D-1
+    assert(byId.map(_._2).toSeq == (0L until rows.length).toSeq)
+    // order-preserving: id order == lexicographic value order
+    assert(byId.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
 }

@@ -139,6 +139,37 @@ class NewFamiliesSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k aggregator: partial merge equals single pass; query " +
+      "equals a window replay") {
+    val agg = new functions.TopKAgg(3)
+    val ins = Seq((5L, 2L, 1L), (9L, 1L, 1L), (5L, 1L, 2L), (7L, 3L, 3L),
+      (9L, 1L, 2L), (1L, 9L, 9L)).map(x => functions.TopIn(x._1, x._2, x._3))
+    val single = ins.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(ins.take(3).foldLeft(agg.zero)(agg.reduce),
+      ins.drop(3).foldLeft(agg.zero)(agg.reduce))
+    assert(single.toSeq == merged.toSeq)
+    assert(single.toSeq == Seq((9L, 1L, 1L), (9L, 1L, 2L), (7L, 3L, 3L)))
+    // query vs window replay
+    def nl(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    val got = SparkEntry.queries("q316_grouped_topk")(spark, sf).collect()
+      .map(r => (nl(r, "sk"), nl(r, "rank").toInt,
+        nl(r, "qty"), nl(r, "orderkey"), nl(r, "linenumber"))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("q").desc, col("l_orderkey"), col("l_linenumber"))
+    val want = Tables.t(spark, sf, "lineitem")
+      .withColumn("q", col("l_quantity").cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("q"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getInt(1),
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+        r.getAs[Number](4).longValue)).toSet
+    assert(got == want)
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet
