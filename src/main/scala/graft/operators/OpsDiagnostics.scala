@@ -117,6 +117,85 @@ object OpsDiagnostics {
             .as("n_out_of_order"),
           max(col("gap_min")).as("max_gap_min"))
         .orderBy(col("user_id")).limit(50)
+    }),
+
+    // k-anonymity audit (Sweeney 2002) over the quasi-identifier
+    // (c_nationkey, c_mktsegment): the governance check before a
+    // dataset release — the k level actually achieved (min group
+    // size), how many groups/rows violate the k=5 policy, and what
+    // survives suppression of the violating groups. One grouped
+    // aggregate + one rollup; exact integers. Sits beside the GDPR
+    // erasure audit (q271) in the release-gate family.
+    "q317_k_anonymity" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      g.agg(count(lit(1)).as("n_groups"),
+        min(col("sz")).as("k_anonymity"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L))
+          .as("n_violating_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        sum(when(col("sz") >= 5, col("sz")).otherwise(0L))
+          .as("n_rows_after_suppression"))
+    }),
+
+    // Referential-integrity audit: orphan counts for every FK edge of
+    // the star schema, each an anti-join (never a full join) — plus a
+    // PLANTED corruption arm (parents with o_orderkey % 97 = 0
+    // withheld) proving the probe actually detects orphans. The
+    // dangling-reference check DUMP/RESTORE and ingest pipelines run;
+    // anti-joins broadcast the distinct parent keys or shuffle by key,
+    // both linear.
+    "q318_fk_orphans" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      def audit(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.join(parent,
+          child(key) === parent(pkey), "left_anti").count()
+        Seq((rel, child.count(), orphans))
+          .toDF("relation", "n_children", "n_orphans")
+      }
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      audit("lineitem->orders", li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .unionByName(audit("orders->customer", ord, "o_custkey",
+          t(s, d, "customer"), "c_custkey"))
+        .unionByName(audit("nation->region", t(s, d, "nation"),
+          "n_regionkey", t(s, d, "region"), "r_regionkey"))
+        .unionByName(audit("lineitem->orders_planted", li, "l_orderkey",
+          ord.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey"))
+    }),
+
+    // Order-independent table content fingerprints — the integrity
+    // check behind DUMP/RESTORE and snapshot replication: per table,
+    // XOR and mod-2^30-sum of the portable 60-bit row hash over ALL
+    // columns (null-safe, '|'-separated). Commutative aggregates, so
+    // the fingerprint is partitioning- and order-invariant — two
+    // tables are byte-identical in content iff fingerprints match,
+    // regardless of physical layout. One scan per table.
+    "q319_table_fingerprint" -> ((s, d) => {
+      def fp(name: String, cols: Seq[String]): DataFrame = {
+        val row = concat_ws("|",
+          cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        t(s, d, name)
+          .select(Dedup.hash60(row).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_fp"),
+            sum(pmod(col("h"), lit(1073741824L))).as("sum_fp"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("xor_fp"),
+            col("sum_fp"))
+      }
+      fp("region", Seq("r_regionkey", "r_name"))
+        .unionByName(fp("nation",
+          Seq("n_nationkey", "n_name", "n_regionkey")))
+        .unionByName(fp("supplier",
+          Seq("s_suppkey", "s_name", "s_nationkey")))
+        .unionByName(fp("part",
+          Seq("p_partkey", "p_name", "p_size")))
     })
   )
 
@@ -176,6 +255,62 @@ object OpsDiagnostics {
                 sum(CASE WHEN prev_ts_by_id > ts THEN 1 ELSE 0 END)
                   ::BIGINT AS n_out_of_order,
                 max(gap_min)::BIGINT AS max_gap_min
-         FROM f GROUP BY user_id ORDER BY user_id LIMIT 50"""
+         FROM f GROUP BY user_id ORDER BY user_id LIMIT 50""",
+    "q317_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS sz
+           FROM customer GROUP BY 1, 2)
+         SELECT count(*)::BIGINT AS n_groups,
+                min(sz)::BIGINT AS k_anonymity,
+                sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_violating_groups,
+                sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+                  AS n_rows_at_risk,
+                sum(CASE WHEN sz >= 5 THEN sz ELSE 0 END)::BIGINT
+                  AS n_rows_after_suppression
+         FROM g""",
+    "q318_fk_orphans" ->
+      """SELECT 'lineitem->orders' AS relation,
+              (SELECT count(*) FROM lineitem)::BIGINT AS n_children,
+              (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders))::BIGINT AS n_orphans
+         UNION ALL
+         SELECT 'lineitem->part',
+              (SELECT count(*) FROM lineitem)::BIGINT,
+              (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                (SELECT p_partkey FROM part))::BIGINT
+         UNION ALL
+         SELECT 'orders->customer',
+              (SELECT count(*) FROM orders)::BIGINT,
+              (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer))::BIGINT
+         UNION ALL
+         SELECT 'nation->region',
+              (SELECT count(*) FROM nation)::BIGINT,
+              (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+                (SELECT r_regionkey FROM region))::BIGINT
+         UNION ALL
+         SELECT 'lineitem->orders_planted',
+              (SELECT count(*) FROM lineitem)::BIGINT,
+              (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders
+                 WHERE o_orderkey % 97 <> 0))::BIGINT""",
+    "q319_table_fingerprint" -> {
+      def arm(tbl: String, cols: Seq[String]): String = {
+        val row = cols.map(c => s"coalesce($c::VARCHAR, '')")
+          .mkString(" || '|' || ")
+        s"""SELECT '$tbl' AS tbl, count(*)::BIGINT AS n_rows,
+               bit_xor(h)::BIGINT AS xor_fp,
+               sum(h % 1073741824)::BIGINT AS sum_fp
+            FROM (SELECT ('0x' || substr(md5($row), 1, 15))::BIGINT AS h
+                  FROM $tbl)"""
+      }
+      Seq(
+        arm("region", Seq("r_regionkey", "r_name")),
+        arm("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        arm("supplier", Seq("s_suppkey", "s_name", "s_nationkey")),
+        arm("part", Seq("p_partkey", "p_name", "p_size"))
+      ).mkString("\n         UNION ALL\n         ")
+    }
   )
 }

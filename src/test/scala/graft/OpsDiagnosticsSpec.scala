@@ -85,4 +85,46 @@ class OpsDiagnosticsSpec extends AnyFunSuite {
     assert(prof("s").getAs[String]("min_str") == "x")
     eng.sql("DROP TABLE t_prof")
   }
+
+  test("k-anonymity: partition of rows is exact and k is the true min") {
+    val r = SparkEntry.queries("q317_k_anonymity")(spark, sf)
+      .collect().head
+    val total = Tables.t(spark, sf, "customer").count()
+    assert(r.getAs[Long]("n_rows_at_risk") +
+      r.getAs[Long]("n_rows_after_suppression") == total)
+    val sizes = Tables.t(spark, sf, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(r.getAs[Long]("k_anonymity") == sizes.min)
+    assert(r.getAs[Long]("n_groups") == sizes.length.toLong)
+  }
+
+  test("fk orphans: clean star has zero, planted corruption detected") {
+    val rows = SparkEntry.queries("q318_fk_orphans")(spark, sf)
+      .collect().map(r => r.getAs[String]("relation") -> r).toMap
+    for (rel <- Seq("lineitem->orders", "lineitem->part",
+        "orders->customer", "nation->region"))
+      assert(rows(rel).getAs[Long]("n_orphans") == 0L, rel)
+    assert(rows("lineitem->orders_planted").getAs[Long]("n_orphans") > 0L)
+  }
+
+  test("table fingerprint is layout-invariant and content-sensitive") {
+    val fps = SparkEntry.queries("q319_table_fingerprint")(spark, sf)
+      .collect().map(r => r.getAs[String]("tbl") ->
+        (r.getAs[Long]("xor_fp"), r.getAs[Long]("sum_fp"))).toMap
+    // recompute region's fingerprint under a different layout
+    val re = Tables.t(spark, sf, "region")
+      .repartition(7).sortWithinPartitions("r_name")
+      .select(operatorsHash(concat_ws("|",
+        coalesce(col("r_regionkey").cast("string"), lit("")),
+        coalesce(col("r_name").cast("string"), lit("")))).as("h"))
+      .agg(expr("bit_xor(h)"), sum(pmod(col("h"), lit(1073741824L))))
+      .collect().head
+    assert((re.getLong(0), re.getLong(1)) == fps("region"))
+    // content sensitivity: nation and supplier must differ
+    assert(fps("nation") != fps("supplier"))
+  }
+
+  private def operatorsHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }
