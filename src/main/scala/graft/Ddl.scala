@@ -222,6 +222,14 @@ object Ddl {
 
   private val CreateAs: Regex =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)""".r
+  // CREATE MATERIALIZED VIEW — materializes the defining aggregate as a
+  // managed table AND registers it for automatic aggregate-navigation
+  // rewrite (plans/MvRewrite.scala): later queries aggregating the base
+  // table on a subset of the MV's dimensions re-aggregate the MV scan.
+  private val CreateMatView: Regex =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+  private val DropMatView: Regex =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateView: Regex =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropView: Regex =
@@ -553,6 +561,16 @@ object Ddl {
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
+      case CreateMatView(name, select) =>
+        val defDf = spark.sql(select)
+        createTableAs(spark, name, defDf)
+        val reg = plans.MvRewrite.register(name, defDf, table(spark, name))
+        import spark.implicits._
+        Some(Seq((name, reg)).toDF("mv_name", "rewrite_registered"))
+      case DropMatView(name) =>
+        plans.MvRewrite.unregister(name)
+        if (catalog.containsKey(name)) dropTable(spark, name)
+        done
       case CreateAs(name, opts, select) =>
         createTableAs(spark, name, spark.sql(select), parseOptions(opts))
         done

@@ -202,6 +202,7 @@ object HeavyEngine {
     functions.GeoFunctions.registerAll(spark)
     operators.Models.register(spark)
     plans.GeoRangeJoinRule.install(spark)
+    plans.MvRewrite.install(spark)
     Tables.registerAll(spark, dir)
     new HeavyEngine(spark)
   }

@@ -202,6 +202,42 @@ object DdlDml {
                    WHERE r.hops < 3)
                  SELECT node, count(*) AS n_paths, min(hops) AS first_hop
                  FROM reach GROUP BY node""")
+    }),
+
+    // Materialized-view aggregate navigation (plans/MvRewrite.scala):
+    // a (returnflag, linestatus) MV answers the coarser returnflag
+    // roll-up by re-aggregating its partial sums/counts/extrema — the
+    // fact table is never rescanned (DdlSpec pins the plan). Result
+    // collected eagerly and the MV dropped so the session-global
+    // rewrite registry never leaks into unrelated queries; sums are
+    // over integral quantities, so MV re-aggregation is float-exact.
+    "q320_mv_rewrite" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q320")
+      eng.sql("DROP TABLE IF EXISTS mvb_q320")
+      // MV over a DEDICATED managed base (never the shared fixture
+      // view): a registered MV rewrites every matching aggregate in
+      // the session, and unrelated queries also aggregate lineitem.
+      eng.sql(
+        """CREATE TABLE mvb_q320 AS
+           SELECT l_returnflag, l_linestatus, l_quantity,
+                  l_extendedprice
+           FROM lineitem WHERE l_orderkey % 3 = 0""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q320 AS
+           SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+                  count(*) AS cnt, max(l_extendedprice) AS mx
+           FROM mvb_q320 GROUP BY l_returnflag, l_linestatus""")
+      val out = eng.sql(
+        """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+                  count(*) AS n, max(l_extendedprice) AS max_price
+           FROM mvb_q320 GROUP BY l_returnflag""")
+      val rows = out.collect().toSeq // 3 rows — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q320")
+      eng.sql("DROP TABLE mvb_q320")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
     })
   )
 
@@ -291,6 +327,12 @@ object DdlDml {
       """SELECT lang, count(*)::BIGINT AS n,
                 sum(doc_id)::BIGINT AS id_sum,
                 sum(length(text))::BIGINT AS len_sum
-         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang"""
+         FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""",
+    "q320_mv_rewrite" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+                count(*)::BIGINT AS n,
+                max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_orderkey % 3 = 0
+         GROUP BY l_returnflag"""
   )
 }

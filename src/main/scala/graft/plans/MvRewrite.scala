@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import scala.jdk.CollectionConverters._
+
+/** Aggregate navigation over materialized views — the optimizer rewrite
+  * a 100 TB warehouse leans on: a query aggregating the base fact table
+  * on a SUBSET of a registered MV's grouping dimensions is answered by
+  * RE-AGGREGATING the (tiny) MV instead of scanning the fact table.
+  * SUM re-sums partial sums, COUNT re-sums partial counts, MIN/MAX
+  * re-min/max partial extrema — the standard derivability conditions
+  * (Gupta & Mumick's materialized-view survey; Oracle/Calcite
+  * "aggregate rollup" rewrite).
+  *
+  * Mechanics: `CREATE MATERIALIZED VIEW` (Ddl router) materializes the
+  * defining aggregate as a managed table and registers (a) the
+  * canonicalized BASE child plan under the aggregate, (b) name-keyed
+  * maps dim→mv-column and measure→partial-aggregate column. This rule
+  * (installed in `spark.experimental.extraOptimizations` beside
+  * GeoRangeJoinRule) then matches `Aggregate` nodes whose stripped
+  * child `sameResult`s the MV's base, whose groupings are a subset of
+  * the MV dims, and whose aggregates are all derivable — and swaps in
+  * an Aggregate over the MV scan, preserving the original output
+  * exprIds so parent operators resolve untouched. Anything
+  * non-derivable (DISTINCT, FILTER, AVG, an unknown dim) leaves the
+  * plan alone.
+  *
+  * The reference's analog is the DataRecycler's resolved-plan cache
+  * (`QueryEngine/DataRecycler/`), which only serves IDENTICAL plans;
+  * this rewrite serves the whole roll-up lattice above the MV.
+  */
+object MvRewrite {
+
+  private[plans] case class Mv(
+      name: String,
+      base: LogicalPlan,               // stripped base child (canonical)
+      scan: LogicalPlan,               // analyzed scan of the MV table
+      dims: Map[String, Attribute],    // base dim name -> scan attr
+      sums: Map[String, Attribute],    // base measure name -> sum col
+      mins: Map[String, Attribute],
+      maxs: Map[String, Attribute],
+      cnt: Option[Attribute])          // count(*) partial, if present
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Mv]()
+
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, c)         => strip(c)
+    case SubqueryAlias(_, c)   => strip(c)
+    case other                 => other
+  }
+
+  /** Register an MV from its defining DataFrame + the scan of the
+    * materialized table. Returns false (no-op) when the definition is
+    * not a supported single-table aggregate.
+    */
+  def register(name: String, defDf: DataFrame, scanDf: DataFrame)
+      : Boolean = defDf.queryExecution.analyzed match {
+    case Aggregate(groupings, aggExprs, child, _)
+        if groupings.forall(_.isInstanceOf[AttributeReference]) =>
+      val scanPlan = scanDf.queryExecution.analyzed
+      val scanAttr: Map[String, Attribute] =
+        scanPlan.output.map(a => a.name -> a).toMap
+      var dims = Map.empty[String, Attribute]
+      var sums = Map.empty[String, Attribute]
+      var mins = Map.empty[String, Attribute]
+      var maxs = Map.empty[String, Attribute]
+      var cnt = Option.empty[Attribute]
+      var ok = true
+      aggExprs.foreach {
+        case a: AttributeReference =>
+          dims += a.name -> scanAttr(a.name)
+        case al @ Alias(a: AttributeReference, _) =>
+          dims += a.name -> scanAttr(al.name)
+        case al @ Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum => s.child match {
+              case a: AttributeReference =>
+                sums += a.name -> scanAttr(al.name)
+              case _ => ok = false
+            }
+            case m: Min => m.child match {
+              case a: AttributeReference =>
+                mins += a.name -> scanAttr(al.name)
+              case _ => ok = false
+            }
+            case m: Max => m.child match {
+              case a: AttributeReference =>
+                maxs += a.name -> scanAttr(al.name)
+              case _ => ok = false
+            }
+            case c: Count if c.children.forall(_.foldable) =>
+              cnt = Some(scanAttr(al.name))
+            case _ => ok = false
+          }
+        case _ => ok = false
+      }
+      if (ok) {
+        registry.put(name,
+          Mv(name, strip(child), scanPlan, dims, sums, mins, maxs, cnt))
+        true
+      } else false
+    case _ => false
+  }
+
+  def unregister(name: String): Unit = registry.remove(name)
+  def registered: Seq[String] = registry.keys.asScala.toSeq
+
+  case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transformUp {
+        case agg @ Aggregate(groupings, _, child, _) =>
+          registry.values.asScala
+            .find(mv => strip(child).sameResult(mv.base) &&
+              groupings.forall {
+                case a: AttributeReference => mv.dims.contains(a.name)
+                case _ => false
+              } && derivable(agg, mv))
+            .map(mv => rewrite(agg, mv))
+            .getOrElse(agg)
+      }
+
+    private def derivable(agg: Aggregate, mv: Mv): Boolean =
+      agg.aggregateExpressions.forall {
+        case a: AttributeReference => mv.dims.contains(a.name)
+        case Alias(a: AttributeReference, _) => mv.dims.contains(a.name)
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum => s.child match {
+              case a: AttributeReference => mv.sums.contains(a.name)
+              case _ => false
+            }
+            case m: Min => m.child match {
+              case a: AttributeReference => mv.mins.contains(a.name)
+              case _ => false
+            }
+            case m: Max => m.child match {
+              case a: AttributeReference => mv.maxs.contains(a.name)
+              case _ => false
+            }
+            case c: Count => c.children.forall(_.foldable) &&
+              mv.cnt.isDefined
+            case _ => false
+          }
+        case _ => false
+      }
+
+    private def rewrite(agg: Aggregate, mv: Mv): Aggregate = {
+      def reAgg(fn: AggregateFunction): AggregateExpression =
+        AggregateExpression(fn, Complete, isDistinct = false)
+      val newAggs = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          Alias(mv.dims(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(a: AttributeReference, n) =>
+          Alias(mv.dims(a.name), n)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, n) =>
+          val mapped = ae.aggregateFunction match {
+            case s: Sum =>
+              val src = mv.sums(s.child
+                .asInstanceOf[AttributeReference].name)
+              reAgg(Sum(src))
+            case m: Min =>
+              reAgg(Min(mv.mins(m.child
+                .asInstanceOf[AttributeReference].name)))
+            case m: Max =>
+              reAgg(Max(mv.maxs(m.child
+                .asInstanceOf[AttributeReference].name)))
+            case _: Count => reAgg(Sum(mv.cnt.get))
+          }
+          Alias(mapped, n)(exprId = al.exprId)
+        case other => other
+      }
+      val newGroupings = agg.groupingExpressions.map {
+        case a: AttributeReference => mv.dims(a.name)
+        case other => other
+      }
+      Aggregate(newGroupings, newAggs.map(_.asInstanceOf[NamedExpression]),
+        mv.scan)
+    }
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        existing :+ MvRewriteRule(spark)
+  }
+}

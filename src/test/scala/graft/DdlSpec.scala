@@ -263,27 +263,36 @@ class DdlSpec extends AnyFunSuite {
 
   test("query interrupt cancels a running job group") {
     val eng = HeavyEngine(spark, sf)
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Promise}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     val started = new java.util.concurrent.CountDownLatch(1)
-    val fut = Future {
-      eng.withInterrupt("slow-q") {
-        started.countDown()
-        // Unindexed cubic join (~10^14 combinations) — cannot finish
-        // before the interrupt arrives.
-        eng.sql("""SELECT count(*) FROM lineitem a CROSS JOIN lineitem b
-                   CROSS JOIN lineitem c
-                   WHERE a.l_quantity + b.l_quantity + c.l_quantity < 1""")
-          .collect()
-      }
-    }
+    // a DEDICATED thread, not the shared global ExecutionContext:
+    // Spark's job-group is an InheritableThreadLocal, so pool threads
+    // forked while the group is set would inherit the forever-cancelled
+    // "slow-q" group and poison unrelated suites' queries
+    val done = Promise[Unit]()
+    val runner = new Thread(() =>
+      done.complete(scala.util.Try {
+        eng.withInterrupt("slow-q") {
+          started.countDown()
+          // Unindexed cubic join (~10^14 combinations) — cannot finish
+          // before the interrupt arrives.
+          eng.sql(
+            """SELECT count(*) FROM lineitem a CROSS JOIN lineitem b
+               CROSS JOIN lineitem c
+               WHERE a.l_quantity + b.l_quantity + c.l_quantity < 1""")
+            .collect()
+          ()
+        }
+      }))
+    runner.start()
     started.await()
     Thread.sleep(500)
     eng.interrupt("slow-q")
-    val err = intercept[Exception](Await.result(fut, 60.seconds))
+    val err = intercept[Exception](Await.result(done.future, 60.seconds))
     assert(err.getMessage.toLowerCase.contains("cancel")
       || err.getCause != null)
+    runner.join(10000)
   }
 
   test("schema-form CREATE WITH options routes; LIKELY/UNLIKELY identities") {
@@ -379,6 +388,66 @@ class DdlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == minKeys(r.getLong(0))))
   }
+  test("MV rewrite: roll-up query scans the MV, not the fact table, " +
+      "and matches the base result; non-derivable queries untouched") {
+    val eng = HeavyEngine(spark, sf)
+    // MV over a DEDICATED managed base table, never the shared fixture
+    // view — a session-registered MV rewrites every matching aggregate
+    // in the session, and parallel suites also aggregate lineitem.
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_spec")
+    eng.sql("DROP TABLE IF EXISTS mvb_spec")
+    eng.sql(
+      """CREATE TABLE mvb_spec AS
+         SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_orderkey % 3 = 0""")
+    // independent truth captured BEFORE the MV exists (afterwards the
+    // same SQL would itself be rewritten to the MV — circular)
+    val wantRows = eng.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s, count(*) AS n,
+                max(l_extendedprice) AS mx
+         FROM mvb_spec GROUP BY l_returnflag""")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val reg = eng.sql(
+      """CREATE MATERIALIZED VIEW mv_spec AS
+         SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+                count(*) AS cnt, min(l_extendedprice) AS mn,
+                max(l_extendedprice) AS mx
+         FROM mvb_spec GROUP BY l_returnflag, l_linestatus""")
+      .collect().head
+    assert(reg.getAs[Boolean]("rewrite_registered"))
+    val df = eng.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s, count(*) AS n,
+                max(l_extendedprice) AS mx
+         FROM mvb_spec GROUP BY l_returnflag""")
+    val plan = df.queryExecution.executedPlan.toString
+    // rewritten: re-aggregates the MV's partial columns (sq/cnt/mx)...
+    assert(plan.contains("sum(sq") && plan.contains("sum(cnt") &&
+      plan.contains("max(mx"), "plan does not re-aggregate the MV")
+    // ...and never reads the base table's raw measure columns
+    assert(!plan.contains("l_quantity"),
+      "rewritten plan still scans the base table")
+    val got = df.collect().map(r => (r.getString(0),
+      r.getAs[Double]("s"), r.getAs[Long]("n"),
+      r.getAs[Double]("mx"))).toSet
+    assert(got == wantRows, "MV roll-up diverges from base aggregation")
+    // a non-derivable aggregate (DISTINCT) must NOT be rewritten
+    val nd = eng.sql(
+      """SELECT l_returnflag, count(DISTINCT l_extendedprice) AS d
+         FROM mvb_spec GROUP BY l_returnflag""")
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert(!ndPlan.contains("sum(sq") && ndPlan.contains("l_extendedprice"),
+      "DISTINCT query was wrongly redirected to the MV")
+    eng.sql("DROP MATERIALIZED VIEW mv_spec")
+    // after the drop, the roll-up plans against the base table again
+    val back = eng.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS s
+         FROM mvb_spec GROUP BY l_returnflag""")
+    assert(back.queryExecution.executedPlan.toString
+      .contains("l_quantity"))
+    eng.sql("DROP TABLE mvb_spec")
+  }
+
   test("VERSION AS OF reads historical versions; VACUUM makes them " +
       "unreadable with a clear error") {
     val eng = HeavyEngine(spark, sf)
