@@ -294,6 +294,46 @@ object ApproxAggs {
     // exchange — the map-side-combine story, exercised through the
     // §2.9 UDAF surface and hash-matched against the window form in
     // DuckDB.
+    // KMV sketch ALGEBRA: join-overlap estimation (Beyer et al.
+    // SIGMOD'07 — distinct-value synopses for multisets). The min-k of
+    // A∪B's hashes, with per-element membership flags, estimates
+    // |A∪B| (from the k-th minimum) and Jaccard (fraction of the
+    // combined min-k present in BOTH sets) — hence |A∩B| — without
+    // ever joining the sets. This is the sketch counterpart of q269's
+    // exact one-pass join-size estimate: the pre-flight a planner runs
+    // to size a join at 100 TB from two tiny synopses. Deterministic
+    // and engine-portable end-to-end (the oracle replays the exact
+    // same min-k); sketch-full and exact-small modes both pinned (the
+    // sf0.001 vocabulary is smaller than k, sf0.01's larger).
+    "q321_kmv_join_overlap" -> ((s, d) => {
+      val K = 256
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) % 2 === 0).as("ea"))
+      val flags = li.groupBy(col("pk")).agg(
+        max(when(col("ea"), 1L).otherwise(0L)).as("a"),
+        max(when(!col("ea"), 1L).otherwise(0L)).as("b"))
+      val hs = graft.Stage(flags.select(
+        Dedup.hash60(col("pk").cast("string")).as("h"),
+        col("a"), col("b")), "q321_hs")
+      val exact = hs.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        count(lit(1)).as("n_union"),
+        sum(col("a") * col("b")).as("n_inter"))
+      val mk = hs.orderBy(col("h")).limit(K)
+        .agg(count(lit(1)).as("kc"), max(col("h")).as("hk"),
+          sum(col("a") * col("b")).as("nb"))
+      exact.crossJoin(broadcast(mk)).select(
+        col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+        when(col("kc") < K, col("kc").cast("double"))
+          .otherwise(lit(255.0) * lit(1152921504606846976.0)
+            / col("hk").cast("double")).as("est_union"),
+        when(col("kc") < K, col("nb").cast("double"))
+          .otherwise((lit(255.0) * lit(1152921504606846976.0)
+            / col("hk").cast("double")) * col("nb") / K)
+          .as("est_inter"),
+        expr(s"nb * 1000000 DIV kc").as("est_jaccard_ppm"))
+    }),
+
     "q316_grouped_topk" -> ((s, d) => {
       val topk = udaf(new graft.functions.TopKAgg(3))
       t(s, d, "lineitem").select(col("l_suppkey").as("sk"),
@@ -397,6 +437,36 @@ object ApproxAggs {
                 abs(kmv_est - n_exact::DOUBLE) / n_exact::DOUBLE
                   AS rel_err
          FROM u""",
+    "q321_kmv_join_overlap" ->
+      """WITH f AS (
+           SELECT l_partkey AS pk,
+                  max(CASE WHEN year(l_shipdate::TIMESTAMP) % 2 = 0
+                       THEN 1 ELSE 0 END) AS a,
+                  max(CASE WHEN year(l_shipdate::TIMESTAMP) % 2 = 1
+                       THEN 1 ELSE 0 END) AS b
+           FROM lineitem GROUP BY 1),
+         hs AS (
+           SELECT ('0x' || substr(md5(pk::VARCHAR), 1, 15))::BIGINT
+                    AS h, a, b
+           FROM f),
+         ex AS (
+           SELECT sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b,
+                  count(*)::BIGINT AS n_union,
+                  sum(a * b)::BIGINT AS n_inter
+           FROM hs),
+         mk AS (
+           SELECT count(*)::BIGINT AS kc, max(h) AS hk,
+                  sum(a * b)::BIGINT AS nb
+           FROM (SELECT * FROM hs ORDER BY h LIMIT 256))
+         SELECT n_a, n_b, n_union, n_inter,
+                CASE WHEN kc < 256 THEN kc::DOUBLE
+                     ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                          / hk::DOUBLE END AS est_union,
+                CASE WHEN kc < 256 THEN nb::DOUBLE
+                     ELSE ((255::DOUBLE * 1152921504606846976::DOUBLE)
+                          / hk::DOUBLE) * nb / 256 END AS est_inter,
+                (nb * 1000000 // kc)::BIGINT AS est_jaccard_ppm
+         FROM ex, mk""",
     "q316_grouped_topk" ->
       """WITH r AS (
            SELECT l_suppkey AS sk, l_quantity::BIGINT AS q,

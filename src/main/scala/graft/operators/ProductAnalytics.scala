@@ -146,6 +146,43 @@ object ProductAnalytics {
             .as("total_value"))
     }),
 
+    // Position-based (U-shaped) MULTI-touch attribution — the
+    // fractional-credit counterpart of q266's last-touch: every
+    // non-purchase event within the 24 h lookback of a purchase gets
+    // credit by position (40% first touch, 40% last, the middle 20%
+    // split evenly), in INTEGER PPM so credit sums are exact and
+    // order-independent (float credit splits would hash-diverge on sum
+    // order). The purchase×touch join is per-user and
+    // lookback-bounded; windows partition by the purchase event id.
+    "q322_multitouch_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          unix_micros(col("ts")).as("pts"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("event_id").as("tid"), unix_micros(col("ts")).as("tts"))
+      val joined = purch.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("pts") &&
+          col("pts") - col("tts") <= lit(24L * 3600 * 1000000))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(col("tts"), col("tid"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid"))
+      val credited = joined
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(wn))
+        .withColumn("credit_ppm",
+          when(col("nt") === 1, 1000000L)
+            .when(col("nt") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("nt"), 400000L)
+            .otherwise(expr("200000 DIV (nt - 2)")))
+      credited.groupBy(col("channel"))
+        .agg(sum(col("credit_ppm")).as("credit_ppm_total"),
+          countDistinct(col("pid")).as("n_purchases_touched"),
+          count(lit(1)).as("n_touches"))
+    }),
+
     // A/B experiment analysis: users deterministically hash-assigned to
     // two arms, per-user purchase revenue kept in INTEGER CENTS so the
     // arm sums and sums-of-squares are exact; mean/variance/Welch-t are
@@ -452,6 +489,38 @@ object ProductAnalytics {
          SELECT attributed_to, count(*)::BIGINT AS n_purchases,
                 round(sum(value::DECIMAL(14,2))::DOUBLE, 2) AS total_value
          FROM attributed GROUP BY attributed_to""",
+    "q322_multitouch_attribution" ->
+      """WITH purch AS (
+           SELECT user_id, event_id AS pid,
+                  epoch_us(ts::TIMESTAMP) AS pts
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (
+           SELECT user_id, event_type AS channel, event_id AS tid,
+                  epoch_us(ts::TIMESTAMP) AS tts
+           FROM events WHERE event_type <> 'purchase'),
+         j AS (
+           SELECT p.pid, t.channel, t.tid, t.tts
+           FROM purch p JOIN touch t ON p.user_id = t.user_id
+           WHERE t.tts < p.pts
+             AND p.pts - t.tts <= 24::BIGINT * 3600 * 1000000),
+         pos AS (
+           SELECT pid, channel,
+                  row_number() OVER (PARTITION BY pid
+                    ORDER BY tts, tid) AS rn,
+                  count(*) OVER (PARTITION BY pid) AS nt
+           FROM j),
+         credited AS (
+           SELECT pid, channel,
+                  CASE WHEN nt = 1 THEN 1000000
+                       WHEN nt = 2 THEN 500000
+                       WHEN rn = 1 OR rn = nt THEN 400000
+                       ELSE 200000 // (nt - 2) END AS credit_ppm
+           FROM pos)
+         SELECT channel,
+                sum(credit_ppm)::BIGINT AS credit_ppm_total,
+                count(DISTINCT pid)::BIGINT AS n_purchases_touched,
+                count(*)::BIGINT AS n_touches
+         FROM credited GROUP BY channel""",
     "q267_ab_test" ->
       """WITH per AS (
            SELECT user_id,

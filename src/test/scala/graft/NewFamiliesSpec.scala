@@ -170,6 +170,25 @@ class NewFamiliesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("KMV join-overlap: small-vocabulary mode is exact; estimates " +
+      "internally consistent") {
+    val r = SparkEntry.queries("q321_kmv_join_overlap")(spark, sf)
+      .collect().head
+    // sf0.001 has < 256 distinct part keys -> exact mode by contract
+    val (nu, ni) = (r.getAs[Long]("n_union"), r.getAs[Long]("n_inter"))
+    if (nu < 256) {
+      assert(r.getAs[Double]("est_union") == nu.toDouble)
+      assert(r.getAs[Double]("est_inter") == ni.toDouble)
+      assert(r.getAs[Long]("est_jaccard_ppm") == ni * 1000000L / nu)
+    } else {
+      assert(math.abs(r.getAs[Double]("est_union") - nu) / nu < 0.25)
+      assert(math.abs(r.getAs[Double]("est_inter") - ni) /
+        math.max(ni, 1L) < 0.35)
+    }
+    assert(r.getAs[Long]("n_a") <= nu && r.getAs[Long]("n_b") <= nu)
+    assert(ni <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet

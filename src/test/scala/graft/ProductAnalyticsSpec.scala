@@ -98,4 +98,32 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       assert(math.abs(tot - 1.0) < 0.01, s"$src sums to $tot")
     }
   }
+
+  test("multi-touch attribution: per-purchase credits sum to 1M ppm " +
+      "minus only integer-split residue") {
+    val rows = SparkEntry.queries("q322_multitouch_attribution")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getAs[Long]("credit_ppm_total")).sum
+    // replay per-purchase touch counts to bound the truncation residue:
+    // each n>=3-touch purchase loses at most (nt-2)-1 ppm to DIV
+    val ev = Tables.t(spark, sf, "events")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("pts"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tts"))
+    val nts = purch.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("pts") - col("tts") <= lit(24L * 3600 * 1000000))
+      .groupBy(col("pid")).count()
+      .collect().map(_.getLong(1))
+    val expected = nts.map {
+      case 1L => 1000000L
+      case 2L => 1000000L
+      case n  => 800000L + (200000L / (n - 2)) * (n - 2)
+    }.sum
+    assert(totalCredit == expected,
+      s"credit total $totalCredit != replayed $expected")
+  }
 }
