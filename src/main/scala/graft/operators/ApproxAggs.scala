@@ -294,6 +294,42 @@ object ApproxAggs {
     // exchange — the map-side-combine story, exercised through the
     // §2.9 UDAF surface and hash-matched against the window form in
     // DuckDB.
+    // The q313 two-pass selection generalized to a percentile BAND:
+    // p10/p50/p90 all served from ONE staged histogram (pass 1), each
+    // rank probed into its bucket and TakeOrdered within it (pass 2,
+    // bucket-sized). Exact order statistics at 100 TB for the cost of
+    // one aggregate + three bounded probes — the profile percentiles
+    // q288 approximates, exact. Ranks are ceil(p·n) in pure integer
+    // arithmetic.
+    "q323_percentile_bands" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val W = 1000.0
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+      val hist = graft.Stage(
+        li.groupBy(floor(col("x") / W).cast("long").as("b"))
+          .agg(count(lit(1)).as("c")), "q313_hist")
+      val n = li.count()
+      val cumBefore = hist.as("a").join(hist.as("b"),
+          col("b.b") < col("a.b"), "left")
+        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
+        .collect() // bounded: one row per occupied bucket (~100)
+      val rows = Seq(("p10", 1L), ("p50", 5L), ("p90", 9L)).map {
+        case (label, num) =>
+          val k = (num * n + 9) / 10 // ceil(p*n), integer
+          val pr = cumBefore
+            .find(r => r.getLong(2) < k && r.getLong(2) + r.getLong(1) >= k)
+            .get
+          val (bSel, before) = (pr.getLong(0), pr.getLong(2))
+          val v = li.filter(floor(col("x") / W).cast("long") === bSel)
+            .orderBy(col("x")).limit((k - before).toInt)
+            .agg(max(col("x"))).head().getDouble(0)
+          (label, k, v)
+      }
+      rows.toDF("pct", "k_rank", "value")
+    }),
+
     // KMV sketch ALGEBRA: join-overlap estimation (Beyer et al.
     // SIGMOD'07 — distinct-value synopses for multisets). The min-k of
     // A∪B's hashes, with per-element membership flags, estimates
@@ -437,6 +473,23 @@ object ApproxAggs {
                 abs(kmv_est - n_exact::DOUBLE) / n_exact::DOUBLE
                   AS rel_err
          FROM u""",
+    "q323_percentile_bands" ->
+      """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
+         nn AS (SELECT count(*) AS n FROM t)
+         SELECT 'p10' AS pct,
+                (SELECT (1*n + 9) // 10 FROM nn)::BIGINT AS k_rank,
+                (SELECT x FROM t ORDER BY x LIMIT 1
+                 OFFSET (SELECT (1*n + 9) // 10 FROM nn) - 1) AS value
+         UNION ALL
+         SELECT 'p50',
+                (SELECT (5*n + 9) // 10 FROM nn)::BIGINT,
+                (SELECT x FROM t ORDER BY x LIMIT 1
+                 OFFSET (SELECT (5*n + 9) // 10 FROM nn) - 1)
+         UNION ALL
+         SELECT 'p90',
+                (SELECT (9*n + 9) // 10 FROM nn)::BIGINT,
+                (SELECT x FROM t ORDER BY x LIMIT 1
+                 OFFSET (SELECT (9*n + 9) // 10 FROM nn) - 1)""",
     "q321_kmv_join_overlap" ->
       """WITH f AS (
            SELECT l_partkey AS pk,

@@ -170,6 +170,45 @@ object OpsDiagnostics {
           ord.filter(col("o_orderkey") % 97 =!= 0), "o_orderkey"))
     }),
 
+    // Join strategy advisor — the planner pre-flight that fuses the
+    // q292 skew probe, q308-style size accounting, and key
+    // cardinalities into a per-join recommendation, all in exact
+    // integers: broadcast when the build side is tiny (< 10 MB
+    // payload), salted sort-merge when the probe side's hottest key
+    // carries > 10× the mean key load (the q154/AQE trigger), plain
+    // sort-merge otherwise. One aggregate per side per edge; the same
+    // thresholds Spark's own autoBroadcastJoinThreshold / AQE skew
+    // factors encode, surfaced as an auditable query.
+    "q325_join_strategy_advisor" -> ((s, d) => {
+      def advise(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pcols: Seq[String]): DataFrame = {
+        val pb = parent.agg(count(lit(1)).as("parent_rows"),
+          sum(length(concat_ws("|",
+            pcols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
+            .as("parent_bytes"))
+        val cs = child.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("child_rows"),
+            count(lit(1)).as("n_keys"), max(col("c")).as("max_key"))
+        cs.crossJoin(broadcast(pb))
+          .select(lit(rel).as("relation"), col("child_rows"),
+            col("n_keys"), col("max_key"), col("parent_rows"),
+            col("parent_bytes"),
+            when(col("parent_bytes") < 10000000L, "broadcast")
+              .when(col("max_key") * col("n_keys") >
+                col("child_rows") * 10, "salted_smj")
+              .otherwise("smj").as("rec_strategy"))
+      }
+      val li = t(s, d, "lineitem")
+      advise("lineitem->part", li, "l_partkey", t(s, d, "part"),
+          Seq("p_partkey", "p_name", "p_size"))
+        .unionByName(advise("lineitem->orders", li, "l_orderkey",
+          t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+        .unionByName(advise("orders->customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"),
+          Seq("c_custkey", "c_name", "c_mktsegment")))
+    }),
+
     // Order-independent table content fingerprints — the integrity
     // check behind DUMP/RESTORE and snapshot replication: per table,
     // XOR and mod-2^30-sum of the portable 60-bit row hash over ALL
@@ -295,6 +334,38 @@ object OpsDiagnostics {
               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
                 (SELECT o_orderkey FROM orders
                  WHERE o_orderkey % 97 <> 0))::BIGINT""",
+    "q325_join_strategy_advisor" -> {
+      def arm(rel: String, child: String, key: String, parent: String,
+          pcols: Seq[String]): String = {
+        val row = pcols.map(c => s"coalesce($c::VARCHAR, '')")
+          .mkString(" || '|' || ")
+        s"""SELECT '$rel' AS relation,
+               (SELECT count(*) FROM $child)::BIGINT AS child_rows,
+               (SELECT count(DISTINCT $key) FROM $child)::BIGINT
+                 AS n_keys,
+               (SELECT max(c) FROM (SELECT count(*) AS c FROM $child
+                  GROUP BY $key))::BIGINT AS max_key,
+               (SELECT count(*) FROM $parent)::BIGINT AS parent_rows,
+               (SELECT sum(length($row)) FROM $parent)::BIGINT
+                 AS parent_bytes,
+               CASE WHEN (SELECT sum(length($row)) FROM $parent)
+                      < 10000000 THEN 'broadcast'
+                    WHEN (SELECT max(c) FROM (SELECT count(*) AS c
+                        FROM $child GROUP BY $key)) *
+                      (SELECT count(DISTINCT $key) FROM $child) >
+                      (SELECT count(*) FROM $child) * 10
+                      THEN 'salted_smj'
+                    ELSE 'smj' END AS rec_strategy"""
+      }
+      Seq(
+        arm("lineitem->part", "lineitem", "l_partkey", "part",
+          Seq("p_partkey", "p_name", "p_size")),
+        arm("lineitem->orders", "lineitem", "l_orderkey", "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+        arm("orders->customer", "orders", "o_custkey", "customer",
+          Seq("c_custkey", "c_name", "c_mktsegment"))
+      ).mkString("\n         UNION ALL\n         ")
+    },
     "q319_table_fingerprint" -> {
       def arm(tbl: String, cols: Seq[String]): String = {
         val row = cols.map(c => s"coalesce($c::VARCHAR, '')")

@@ -183,6 +183,45 @@ object ProductAnalytics {
           count(lit(1)).as("n_touches"))
     }),
 
+    // Bot detection by inter-event regularity — ALL-INTEGER: per-user
+    // gap sequence (seconds, day-clamped so every square and
+    // cross-product stays far under 2^63), and the coefficient-of-
+    // variation test cv < 0.1 expressed as the exact integer inequality
+    // (n·Σg² − (Σg)²)·100 < (Σg)² — no float variance anywhere, so the
+    // verdict replays bit-for-bit. A planted machine-regular stream
+    // (5 users × 50 events on an exact 60 s cadence, generated from a
+    // range — no fixture mutation) proves detection; organic users with
+    // jittered gaps stay unflagged. One shuffle on user_id.
+    "q324_bot_regularity" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val real = t(s, d, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("event_id").as("eid"))
+      val bots = spark.range(5).select(
+          (col("id") + 900001L).as("user_id"), col("id").as("uoff"))
+        .crossJoin(spark.range(50).select(col("id").as("k")))
+        .select(col("user_id"),
+          (lit(1577836800000000L) + col("uoff") * 3600000000L +
+            col("k") * 60000000L).as("tus"),
+          (col("k") + 1000000000L).as("eid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("eid"))
+      val gaps = real.unionByName(bots)
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          least(expr("(tus - prev) DIV 1000000"), lit(86400L)).as("g"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+        .filter(col("n_gaps") >= 20 &&
+          (col("n_gaps") * col("sg2") - col("sg") * col("sg")) * 100 <
+            col("sg") * col("sg"))
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg DIV n_gaps").as("mean_gap_s"))
+    }),
+
     // A/B experiment analysis: users deterministically hash-assigned to
     // two arms, per-user purchase revenue kept in INTEGER CENTS so the
     // arm sums and sums-of-squares are exact; mean/variance/Welch-t are
@@ -489,6 +528,39 @@ object ProductAnalytics {
          SELECT attributed_to, count(*)::BIGINT AS n_purchases,
                 round(sum(value::DECIMAL(14,2))::DOUBLE, 2) AS total_value
          FROM attributed GROUP BY attributed_to""",
+    "q324_bot_regularity" ->
+      """WITH real_e AS (
+           SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus,
+                  event_id AS eid
+           FROM events),
+         bots AS (
+           SELECT 900001 + u AS user_id,
+                  1577836800000000 + u * 3600000000
+                    + k * 60000000 AS tus,
+                  k + 1000000000 AS eid
+           FROM (SELECT unnest(range(0, 5)) AS u),
+                (SELECT unnest(range(0, 50)) AS k)),
+         allev AS (
+           SELECT * FROM real_e UNION ALL SELECT * FROM bots),
+         dgaps AS (
+           SELECT user_id,
+                  tus - lag(tus) OVER (PARTITION BY user_id
+                    ORDER BY tus, eid) AS dg
+           FROM allev),
+         gaps AS (
+           -- filter the NULL first-row lag BEFORE least(): DuckDB's
+           -- least() skips NULLs rather than propagating them
+           SELECT user_id, least(dg // 1000000, 86400) AS g
+           FROM dgaps WHERE dg IS NOT NULL),
+         st AS (
+           SELECT user_id, count(*) AS n_gaps, sum(g) AS sg,
+                  sum(g * g) AS sg2
+           FROM gaps GROUP BY 1)
+         SELECT user_id, n_gaps::BIGINT AS n_gaps,
+                (sg // n_gaps)::BIGINT AS mean_gap_s
+         FROM st
+         WHERE n_gaps >= 20
+           AND (n_gaps * sg2 - sg * sg) * 100 < sg * sg""",
     "q322_multitouch_attribution" ->
       """WITH purch AS (
            SELECT user_id, event_id AS pid,

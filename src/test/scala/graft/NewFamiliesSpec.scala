@@ -189,6 +189,22 @@ class NewFamiliesSpec extends AnyFunSuite {
     assert(ni <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
   }
 
+  test("percentile bands: exact ranks from the sorted column") {
+    val rows = SparkEntry.queries("q323_percentile_bands")(spark, sf)
+      .collect().map(r => r.getAs[String]("pct") ->
+        (r.getAs[Long]("k_rank"), r.getAs[Double]("value"))).toMap
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = xs.length.toLong
+    for ((p, num) <- Seq("p10" -> 1L, "p50" -> 5L, "p90" -> 9L)) {
+      val k = (num * n + 9) / 10
+      assert(rows(p)._1 == k)
+      assert(rows(p)._2 == xs((k - 1).toInt), p)
+    }
+    assert(rows("p10")._2 <= rows("p50")._2 &&
+      rows("p50")._2 <= rows("p90")._2)
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet

@@ -127,4 +127,21 @@ class OpsDiagnosticsSpec extends AnyFunSuite {
 
   private def operatorsHash(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  test("join advisor: recommendation consistent with its own stats") {
+    val rows = SparkEntry.queries("q325_join_strategy_advisor")(
+      spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val rec = r.getAs[String]("rec_strategy")
+      val pb = r.getAs[Long]("parent_bytes")
+      val skew = r.getAs[Long]("max_key") * r.getAs[Long]("n_keys") >
+        r.getAs[Long]("child_rows") * 10
+      if (pb < 10000000L) assert(rec == "broadcast")
+      else if (skew) assert(rec == "salted_smj")
+      else assert(rec == "smj")
+      assert(r.getAs[Long]("max_key") >= 1L &&
+        r.getAs[Long]("n_keys") <= r.getAs[Long]("child_rows"))
+    }
+  }
 }

@@ -126,4 +126,16 @@ class ProductAnalyticsSpec extends AnyFunSuite {
     assert(totalCredit == expected,
       s"credit total $totalCredit != replayed $expected")
   }
+
+  test("bot regularity: all five planted machine-cadence users " +
+      "flagged at exactly 60s mean gap") {
+    val rows = SparkEntry.queries("q324_bot_regularity")(spark, sf)
+      .collect()
+    val bots = rows.filter(_.getAs[Long]("user_id") >= 900001L)
+    assert(bots.length == 5)
+    bots.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == 49L)
+      assert(r.getAs[Long]("mean_gap_s") == 60L)
+    }
+  }
 }
