@@ -69,6 +69,33 @@ object AsofJoin {
         .select(col("event_id"), col("user_id"),
           col("asof.ts_us").as("click_ts"),
           col("asof.value").as("click_val"))
+    }),
+
+    // FORWARD as-of with tolerance — the other direction of
+    // pandas/polars merge_asof: each click joined to the user's NEXT
+    // purchase, but only within a 1 h horizon (beyond it the match
+    // nulls out). Same single-shuffle union/window machinery as q149,
+    // pointed backwards by negating the time axis — no second
+    // implementation, no range join. The
+    // click→conversion-latency shape of funnel analytics.
+    "q326_asof_forward_tolerance" -> ((s, d) => {
+      val TolUs = 3600L * 1000000L
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("value"))
+        .withColumn("nts", -col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .withColumn("nts", -col("ts_us"))
+      asofJoin(clicks, purchases, "user_id", "nts", "nts")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("asof").isNotNull &&
+            col("asof.ts_us") - col("ts_us") <= TolUs,
+            col("asof.ts_us")).as("purchase_ts"),
+          when(col("asof").isNotNull &&
+            col("asof.ts_us") - col("ts_us") <= TolUs,
+            expr("(asof.ts_us - ts_us) DIV 1000000")).as("wait_s"))
     })
   )
 
@@ -88,6 +115,29 @@ object AsofJoin {
          SELECT p.event_id, p.user_id,
                 c.ts_us AS click_ts, c.value AS click_val
          FROM p ASOF LEFT JOIN c
-           ON p.user_id = c.user_id AND c.ts_us <= p.ts_us"""
+           ON p.user_id = c.user_id AND c.ts_us <= p.ts_us""",
+    "q326_asof_forward_tolerance" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+                  epoch_us(ts::TIMESTAMP) AS ts_us
+           FROM events),
+         p AS (
+           SELECT user_id, ts_us, max(value) AS value
+           FROM e WHERE event_type = 'purchase'
+           GROUP BY user_id, ts_us),
+         c AS (
+           SELECT event_id, user_id, ts_us
+           FROM e WHERE event_type = 'click'),
+         nxt AS (
+           SELECT c.event_id, min(p.ts_us) AS pts
+           FROM c JOIN p ON p.user_id = c.user_id
+             AND p.ts_us >= c.ts_us
+           GROUP BY c.event_id)
+         SELECT c.event_id, c.user_id, c.ts_us,
+                CASE WHEN n.pts - c.ts_us <= 3600000000
+                     THEN n.pts END AS purchase_ts,
+                CASE WHEN n.pts - c.ts_us <= 3600000000
+                     THEN (n.pts - c.ts_us) // 1000000 END AS wait_s
+         FROM c LEFT JOIN nxt n ON n.event_id = c.event_id"""
   )
 }

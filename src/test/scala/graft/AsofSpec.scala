@@ -36,4 +36,33 @@ class AsofSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
       plan.take(1500))
   }
+
+  test("forward as-of: match is the earliest future purchase; " +
+      "tolerance nulls matches beyond 1h") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q326_asof_forward_tolerance")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val purch: Map[Long, Seq[Long]] = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(_._2).sorted
+      }
+    var matched = 0
+    rows.foreach { r =>
+      val (u, ts) = (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"))
+      val next = purch.getOrElse(u, Seq.empty).find(_ >= ts)
+      val want = next.filter(_ - ts <= 3600L * 1000000L)
+      val got = Option(r.getAs[java.lang.Long]("purchase_ts"))
+        .map(_.longValue)
+      assert(got == want, s"user $u click $ts: $got vs $want")
+      if (got.isDefined) {
+        matched += 1
+        assert(r.getAs[Long]("wait_s") == (want.get - ts) / 1000000L)
+      }
+    }
+    assert(matched > 0, "tolerance window matched nothing at all")
+  }
 }

@@ -475,6 +475,24 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_tt")
   }
 
+  test("incremental read: EXCEPT between table versions is the CDC " +
+      "delta") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_inc")
+    eng.sql("CREATE TABLE t_inc AS SELECT 1 AS k UNION ALL SELECT 2")
+    eng.sql("UPDATE t_inc SET k = k + 10 WHERE k = 2") // v1: {1, 12}
+    val added = eng.sql(
+      """SELECT k FROM t_inc VERSION AS OF 1
+         EXCEPT SELECT k FROM t_inc VERSION AS OF 0""")
+      .collect().map(_.getInt(0)).toSeq
+    val removed = eng.sql(
+      """SELECT k FROM t_inc VERSION AS OF 0
+         EXCEPT SELECT k FROM t_inc VERSION AS OF 1""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(added == Seq(12) && removed == Seq(2))
+    eng.sql("DROP TABLE t_inc")
+  }
+
   test("VACUUM drops superseded versions, keeps the current one intact") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP TABLE IF EXISTS t_vac")
