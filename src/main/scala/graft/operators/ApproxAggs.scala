@@ -330,6 +330,53 @@ object ApproxAggs {
       rows.toDF("pct", "k_rank", "value")
     }),
 
+    // ANALYZE-style planner statistics: an exact 16-bucket EQUI-DEPTH
+    // histogram (boundaries = order statistics at ceil(i·n/16), via the
+    // q313/q323 two-pass selection machinery — no global sort), then a
+    // selectivity AUDIT: the staircase estimate a planner reads off the
+    // histogram ((#boundaries <= P)·n/16) against the true row count
+    // for three range predicates, error in exact ppm. Equi-depth is
+    // what real optimizers keep precisely BECAUSE its estimate error is
+    // bounded by one bucket depth (62 500 ppm at B=16) — the audit
+    // shows exactly that bound holding.
+    "q328_equidepth_selectivity" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val B = 16
+      val W = 10000.0
+      val o = t(s, d, "orders").select(col("o_totalprice").as("x"))
+      val hist = graft.Stage(
+        o.groupBy(floor(col("x") / W).cast("long").as("b"))
+          .agg(count(lit(1)).as("c")), "q328_hist")
+      val n = o.count()
+      val cumBefore = hist.as("a").join(hist.as("b"),
+          col("b.b") < col("a.b"), "left")
+        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
+        .collect() // bounded: ~50 occupied buckets
+      def kth(k: Long): Double = {
+        val pr = cumBefore
+          .find(r => r.getLong(2) < k && r.getLong(2) + r.getLong(1) >= k)
+          .get
+        o.filter(floor(col("x") / W).cast("long") === pr.getLong(0))
+          .orderBy(col("x")).limit((k - pr.getLong(2)).toInt)
+          .agg(max(col("x"))).head().getDouble(0)
+      }
+      val bounds = (1 to B).map(i => kth((i.toLong * n + B - 1) / B))
+      val preds = Seq(("p_low", 50000.0), ("p_mid", 150000.0),
+        ("p_high", 300000.0))
+      val predCols = preds.map { case (lbl, p) =>
+        sum(when(col("x") <= p, 1L).otherwise(0L)).as(lbl) }
+      val actual = o.agg(predCols.head, predCols.tail: _*).head()
+      val rows = preds.zipWithIndex.map { case ((lbl, p), i) =>
+        val est = bounds.count(_ <= p).toLong * n / B
+        val act = actual.getLong(i)
+        (lbl, p, est, act, math.abs(est - act) * 1000000L / n)
+      }
+      rows.toDF("pred", "pred_value", "est_rows", "actual_rows",
+        "err_ppm")
+    }),
+
     // KMV sketch ALGEBRA: join-overlap estimation (Beyer et al.
     // SIGMOD'07 — distinct-value synopses for multisets). The min-k of
     // A∪B's hashes, with per-element membership flags, estimates
@@ -473,6 +520,30 @@ object ApproxAggs {
                 abs(kmv_est - n_exact::DOUBLE) / n_exact::DOUBLE
                   AS rel_err
          FROM u""",
+    "q328_equidepth_selectivity" ->
+      """WITH t AS (SELECT o_totalprice AS x FROM orders),
+         nn AS (SELECT count(*) AS n FROM t),
+         ranked AS (
+           SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t),
+         ranks AS (
+           SELECT i, (i * n + 15) // 16 AS k
+           FROM (SELECT unnest(range(1, 17)) AS i), nn),
+         bounds AS (
+           SELECT r.i, rk.x FROM ranks r JOIN ranked rk ON rk.rn = r.k),
+         preds AS (
+           SELECT 'p_low' AS pred, 50000.0 AS p
+           UNION ALL SELECT 'p_mid', 150000.0
+           UNION ALL SELECT 'p_high', 300000.0)
+         SELECT pred, p::DOUBLE AS pred_value,
+                ((SELECT count(*) FROM bounds WHERE x <= p)
+                  * (SELECT n FROM nn) // 16)::BIGINT AS est_rows,
+                (SELECT count(*) FROM t WHERE x <= p)::BIGINT
+                  AS actual_rows,
+                (abs((SELECT count(*) FROM bounds WHERE x <= p)
+                    * (SELECT n FROM nn) // 16
+                  - (SELECT count(*) FROM t WHERE x <= p)) * 1000000
+                  // (SELECT n FROM nn))::BIGINT AS err_ppm
+         FROM preds""",
     "q323_percentile_bands" ->
       """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
          nn AS (SELECT count(*) AS n FROM t)

@@ -446,8 +446,69 @@ object StreamingIngest {
     "q193_stream_stream_join" -> ((s, d) => streamedIntervalJoin(s, d)),
     "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d)),
     "q272_stream_funnel" -> ((s, d) => streamedFunnel(s, d)),
-    "q302_stream_cdc_apply" -> ((s, d) => streamedCdcApply(s, d))
+    "q302_stream_cdc_apply" -> ((s, d) => streamedCdcApply(s, d)),
+    "q327_stream_mv_maintain" -> ((s, d) => streamedMvMaintain(s, d))
   )
+
+  /** Streaming maintenance of a materialized aggregate — the
+    * incremental-MV contract (q259) driven by micro-batches: lineitem
+    * arrives in 3 unordered slices, each batch's partial aggregate is
+    * MERGEd into the MV table (sums add, counts add, max takes the
+    * greater), and the final MV must equal the one-shot batch
+    * aggregate exactly. Sums are over integral quantities, so float
+    * addition order cannot drift the result. This is the refresh loop
+    * a 100 TB deployment runs instead of re-aggregating the fact
+    * table: per batch, work is proportional to the BATCH, and the
+    * MERGE touches only the (dims) rows the batch contains.
+    */
+  def streamedMvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val landing = java.nio.file.Paths.get(
+      graft.Stage.scratchDir("graft_mvm_src"))
+    val li = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+    (0 until 3).foreach { i =>
+      li.filter(col("l_orderkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/slice=$i")
+    }
+    graft.Ddl.route(spark, "DROP TABLE IF EXISTS mv_stream")
+    graft.Ddl.createTable(spark, "mv_stream", StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("sq", DoubleType),
+      StructField("cnt", LongType),
+      StructField("mx", DoubleType))))
+    val schema = spark.read.parquet(s"$landing/slice=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/slice=*")
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir("graft_mvm_ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val src = batch.groupBy(col("l_returnflag"),
+              col("l_linestatus"))
+            .agg(sum(col("l_quantity")).as("sq"),
+              count(lit(1)).as("cnt"),
+              max(col("l_extendedprice")).as("mx"))
+          graft.Ddl.mergeInto(spark, "mv_stream", src,
+            "t.l_returnflag = s.l_returnflag AND " +
+              "t.l_linestatus = s.l_linestatus",
+            Some(Seq(
+              "sq" -> "t.sq + s.sq",
+              "cnt" -> "t.cnt + s.cnt",
+              "mx" -> "CASE WHEN s.mx > t.mx THEN s.mx ELSE t.mx END")),
+            isDelete = false,
+            insert = Some(Seq(
+              "l_returnflag" -> "s.l_returnflag",
+              "l_linestatus" -> "s.l_linestatus",
+              "sq" -> "s.sq", "cnt" -> "s.cnt", "mx" -> "s.mx")))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table("mv_stream")
+  }
 
   /** The streamed result must equal the batch hourly aggregate — DuckDB
     * computes it directly over the same events table (ns ts truncated to
@@ -476,6 +537,13 @@ object StreamingIngest {
                 ts AS last_ts, event_id AS last_event_id,
                 value AS last_value
          FROM ranked WHERE rk = 1""",
+    // The incrementally-maintained MV must equal the one-shot batch
+    // aggregate over the full fact table.
+    "q327_stream_mv_maintain" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sq, count(*)::BIGINT AS cnt,
+                max(l_extendedprice) AS mx
+         FROM lineitem GROUP BY 1, 2""",
     "q193_stream_stream_join" ->
       """WITH v AS (
            SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vts

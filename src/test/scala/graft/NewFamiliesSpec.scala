@@ -205,6 +205,21 @@ class NewFamiliesSpec extends AnyFunSuite {
       rows("p50")._2 <= rows("p90")._2)
   }
 
+  test("equi-depth selectivity: estimate error bounded by one bucket " +
+      "depth") {
+    val rows = SparkEntry.queries("q328_equidepth_selectivity")(
+      spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // equi-depth contract: |est - actual| <= n/B  (62 500 ppm at
+      // B=16, plus integer-floor slack)
+      assert(r.getAs[Long]("err_ppm") <= 63000L,
+        s"${r.getAs[String]("pred")}: ${r.getAs[Long]("err_ppm")} ppm")
+      assert(r.getAs[Long]("est_rows") >= 0 &&
+        r.getAs[Long]("actual_rows") >= 0)
+    }
+  }
+
   test("unigram surprise: one row per language, finite positive scores") {
     val rows = SparkEntry.queries("q247_unigram_surprise")(spark, sf).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet
