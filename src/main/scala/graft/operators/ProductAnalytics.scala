@@ -222,6 +222,41 @@ object ProductAnalytics {
           expr("sg DIV n_gaps").as("mean_gap_s"))
     }),
 
+    // RATIO_TO_REPORT / percent-of-total reporting — revenue share per
+    // nation in exact integer ppm (cents-scaled sums, so shares replay
+    // bit-for-bit) with the dense revenue rank. The global total is a
+    // 1-row aggregate broadcast back (never an unpartitioned window);
+    // ranking happens on the BOUNDED nation rollup.
+    "q329_ratio_to_report" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      val total = rev.agg(sum(col("rev_cents")).as("tot")).head()
+        .getLong(0)
+      // rank via a BOUNDED (nation × nation) self-join — no global
+      // window, keeping the repo's no-unpartitioned-WindowExec
+      // invariant even on dim-sized rollups
+      val staged = graft.Stage(rev, "q329_rev")
+      val rank = staged.as("a").join(staged.as("b"),
+          col("b.rev_cents") > col("a.rev_cents") ||
+          (col("b.rev_cents") === col("a.rev_cents") &&
+            col("b.n_name") < col("a.n_name")), "left")
+        .groupBy(col("a.n_name").as("n_name"),
+          col("a.n_orders").as("n_orders"),
+          col("a.rev_cents").as("rev_cents"))
+        .agg((count(col("b.n_name")) + 1).cast("int").as("rev_rank"))
+      rank.withColumn("share_ppm",
+          expr(s"rev_cents * 1000000 DIV ${total}L"))
+        .select(col("n_name"), col("n_orders"), col("rev_cents"),
+          col("share_ppm"), col("rev_rank"))
+    }),
+
     // A/B experiment analysis: users deterministically hash-assigned to
     // two arms, per-user purchase revenue kept in INTEGER CENTS so the
     // arm sums and sums-of-squares are exact; mean/variance/Welch-t are
@@ -528,6 +563,24 @@ object ProductAnalytics {
          SELECT attributed_to, count(*)::BIGINT AS n_purchases,
                 round(sum(value::DECIMAL(14,2))::DOUBLE, 2) AS total_value
          FROM attributed GROUP BY attributed_to""",
+    "q329_ratio_to_report" ->
+      """WITH rev AS (
+           SELECT n_name,
+                  sum((o_totalprice::DECIMAL(14,2) * 100)::BIGINT)
+                    AS rev_cents,
+                  count(*) AS n_orders
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1),
+         tot AS (SELECT sum(rev_cents) AS t FROM rev)
+         SELECT n_name, n_orders::BIGINT AS n_orders,
+                rev_cents::BIGINT AS rev_cents,
+                (rev_cents * 1000000 // (SELECT t FROM tot))::BIGINT
+                  AS share_ppm,
+                row_number() OVER (ORDER BY rev_cents DESC, n_name)
+                  ::INT AS rev_rank
+         FROM rev""",
     "q324_bot_regularity" ->
       """WITH real_e AS (
            SELECT user_id, epoch_us(ts::TIMESTAMP) AS tus,

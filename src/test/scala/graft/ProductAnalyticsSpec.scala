@@ -127,6 +127,20 @@ class ProductAnalyticsSpec extends AnyFunSuite {
       s"credit total $totalCredit != replayed $expected")
   }
 
+  test("ratio to report: shares sum to ~1M ppm, ranks dense and " +
+      "revenue-ordered") {
+    val rows = SparkEntry.queries("q329_ratio_to_report")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("rev_rank"))
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"shares sum to $shareSum")
+    assert(rows.map(_.getAs[Int]("rev_rank")).toSeq ==
+      (1 to rows.length))
+    val revs = rows.map(_.getAs[Long]("rev_cents"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("bot regularity: all five planted machine-cadence users " +
       "flagged at exactly 60s mean gap") {
     val rows = SparkEntry.queries("q324_bot_regularity")(spark, sf)
