@@ -113,17 +113,26 @@ object Bench {
       best(name) = try timed(fn) catch { case _: Throwable => -1.0 }
       println(snapshot()) // incremental: a timeout still yields data
     }
-    // Pass 2 (xN): refine with warm reruns, most-cold-distorted first,
-    // until the measurement budget runs out.
+    // Pass 2 (round-8 revision — the round-7 board showed a uniform
+    // ~1.5-1.8× inflation on sub-second queries because the descending
+    // rerun exhausted the budget on the expensive head and never reached
+    // them): first rerun the SUB-SECOND queries ascending — their total
+    // warm cost is tiny, so every cheap query is guaranteed its second
+    // pass early in the budget — then refine the expensive tail
+    // descending (largest cold-JIT distortion first) with what remains.
+    def rerun(name: String, fn: (SparkSession, String) => DataFrame): Unit =
+      if (best(name) >= 0 && elapsed < budget) {
+        val t = try timed(fn) catch { case _: Throwable => best(name) }
+        best(name) = math.min(best(name), t)
+        println(snapshot())
+      }
     (1 to iters).foreach { _ =>
-      qs.sortBy { case (name, _) => -best(name) }
-        .foreach { case (name, fn) =>
-          if (best(name) >= 0 && elapsed < budget) {
-            val t = try timed(fn) catch { case _: Throwable => best(name) }
-            best(name) = math.min(best(name), t)
-            println(snapshot())
-          }
-        }
+      val (cheap, costly) = qs.partition { case (name, _) =>
+        best(name) >= 0 && best(name) < 1.0 }
+      cheap.sortBy { case (name, _) => best(name) }
+        .foreach { case (name, fn) => rerun(name, fn) }
+      costly.sortBy { case (name, _) => -best(name) }
+        .foreach { case (name, fn) => rerun(name, fn) }
     }
     spark.stop()
   }

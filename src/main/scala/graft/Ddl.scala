@@ -88,6 +88,7 @@ object Ddl {
     * large rewrites keep their full write parallelism.
     */
   private def swapIn(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    invalidateMvsOver(name)
     val prev = Option(catalog.get(name))
     val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
     val next = prev.map(_.version + 1).getOrElse(0)
@@ -117,6 +118,7 @@ object Ddl {
       case _ => df
     }
     val prev = Option(catalog.get(name))
+    if (prev.nonEmpty) invalidateMvsOver(name)
     val base = prev.map(_.baseDir).getOrElse(s"$root/$name")
     val next = prev.map(_.version + 1).getOrElse(0)
     val writer0 = options.get("fragment_size").foldLeft(
@@ -138,6 +140,7 @@ object Ddl {
     * version directory (no rewrite).
     */
   def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit = {
+    invalidateMvsOver(name)
     val m = catalog.get(name)
     require(m != null, s"table not found: $name")
     val target = table(spark, name).schema
@@ -179,11 +182,22 @@ object Ddl {
       isDelete: Boolean,
       insert: Option[Seq[(String, String)]]): Unit = {
     val tgt = table(spark, name)
-    val j = tgt.withColumn("__tp", lit(1)).as("t")
+    val j = tgt.withColumn("__tp", lit(1))
+      .withColumn("__tid", monotonically_increasing_id()).as("t")
       .join(src.withColumn("__sp", lit(1)).as("s"),
         expr(onCond), "full_outer")
     val tp = col("t.__tp").isNotNull
     val sp = col("s.__sp").isNotNull
+    // SQL:2003 / lakehouse MERGE cardinality rule: a target row matched
+    // by MORE THAN ONE source row is an error, not a silent duplication.
+    // One bounded pre-flight aggregate (limit 1 — we only need existence)
+    // before the rewrite job.
+    val multi = j.filter(tp && sp)
+      .groupBy(col("t.__tid")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(multi == 0,
+      s"MERGE INTO $name: the ON condition matches multiple source rows " +
+        "to one target row; de-duplicate the source on the merge keys")
     val updMap = updates.getOrElse(Nil)
       .map { case (k, v) => k.replaceAll("(?i)^t\\.", "") -> v }.toMap
     val insMap = insert.getOrElse(Nil).toMap
@@ -213,7 +227,18 @@ object Ddl {
     swapIn(spark, name, kept)
   }
 
+  /** Withdraw automatic MV rewrite for any MV reading this table — a
+    * mutated/re-created base must never be answered from a stale MV
+    * (plans/MvRewrite.invalidateUnder). Dropping an MV's own table also
+    * unregisters that MV by name.
+    */
+  private def invalidateMvsOver(name: String): Unit =
+    Option(catalog.get(name)).foreach(m =>
+      plans.MvRewrite.invalidateUnder(m.baseDir))
+
   def dropTable(spark: SparkSession, name: String): Unit = {
+    invalidateMvsOver(name)
+    plans.MvRewrite.unregister(name)
     catalog.remove(name)
     spark.catalog.dropTempView(name)
   }

@@ -166,17 +166,29 @@ object HeavyEngine {
   private[graft] def splitQualify(q: String)
       : Option[(String, String, String)] = {
     val up = q.toUpperCase
+    // Identifier characters for the word-boundary test: '_' (so
+    // `order_rank`/`limit_val` never parse as ORDER/LIMIT keywords) and
+    // quoted-identifier delimiters (an adjacent '"'/'`' means the match
+    // sits inside a quoted name, not at a keyword boundary).
+    def isWordChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '"' || c == '`'
     def topLevelIndexOf(word: String, from: Int): Int = {
       var depth = 0; var inStr = false; var i = from
       while (i < q.length) {
         val c = q.charAt(i)
-        if (c == '\'') inStr = !inStr
-        else if (!inStr && c == '(') depth += 1
-        else if (!inStr && c == ')') depth -= 1
-        else if (!inStr && depth == 0 && up.startsWith(word, i) &&
-          (i == 0 || !Character.isLetterOrDigit(q.charAt(i - 1))) &&
+        if (inStr) {
+          // SQL-escaped quote '' stays inside the literal.
+          if (c == '\'' && i + 1 < q.length && q.charAt(i + 1) == '\'')
+            i += 1
+          else if (c == '\'') inStr = false
+        }
+        else if (c == '\'') inStr = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && up.startsWith(word, i) &&
+          (i == 0 || !isWordChar(q.charAt(i - 1))) &&
           (i + word.length >= q.length ||
-            !Character.isLetterOrDigit(q.charAt(i + word.length))))
+            !isWordChar(q.charAt(i + word.length))))
           return i
         i += 1
       }

@@ -252,8 +252,16 @@ object GeoFunctions {
   def st_dfully_within(a: Column, b: Column, r: Column): Column =
     st_max_distance(a, b) <= r
 
+  // Same per-session idempotency guard as GraftFunctions.registerAll.
+  private val registeredSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          java.lang.Boolean]()))
+
   /** Register the geometry functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     val reg = spark.sessionState.functionRegistry
@@ -327,10 +335,15 @@ object GeoFunctions {
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => cc, expressionEager => ee}
       import org.apache.spark.sql.catalyst.expressions.Expression
       def registerCols(name: String,
-          f: Seq[Column] => Column): Unit =
+          f: Seq[Column] => Column): Unit = {
+        // Spark 4.1 ships its own st_srid/st_setsrid built-ins; ours
+        // intentionally replace them (reference SRID-struct semantics).
+        // Drop first so the override is silent, not a warning.
+        reg.dropFunction(FunctionIdentifier(name))
         reg.registerFunction(FunctionIdentifier(name),
           new ExpressionInfo("graft", name),
           (ex: Seq[Expression]) => ee(f(ex.map(cc))))
+      }
       registerCols("st_equals", ex => st_equals(ex(0), ex(1)))
       registerCols("st_isempty", ex => st_is_empty(ex(0)))
       registerCols("st_isvalid", ex => st_is_valid(ex(0)))

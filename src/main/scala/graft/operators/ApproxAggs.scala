@@ -209,41 +209,27 @@ object ApproxAggs {
           expr(s"cnt * 1000000 DIV ${n}L").as("share_ppm"))
     }),
 
-    // EXACT median at 100 TB without a global sort: the classic
-    // two-pass distributed selection. Pass 1 builds a bounded
-    // value-bucket histogram (one aggregate); the cumulative scan over
-    // the BOUNDED bucket table locates the bucket holding the k-th
-    // value (bounded self-join — no global window, keeping the repo's
-    // no-unpartitioned-window invariant); pass 2 touches only that
-    // bucket and TakeOrdereds its k'-th element. Total: two scans, one
-    // small aggregate, zero full sorts — vs the full-shuffle sort an
-    // ORDER BY median would cost. (In production the probe recurses
-    // until the bucket fits; one level suffices at these sfs and the
-    // recursion is the same two stages again.) Complements q56/q147:
-    // approx sketch / exact-but-grouped percentile.
+    // EXACT median at 100 TB without a global sort: iterative histogram
+    // refinement (ExactSelection.kth). Each level is one bounded
+    // (≤1000-row) aggregate locating the rank's bucket; refinement
+    // recurses until the candidate set fits 100k rows (or collapses to a
+    // single value — the skew terminator), so the ONLY sort in the plan
+    // is over a driver-bounded set regardless of how many rows share one
+    // value band. Replaces the round-7 single-level probe whose in-bucket
+    // GlobalLimit was unbounded under skew. Complements q56/q147: approx
+    // sketch / exact-but-grouped percentile. probe_bucket (the W=1000
+    // band holding the median, part of the published schema) is derived
+    // from the value itself.
     "q313_exact_median_2pass" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val W = 1000.0
-      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
-      val hist = graft.Stage(
-        li.groupBy(floor(col("x") / W).cast("long").as("b"))
-          .agg(count(lit(1)).as("c")), "q313_hist")
+      val li = graft.Stage(
+        t(s, d, "lineitem").select(col("l_extendedprice").as("x")),
+        "q313_base")
       val n = li.count()
       val k = (n + 1) / 2
-      val cumBefore = hist.as("a").join(hist.as("b"),
-          col("b.b") < col("a.b"), "left")
-        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
-        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
-      val probe = cumBefore
-        .filter(col("before") < k && col("before") + col("c") >= k)
-        .head()
-      val (bSel, before) = (probe.getLong(0), probe.getLong(2))
-      val kin = (k - before).toInt
-      val med = li.filter(floor(col("x") / W).cast("long") === bSel)
-        .orderBy(col("x")).limit(kin)
-        .agg(max(col("x"))).head().getDouble(0)
-      Seq((n, k, bSel, med))
+      val sel = ExactSelection.kth(li, "x", k)
+      Seq((n, k, math.floor(sel.value / 1000.0).toLong, sel.value))
         .toDF("n_rows", "k_rank", "probe_bucket", "median_exact")
     }),
 
@@ -268,18 +254,31 @@ object ApproxAggs {
       val perGroup = graft.Stage(
         li.groupBy(col("g")).agg(kmv(col("h")).as("mins"),
           countDistinct(col("id")).as("n_exact")), "q314_groups")
+      // Unsaturated sketches (< K hashes) ARE the exact distinct set —
+      // emit n_exact instead of reading past the array end (which would
+      // null the estimate while the oracle dropped the group; both sides
+      // now keep small groups in exact mode, mirroring q321's kc < K
+      // contract).
       val gRows = perGroup.select(col("g").as("scope"), col("n_exact"),
-        est(element_at(col("mins"), K)).as("kmv_est"))
+        when(size(col("mins")) < K, col("n_exact").cast("double"))
+          .otherwise(est(element_at(col("mins"), K))).as("kmv_est"))
       val direct = li.agg(kmv(col("h")).as("mins"),
           countDistinct(col("id")).as("n_exact"))
-        .select(col("n_exact"), est(element_at(col("mins"), K)).as("de"))
+        .select(col("n_exact"), size(col("mins")).as("kc_all"),
+          est(element_at(col("mins"), K)).as("de"))
       val mergedHk = perGroup.select(explode(col("mins")).as("h"))
         .distinct().orderBy(col("h")).limit(K)
-        .agg(max(col("h")).as("h_k"))
+        .agg(max(col("h")).as("h_k"), count(lit(1)).as("m_kc"))
+      // Exact mode (whole-table sketch unsaturated ⇒ every group sketch
+      // holds ALL its hashes): merge consistency is set equality, checked
+      // by cardinality of the unioned mins vs the direct sketch.
       val allRow = direct.crossJoin(broadcast(mergedHk))
         .select(lit("_all").as("scope"), col("n_exact"),
-          col("de").as("kmv_est"),
-          (est(col("h_k")) === col("de")).as("merge_consistent"))
+          when(col("kc_all") < K, col("n_exact").cast("double"))
+            .otherwise(col("de")).as("kmv_est"),
+          when(col("kc_all") < K, col("m_kc") === col("kc_all"))
+            .otherwise(est(col("h_k")) === col("de"))
+            .as("merge_consistent"))
       gRows.withColumn("merge_consistent", lit(true))
         .unionByName(allRow)
         .withColumn("rel_err",
@@ -294,75 +293,50 @@ object ApproxAggs {
     // exchange — the map-side-combine story, exercised through the
     // §2.9 UDAF surface and hash-matched against the window form in
     // DuckDB.
-    // The q313 two-pass selection generalized to a percentile BAND:
-    // p10/p50/p90 all served from ONE staged histogram (pass 1), each
-    // rank probed into its bucket and TakeOrdered within it (pass 2,
-    // bucket-sized). Exact order statistics at 100 TB for the cost of
-    // one aggregate + three bounded probes — the profile percentiles
-    // q288 approximates, exact. Ranks are ceil(p·n) in pure integer
-    // arithmetic.
+    // The q313 exact selection generalized to a percentile BAND:
+    // p10/p50/p90 all served from ONE memoized refinement structure
+    // (ExactSelection.kthAll shares each level's ≤1000-row histogram
+    // across the three ranks; only the final bounded in-bucket sorts are
+    // per-rank). Exact order statistics at 100 TB with every sorted set
+    // driver-bounded — the profile percentiles q288 approximates, exact.
+    // Ranks are ceil(p·n) in pure integer arithmetic.
     "q323_percentile_bands" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val W = 1000.0
-      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
-      val hist = graft.Stage(
-        li.groupBy(floor(col("x") / W).cast("long").as("b"))
-          .agg(count(lit(1)).as("c")), "q313_hist")
+      val li = graft.Stage(
+        t(s, d, "lineitem").select(col("l_extendedprice").as("x")),
+        "q313_base")
       val n = li.count()
-      val cumBefore = hist.as("a").join(hist.as("b"),
-          col("b.b") < col("a.b"), "left")
-        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
-        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
-        .collect() // bounded: one row per occupied bucket (~100)
-      val rows = Seq(("p10", 1L), ("p50", 5L), ("p90", 9L)).map {
-        case (label, num) =>
-          val k = (num * n + 9) / 10 // ceil(p*n), integer
-          val pr = cumBefore
-            .find(r => r.getLong(2) < k && r.getLong(2) + r.getLong(1) >= k)
-            .get
-          val (bSel, before) = (pr.getLong(0), pr.getLong(2))
-          val v = li.filter(floor(col("x") / W).cast("long") === bSel)
-            .orderBy(col("x")).limit((k - before).toInt)
-            .agg(max(col("x"))).head().getDouble(0)
-          (label, k, v)
+      val labelled = Seq(("p10", 1L), ("p50", 5L), ("p90", 9L))
+        .map { case (label, num) => (label, (num * n + 9) / 10) }
+      val sels = ExactSelection.kthAll(li, "x", labelled.map(_._2))
+      val rows = labelled.zip(sels).map { case ((label, k), sel) =>
+        (label, k, sel.value)
       }
       rows.toDF("pct", "k_rank", "value")
     }),
 
     // ANALYZE-style planner statistics: an exact 16-bucket EQUI-DEPTH
     // histogram (boundaries = order statistics at ceil(i·n/16), via the
-    // q313/q323 two-pass selection machinery — no global sort), then a
-    // selectivity AUDIT: the staircase estimate a planner reads off the
-    // histogram ((#boundaries <= P)·n/16) against the true row count
-    // for three range predicates, error in exact ppm. Equi-depth is
-    // what real optimizers keep precisely BECAUSE its estimate error is
-    // bounded by one bucket depth (62 500 ppm at B=16) — the audit
-    // shows exactly that bound holding.
+    // ExactSelection refinement machinery — no global sort, every
+    // in-bucket sort driver-bounded, and all 16 boundary ranks share the
+    // memoized per-level histograms), then a selectivity AUDIT: the
+    // staircase estimate a planner reads off the histogram
+    // ((#boundaries <= P)·n/16) against the true row count for three
+    // range predicates, error in exact ppm. Equi-depth is what real
+    // optimizers keep precisely BECAUSE its estimate error is bounded by
+    // one bucket depth (62 500 ppm at B=16) — the audit shows exactly
+    // that bound holding.
     "q328_equidepth_selectivity" -> ((s, d) => {
       val spark = s
       import spark.implicits._
       val B = 16
-      val W = 10000.0
-      val o = t(s, d, "orders").select(col("o_totalprice").as("x"))
-      val hist = graft.Stage(
-        o.groupBy(floor(col("x") / W).cast("long").as("b"))
-          .agg(count(lit(1)).as("c")), "q328_hist")
+      val o = graft.Stage(
+        t(s, d, "orders").select(col("o_totalprice").as("x")),
+        "q328_base")
       val n = o.count()
-      val cumBefore = hist.as("a").join(hist.as("b"),
-          col("b.b") < col("a.b"), "left")
-        .groupBy(col("a.b").as("b"), col("a.c").as("c"))
-        .agg(coalesce(sum(col("b.c")), lit(0L)).as("before"))
-        .collect() // bounded: ~50 occupied buckets
-      def kth(k: Long): Double = {
-        val pr = cumBefore
-          .find(r => r.getLong(2) < k && r.getLong(2) + r.getLong(1) >= k)
-          .get
-        o.filter(floor(col("x") / W).cast("long") === pr.getLong(0))
-          .orderBy(col("x")).limit((k - pr.getLong(2)).toInt)
-          .agg(max(col("x"))).head().getDouble(0)
-      }
-      val bounds = (1 to B).map(i => kth((i.toLong * n + B - 1) / B))
+      val ranks = (1 to B).map(i => (i.toLong * n + B - 1) / B)
+      val bounds = ExactSelection.kthAll(o, "x", ranks).map(_.value)
       val preds = Seq(("p_low", 50000.0), ("p_mid", 150000.0),
         ("p_high", 300000.0))
       val predCols = preds.map { case (lbl, p) =>
@@ -498,22 +472,27 @@ object ApproxAggs {
                 FROM dh),
          ex AS (SELECT g, count(DISTINCT id) AS n_exact
                 FROM t GROUP BY 1),
-         hk AS (SELECT g, max(h) AS h_k FROM rk WHERE rn <= 256
-                GROUP BY g HAVING count(*) = 256),
+         hk AS (SELECT g, max(h) AS h_k, count(*) AS kc
+                FROM rk WHERE rn <= 256 GROUP BY g),
          grows AS (
            SELECT ex.g AS scope, ex.n_exact::BIGINT AS n_exact,
-                  (255::DOUBLE * 1152921504606846976::DOUBLE)
-                    / hk.h_k::DOUBLE AS kmv_est,
+                  CASE WHEN hk.kc < 256 THEN ex.n_exact::DOUBLE
+                       ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / hk.h_k::DOUBLE END AS kmv_est,
                   true AS merge_consistent
            FROM ex JOIN hk ON ex.g = hk.g),
          rall AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
                   FROM (SELECT DISTINCT h FROM t)),
+         akc AS (SELECT count(*) AS kc, max(h) AS h_k
+                 FROM rall WHERE rn <= 256),
          arow AS (
            SELECT '_all' AS scope,
                   (SELECT count(DISTINCT id) FROM t)::BIGINT AS n_exact,
-                  (255::DOUBLE * 1152921504606846976::DOUBLE)
-                    / (SELECT max(h) FROM rall WHERE rn <= 256)::DOUBLE
-                    AS kmv_est,
+                  CASE WHEN (SELECT kc FROM akc) < 256
+                       THEN (SELECT count(DISTINCT id) FROM t)::DOUBLE
+                       ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / (SELECT h_k FROM akc)::DOUBLE
+                       END AS kmv_est,
                   true AS merge_consistent),
          u AS (SELECT * FROM grows UNION ALL SELECT * FROM arow)
          SELECT scope, n_exact, kmv_est, merge_consistent,

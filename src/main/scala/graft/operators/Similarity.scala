@@ -153,7 +153,6 @@ object Similarity {
       val emb = t(s, d, "embeddings")
       val q0 = broadcast(emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb")))
-      val poolW = Window.orderBy(col("rel").desc, col("vec_id").asc)
       val pool = emb.filter(col("vec_id") =!= 0).crossJoin(q0)
         .select(col("vec_id"), col("embedding"),
           round(cosine_similarity(col("embedding"), col("q_emb")), 6)

@@ -178,11 +178,18 @@ object SqlSurface {
                   count(*) AS n, round(sum(l_quantity), 2) AS qty
            FROM lineitem GROUP BY ALL""")),
 
+    // Measures are computed in DECIMAL before UNPIVOT: o_totalprice is a
+    // 2-decimal quantity stored as a parquet double, so the 10% tax done in
+    // binary lands on a .xx5 half-way point (e.g. 36197.50499…) where Spark
+    // (shortest-repr HALF_UP) and DuckDB (binary round) disagree. Casting to
+    // DECIMAL(18,2) first is unambiguous on both engines, and the decimal
+    // multiply + round are then exact everywhere (same recipe as q32).
     "q300_unpivot" -> ((s, d) =>
       HeavyEngine(s, d).sql(
-        """SELECT o_orderkey, metric, round(val, 2) AS val
-           FROM (SELECT o_orderkey, o_totalprice AS price,
-                        o_totalprice * 0.1 AS tax10
+        """SELECT o_orderkey, metric, CAST(round(val, 2) AS DOUBLE) AS val
+           FROM (SELECT o_orderkey,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                        CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS tax10
                  FROM orders WHERE o_orderkey < 200)
            UNPIVOT (val FOR metric IN (price, tax10))""")),
 
@@ -205,9 +212,10 @@ object SqlSurface {
               count(*)::BIGINT AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ALL""",
     "q300_unpivot" ->
-      """SELECT o_orderkey, metric, round(val, 2) AS val
-         FROM (SELECT o_orderkey, o_totalprice AS price,
-                      o_totalprice * 0.1 AS tax10
+      """SELECT o_orderkey, metric, CAST(round(val, 2) AS DOUBLE) AS val
+         FROM (SELECT o_orderkey,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                      CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS tax10
                FROM orders WHERE o_orderkey < 200)
          UNPIVOT (val FOR metric IN (price, tax10))""",
     "q301_lateral_join" ->

@@ -112,6 +112,33 @@ object MvRewrite {
   def unregister(name: String): Unit = registry.remove(name)
   def registered: Seq[String] = registry.keys.asScala.toSeq
 
+  private def leafPaths(p: LogicalPlan): Seq[String] =
+    p.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  /** Unregister every MV whose base or scan reads under `dir` — called
+    * by the Ddl router whenever a managed table is dropped or rewritten
+    * (DROP/CTAS-replace/UPDATE/DELETE/MERGE/INSERT), so a mutated or
+    * re-created base table is never silently answered from a stale MV.
+    * The MV table itself stays directly queryable (a stale snapshot,
+    * standard non-incremental MV semantics); only the automatic
+    * aggregate-navigation rewrite is withdrawn.
+    */
+  def invalidateUnder(dir: String): Unit = {
+    val stale = registry.asScala.collect {
+      case (n, mv)
+          if (leafPaths(mv.base) ++ leafPaths(mv.scan))
+            .exists(_.contains(dir)) => n
+    }.toSeq
+    stale.foreach(registry.remove)
+  }
+
   case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
@@ -175,7 +202,14 @@ object MvRewrite {
                 .asInstanceOf[AttributeReference].name)))
             case _: Count => reAgg(Sum(mv.cnt.get))
           }
-          Alias(mapped, n)(exprId = al.exprId)
+          // Re-aggregation can widen the type (Sum over a partial sum:
+          // DecimalType precision grows +10 twice, Count re-summed is a
+          // LongType sum) — cast back so the attribute's dataType stays
+          // identical to the analyzed output schema mid-optimization.
+          val typed: Expression =
+            if (mapped.dataType == ae.dataType) mapped
+            else Cast(mapped, ae.dataType)
+          Alias(typed, n)(exprId = al.exprId)
         case other => other
       }
       val newGroupings = agg.groupingExpressions.map {
