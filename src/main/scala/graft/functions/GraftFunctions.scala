@@ -202,12 +202,32 @@ object GraftFunctions {
             Sqrt(DotProductExpr(ex(1), ex(1))))))
     }
     // KEY_FOR_STRING (`Analyzer/Analyzer.h:914`): the reference returns
-    // the per-column dictionary id of a text value. Spark has no global
-    // string dictionary (parquet dictionaries are storage-local), so the
-    // stable engine-wide surrogate is a 64-bit hash — injective in
-    // practice, and all dictionary-id use cases (grouping, joining,
-    // compact keys) hold. Documented engine-specific.
-    registerMacro("key_for_string", Seq("__p0"), "xxhash64(__p0)")
+    // the per-column dictionary id of a text value. For a column with a
+    // DECLARED session dictionary (DictRegistry.declare — the q315
+    // order-preserving dense-id build), this resolves to the real dense
+    // id via a codegen'd lookup, giving the reference's id-order =
+    // value-order guarantee. Undeclared columns keep the 64-bit hash
+    // surrogate (injective in practice; grouping/joining/compact keys
+    // hold). Resolution happens per-analysis, so declarations made after
+    // registration take effect immediately.
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, XxHash64}
+      reg.registerFunction(FunctionIdentifier("key_for_string"),
+        new ExpressionInfo("graft", "key_for_string"),
+        exprs => {
+          val arg = exprs.head
+          val colName = arg match {
+            case a: UnresolvedAttribute => Some(a.nameParts.last)
+            case a: AttributeReference => Some(a.name)
+            case _ => None
+          }
+          colName.flatMap(DictRegistry.forColumn) match {
+            case Some(m) => DictKey(arg, m)
+            case None => new XxHash64(Seq(arg))
+          }
+        })
+    }
     // LIKELY/UNLIKELY (`Analyzer/Analyzer.h` LikelihoodExpr; branch-
     // probability hints in the reference's codegen). Catalyst makes its
     // own selectivity estimates, so these are semantic identities — they

@@ -85,16 +85,19 @@ object SqlSurface {
                   date_format(ts, 'HH:mm:ss') AS time_str
            FROM events""")),
 
-    // KEY_FOR_STRING as a grouping key: id-space must be exactly as
-    // discriminating as the strings themselves (the dictionary-id
-    // contract), and grouping on it must reproduce string grouping.
-    "q95_key_for_string" -> ((s, d) =>
-      HeavyEngine(s, d).sql(
-        """SELECT count(DISTINCT key_for_string(p_type)) AS n_keys,
-                  count(DISTINCT p_type) AS n_strings,
-                  count(DISTINCT key_for_string(p_type))
-                    = count(DISTINCT p_type) AS bijective
-           FROM part""")),
+    // KEY_FOR_STRING over a DECLARED dictionary column: ids are the real
+    // dense order-preserving dictionary ids (DictRegistry, built with
+    // the q315 distributed rank plan), so id = dense_rank(value) - 1
+    // exactly — the reference StringDictionary's ordering guarantee,
+    // hash-gated against DuckDB's dense_rank. Subsumes the round-1-7
+    // bijectivity contract (dense ids are trivially bijective).
+    "q95_key_for_string" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      graft.functions.DictRegistry.declare(s, s.table("part"), "p_type")
+      eng.sql(
+        """SELECT p_type, key_for_string(p_type) AS dict_id
+           FROM (SELECT DISTINCT p_type FROM part)""")
+    }),
 
     // Remaining string-op kinds from `Shared/sqldefs.h:92-141`: pad,
     // reverse, one-sided trims, BASE64 encode/decode round-trip.
@@ -280,10 +283,10 @@ object SqlSurface {
                 regexp_replace(c_name, '0+', '#', 'g') AS collapsed
          FROM customer""",
     "q95_key_for_string" ->
-      """SELECT count(DISTINCT hash(p_type))::BIGINT AS n_keys,
-                count(DISTINCT p_type)::BIGINT AS n_strings,
-                true AS bijective
-         FROM part""",
+      """SELECT p_type,
+                (dense_rank() OVER (ORDER BY p_type) - 1)::BIGINT
+                  AS dict_id
+         FROM (SELECT DISTINCT p_type FROM part)""",
     "q146_string_kinds" ->
       """SELECT c_custkey,
                 lpad(c_mktsegment, 12, '*') AS lp,

@@ -155,6 +155,45 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getInt(1) == 1))
   }
 
+  test("KEY_FOR_STRING: declared dictionary yields dense " +
+      "order-preserving ids; undeclared stays hash; unknown is null") {
+    import spark.implicits._
+    import graft.functions.DictRegistry
+    val eng = HeavyEngine(spark, sf)
+    val df = Seq("pear", "apple", "zebra", "apple", "mango", "Pear")
+      .toDF("fruit_r8")
+    df.createOrReplaceTempView("dict_r8")
+    val card = DictRegistry.declare(spark, df, "fruit_r8")
+    assert(card == 5) // distinct values
+    val got = eng.sql(
+      "SELECT DISTINCT fruit_r8, key_for_string(fruit_r8) AS id " +
+        "FROM dict_r8").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dense [0, D) and id order == value (binary) order
+    assert(got.values.toSeq.sorted == (0L until 5L))
+    val byValue = got.toSeq.sortBy(_._1)
+    assert(byValue.map(_._2) == byValue.map(_._2).sorted,
+      "id order diverges from value order")
+    // unknown value -> null (transient-dictionary contract)
+    val unk = eng.sql("SELECT key_for_string(fruit_r8) AS id FROM " +
+      "(SELECT 'durian' AS fruit_r8)").collect().head
+    assert(unk.isNullAt(0))
+    // undeclared column falls back to the xxhash64 surrogate
+    val h = eng.sql("SELECT key_for_string(n_name) AS k, " +
+      "xxhash64(n_name) AS x FROM nation").collect()
+    assert(h.forall(r => r.getLong(0) == r.getLong(1)))
+    // and the dense lookup stays inside whole-stage codegen over a real
+    // scan (the tiny local view above constant-folds to LocalTableScan,
+    // which exercises only interpreted eval)
+    DictRegistry.declare(spark, spark.table("part"), "p_type")
+    val q = eng.sql("SELECT key_for_string(p_type) AS id FROM part")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "dict lookup fell out of codegen")
+    DictRegistry.drop("fruit_r8")
+    DictRegistry.drop("p_type")
+  }
+
   test("MV rewrite handles DECIMAL sum measures (type preserved)") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_r8d")
