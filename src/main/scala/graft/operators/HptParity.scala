@@ -36,15 +36,25 @@ object HptParity {
   /** events + ts_3 (millisecond-grain) and ts_6 (microsecond-grain)
     * columns. All arithmetic is integer (`%` on longs), never double —
     * epoch-µs values exceed 2^53.
+    *
+    * The derivation is CTAS'd into a staged parquet table (round-8): a
+    * physical timestamp column instead of a per-query projection, so
+    * q244's µs-precision range predicate reaches the parquet reader as
+    * `PushedFilters` (row-group min/max skipping — the reference stores
+    * ts(3)/(6) physically and prunes fragments the same way,
+    * `Shared/sqltypes.h:77`), instead of post-scan codegen over every
+    * row. One write, shared by q242-q244 via the Stage cache.
     */
   private def hpt(s: SparkSession, d: String): DataFrame = {
     val us = unix_micros(col("ts"))
-    t(s, d, "events")
-      .withColumn("ts_3",
-        timestamp_micros(us - pmod(us, lit(1000L)) +
-          pmod(col("event_id"), lit(997L)) * 1000L))
-      .withColumn("ts_6",
-        timestamp_micros(us + pmod(col("event_id"), lit(999983L))))
+    graft.Stage(
+      t(s, d, "events")
+        .withColumn("ts_3",
+          timestamp_micros(us - pmod(us, lit(1000L)) +
+            pmod(col("event_id"), lit(997L)) * 1000L))
+        .withColumn("ts_6",
+          timestamp_micros(us + pmod(col("event_id"), lit(999983L)))),
+      "hpt_physical")
   }
 
   val queries: Seq[(String, Q)] = Seq(

@@ -128,6 +128,37 @@ object Windows {
           .otherwise(lit(0L)))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .as("urgent_so_far"))
+    }),
+
+    // *_IN_FRAME value-function variants (`Shared/sqldefs.h:143-195`
+    // LAG_IN_FRAME / LEAD_IN_FRAME / FIRST_VALUE_IN_FRAME /
+    // LAST_VALUE_IN_FRAME / NTH_VALUE_IN_FRAME): value functions
+    // evaluated against an EXPLICIT frame instead of the whole
+    // partition. FIRST/LAST/NTH take the ROWS frame directly (empty
+    // frame → NULL); LAG/LEAD_IN_FRAME(x, k) is the offset row iff it
+    // falls inside the frame, expressed as the frame-membership
+    // predicate over row_number — the identical formula on both
+    // engines. The RANGE leg runs on the epoch-µs axis (1-hour trailing
+    // frame), tie-safe because RANGE frames include all order-key peers.
+    "q330_window_in_frame" -> ((s, d) => {
+      val wp = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w3 = wp.rowsBetween(-3, -1)
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      val rn = row_number().over(wp)
+      val np = count(lit(1)).over(Window.partitionBy(col("event_type")))
+      t(s, d, "events").select(
+        col("event_id"), col("event_type"),
+        first(col("value")).over(w3).as("fv_frame"),
+        last(col("value")).over(w3).as("lv_frame"),
+        nth_value(col("value"), 2).over(w3).as("nv2_frame"),
+        when(rn > 2, lag(col("value"), 2).over(wp)).as("lag_in_frame"),
+        when(np - rn >= 2, lead(col("value"), 2).over(wp))
+          .as("lead_in_frame"),
+        min(col("value")).over(wr).as("min_1h"),
+        count(lit(1)).over(wr).as("n_1h"))
     })
   )
 
@@ -211,6 +242,29 @@ object Windows {
                   PRECEDING AND CURRENT ROW))::BIGINT AS urgent_so_far
          FROM orders
          WINDOW w AS (PARTITION BY o_orderstatus
-                      ORDER BY o_totalprice ASC, o_orderkey ASC)"""
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
+    "q330_window_in_frame" ->
+      """SELECT event_id, event_type,
+                first_value(value) OVER w3 AS fv_frame,
+                last_value(value) OVER w3 AS lv_frame,
+                nth_value(value, 2) OVER w3 AS nv2_frame,
+                CASE WHEN row_number() OVER wp > 2
+                     THEN lag(value, 2) OVER wp END AS lag_in_frame,
+                CASE WHEN (count(*) OVER wpart) - (row_number() OVER wp)
+                          >= 2
+                     THEN lead(value, 2) OVER wp END AS lead_in_frame,
+                min(value) OVER wr AS min_1h,
+                (count(*) OVER wr)::BIGINT AS n_1h
+         FROM events
+         WINDOW
+           wp AS (PARTITION BY event_type
+                  ORDER BY ts::TIMESTAMP ASC, event_id ASC),
+           w3 AS (PARTITION BY event_type
+                  ORDER BY ts::TIMESTAMP ASC, event_id ASC
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+           wpart AS (PARTITION BY event_type),
+           wr AS (PARTITION BY event_type
+                  ORDER BY epoch_us(ts::TIMESTAMP)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
   )
 }

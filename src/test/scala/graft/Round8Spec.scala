@@ -194,6 +194,17 @@ class Round8Spec extends AnyFunSuite {
     DictRegistry.drop("p_type")
   }
 
+  test("q244: the µs-precision range filter reaches the parquet scan " +
+      "as PushedFilters over the physical ts_6 column") {
+    val df = operators.HptParity.queries
+      .find(_._1 == "q244_hpt_range_us").get._2(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      """PushedFilters: \[[^\]]*ts_6""".r.findFirstIn(plan).isDefined,
+      s"ts_6 range not pushed to parquet:\n$plan")
+  }
+
   test("MV rewrite handles DECIMAL sum measures (type preserved)") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_r8d")
