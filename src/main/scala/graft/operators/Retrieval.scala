@@ -139,6 +139,51 @@ object Retrieval {
         .filter(col("rnk") <= 5)
         .select(col("a_id"), col("n_id"), col("n_label"),
           col("rnk"), col("sim"))
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    // parallel-corpus alignment step of a multilingual training
+    // pipeline): candidate pair score = cos(a,b) normalized by the mean
+    // of each side's k-NN similarities, which cancels hubness; a pair is
+    // mined when its best margin exceeds 1. Two "languages" are the
+    // vec_id parity classes. Scale shape = q252's filtered vector
+    // search: side A is the bounded broadcast batch (at 100 TB the
+    // mining batch), ONE corpus scan builds the A×B similarity block,
+    // and both directions' k-NN means come from that same staged block
+    // (windows partitioned by a_id / b_id — never global). All scores
+    // rounded to 6 before ranking so both engines rank identically.
+    "q332_bitext_margin" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val K = 4
+      val a = broadcast(emb
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") < 80)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb")))
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val pairs = graft.Stage(
+        b.crossJoin(a).select(col("a_id"), col("b_id"),
+          round(cosine_similarity(col("a_emb"), col("b_emb")), 6)
+            .as("cos")),
+        "q332_pairs")
+      val wa = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos").desc, col("b_id").asc)
+      val wb = Window.partitionBy(col("b_id"))
+        .orderBy(col("cos").desc, col("a_id").asc)
+      val aTop = pairs.withColumn("rk", row_number().over(wa))
+        .filter(col("rk") <= K).groupBy(col("a_id"))
+        .agg(round(avg(col("cos")), 6).as("avg_a"))
+      val bTop = pairs.withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= K).groupBy(col("b_id"))
+        .agg(round(avg(col("cos")), 6).as("avg_b"))
+      val m = pairs.join(broadcast(aTop), "a_id")
+        .join(broadcast(bTop), "b_id")
+        .withColumn("margin",
+          round(col("cos") / ((col("avg_a") + col("avg_b")) / 2), 6))
+      val wBest = Window.partitionBy(col("a_id"))
+        .orderBy(col("margin").desc, col("b_id").asc)
+      m.withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1 && col("margin") > 1.0)
+        .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
     })
   )
 
@@ -216,6 +261,40 @@ object Retrieval {
                     ORDER BY sim DESC, n_id ASC) AS INT) AS rnk
            FROM scored)
          SELECT a_id, n_id, n_label, rnk, sim FROM ranked
-         WHERE rnk <= 5"""
+         WHERE rnk <= 5""",
+    "q332_bitext_margin" ->
+      """WITH a AS (
+           SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id < 80),
+         b AS (
+           SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+           WHERE vec_id % 2 = 1),
+         pairs AS (
+           SELECT a_id, b_id,
+                  round(list_cosine_similarity(a_emb::DOUBLE[],
+                    b_emb::DOUBLE[]), 6) AS cos
+           FROM a, b),
+         atop AS (
+           SELECT a_id, round(avg(cos), 6) AS avg_a FROM (
+             SELECT a_id, cos, row_number() OVER (PARTITION BY a_id
+               ORDER BY cos DESC, b_id ASC) AS rk FROM pairs)
+           WHERE rk <= 4 GROUP BY a_id),
+         btop AS (
+           SELECT b_id, round(avg(cos), 6) AS avg_b FROM (
+             SELECT b_id, cos, row_number() OVER (PARTITION BY b_id
+               ORDER BY cos DESC, a_id ASC) AS rk FROM pairs)
+           WHERE rk <= 4 GROUP BY b_id),
+         m AS (
+           SELECT p.a_id, p.b_id, p.cos,
+                  round(p.cos / ((avg_a + avg_b) / 2), 6) AS margin
+           FROM pairs p
+           JOIN atop USING (a_id) JOIN btop USING (b_id)),
+         best AS (
+           SELECT a_id, b_id, cos, margin,
+                  row_number() OVER (PARTITION BY a_id
+                    ORDER BY margin DESC, b_id ASC) AS rk
+           FROM m)
+         SELECT a_id, b_id, cos, margin FROM best
+         WHERE rk = 1 AND margin > 1.0"""
   )
 }

@@ -159,6 +159,36 @@ object Windows {
           .as("lead_in_frame"),
         min(col("value")).over(wr).as("min_1h"),
         count(lit(1)).over(wr).as("n_1h"))
+    }),
+
+    // SQL:2016 frame EXCLUDE clause (EXCLUDE CURRENT ROW / GROUP /
+    // TIES) — Spark has no EXCLUDE syntax, so each variant is derived
+    // from two framed aggregates: full-frame minus the current row /
+    // minus the peer-group sum (the CURRENT ROW..CURRENT ROW RANGE
+    // frame IS the peer group) / plus the current row back for TIES.
+    // NULL-on-empty matches the standard via count guards. Measures are
+    // exact integers (floor(value·1000)) so the subtraction algebra is
+    // exact on both engines; the oracle uses DuckDB's NATIVE EXCLUDE,
+    // so this gates real standard semantics, not a shared rewrite.
+    "q331_window_exclude" -> ((s, d) => {
+      val day = date_trunc("day", col("ts"))
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), day.as("d"),
+          floor(col("value") * 1000).cast("long").as("v"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeer = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      val cF = count(lit(1)).over(wCum)
+      val cP = count(lit(1)).over(wPeer)
+      val sF = sum(col("v")).over(wCum)
+      val sP = sum(col("v")).over(wPeer)
+      base.select(col("event_id"), col("event_type"), col("d"),
+        col("v"),
+        when(cF > 1, sF - col("v")).as("sum_excl_current"),
+        when(cF > cP, sF - sP).as("sum_excl_group"),
+        (sF - sP + col("v")).as("sum_excl_ties"),
+        (cF - 1).as("n_excl_current"))
     })
   )
 
@@ -265,6 +295,26 @@ object Windows {
            wpart AS (PARTITION BY event_type),
            wr AS (PARTITION BY event_type
                   ORDER BY epoch_us(ts::TIMESTAMP)
-                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q331_window_exclude" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS d,
+                  floor(value * 1000)::BIGINT AS v
+           FROM events)
+         SELECT event_id, event_type, d, v,
+                (sum(v) OVER (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   EXCLUDE CURRENT ROW))::BIGINT AS sum_excl_current,
+                (sum(v) OVER (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   EXCLUDE GROUP))::BIGINT AS sum_excl_group,
+                (sum(v) OVER (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   EXCLUDE TIES))::BIGINT AS sum_excl_ties,
+                (count(*) OVER (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   EXCLUDE CURRENT ROW))::BIGINT AS n_excl_current
+         FROM base"""
   )
 }
