@@ -655,6 +655,42 @@ object Dedup {
         .agg(count(when(col("dup_of") =!= col("cc_can"), 1))
           .as("n_multihop_docs"))
       pairAgg.crossJoin(broadcast(mh))
+    }),
+
+    // Canonical-representative selection after normalize-dedup (the
+    // C4/RefinedWeb "keep the best copy" step): documents are clustered
+    // by their NORMALIZED text (lowercase, non-alphanumerics → space,
+    // whitespace collapsed — catches trivially re-formatted copies q40's
+    // byte-exact hash misses), and each multi-member cluster keeps one
+    // canonical doc by (longest raw text, then smallest doc_id). One
+    // hash-partition shuffle on the normalized hash; the per-cluster
+    // window is partitioned (cluster-sized, never corpus-global).
+    "q335_dedup_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      // Planted re-formatted copies (uppercased + punctuation suffix):
+      // byte-distinct from their source — q40's exact hash misses them —
+      // but identical after normalization, so every planted pair forms a
+      // cluster whose canonical is the longer (planted) copy.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 200)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(upper(col("text")), lit(" *** ")).as("text"))
+      val base = docs.unionByName(planted)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          md5(norm).as("nh"))
+      val wSel = Window.partitionBy(col("nh"))
+        .orderBy(col("len").desc, col("doc_id").asc)
+      base
+        .withColumn("grp_n",
+          count(lit(1)).over(Window.partitionBy(col("nh"))))
+        .withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1 && col("grp_n") > 1)
+        .select(col("nh"), col("doc_id").as("canonical_id"),
+          col("grp_n"), col("len").as("canon_len"))
     })
   )
 
@@ -994,7 +1030,28 @@ object Dedup {
          SELECT doc_id,
                 ($bits)::BIGINT AS simhash
          FROM v"""
-    }
+    },
+    "q335_dedup_canonical" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000, upper(text) || ' *** '
+           FROM documents WHERE doc_id % 7 = 0 AND doc_id < 200),
+         base AS (
+           SELECT doc_id, length(text)::INT AS len,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+           FROM corpus),
+         g AS (
+           SELECT nh, count(*)::BIGINT AS grp_n FROM base
+           GROUP BY nh HAVING count(*) > 1),
+         r AS (
+           SELECT b.nh, b.doc_id, b.len, g.grp_n,
+                  row_number() OVER (PARTITION BY b.nh
+                    ORDER BY b.len DESC, b.doc_id ASC) AS rk
+           FROM base b JOIN g USING (nh))
+         SELECT nh, doc_id AS canonical_id, grp_n, len AS canon_len
+         FROM r WHERE rk = 1"""
   )
 
   /** Shared DuckDB CTE chain replaying shingling → 60-bit base hash →

@@ -205,8 +205,40 @@ object SqlSurface {
              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
              WHERE c.c_nationkey = n.n_nationkey
              ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
-           ) AS top""")
-    )
+           ) AS top""")),
+
+    // CUBE + GROUPING markers: completes the grouping-extension family
+    // (q118 ROLLUP, q145 GROUPING SETS) with the full 2^k lattice and
+    // the standard disambiguation function — gid distinguishes a
+    // grouped-out dimension from a genuine NULL group value. The gid
+    // bit order is computed explicitly (grouping(a)*2 + grouping(b)) so
+    // both engines agree regardless of their internal grouping_id bit
+    // conventions.
+    "q333_cube_grouping" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT) * 2
+                    + CAST(grouping(l_linestatus) AS INT) AS gid,
+                  count(*) AS n,
+                  CAST(sum(l_quantity) AS BIGINT) AS qty
+           FROM lineitem
+           GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // STRING_AGG / LISTAGG parity (ordered string aggregation): Spark
+    // expresses it as concat_ws over sort_array(collect_list(..)) — the
+    // aggregation stays a partial-merge hash aggregate (map-side
+    // combine), the per-group sort is bounded by group size. The oracle
+    // is DuckDB's native ORDER BY string_agg, so the gate checks real
+    // ordered-aggregation semantics.
+    "q334_string_agg" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT o_custkey,
+                  concat_ws(',',
+                    sort_array(collect_list(CAST(o_orderkey AS STRING))))
+                    AS keys_csv,
+                  count(*) AS n
+           FROM orders WHERE o_custkey < 100
+           GROUP BY o_custkey"""))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -334,6 +366,21 @@ object SqlSurface {
          FROM (SELECT o_orderkey, o_custkey, o_totalprice
                FROM orders WHERE o_totalprice > 100000) v
          JOIN customer c ON c.c_custkey = v.o_custkey
-         GROUP BY c.c_mktsegment"""
+         GROUP BY c.c_mktsegment""",
+    "q333_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus,
+                (GROUPING(l_returnflag) * 2
+                  + GROUPING(l_linestatus))::INT AS gid,
+                count(*)::BIGINT AS n,
+                sum(l_quantity)::BIGINT AS qty
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q334_string_agg" ->
+      """SELECT o_custkey,
+                string_agg(o_orderkey::VARCHAR, ','
+                  ORDER BY o_orderkey::VARCHAR) AS keys_csv,
+                count(*)::BIGINT AS n
+         FROM orders WHERE o_custkey < 100
+         GROUP BY o_custkey"""
   )
 }
