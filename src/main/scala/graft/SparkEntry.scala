@@ -46,6 +46,7 @@ object SparkEntry {
     (operators.Profiling.queries, operators.Profiling.oracles),
     (operators.OpsDiagnostics.queries, operators.OpsDiagnostics.oracles),
     (operators.GraphAnalytics.queries, operators.GraphAnalytics.oracles),
+    (operators.Round8Ops.queries, operators.Round8Ops.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
