@@ -51,23 +51,50 @@ object Round8Ops {
           sum(col("is_e") - col("is_s")).as("covered_us"))
     }),
 
-    // Cohort retention matrix: users cohorted by first-activity day;
-    // for offsets 0..7 days, how many of each cohort were active. The
-    // warehouse retention query: one distinct (user, day) projection,
-    // a min-day aggregate, a keyed self-join on user, exact integer
-    // counts. Shuffles only on user_id / (cohort, offset).
-    "q337_cohort_retention" -> ((s, d) => {
-      val days = t(s, d, "events")
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val cohorts = days.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort"))
-      days.join(cohorts, "user_id")
-        .select(col("cohort"), col("user_id"),
-          datediff(col("day"), col("cohort")).as("day_offset"))
-        .filter(col("day_offset") <= 7)
-        .groupBy(col("cohort"), col("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
+    // 2-D skyline (Pareto frontier): orders not dominated by any other
+    // (earlier-or-same day AND higher-or-equal price, one strict) —
+    // the multi-criteria "best offers" operator. A skyline over a
+    // date-ordered axis is a PREFIX-MAX scan, which Spark would
+    // otherwise plan as one global unpartitioned window; instead this
+    // uses the distributed scan pattern (q315's offset trick):
+    // range-partition by day, per-partition prefix max (partitioned
+    // window), then broadcast each partition's running max so
+    // global_prefix_max = max(local, preceding partitions' max).
+    // Equal days never straddle partitions (range partitioner keeps
+    // equal keys together), so partition-prefix maxes are strictly
+    // earlier days. Driver traffic = one 8-row collect.
+    "q337_skyline_pareto" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+          .as("day"),
+        col("o_totalprice").as("price"))
+      val parts = base.repartitionByRange(8, col("day"))
+        .withColumn("pid", spark_partition_id())
+      val wPrev = Window.partitionBy(col("pid")).orderBy(col("day"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val local = graft.Stage(parts
+        .withColumn("cmax_prev", max(col("price")).over(wPrev))
+        .withColumn("peer_max",
+          max(col("price")).over(
+            Window.partitionBy(col("pid"), col("day")))),
+        "q337_local")
+      val pm = local.groupBy(col("pid")).agg(max(col("price")).as("pm"))
+        .collect().sortBy(_.getInt(0)) // bounded: one row per partition
+      val scan = pm.scanLeft((0, Double.NegativeInfinity)) {
+        case ((_, acc), r) => (r.getInt(0), math.max(acc, r.getDouble(1)))
+      }
+      val offDf = scan.init.zip(scan.tail)
+        .map { case ((_, before), (pid, _)) => (pid, before) }
+        .toSeq.toDF("pid", "prev_part_max")
+      local.join(broadcast(offDf), "pid")
+        .withColumn("gmax_prev",
+          greatest(coalesce(col("cmax_prev"),
+            lit(Double.NegativeInfinity)), col("prev_part_max")))
+        .filter(col("price") > col("gmax_prev") &&
+          col("price") === col("peer_max"))
+        .select(col("o_orderkey"), col("day"), col("price"))
     }),
 
     // Higher-order array-lambda surface (§2.8 array ops completed):
@@ -160,19 +187,23 @@ object Round8Ops {
          SELECT user_id, count(*)::BIGINT AS n_islands,
                 sum(is_e - is_s)::BIGINT AS covered_us
          FROM islands GROUP BY user_id""",
-    "q337_cohort_retention" ->
-      """WITH days AS (
-           SELECT DISTINCT user_id,
-                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day
-           FROM events),
-         cohorts AS (
-           SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id)
-         SELECT c.cohort, date_diff('day', c.cohort, d.day)::INT
-                  AS day_offset,
-                count(DISTINCT d.user_id)::BIGINT AS n_active
-         FROM days d JOIN cohorts c USING (user_id)
-         WHERE date_diff('day', c.cohort, d.day) <= 7
-         GROUP BY 1, 2""",
+    "q337_skyline_pareto" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  date_diff('day', DATE '1990-01-01',
+                    o_orderdate::DATE)::INT AS day,
+                  o_totalprice AS price
+           FROM orders),
+         d AS (
+           SELECT o_orderkey, day, price,
+                  max(price) OVER (ORDER BY day
+                    RANGE BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS cmax_prev,
+                  max(price) OVER (PARTITION BY day) AS peer_max
+           FROM base)
+         SELECT o_orderkey, day, price FROM d
+         WHERE (cmax_prev IS NULL OR price > cmax_prev)
+           AND price = peer_max""",
     "q338_array_lambda" ->
       """SELECT l_orderkey, l_linenumber,
                 list_transform(arr, x -> x * 2) AS doubled,
