@@ -150,10 +150,106 @@ object Round8Ops {
           (sum(col("boundary")) + 1L).as("n_chunks"))
         .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
           expr("n_tokens * 1000 DIV n_chunks").as("mean_chunk_millitok"))
+    }),
+
+    // Time-weighted average (TWAP): each observation holds until the
+    // user's next event, so the mean is Σ(v·dt)/Σ(dt) — the correct
+    // average for irregularly-sampled series (an arithmetic mean
+    // over-weights bursts). Values scaled to exact milli-units
+    // (floor(v·1000)) and dt in integer µs, so both engines sum
+    // identically; the final ratio is integer millis. One lead window +
+    // one aggregate per user — a single user_id shuffle.
+    "q340_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("span_us"),
+          expr("sum(vm * dt_us) DIV sum(dt_us)").as("twap_milli"))
+    }),
+
+    // OHLC candle bars — the time-series rollup every market/telemetry
+    // store ships (the reference's taxis/flights dashboards are this
+    // shape): per (event_type, day): open = first value by time,
+    // high/low extrema, close = last, volume. first/last ride the
+    // min/max of a (µs-timestamp, tie-break id, value) packed struct —
+    // a plain partial-merge aggregate, no window at all, so at 100 TB
+    // this is one map-side-combining shuffle on the (series, bar) key.
+    "q341_ohlc_bars" -> ((s, d) => {
+      val packed = struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      t(s, d, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"), packed.as("pk"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(min(col("pk")).getField("value").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(col("pk")).getField("value").as("close"),
+          count(lit(1)).as("volume"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis, IPL
+    // 2006): key = u^(1/w) with u uniform — the top-k keys ARE a
+    // w-weighted sample. Deterministic u from the portable 60-bit md5
+    // hash (u = h/2^60), w = document length; keys rounded to 9 so both
+    // engines rank identically; ties broken by doc_id. The
+    // quality-weighted corpus subsampling step of a data pipeline,
+    // reduced to one TakeOrdered top-k — no shuffle beyond it.
+    "q342_weighted_sample" -> ((s, d) => {
+      val u = hash60(concat(lit("es:"), col("doc_id").cast("string")))
+        .cast("double") / lit(1.152921504606846976e18)
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("w"))
+        .withColumn("key",
+          round(pow(u, lit(1.0) / col("w").cast("double")), 9))
+        .orderBy(col("key").desc, col("doc_id").asc)
+        .limit(25)
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q340_twap" ->
+      """WITH base AS (
+           SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                  floor(value * 1000)::BIGINT AS vm
+           FROM events),
+         led AS (
+           SELECT user_id, vm,
+                  epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC))
+                    - epoch_us(ts) AS dt_us
+           FROM base)
+         SELECT user_id, count(*)::BIGINT AS n_intervals,
+                sum(dt_us)::BIGINT AS span_us,
+                (sum(vm * dt_us) // sum(dt_us))::BIGINT AS twap_milli
+         FROM led WHERE dt_us IS NOT NULL
+         GROUP BY user_id""",
+    "q341_ohlc_bars" ->
+      """SELECT event_type,
+                date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                (min({'us': epoch_us(ts::TIMESTAMP), 'id': event_id,
+                      'v': value})).v AS open,
+                max(value) AS high, min(value) AS low,
+                (max({'us': epoch_us(ts::TIMESTAMP), 'id': event_id,
+                      'v': value})).v AS close,
+                count(*)::BIGINT AS volume
+         FROM events
+         GROUP BY 1, 2""",
+    "q342_weighted_sample" ->
+      """WITH base AS (
+           SELECT doc_id, length(text)::INT AS w,
+                  ('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 15))
+                    ::BIGINT::DOUBLE / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT doc_id, w, round(pow(u, 1.0 / w), 9) AS key
+         FROM base
+         ORDER BY key DESC, doc_id ASC LIMIT 25""",
     "q336_interval_coverage" ->
       """WITH base AS (
            SELECT user_id, event_id,
