@@ -47,6 +47,7 @@ object SparkEntry {
     (operators.OpsDiagnostics.queries, operators.OpsDiagnostics.oracles),
     (operators.GraphAnalytics.queries, operators.GraphAnalytics.oracles),
     (operators.Round8Ops.queries, operators.Round8Ops.oracles),
+    (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

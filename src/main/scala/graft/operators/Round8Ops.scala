@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 
 /** Round-8 additions beyond the reference-parity backlog: interval-union
-  * coverage, cohort retention, the higher-order array-lambda surface, and
-  * content-defined chunking. Each is a staple of the product-analytics /
+  * coverage, a distributed 2-D skyline, the higher-order array-lambda
+  * surface, content-defined chunking, TWAP, OHLC bars, and weighted
+  * sampling. Each is a staple of the product-analytics / time-series /
   * training-data workloads the engine targets, hash-gated vs DuckDB.
   */
 object Round8Ops {
