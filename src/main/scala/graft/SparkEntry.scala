@@ -48,6 +48,7 @@ object SparkEntry {
     (operators.GraphAnalytics.queries, operators.GraphAnalytics.oracles),
     (operators.Round8Ops.queries, operators.Round8Ops.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
+    (operators.DataQuality.queries, operators.DataQuality.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )
