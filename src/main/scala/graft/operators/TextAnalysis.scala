@@ -327,12 +327,17 @@ object TextAnalysis {
         (regexp_count(col("text"), lit("[#…]|\\.\\.\\."))
           .cast("double") / size(tk).cast("double"))
           .as("symbol_word_ratio"))
+      // Bigrams are carried as 64-bit hashes, not strings: the
+      // (doc_id, bigram) partial-aggregate shuffle is the query's cost
+      // center and an 8-byte key cuts its width ~4× vs concatenated
+      // token pairs. top_bigram_frac only needs per-distinct counts, so
+      // the identity of the bigram never leaves the executor (a 2^-64
+      // in-doc collision would merge two counts; corpus-irrelevant).
       val bigrams = docs.select(col("doc_id"),
         explode(when(size(tk) >= 2,
           transform(sequence(lit(0), size(tk) - 2),
-            i => concat_ws(" ",
-              element_at(tk, i + 1), element_at(tk, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+            i => xxhash64(element_at(tk, i + 1), element_at(tk, i + 2))))
+          .otherwise(array().cast("array<bigint>"))).as("bg"))
       val top = bigrams.groupBy(col("doc_id"), col("bg"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
