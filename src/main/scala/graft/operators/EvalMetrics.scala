@@ -132,6 +132,33 @@ object EvalMetrics {
           "DIV (2 * n_pos * n_neg)").as("auc_ppm"))
     }),
 
+    // Inter-rater agreement (Cohen's kappa) between two heuristic
+    // quality raters — the calibration check run before trusting any
+    // pair of corpus-quality classifiers (q46/q253 family): rater A =
+    // length gate, rater B = lexical-diversity gate. kappa =
+    // (p_o − p_e)/(1 − p_e) computed entirely in exact integer counts:
+    // kappa_ppm = (agree·n − Σ marginal products)·10⁶ / (n² − Σ ...).
+    // One scan, one aggregate. (n² stays in long to ~3·10⁹ rows; the
+    // 100 TB form lifts the two products to DECIMAL(38).)
+    "q352_rater_agreement" -> ((s, d) => {
+      val tk = split(trim(lower(col("text"))), "\\s+")
+      val a = when(size(tk) >= 40, 1L).otherwise(0L)
+      val b = when(size(array_distinct(tk)) * 2L >= size(tk), 1L)
+        .otherwise(0L)
+      t(s, d, "documents")
+        .select(a.as("ra"), b.as("rb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra") * col("rb")).as("n11"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"),
+          sum(col("ra")).as("a1"), sum(col("rb")).as("b1"))
+        .select(col("n"), col("n11"), col("n00"),
+          expr("""(
+              ((n11 + n00) * n - (a1 * b1 + (n - a1) * (n - b1)))
+              * 1000000
+            ) DIV (n * n - (a1 * b1 + (n - a1) * (n - b1)))""")
+            .as("kappa_ppm"))
+    }),
+
     // Gini coefficient of revenue concentration per order status —
     // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted exact
     // cents. Σ i·x stays an exact long (≤ ~10¹⁵), so the one double
@@ -238,6 +265,27 @@ object EvalMetrics {
          SELECT n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
                 ((sum_r2_pos - n_pos * (n_pos + 1)) * 1000000
                   // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+         FROM agg""",
+    "q352_rater_agreement" ->
+      """WITH r AS (
+           SELECT CASE WHEN len(string_split_regex(trim(lower(text)),
+                    '\s+')) >= 40 THEN 1 ELSE 0 END AS ra,
+                  CASE WHEN len(list_distinct(
+                      string_split_regex(trim(lower(text)), '\s+'))) * 2
+                    >= len(string_split_regex(trim(lower(text)), '\s+'))
+                    THEN 1 ELSE 0 END AS rb
+           FROM documents),
+         agg AS (
+           SELECT count(*)::BIGINT AS n,
+                  sum(ra * rb)::BIGINT AS n11,
+                  sum((1 - ra) * (1 - rb))::BIGINT AS n00,
+                  sum(ra)::BIGINT AS a1, sum(rb)::BIGINT AS b1
+           FROM r)
+         SELECT n, n11, n00,
+                (((n11 + n00) * n - (a1 * b1 + (n - a1) * (n - b1)))
+                  * 1000000
+                  // (n * n - (a1 * b1 + (n - a1) * (n - b1))))::BIGINT
+                  AS kappa_ppm
          FROM agg""",
     "q346_gini_lorenz" ->
       """WITH c AS (

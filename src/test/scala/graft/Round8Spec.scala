@@ -35,6 +35,26 @@ class Round8Spec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ExactSelection: randomized multisets match sorted ground truth " +
+      "(ties, continuous, extreme outlier skew)") {
+    import spark.implicits._
+    val gens: Seq[IndexedSeq[Double]] = Seq(
+      (0 until 5000).map(i => ((i * 2654435761L) % 977 % 13).toDouble),
+      (0 until 5000).map(i => math.abs(math.sin(i.toDouble)) * 1e6),
+      (0 until 5000).map(i =>
+        if (i % 100 == 0) (i + 1).toDouble * 1e9 else 42.0))
+    for ((xs, gi) <- gens.zipWithIndex) {
+      val df = xs.toDF("x")
+      val sorted = xs.sorted
+      for (k <- Seq(1, 17, 2500, 4999, 5000)) {
+        val sel = operators.ExactSelection
+          .kth(df, "x", k.toLong, cap = 200L, fanout = 8)
+        assert(sel.value == sorted(k - 1), s"gen $gi rank $k")
+        assert(sel.finalN <= 200L, s"gen $gi rank $k unbounded sort")
+      }
+    }
+  }
+
   test("ExactSelection: all-equal column terminates via the " +
       "single-value bucket, never by sorting") {
     val df = spark.range(50000).select(lit(42.5).as("x"))
