@@ -224,6 +224,55 @@ object SqlSurface {
            FROM lineitem
            GROUP BY CUBE(l_returnflag, l_linestatus)""")),
 
+    // INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving set ops
+    // q119's DISTINCT forms omit (bag semantics: a row occurring m and
+    // n times survives min(m,n) / max(0,m−n) times). Catalyst plans
+    // both as aggregates over per-side counts — one shuffle each, no
+    // join — which is exactly the scalable bag-set-op plan.
+    "q353_setops_all" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT x, 'intersect_all' AS op FROM
+             (SELECT l_suppkey % 100 AS x FROM lineitem
+              WHERE l_linenumber = 1
+              INTERSECT ALL
+              SELECT s_suppkey % 100 AS x FROM supplier)
+           UNION ALL
+           SELECT x, 'except_all' AS op FROM
+             (SELECT o_custkey % 50 AS x FROM orders
+              WHERE o_orderkey < 500
+              EXCEPT ALL
+              SELECT c_custkey % 50 AS x FROM customer)""")),
+
+    // MapType surface: JSON props parsed to MAP<STRING,BIGINT>,
+    // augmented via map_concat, then map_keys / element_at /
+    // map_filter with a (k, v) lambda — all codegen'd. The oracle
+    // replays the VALUES (json_extract + arithmetic); the map
+    // machinery itself is the Spark-side subject under test.
+    "q354_map_ops" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT event_id,
+                  size(m) AS n_keys,
+                  concat_ws(',', sort_array(map_keys(m))) AS keys_csv,
+                  element_at(m, 'k') AS k_val,
+                  size(map_filter(m, (k, v) -> v > 50)) AS n_big
+           FROM (SELECT event_id,
+                        map_concat(from_json(props, 'map<string,bigint>'),
+                                   map('uid', user_id)) AS m
+                 FROM events)""")),
+
+    // Bitwise + boolean aggregates (BIT_AND/OR/XOR, BOOL_AND/OR) —
+    // the §2.4 aggregate-kind tail: permission-mask folding and
+    // predicate rollups, exact integer/boolean on both engines.
+    "q355_bitwise_aggs" -> ((s, d) =>
+      HeavyEngine(s, d).sql(
+        """SELECT event_type,
+                  bit_and(event_id) AS band,
+                  bit_or(event_id) AS bor,
+                  bit_xor(event_id) AS bxor,
+                  bool_and(value > 0) AS all_pos,
+                  bool_or(value > 8) AS any_big
+           FROM events GROUP BY event_type""")),
+
     // STRING_AGG / LISTAGG parity (ordered string aggregation): Spark
     // expresses it as concat_ws over sort_array(collect_list(..)) — the
     // aggregation stays a partial-merge hash aggregate (map-side
@@ -381,6 +430,34 @@ object SqlSurface {
                   ORDER BY o_orderkey::VARCHAR) AS keys_csv,
                 count(*)::BIGINT AS n
          FROM orders WHERE o_custkey < 100
-         GROUP BY o_custkey"""
+         GROUP BY o_custkey""",
+    "q353_setops_all" ->
+      """SELECT x, 'intersect_all' AS op FROM
+           (SELECT l_suppkey % 100 AS x FROM lineitem
+            WHERE l_linenumber = 1
+            INTERSECT ALL
+            SELECT s_suppkey % 100 AS x FROM supplier)
+         UNION ALL
+         SELECT x, 'except_all' AS op FROM
+           (SELECT o_custkey % 50 AS x FROM orders
+            WHERE o_orderkey < 500
+            EXCEPT ALL
+            SELECT c_custkey % 50 AS x FROM customer)""",
+    "q354_map_ops" ->
+      """SELECT event_id,
+                2::INT AS n_keys,
+                'k,uid' AS keys_csv,
+                json_extract(props, '$.k')::BIGINT AS k_val,
+                ((json_extract(props, '$.k')::BIGINT > 50)::INT
+                 + (user_id > 50)::INT)::INT AS n_big
+         FROM events""",
+    "q355_bitwise_aggs" ->
+      """SELECT event_type,
+                bit_and(event_id)::BIGINT AS band,
+                bit_or(event_id)::BIGINT AS bor,
+                bit_xor(event_id)::BIGINT AS bxor,
+                bool_and(value > 0) AS all_pos,
+                bool_or(value > 8) AS any_big
+         FROM events GROUP BY event_type"""
   )
 }
