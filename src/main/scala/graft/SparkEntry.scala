@@ -49,6 +49,7 @@ object SparkEntry {
     (operators.Round8Ops.queries, operators.Round8Ops.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
+    (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
     (sources.Sources.queries, sources.Sources.oracles),
     (streaming.StreamingIngest.queries, streaming.StreamingIngest.oracles)
   )

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Round-8 batch F (q356-q359): decimal money aggregation, error-safe
+  * TRY arithmetic, rolling active users (DAU/WAU stickiness), and a
+  * distributed sequence-integrity audit. Hash-gated vs DuckDB.
+  */
+object OpsIntegrity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // DECIMAL money aggregation — sums/avgs computed entirely in the
+    // decimal domain (the q32 cast recipe lifted to the AGGREGATE
+    // level, where Spark widens precision +10 on sum and keeps scale+4
+    // on avg): exact to the cent at any row count, no binary-double
+    // drift. The oracle aggregates DuckDB DECIMALs and casts to the
+    // same output scales.
+    "q356_decimal_agg" -> ((s, d) => {
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,6)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(p).cast("decimal(38,2)").as("sum_price"),
+          sum(p * (lit(1).cast("decimal(18,6)") - disc))
+            .cast("decimal(38,8)").as("sum_net"),
+          avg(p).cast("decimal(38,6)").as("avg_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Error-safe TRY arithmetic (ANSI surface, §2.7 tail): try_divide
+    // null-on-zero, try_add null-on-overflow, try_to_number on mixed
+    // text, try_element_at past array end — the "never throw, yield
+    // NULL" contract a long pipeline needs. The overflow probe uses
+    // Long.MaxValue so the NULL is semantic, not data-dependent.
+    "q357_try_arithmetic" -> ((s, d) =>
+      graft.HeavyEngine(s, d).sql(
+        """SELECT l_orderkey, l_linenumber,
+                  try_divide(CAST(floor(l_extendedprice) AS BIGINT),
+                             CAST(l_linenumber - 1 AS BIGINT)) AS div0,
+                  try_add(9223372036854775807, l_orderkey) AS ovf,
+                  try_element_at(array(1L, 2L, 3L),
+                                 CAST(l_linenumber + 2 AS INT)) AS elem,
+                  try_cast(CASE WHEN l_linenumber = 1 THEN 'x'
+                            ELSE CAST(l_quantity AS STRING) END
+                           AS DOUBLE) AS num
+           FROM lineitem WHERE l_orderkey < 400""")),
+
+    // Rolling active users: per (event_type, day) — DAU, trailing-7-day
+    // WAU, and the DAU/WAU stickiness ratio in ppm. The daily DISTINCT
+    // user sets are collected per (type, day) and the 7-day window
+    // flattens + re-distincts them: exact, with per-day set cardinality
+    // as the documented bound (the 100 TB form swaps the sets for q171
+    // mergeable HLL sketches — same plan shape, approximate). Windows
+    // are partitioned by event_type over day grain (bounded rows).
+    "q358_rolling_active_users" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(collect_set(col("user_id")).as("users"),
+          countDistinct(col("user_id")).as("dau"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_date(col("day").cast("date")))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("wau",
+          size(array_distinct(flatten(collect_list(col("users"))
+            .over(w)))).cast("long"))
+        .select(col("event_type"), col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
+    }),
+
+    // Sequence-integrity audit: find the missing ranges in an id
+    // sequence (planted holes: ids ≡ 0 mod 97 dropped) WITHOUT a
+    // global window — ids bucket by id DIV 1000; in-bucket gaps come
+    // from partitioned lag windows, cross-bucket gaps from the bounded
+    // per-bucket (min, max) collect stitched on the driver (the same
+    // bounded-metadata pattern as q315/q337/q345). Reports each gap
+    // run (start, end, width).
+    "q359_sequence_gaps" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val B = 1000L
+      val present = graft.Stage(t(s, d, "events")
+        .select(col("event_id").as("id"))
+        .filter(col("id") % 97 =!= 0)
+        .withColumn("b", expr(s"id DIV $B")), "q359_present")
+      val w = Window.partitionBy(col("b")).orderBy(col("id"))
+      val inBucket = present
+        .withColumn("prev", lag(col("id"), 1).over(w))
+        .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_start"),
+          (col("id") - 1).as("gap_end"))
+      // Bounded: one row per occupied bucket.
+      val edges = present.groupBy(col("b"))
+        .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .collect().sortBy(_.getLong(0))
+      val boundary = edges.sliding(2).collect {
+        case Array(a, c) if c.getLong(1) - a.getLong(2) > 1 =>
+          (a.getLong(2) + 1, c.getLong(1) - 1)
+      }.toSeq
+      val boundaryDf =
+        if (boundary.isEmpty)
+          Seq.empty[(Long, Long)].toDF("gap_start", "gap_end")
+        else boundaryDf2(spark, boundary)
+      inBucket.unionByName(boundaryDf)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("width"))
+    })
+  )
+
+  private def boundaryDf2(s: SparkSession,
+      rows: Seq[(Long, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("gap_start", "gap_end")
+  }
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q356_decimal_agg" ->
+      """SELECT l_returnflag,
+                sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)
+                  AS sum_price,
+                sum(l_extendedprice::DECIMAL(18,2)
+                    * (1 - l_discount::DECIMAL(18,6)))::DECIMAL(38,8)
+                  AS sum_net,
+                avg(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,6)
+                  AS avg_price,
+                count(*)::BIGINT AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q357_try_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_linenumber = 1 THEN NULL
+                     ELSE floor(l_extendedprice)::BIGINT
+                            / (l_linenumber - 1) END AS div0,
+                CASE WHEN l_orderkey > 0 THEN NULL
+                     ELSE 9223372036854775807 + l_orderkey END AS ovf,
+                CASE WHEN l_linenumber + 2 <= 3
+                     THEN ([1, 2, 3]::BIGINT[])[l_linenumber + 2]
+                     END AS elem,
+                TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'x'
+                          ELSE l_quantity::VARCHAR END AS DOUBLE) AS num
+         FROM lineitem WHERE l_orderkey < 400""",
+    "q358_rolling_active_users" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  count(DISTINCT user_id)::BIGINT AS dau
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT event_type, day FROM daily),
+         wau AS (
+           SELECT p.event_type, p.day,
+                  count(DISTINCT e.user_id)::BIGINT AS wau
+           FROM pairs p
+           JOIN events e
+             ON e.event_type = p.event_type
+            AND date_trunc('day', e.ts::TIMESTAMP)::TIMESTAMP
+                  BETWEEN p.day - INTERVAL 6 DAY AND p.day
+           GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.dau, w.wau,
+                (d.dau * 1000000 // w.wau)::BIGINT AS stickiness_ppm
+         FROM daily d JOIN wau w USING (event_type, day)""",
+    "q359_sequence_gaps" ->
+      """WITH present AS (
+           SELECT event_id AS id FROM events WHERE event_id % 97 <> 0),
+         gaps AS (
+           SELECT lag(id) OVER (ORDER BY id) + 1 AS gap_start,
+                  id - 1 AS gap_end
+           FROM present
+           QUALIFY id - lag(id) OVER (ORDER BY id) > 1)
+         SELECT gap_start::BIGINT AS gap_start,
+                gap_end::BIGINT AS gap_end,
+                (gap_end - gap_start + 1)::BIGINT AS width
+         FROM gaps"""
+  )
+}
