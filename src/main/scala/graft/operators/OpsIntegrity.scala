@@ -77,6 +77,47 @@ object OpsIntegrity {
           expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
     }),
 
+    // CUSUM changepoint detection — the recursive time-series operator
+    // class (S_t = max(0, S_{t-1} + x_t − target)) that plain window
+    // frames CANNOT express: the per-series day array is bounded, so
+    // the recursion runs as a codegen'd higher-order fold (`aggregate`
+    // over a slice per step; DuckDB replays with list_reduce). Alarms
+    // where the statistic crosses h. Series = per-type daily mean value
+    // in exact milli-units; target = the series' own mean (integer).
+    // At 100 TB the grouped day-grain array stays bounded (days per
+    // series), which is precisely why the fold is safe.
+    "q360_cusum_changepoint" -> ((s, d) => {
+      val h = 400L
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("sum(vm) DIV count(*)").as("m"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("m"))))
+          .as("series"))
+        .select(col("event_type"),
+          transform(col("series"), x => x.getField("m")).as("arr"))
+        .withColumn("n_days", size(col("arr")).cast("long"))
+        .withColumn("target",
+          expr("aggregate(arr, 0L, (a, x) -> a + x) DIV n_days"))
+        .withColumn("sser", expr(
+          """transform(sequence(1, int(n_days)),
+               i -> aggregate(slice(arr, 1, i), 0L,
+                      (a, x) -> greatest(0L, a + x - target)))"""))
+        .select(col("event_type"), col("n_days"), col("target"),
+          expr("aggregate(sser, 0L, (a, x) -> greatest(a, x))")
+            .as("max_cusum"),
+          expr(s"size(filter(sser, x -> x > ${h}L))").cast("long")
+            .as("n_alarms"),
+          expr(s"""element_at(
+                     concat(filter(sequence(1, int(n_days)),
+                              i -> element_at(sser, i) > ${h}L),
+                            array(-1)), 1)""").cast("long")
+            .as("first_alarm_idx"))
+    }),
+
     // Sequence-integrity audit: find the missing ranges in an id
     // sequence (planted holes: ids ≡ 0 mod 97 dropped) WITHOUT a
     // global window — ids bucket by id DIV 1000; in-bucket gaps come
@@ -167,6 +208,38 @@ object OpsIntegrity {
          SELECT d.event_type, d.day, d.dau, w.wau,
                 (d.dau * 1000000 // w.wau)::BIGINT AS stickiness_ppm
          FROM daily d JOIN wau w USING (event_type, day)""",
+    "q360_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  sum(floor(value * 1000)::BIGINT) // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type,
+                  list(m ORDER BY day) AS arr,
+                  count(*)::BIGINT AS n_days
+           FROM daily GROUP BY event_type),
+         tgt AS (
+           SELECT event_type, arr, n_days,
+                  list_reduce(arr, (a, x) -> a + x) // n_days AS target
+           FROM ser),
+         cs AS (
+           SELECT event_type, n_days, target,
+                  list_transform(range(1, n_days::INT + 1),
+                    i -> list_reduce(
+                           list_prepend(0::BIGINT, arr[1:i]),
+                           (a, x) -> greatest(0, a + x - target)))
+                    AS sser
+           FROM tgt)
+         SELECT event_type, n_days, target::BIGINT AS target,
+                list_reduce(list_prepend(0::BIGINT, sser),
+                  (a, x) -> greatest(a, x))::BIGINT AS max_cusum,
+                len(list_filter(sser, x -> x > 400))::BIGINT
+                  AS n_alarms,
+                (list_concat(list_filter(range(1, n_days::INT + 1),
+                    i -> sser[i] > 400), [-1]))[1]::BIGINT
+                  AS first_alarm_idx
+         FROM cs""",
     "q359_sequence_gaps" ->
       """WITH present AS (
            SELECT event_id AS id FROM events WHERE event_id % 97 <> 0),
