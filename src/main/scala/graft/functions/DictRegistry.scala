@@ -28,10 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolve to a codegen'd dense-id lookup (DictKey); undeclared columns
   * keep the xxhash64 surrogate.
   */
+/** Identity-equality wrapper around the dictionary map: Expression
+  * equality / plan canonicalization would otherwise DEEP-compare the
+  * whole HashMap on every rule pass. DictRegistry hands out one holder
+  * per declared column, so reference equality is exact.
+  */
+final class DictMap(
+    val m: java.util.HashMap[UTF8String, java.lang.Long])
+  extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case d: DictMap => d.m eq m
+    case _ => false
+  }
+  override def hashCode(): Int = System.identityHashCode(m)
+  override def toString: String = s"DictMap(${m.size()} entries)"
+}
+
 object DictRegistry {
 
-  private val dicts =
-    new ConcurrentHashMap[String, java.util.HashMap[UTF8String, java.lang.Long]]()
+  private val dicts = new ConcurrentHashMap[String, DictMap]()
 
   /** Build + register the dictionary for `column` of `df`. Returns the
     * dictionary cardinality. NULLs are not dictionary members (the
@@ -65,12 +80,11 @@ object DictRegistry {
       pairs.length * 2)
     pairs.foreach(r => m.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
-    dicts.put(column.toLowerCase, m)
+    dicts.put(column.toLowerCase, new DictMap(m))
     m.size().toLong
   }
 
-  def forColumn(name: String)
-      : Option[java.util.HashMap[UTF8String, java.lang.Long]] =
+  def forColumn(name: String): Option[DictMap] =
     Option(dicts.get(name.toLowerCase))
 
   def drop(name: String): Unit = dicts.remove(name.toLowerCase)
@@ -90,7 +104,7 @@ object DictRegistry {
   */
 case class DictKey(
     child: Expression,
-    dict: java.util.HashMap[UTF8String, java.lang.Long])
+    dict: DictMap)
   extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -103,11 +117,12 @@ case class DictKey(
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) null else dict.get(v.asInstanceOf[UTF8String])
+    if (v == null) null else dict.m.get(v.asInstanceOf[UTF8String])
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("dictMap", dict, "java.util.HashMap")
+    val mapRef = ctx.addReferenceObj("dictMap", dict.m,
+      "java.util.HashMap")
     val childGen = child.genCode(ctx)
     val hit = ctx.freshName("dictId")
     ev.copy(code =
