@@ -154,6 +154,65 @@ object OpsIntegrity {
       inBucket.unionByName(boundaryDf)
         .select(col("gap_start"), col("gap_end"),
           (col("gap_end") - col("gap_start") + 1).as("width"))
+    }),
+
+    // l-diversity — the privacy release gate one level past q317's
+    // k-anonymity: a QI class can be large (k-safe) yet expose a
+    // sensitive attribute if it is homogeneous. Per QI class
+    // (nationkey, mktsegment): distinct-l of the sensitive band and
+    // entropy-l (exp of Shannon entropy, rounded 6); the corpus gate =
+    // min over classes + homogeneous-class count. Sensitive attribute =
+    // account-balance band (floor(acctbal/1000)). Two keyed aggregates,
+    // no window.
+    "q361_l_diversity" -> ((s, d) => {
+      val sens = floor(col("c_acctbal") / 1000).cast("long")
+      val cls = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          sens.as("band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val perClass = cls
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("distinct_l"), sum(col("c")).as("n"),
+          // Shannon entropy of the in-class band distribution.
+          sum(col("c") * log(col("c"))).as("clogc"))
+        .withColumn("entropy_l",
+          round(exp(log(col("n")) - col("clogc") / col("n")), 6))
+      perClass.agg(count(lit(1)).as("n_classes"),
+        min(col("distinct_l")).as("min_distinct_l"),
+        sum(when(col("distinct_l") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous"),
+        round(min(col("entropy_l")), 6).as("min_entropy_l"))
+    }),
+
+    // Zipf-law fit over the token frequency spectrum — the corpus
+    // statistic every LLM-data report quotes: slope of
+    // log f ~ a + b·log r on the top-200 ranks (expect b ≈ −1) via the
+    // closed-form least squares the q74 linreg surface uses, plus r².
+    // Ranks come from one TakeOrdered top-200 (no global window);
+    // the regression runs on those 200 bounded rows. Doubles enter
+    // only through log of exact integers; result rounded to 6.
+    "q362_zipf_fit" -> ((s, d) => {
+      val freqs = t(s, d, "documents")
+        .select(explode(split(regexp_replace(trim(lower(col("text"))),
+          "[^a-z0-9 ]", ""), " +")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc).limit(200)
+      val w = Window.orderBy(col("f").desc, col("tok").asc) // 200 rows
+      val xy = freqs.withColumn("r", row_number().over(w))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      xy.agg(count(lit(1)).as("n_ranks"),
+          covar_pop(col("x"), col("y")).as("cv"),
+          var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
+          avg(col("x")).as("mx"), avg(col("y")).as("my"))
+        .select(col("n_ranks"),
+          round(col("cv") / col("vx"), 6).as("zipf_slope"),
+          round(col("my") - col("cv") / col("vx") * col("mx"), 6)
+            .as("intercept"),
+          round(col("cv") * col("cv") / (col("vx") * col("vy")), 6)
+            .as("r2"))
     })
   )
 
@@ -164,6 +223,50 @@ object OpsIntegrity {
   }
 
   val oracles: Seq[(String, String)] = Seq(
+    "q361_l_diversity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+                  floor(c_acctbal / 1000)::BIGINT AS band,
+                  count(*)::BIGINT AS c
+           FROM customer GROUP BY 1, 2, 3),
+         per AS (
+           SELECT c_nationkey, c_mktsegment,
+                  count(*)::BIGINT AS distinct_l,
+                  sum(c)::BIGINT AS n,
+                  sum(c * ln(c)) AS clogc
+           FROM cls GROUP BY 1, 2),
+         e AS (
+           SELECT *, round(exp(ln(n) - clogc / n), 6) AS entropy_l
+           FROM per)
+         SELECT count(*)::BIGINT AS n_classes,
+                min(distinct_l)::BIGINT AS min_distinct_l,
+                sum(CASE WHEN distinct_l = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_homogeneous,
+                round(min(entropy_l), 6) AS min_entropy_l
+         FROM e""",
+    "q362_zipf_fit" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(regexp_replace(
+             trim(lower(text)), '[^a-z0-9 ]', '', 'g'), ' +')) AS tok
+           FROM documents),
+         freqs AS (
+           SELECT tok, count(*)::BIGINT AS f FROM toks
+           WHERE tok <> '' GROUP BY tok
+           ORDER BY f DESC, tok ASC LIMIT 200),
+         xy AS (
+           SELECT ln(row_number() OVER (ORDER BY f DESC, tok ASC)
+                     ::DOUBLE) AS x,
+                  ln(f::DOUBLE) AS y
+           FROM freqs),
+         agg AS (
+           SELECT count(*)::BIGINT AS n_ranks,
+                  covar_pop(x, y) AS cv, var_pop(x) AS vx,
+                  var_pop(y) AS vy, avg(x) AS mx, avg(y) AS my
+           FROM xy)
+         SELECT n_ranks, round(cv / vx, 6) AS zipf_slope,
+                round(my - cv / vx * mx, 6) AS intercept,
+                round(cv * cv / (vx * vy), 6) AS r2
+         FROM agg""",
     "q356_decimal_agg" ->
       """SELECT l_returnflag,
                 sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)
