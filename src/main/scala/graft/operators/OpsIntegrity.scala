@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
-/** Round-8 batch F (q356-q359): decimal money aggregation, error-safe
-  * TRY arithmetic, rolling active users (DAU/WAU stickiness), and a
-  * distributed sequence-integrity audit. Hash-gated vs DuckDB.
+/** Round-8 batch F (q356-q362): decimal money aggregation, error-safe
+  * TRY arithmetic, rolling active users (DAU/WAU stickiness), a
+  * distributed sequence-integrity audit, CUSUM changepoint detection,
+  * an l-diversity privacy gate, and a Zipf-law corpus fit. Hash-gated
+  * vs DuckDB.
   */
 object OpsIntegrity {
 
