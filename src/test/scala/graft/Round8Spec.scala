@@ -225,6 +225,25 @@ class Round8Spec extends AnyFunSuite {
       s"ts_6 range not pushed to parquet:\n$plan")
   }
 
+  test("scan-pattern queries funnel no ROWS through one partition " +
+      "(q337 skyline, q345 AUC rank): any SinglePartition exchange " +
+      "merges only partial aggregates") {
+    for (name <- Seq("q337_skyline_pareto", "q345_auc_exact")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val lines = df.queryExecution.executedPlan.toString.split('\n')
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          // the exchange's child must be a map-side partial aggregate —
+          // a single-row merge, never a row funnel (a global Sort or
+          // Window here would be the scale bug the scan pattern avoids)
+          val below = lines.drop(i + 1).take(2).mkString(" ")
+          assert(below.contains("partial_"),
+            s"$name SinglePartition over non-partial child: $below")
+        }
+    }
+  }
+
   test("MV rewrite handles DECIMAL sum measures (type preserved)") {
     val eng = HeavyEngine(spark, sf)
     eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_r8d")
