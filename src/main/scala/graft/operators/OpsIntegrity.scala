@@ -187,6 +187,62 @@ object OpsIntegrity {
         round(min(col("entropy_l")), 6).as("min_entropy_l"))
     }),
 
+    // Holt linear (double exponential smoothing) forecast — the
+    // level+trend state recursion (l' = α·x + (1−α)(l+b);
+    // b' = β(l'−l) + (1−β)b, α=β=½) run as ONE bounded higher-order
+    // fold with a struct accumulator (q360's machinery, now with
+    // 2-field state). All arithmetic is floor((·)/2) on exact
+    // milli-longs, so both engines walk identical integer states; the
+    // one-step-ahead forecast is level + trend. Per-series day arrays
+    // stay bounded at any corpus scale.
+    "q363_holt_forecast" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("sum(vm) DIV count(*)").as("m"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("m"))))
+          .as("series"))
+        .select(col("event_type"),
+          transform(col("series"), x => x.getField("m")).as("arr"))
+        .withColumn("n_days", size(col("arr")).cast("long"))
+        .withColumn("state", expr(
+          """aggregate(slice(arr, 2, int(n_days) - 1),
+               named_struct('l', element_at(arr, 1), 'b', 0L),
+               (a, x) -> named_struct(
+                 'l', cast(floor((x + a.l + a.b) / 2.0) as bigint),
+                 'b', cast(floor((
+                        cast(floor((x + a.l + a.b) / 2.0) as bigint)
+                        - a.l + a.b) / 2.0) as bigint)))"""))
+        .select(col("event_type"), col("n_days"),
+          col("state.l").as("level_milli"),
+          col("state.b").as("trend_milli"),
+          (col("state.l") + col("state.b")).as("forecast_milli"))
+    }),
+
+    // Boolean retrieval over the inverted index (the IR-surface
+    // complement of q283's positional phrase query): documents matching
+    // ('data' AND 'join') AND NOT 'stream' via per-doc term flags —
+    // postings filtered to the query terms BEFORE the one grouped
+    // aggregate, so work is bounded by the query terms' posting lists,
+    // never the vocabulary.
+    "q364_boolean_retrieval" -> ((s, d) => {
+      val qTerms = Seq("data", "join", "stream")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(regexp_replace(trim(lower(col("text"))),
+            "[^a-z0-9 ]", ""), " +")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("tok") === "data", 1L).otherwise(0L)).as("h1"),
+          max(when(col("tok") === "join", 1L).otherwise(0L)).as("h2"),
+          max(when(col("tok") === "stream", 1L).otherwise(0L)).as("h3"))
+        .filter(col("h1") === 1L && col("h2") === 1L && col("h3") === 0L)
+        .select(col("doc_id"))
+    }),
+
     // Zipf-law fit over the token frequency spectrum — the corpus
     // statistic every LLM-data report quotes: slope of
     // log f ~ a + b·log r on the top-200 ranks (expect b ≈ −1) via the
@@ -246,6 +302,54 @@ object OpsIntegrity {
                   AS n_homogeneous,
                 round(min(entropy_l), 6) AS min_entropy_l
          FROM e""",
+    "q363_holt_forecast" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  sum(floor(value * 1000)::BIGINT) // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, list(m ORDER BY day) AS arr,
+                  count(*)::BIGINT AS n_days
+           FROM daily GROUP BY event_type),
+         enc AS (
+           -- list_reduce needs acc type = element type: carry (l, b, v)
+           SELECT event_type, n_days,
+                  list_prepend(
+                    {'l': arr[1], 'b': 0::BIGINT, 'v': 0::BIGINT},
+                    list_transform(arr[2:n_days::INT],
+                      x -> {'l': 0::BIGINT, 'b': 0::BIGINT, 'v': x}))
+                    AS steps
+           FROM ser),
+         folded AS (
+           SELECT event_type, n_days,
+                  list_reduce(steps, (a, x) -> {
+                    'l': floor((x.v + a.l + a.b) / 2.0)::BIGINT,
+                    'b': floor((floor((x.v + a.l + a.b) / 2.0)::BIGINT
+                                - a.l + a.b) / 2.0)::BIGINT,
+                    'v': 0::BIGINT}) AS st
+           FROM enc)
+         SELECT event_type, n_days,
+                (st.l)::BIGINT AS level_milli,
+                (st.b)::BIGINT AS trend_milli,
+                (st.l + st.b)::BIGINT AS forecast_milli
+         FROM folded""",
+    "q364_boolean_retrieval" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(regexp_replace(
+                    trim(lower(text)), '[^a-z0-9 ]', '', 'g'), ' +'))
+                    AS tok
+           FROM documents),
+         flags AS (
+           SELECT doc_id,
+                  max(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS h1,
+                  max(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS h2,
+                  max(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS h3
+           FROM toks WHERE tok IN ('data', 'join', 'stream')
+           GROUP BY doc_id)
+         SELECT doc_id FROM flags
+         WHERE h1 = 1 AND h2 = 1 AND h3 = 0""",
     "q362_zipf_fit" ->
       """WITH toks AS (
            SELECT unnest(string_split_regex(regexp_replace(
