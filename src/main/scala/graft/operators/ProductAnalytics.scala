@@ -408,6 +408,60 @@ object ProductAnalytics {
           round(col("lag1") / 100.0, 2).as("x_lag1"),
           round(col("lag7") / 100.0, 2).as("x_lag7"),
           round(col("sum7") / 7.0 / 100.0, 4).as("x_ma7"))
+    }),
+
+    // Funnel TIME-TO-CONVERT distribution — q261 counts who converts;
+    // this measures HOW FAST: per user, the signup→view and
+    // view→purchase latencies (within the funnel windows) in exact
+    // integer minutes, then exact p50/p90 over each leg. Keyed joins +
+    // one grouped percentile — no corpus window.
+    "q365_funnel_latency" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val v0 = ev.filter(col("event_type") === "view").as("v")
+        .join(s0, Seq("user_id"))
+        .filter(col("ts") > col("t_signup") &&
+          col("ts") <= col("t_signup") + expr("interval 7 days"))
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(col("ts")).as("t_view"))
+      val p0 = ev.filter(col("event_type") === "purchase").as("p")
+        .join(v0, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("interval 7 days"))
+        .groupBy(col("user_id"), col("t_signup"), col("t_view"))
+        .agg(min(col("ts")).as("t_purchase"))
+      val lat = p0.select(
+        ((unix_micros(col("t_view")) - unix_micros(col("t_signup")))
+          / 60000000L).cast("long").as("m_to_view"),
+        ((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          / 60000000L).cast("long").as("m_to_purchase"))
+      lat.agg(count(lit(1)).as("n_converted"),
+        percentile(col("m_to_view"), lit(0.5)).as("p50_to_view"),
+        percentile(col("m_to_view"), lit(0.9)).as("p90_to_view"),
+        percentile(col("m_to_purchase"), lit(0.5)).as("p50_to_buy"),
+        percentile(col("m_to_purchase"), lit(0.9)).as("p90_to_buy"))
+    }),
+
+    // Period-over-period report (the WoW dashboard): daily revenue per
+    // event_type with the same-weekday-last-week comparison and the
+    // change in exact integer ppm. One lag-7 window over the bounded
+    // day grain per series.
+    "q366_wow_report" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .withColumn("rev_lw", lag(col("rev_cents"), 7).over(w))
+        .filter(col("rev_lw").isNotNull)
+        .select(col("event_type"), col("day"), col("rev_cents"),
+          col("rev_lw"),
+          expr("(rev_cents - rev_lw) * 1000000 DIV rev_lw")
+            .as("wow_change_ppm"))
     })
   )
 
@@ -700,6 +754,52 @@ object ProductAnalytics {
            SELECT prev_type, sum(n)::BIGINT AS tot FROM pairs
            GROUP BY prev_type)
          SELECT p.prev_type, p.event_type, p.n, round(p.n / t.tot, 4) AS p
-         FROM pairs p JOIN totals t ON t.prev_type = p.prev_type"""
+         FROM pairs p JOIN totals t ON t.prev_type = p.prev_type""",
+    "q365_funnel_latency" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+         s0 AS (
+           SELECT user_id, min(ts) AS t_signup FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+         v0 AS (
+           SELECT v.user_id, s0.t_signup, min(v.ts) AS t_view
+           FROM ev v JOIN s0 USING (user_id)
+           WHERE v.event_type = 'view' AND v.ts > s0.t_signup
+             AND v.ts <= s0.t_signup + INTERVAL 7 DAY
+           GROUP BY v.user_id, s0.t_signup),
+         p0 AS (
+           SELECT p.user_id, v0.t_signup, v0.t_view,
+                  min(p.ts) AS t_purchase
+           FROM ev p JOIN v0 USING (user_id)
+           WHERE p.event_type = 'purchase' AND p.ts > v0.t_view
+             AND p.ts <= v0.t_view + INTERVAL 7 DAY
+           GROUP BY p.user_id, v0.t_signup, v0.t_view),
+         lat AS (
+           SELECT ((epoch_us(t_view) - epoch_us(t_signup)) // 60000000)
+                    ::BIGINT AS m_to_view,
+                  ((epoch_us(t_purchase) - epoch_us(t_view)) // 60000000)
+                    ::BIGINT AS m_to_purchase
+           FROM p0)
+         SELECT count(*)::BIGINT AS n_converted,
+                quantile_cont(m_to_view, 0.5) AS p50_to_view,
+                quantile_cont(m_to_view, 0.9) AS p90_to_view,
+                quantile_cont(m_to_purchase, 0.5) AS p50_to_buy,
+                quantile_cont(m_to_purchase, 0.9) AS p90_to_buy
+         FROM lat""",
+    "q366_wow_report" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  sum(floor(value * 100)::BIGINT) AS rev_cents
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, rev_cents,
+                  lag(rev_cents, 7) OVER (PARTITION BY event_type
+                    ORDER BY day) AS rev_lw
+           FROM daily)
+         SELECT event_type, day, rev_cents, rev_lw,
+                ((rev_cents - rev_lw) * 1000000 // rev_lw)::BIGINT
+                  AS wow_change_ppm
+         FROM lagged WHERE rev_lw IS NOT NULL"""
   )
 }
