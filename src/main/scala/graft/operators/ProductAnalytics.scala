@@ -462,6 +462,87 @@ object ProductAnalytics {
           col("rev_lw"),
           expr("(rev_cents - rev_lw) * 1000000 DIV rev_lw")
             .as("wow_change_ppm"))
+    }),
+
+    // RFM segmentation — the CRM staple: per user Recency (days since
+    // last event), Frequency (events), Monetary (exact cents); each
+    // scored 1-3 by exact tercile boundaries from ExactSelection (no
+    // global ntile window — the q343 decile recipe), then the 27-cell
+    // segment census. Ties fall to the lower score on both engines.
+    "q367_rfm_segments" -> ((s, d) => {
+      val perUser = graft.Stage(t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(datediff(lit("2024-03-01").cast("date"),
+            max(col("ts")).cast("date")).cast("long").as("r"),
+          count(lit(1)).as("f"),
+          sum(floor(col("value") * 100).cast("long")).as("m")),
+        "q367_user")
+      val n = perUser.count()
+      val ks = Seq((n + 2) / 3, (2 * n + 2) / 3)
+      def score(cn: String, invert: Boolean) = {
+        val Seq(b1, b2) = ExactSelection
+          .kthAll(perUser, cn, ks).map(_.value)
+        val raw = lit(1) + when(col(cn) > b1, 1).otherwise(0) +
+          when(col(cn) > b2, 1).otherwise(0)
+        if (invert) lit(4) - raw else raw // recency: lower is better
+      }
+      perUser
+        .withColumn("r_score", score("r", invert = true))
+        .withColumn("f_score", score("f", invert = false))
+        .withColumn("m_score", score("m", invert = false))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).as("segment_cents"))
+    }),
+
+    // Funnel drop-off (the negation q261 omits): users who VIEWED after
+    // signup but did NOT purchase within the window — an anti-join on
+    // the converted set — plus the drop-off rate in exact ppm. The
+    // "where do we lose them" report.
+    "q368_funnel_dropoff" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val v0 = ev.filter(col("event_type") === "view").as("v")
+        .join(s0, Seq("user_id"))
+        .filter(col("ts") > col("t_signup") &&
+          col("ts") <= col("t_signup") + expr("interval 7 days"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val converted = ev.filter(col("event_type") === "purchase").as("p")
+        .join(v0, Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("interval 7 days"))
+        .select(col("user_id")).distinct()
+      val dropped = v0.join(converted, Seq("user_id"), "left_anti")
+      dropped.agg(count(lit(1)).as("n_dropped"))
+        .crossJoin(broadcast(v0.agg(count(lit(1)).as("n_viewed"))))
+        .select(col("n_dropped"), col("n_viewed"),
+          expr("n_dropped * 1000000 DIV n_viewed").as("dropoff_ppm"))
+    }),
+
+    // Longest consecutive-day activity streak per user — gaps-and-
+    // islands on the distinct-day grid (day − dense day-index is
+    // constant within a streak): per-user windows over bounded day
+    // rows, then the corpus rollup (max streak, users with 7+ day
+    // streaks). The engagement metric every product dashboard ships.
+    "q369_activity_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+      val days = t(s, d, "events")
+        .select(col("user_id"),
+          unix_date(date_trunc("day", col("ts")).cast("date"))
+            .cast("long").as("dayn"))
+        .distinct()
+      val streaks = days
+        .withColumn("grp", col("dayn") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      streaks.agg(count(lit(1)).as("n_users"),
+        max(col("max_streak")).as("longest_streak"),
+        sum(when(col("max_streak") >= 7, 1L).otherwise(0L))
+          .as("n_weekly_streakers"),
+        expr("sum(max_streak) DIV count(*)").as("mean_streak_floor"))
     })
   )
 
@@ -800,6 +881,100 @@ object ProductAnalytics {
          SELECT event_type, day, rev_cents, rev_lw,
                 ((rev_cents - rev_lw) * 1000000 // rev_lw)::BIGINT
                   AS wow_change_ppm
-         FROM lagged WHERE rev_lw IS NOT NULL"""
+         FROM lagged WHERE rev_lw IS NOT NULL""",
+    "q367_rfm_segments" ->
+      """WITH per AS (
+           SELECT user_id,
+                  date_diff('day', max(ts::TIMESTAMP)::DATE,
+                    DATE '2024-03-01')::BIGINT AS r,
+                  count(*)::BIGINT AS f,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS m
+           FROM events GROUP BY user_id),
+         nn AS (SELECT count(*) AS n FROM per),
+         b AS (
+           SELECT
+             (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r)
+                AS rn FROM per) WHERE rn = ((SELECT n FROM nn)+2)//3)
+               AS r1,
+             (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r)
+                AS rn FROM per) WHERE rn = (2*(SELECT n FROM nn)+2)//3)
+               AS r2,
+             (SELECT f FROM (SELECT f, row_number() OVER (ORDER BY f)
+                AS rn FROM per) WHERE rn = ((SELECT n FROM nn)+2)//3)
+               AS f1,
+             (SELECT f FROM (SELECT f, row_number() OVER (ORDER BY f)
+                AS rn FROM per) WHERE rn = (2*(SELECT n FROM nn)+2)//3)
+               AS f2,
+             (SELECT m FROM (SELECT m, row_number() OVER (ORDER BY m)
+                AS rn FROM per) WHERE rn = ((SELECT n FROM nn)+2)//3)
+               AS m1,
+             (SELECT m FROM (SELECT m, row_number() OVER (ORDER BY m)
+                AS rn FROM per) WHERE rn = (2*(SELECT n FROM nn)+2)//3)
+               AS m2),
+         scored AS (
+           SELECT (4 - (1 + CASE WHEN r > b.r1 THEN 1 ELSE 0 END
+                          + CASE WHEN r > b.r2 THEN 1 ELSE 0 END))::INT
+                    AS r_score,
+                  (1 + CASE WHEN f > b.f1 THEN 1 ELSE 0 END
+                     + CASE WHEN f > b.f2 THEN 1 ELSE 0 END)::INT
+                    AS f_score,
+                  (1 + CASE WHEN m > b.m1 THEN 1 ELSE 0 END
+                     + CASE WHEN m > b.m2 THEN 1 ELSE 0 END)::INT
+                    AS m_score,
+                  m
+           FROM per, b)
+         SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
+                sum(m)::BIGINT AS segment_cents
+         FROM scored GROUP BY 1, 2, 3""",
+    "q368_funnel_dropoff" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+         s0 AS (
+           SELECT user_id, min(ts) AS t_signup FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+         v0 AS (
+           SELECT v.user_id, min(v.ts) AS t_view
+           FROM ev v JOIN s0 USING (user_id)
+           WHERE v.event_type = 'view' AND v.ts > s0.t_signup
+             AND v.ts <= s0.t_signup + INTERVAL 7 DAY
+           GROUP BY v.user_id),
+         conv AS (
+           SELECT DISTINCT p.user_id
+           FROM ev p JOIN v0 USING (user_id)
+           WHERE p.event_type = 'purchase' AND p.ts > v0.t_view
+             AND p.ts <= v0.t_view + INTERVAL 7 DAY)
+         SELECT (SELECT count(*) FROM v0
+                 WHERE user_id NOT IN (SELECT user_id FROM conv))
+                  ::BIGINT AS n_dropped,
+                (SELECT count(*) FROM v0)::BIGINT AS n_viewed,
+                ((SELECT count(*) FROM v0
+                  WHERE user_id NOT IN (SELECT user_id FROM conv))
+                  * 1000000 // (SELECT count(*) FROM v0))::BIGINT
+                  AS dropoff_ppm""",
+    "q369_activity_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01',
+                    date_trunc('day', ts::TIMESTAMP)::DATE)::BIGINT
+                    AS dayn
+           FROM events),
+         g AS (
+           SELECT user_id, dayn,
+                  dayn - row_number() OVER (PARTITION BY user_id
+                    ORDER BY dayn) AS grp
+           FROM days),
+         runs AS (
+           SELECT user_id, grp, count(*)::BIGINT AS len
+           FROM g GROUP BY user_id, grp),
+         per AS (
+           SELECT user_id, max(len) AS max_streak FROM runs
+           GROUP BY user_id)
+         SELECT count(*)::BIGINT AS n_users,
+                max(max_streak)::BIGINT AS longest_streak,
+                sum(CASE WHEN max_streak >= 7 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_weekly_streakers,
+                (sum(max_streak) // count(*))::BIGINT
+                  AS mean_streak_floor
+         FROM per"""
   )
 }
