@@ -184,6 +184,38 @@ object Retrieval {
       m.withColumn("rk", row_number().over(wBest))
         .filter(col("rk") === 1 && col("margin") > 1.0)
         .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+    }),
+
+    // k-NN majority-vote classification — the eval loop of a
+    // retrieval-based labeler: for each test vector (bounded broadcast
+    // batch), the 5 nearest train vectors by cosine vote on the label;
+    // ties break to the smaller label. Same filtered-vector-search
+    // shape as q252 (one corpus scan, per-anchor windows), plus the
+    // vote aggregate and a correctness flag against the true label.
+    "q370_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val test = broadcast(emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("t_id"), col("label").as("true_label"),
+          col("embedding").as("t_emb")))
+      val train = emb.filter(col("vec_id") >= 30)
+      val w = Window.partitionBy(col("t_id"))
+        .orderBy(col("sim").desc, col("n_id").asc)
+      val nn = train.crossJoin(test)
+        .select(col("t_id"), col("true_label"),
+          col("vec_id").as("n_id"), col("label").as("n_label"),
+          round(cosine_similarity(col("embedding"), col("t_emb")), 6)
+            .as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+      val wv = Window.partitionBy(col("t_id"))
+        .orderBy(col("c").desc, col("n_label").asc)
+      nn.groupBy(col("t_id"), col("true_label"), col("n_label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("t_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("c").as("votes"),
+          (col("n_label") === col("true_label")).as("correct"))
     })
   )
 
@@ -295,6 +327,34 @@ object Retrieval {
                     ORDER BY margin DESC, b_id ASC) AS rk
            FROM m)
          SELECT a_id, b_id, cos, margin FROM best
-         WHERE rk = 1 AND margin > 1.0"""
+         WHERE rk = 1 AND margin > 1.0""",
+    "q370_knn_classify" ->
+      """WITH test AS (
+           SELECT vec_id AS t_id, label AS true_label,
+                  embedding AS t_emb
+           FROM embeddings WHERE vec_id < 30),
+         train AS (
+           SELECT vec_id AS n_id, label AS n_label, embedding
+           FROM embeddings WHERE vec_id >= 30),
+         nn AS (
+           SELECT t_id, true_label, n_id, n_label,
+                  round(list_cosine_similarity(embedding::DOUBLE[],
+                    t_emb::DOUBLE[]), 6) AS sim,
+                  row_number() OVER (PARTITION BY t_id
+                    ORDER BY round(list_cosine_similarity(
+                      embedding::DOUBLE[], t_emb::DOUBLE[]), 6) DESC,
+                    n_id ASC) AS rk
+           FROM train, test),
+         votes AS (
+           SELECT t_id, true_label, n_label, count(*)::BIGINT AS c
+           FROM nn WHERE rk <= 5 GROUP BY 1, 2, 3),
+         best AS (
+           SELECT t_id, true_label, n_label, c,
+                  row_number() OVER (PARTITION BY t_id
+                    ORDER BY c DESC, n_label ASC) AS vr
+           FROM votes)
+         SELECT t_id, true_label, n_label AS pred_label, c AS votes,
+                n_label = true_label AS correct
+         FROM best WHERE vr = 1"""
   )
 }
