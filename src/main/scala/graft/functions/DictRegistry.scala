@@ -46,14 +46,40 @@ final class DictMap(
 
 object DictRegistry {
 
-  private val dicts = new ConcurrentHashMap[String, DictMap]()
+  /** Registry key: SESSION-scoped (identity of the SparkSession — the
+    * registry outlives nothing else) + lowercase column name. The entry
+    * records the declaring table and the canonicalized source-plan hash
+    * so that (a) re-declaring the same (table, column, source) is a
+    * no-op returning the cached cardinality (the reference's build-once
+    * StringDictionary lifecycle — round-8 q95 rebuilt per execution),
+    * and (b) a declaration over a DIFFERENT source (new fixture dir,
+    * mutated table) rebuilds. Declarations in one session can never
+    * rebind `key_for_string` in another (round-8 ADVICE).
+    */
+  private final case class Key(sessionId: Int, column: String)
+  private final case class Entry(table: String, planHash: Int,
+      dict: DictMap)
+
+  private val dicts = new ConcurrentHashMap[Key, Entry]()
+
+  private def sid(spark: SparkSession): Int =
+    System.identityHashCode(spark)
 
   /** Build + register the dictionary for `column` of `df`. Returns the
     * dictionary cardinality. NULLs are not dictionary members (the
     * reference reserves a sentinel id; SQL null-in null-out covers it).
+    * `table` qualifies the declaration: `key_for_string(t.c)` only
+    * resolves through it when `t` matches (bare `c` matches any
+    * declaration of that column name in the session).
     */
   def declare(spark: SparkSession, df: DataFrame, column: String,
-              maxCardinality: Int = 1 << 22): Long = {
+              maxCardinality: Int = 1 << 22, table: String = ""): Long = {
+    val key = Key(sid(spark), column.toLowerCase)
+    val planHash = df.queryExecution.analyzed.canonicalized.hashCode()
+    val existing = dicts.get(key)
+    if (existing != null && existing.planHash == planHash &&
+        existing.table == table.toLowerCase)
+      return existing.dict.m.size().toLong
     val vals = df.select(col(column).cast("string").as("v"))
       .na.drop().distinct()
     val parts = vals.repartitionByRange(8, col("v"))
@@ -80,17 +106,31 @@ object DictRegistry {
       pairs.length * 2)
     pairs.foreach(r => m.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
-    dicts.put(column.toLowerCase, new DictMap(m))
+    dicts.put(key, Entry(table.toLowerCase, planHash, new DictMap(m)))
     m.size().toLong
   }
 
-  def forColumn(name: String): Option[DictMap] =
-    Option(dicts.get(name.toLowerCase))
+  /** Resolve `key_for_string`'s argument name parts against this
+    * session's declarations. A qualified reference (`t.c`) resolves only
+    * if the declaration's table matches (a non-matching qualifier falls
+    * back to the hash surrogate — it is NOT this dictionary's column); a
+    * bare reference resolves by column name alone, which callers sharing
+    * a column name across tables in one session must qualify.
+    */
+  def forColumn(spark: SparkSession, nameParts: Seq[String]): Option[DictMap] = {
+    val e = Option(dicts.get(Key(sid(spark), nameParts.last.toLowerCase)))
+    if (nameParts.length < 2) e.map(_.dict)
+    else e.filter(en => en.table.isEmpty ||
+      en.table == nameParts(nameParts.length - 2).toLowerCase)
+      .map(_.dict)
+  }
 
-  def drop(name: String): Unit = dicts.remove(name.toLowerCase)
-  def declared: Seq[String] = {
+  def drop(spark: SparkSession, name: String): Unit =
+    dicts.remove(Key(sid(spark), name.toLowerCase))
+  def declared(spark: SparkSession): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    dicts.keys.asScala.toSeq
+    val s = sid(spark)
+    dicts.keys.asScala.collect { case Key(`s`, c) => c }.toSeq
   }
 }
 

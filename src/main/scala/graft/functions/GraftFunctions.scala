@@ -217,12 +217,12 @@ object GraftFunctions {
         new ExpressionInfo("graft", "key_for_string"),
         exprs => {
           val arg = exprs.head
-          val colName = arg match {
-            case a: UnresolvedAttribute => Some(a.nameParts.last)
-            case a: AttributeReference => Some(a.name)
+          val nameParts = arg match {
+            case a: UnresolvedAttribute => Some(a.nameParts)
+            case a: AttributeReference => Some(Seq(a.name))
             case _ => None
           }
-          colName.flatMap(DictRegistry.forColumn) match {
+          nameParts.flatMap(DictRegistry.forColumn(spark, _)) match {
             case Some(m) => DictKey(arg, m)
             case None => new XxHash64(Seq(arg))
           }

@@ -49,10 +49,17 @@ object ExactSelection {
   /** k-th smallest (1-based) of `df.xcol` (cast to double) for each rank
     * in `ks`. `cap` bounds the only sorted set; `fanout` the per-level
     * histogram width. Histograms are memoized across ranks by path.
+    *
+    * Ranks are over NON-NULL values: nulls are dropped up front (they
+    * are orderable in neither engine's quantile semantics; counting
+    * them into n0 would skew ranks vs the oracles' row_number over
+    * non-null orderings, and a null histogram key would NPE the
+    * driver-side collect — round-8 ADVICE).
     */
   def kthAll(df: DataFrame, xcol: String, ks: Seq[Long],
              cap: Long = 100000L, fanout: Int = 1000): Seq[Kth] = {
     val base = df.select(col(xcol).cast("double").as("x"))
+      .filter(col("x").isNotNull && !isnan(col("x")))
     val h0 = base.agg(min(col("x")), max(col("x")), count(lit(1))).head()
     require(!h0.isNullAt(2) && h0.getLong(2) > 0, "empty selection input")
     val lo0 = h0.getDouble(0)

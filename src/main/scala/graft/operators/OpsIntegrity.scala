@@ -17,23 +17,32 @@ object OpsIntegrity {
 
   val queries: Seq[(String, Q)] = Seq(
 
-    // DECIMAL money aggregation — sums/avgs computed entirely in the
-    // decimal domain (the q32 cast recipe lifted to the AGGREGATE
-    // level, where Spark widens precision +10 on sum and keeps scale+4
-    // on avg): exact to the cent at any row count, no binary-double
-    // drift. The oracle aggregates DuckDB DECIMALs and casts to the
-    // same output scales.
+    // DECIMAL money aggregation — sums computed entirely in the decimal
+    // domain (the q32 cast recipe lifted to the AGGREGATE level, where
+    // Spark widens precision +10 on sum): exact to the cent at any row
+    // count, no binary-double drift. PRESENTATION is harness-safe per
+    // the driver-gate contract (DriverGateSpec): the exact decimals are
+    // emitted as fixed-scale STRINGS (pyarrow materializes DECIMAL as
+    // object(Decimal) while DuckDB's .df() gives float64 — round-8
+    // q356 red), and the average is gated on sum/count in the INTEGER
+    // domain (exact micros via DIV) rather than avg() — DuckDB's
+    // avg(DECIMAL) detours through DOUBLE and double-rounds (the q300
+    // class; ADVICE r8).
     "q356_decimal_agg" -> ((s, d) => {
       val p = col("l_extendedprice").cast("decimal(18,2)")
       val disc = col("l_discount").cast("decimal(18,6)")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(p).cast("decimal(38,2)").as("sum_price"),
+          sum(p).cast("decimal(38,2)").as("sp"),
           sum(p * (lit(1).cast("decimal(18,6)") - disc))
-            .cast("decimal(38,8)").as("sum_net"),
-          avg(p).cast("decimal(38,6)").as("avg_price"),
+            .cast("decimal(38,8)").as("sn"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("sp").cast("string").as("sum_price"),
+          col("sn").cast("string").as("sum_net"),
+          expr("CAST(sp * 10000 AS BIGINT) DIV n").as("avg_price_micros"),
+          col("n"))
     }),
 
     // Error-safe TRY arithmetic (ANSI surface, §2.7 tail): try_divide
@@ -77,6 +86,51 @@ object OpsIntegrity {
             .over(w)))).cast("long"))
         .select(col("event_type"), col("day"), col("dau"), col("wau"),
           expr("dau * 1000000 DIV wau").as("stickiness_ppm"))
+    }),
+
+    // q358's 100 TB form (round-8 verdict #6): DAU/WAU from MERGEABLE
+    // HLL sketches instead of exact per-day user-id sets — the exact
+    // form's `collect_set(user_id)` row width is DAU-sized (millions of
+    // ids in one row at production scale), while a sketch row is a few
+    // KB regardless of cardinality. Daily sketches roll up to trailing
+    // 7-day WAU by CONTRIBUTION explode (each day feeds days d..d+6,
+    // one union-aggregate per (type, day) — no window state, same
+    // partial-leading-week semantics as q358's rangeBetween(-6,0)).
+    // Gated like q55/q171: exact DAU/WAU computed alongside (WAU via
+    // the same explode in the exact domain — itself scale-safe: rows×7
+    // then a distributed distinct, never a set-in-a-row) and the HLL
+    // estimates asserted within 5% relative error, so the driver hash
+    // pins booleans + exact values, not sketch internals.
+    "q371_rolling_active_users_hll" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("dau_exact"))
+      val wauHll = daily.select(col("event_type"), col("day"), col("sk"))
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(col("event_type"),
+          expr("timestampadd(DAY, i, day)").as("day"), col("sk"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("wau_est"))
+      val wauExact = ev
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(col("event_type"),
+          expr("timestampadd(DAY, i, day)").as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(countDistinct(col("user_id")).as("wau_exact"))
+      daily.select(col("event_type"), col("day"), col("dau_exact"),
+          hll_sketch_estimate(col("sk")).as("dau_est"))
+        .join(wauHll, Seq("event_type", "day"))
+        .join(wauExact, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("dau_exact"),
+          col("wau_exact"),
+          (abs(col("dau_est").cast("double") - col("dau_exact"))
+            / col("dau_exact") < 0.05).as("dau_ok"),
+          (abs(col("wau_est").cast("double") - col("wau_exact"))
+            / col("wau_exact") < 0.05).as("wau_ok"))
     }),
 
     // CUSUM changepoint detection — the recursive time-series operator
@@ -376,12 +430,12 @@ object OpsIntegrity {
     "q356_decimal_agg" ->
       """SELECT l_returnflag,
                 sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)
-                  AS sum_price,
+                  ::VARCHAR AS sum_price,
                 sum(l_extendedprice::DECIMAL(18,2)
                     * (1 - l_discount::DECIMAL(18,6)))::DECIMAL(38,8)
-                  AS sum_net,
-                avg(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,6)
-                  AS avg_price,
+                  ::VARCHAR AS sum_net,
+                (sum(l_extendedprice::DECIMAL(18,2)) * 10000)::BIGINT
+                  // count(*) AS avg_price_micros,
                 count(*)::BIGINT AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q357_try_arithmetic" ->
@@ -417,6 +471,27 @@ object OpsIntegrity {
          SELECT d.event_type, d.day, d.dau, w.wau,
                 (d.dau * 1000000 // w.wau)::BIGINT AS stickiness_ppm
          FROM daily d JOIN wau w USING (event_type, day)""",
+    "q371_rolling_active_users_hll" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  user_id
+           FROM events),
+         dau AS (
+           SELECT event_type, day,
+                  count(DISTINCT user_id)::BIGINT AS dau_exact
+           FROM ev GROUP BY 1, 2),
+         contrib AS (
+           SELECT event_type,
+                  day + i.range * INTERVAL 1 DAY AS day, user_id
+           FROM ev CROSS JOIN range(7) i),
+         wau AS (
+           SELECT event_type, day,
+                  count(DISTINCT user_id)::BIGINT AS wau_exact
+           FROM contrib GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.dau_exact, w.wau_exact,
+                TRUE AS dau_ok, TRUE AS wau_ok
+         FROM dau d JOIN wau w USING (event_type, day)""",
     "q360_cusum_changepoint" ->
       """WITH daily AS (
            SELECT event_type,

@@ -871,7 +871,11 @@ object ProductAnalytics {
       """WITH daily AS (
            SELECT event_type,
                   date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
-                  sum(floor(value * 100)::BIGINT) AS rev_cents
+                  -- ::BIGINT is load-bearing: DuckDB's sum(BIGINT) is
+                  -- HUGEINT, which pandas renders float64 and the
+                  -- driver hash then diverges from Spark's int64
+                  -- (round-8 q366 red).
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS rev_cents
            FROM events GROUP BY 1, 2),
          lagged AS (
            SELECT event_type, day, rev_cents,

@@ -113,13 +113,21 @@ object Round8Ops {
         .filter(col("l_orderkey") < 2000)
         .select(col("l_orderkey"), col("l_linenumber"), arr.as("arr"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          transform(col("arr"), x => x * 2).as("doubled"),
-          filter(col("arr"), x => x % 2 === 0).as("evens"),
+          // Array results are serialized to '|'-joined strings: the
+          // driver's pandas harness cannot sort/hash list-valued cells
+          // (round-8 q338 err), so the gate contract (DriverGateSpec)
+          // requires scalar output columns. The lambdas under test are
+          // unchanged — only the presentation is flattened.
+          array_join(transform(col("arr"), x => x * 2)
+            .cast("array<string>"), "|").as("doubled"),
+          array_join(filter(col("arr"), x => x % 2 === 0)
+            .cast("array<string>"), "|").as("evens"),
           exists(col("arr"), x => x > 7).as("has_gt7"),
           forall(col("arr"), x => x >= 0).as("all_nonneg"),
           aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"),
-          zip_with(col("arr"), reverse(col("arr")),
-            (a, b) => a + b).as("palindrome_sum"))
+          array_join(zip_with(col("arr"), reverse(col("arr")),
+            (a, b) => a + b).cast("array<string>"), "|")
+            .as("palindrome_sum"))
     }),
 
     // Content-defined chunking (FastCDC-style): chunk boundaries where
@@ -303,14 +311,17 @@ object Round8Ops {
            AND price = peer_max""",
     "q338_array_lambda" ->
       """SELECT l_orderkey, l_linenumber,
-                list_transform(arr, x -> x * 2) AS doubled,
-                list_filter(arr, x -> x % 2 = 0) AS evens,
+                array_to_string(list_transform(arr, x -> x * 2), '|')
+                  AS doubled,
+                coalesce(array_to_string(
+                    list_filter(arr, x -> x % 2 = 0), '|'), '')
+                  AS evens,
                 len(list_filter(arr, x -> x > 7)) > 0 AS has_gt7,
                 len(list_filter(arr, x -> NOT (x >= 0))) = 0
                   AS all_nonneg,
                 list_sum(arr)::BIGINT AS total,
-                list_transform(range(1, len(arr) + 1),
-                  i -> arr[i] + arr[len(arr) + 1 - i])
+                array_to_string(list_transform(range(1, len(arr) + 1),
+                  i -> arr[i] + arr[len(arr) + 1 - i]), '|')
                   AS palindrome_sum
          FROM (
            SELECT l_orderkey, l_linenumber,

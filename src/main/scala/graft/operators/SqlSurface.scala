@@ -93,7 +93,11 @@ object SqlSurface {
     // bijectivity contract (dense ids are trivially bijective).
     "q95_key_for_string" -> ((s, d) => {
       val eng = HeavyEngine(s, d)
-      graft.functions.DictRegistry.declare(s, s.table("part"), "p_type")
+      // Build-once: a (table, column, source)-identical re-declaration
+      // is a registry no-op (round-8 bench paid the distributed build
+      // on every pass).
+      graft.functions.DictRegistry.declare(s, s.table("part"), "p_type",
+        table = "part")
       eng.sql(
         """SELECT p_type, key_for_string(p_type) AS dict_id
            FROM (SELECT DISTINCT p_type FROM part)""")

@@ -131,10 +131,17 @@ object MvRewrite {
     * aggregate-navigation rewrite is withdrawn.
     */
   def invalidateUnder(dir: String): Unit = {
+    // Match on path-COMPONENT boundaries after normalization, not raw
+    // substring: contains("/t1") would also invalidate MVs over
+    // /t10 or /t1_x, and a scheme/trailing-slash mismatch would match
+    // nothing at all (round-8 ADVICE).
+    def norm(p: String): String =
+      p.stripSuffix("/").replaceFirst("^file:/*", "/")
+    val d = norm(dir)
     val stale = registry.asScala.collect {
       case (n, mv)
-          if (leafPaths(mv.base) ++ leafPaths(mv.scan))
-            .exists(_.contains(dir)) => n
+          if (leafPaths(mv.base) ++ leafPaths(mv.scan)).map(norm)
+            .exists(p => p == d || p.startsWith(d + "/")) => n
     }.toSeq
     stale.foreach(registry.remove)
   }

@@ -205,13 +205,24 @@ class Round8Spec extends AnyFunSuite {
     // and the dense lookup stays inside whole-stage codegen over a real
     // scan (the tiny local view above constant-folds to LocalTableScan,
     // which exercises only interpreted eval)
-    DictRegistry.declare(spark, spark.table("part"), "p_type")
+    DictRegistry.declare(spark, spark.table("part"), "p_type",
+      table = "part")
     val q = eng.sql("SELECT key_for_string(p_type) AS id FROM part")
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*("), "dict lookup fell out of codegen")
-    DictRegistry.drop("fruit_r8")
-    DictRegistry.drop("p_type")
+    // Build-once: an identical re-declaration must NOT rebuild (same
+    // registered DictMap identity), while a different source must.
+    val d1 = DictRegistry.forColumn(spark, Seq("part", "p_type")).get
+    DictRegistry.declare(spark, spark.table("part"), "p_type",
+      table = "part")
+    val d2 = DictRegistry.forColumn(spark, Seq("part", "p_type")).get
+    assert(d1 eq d2, "identical re-declare rebuilt the dictionary")
+    // Qualified lookup: a non-matching table qualifier does not resolve
+    // through this declaration (falls back to the hash surrogate).
+    assert(DictRegistry.forColumn(spark, Seq("other_tab", "p_type")).isEmpty)
+    DictRegistry.drop(spark, "fruit_r8")
+    DictRegistry.drop(spark, "p_type")
   }
 
   test("q244: the µs-precision range filter reaches the parquet scan " +
