@@ -189,6 +189,180 @@ object Round9Ops {
           sum(when(col("shard_old") =!= col("shard_new"), 1L)
             .otherwise(0L)).as("n_moved"))
         .orderBy(col("shard"))
+    }),
+
+    // Ranking-quality eval — recall@10 / MRR / NDCG@10 per query, the
+    // retrieval metrics the RRF/BM25/ANN family (q167/q251/q99) is
+    // tuned BY but round 1-8 never measured. Relevance is label match;
+    // the ranking is the exact brute-force cosine baseline over a
+    // BOUNDED query sample (every 25th vector — eval runs on samples,
+    // the corpus-side scale path stays q99's IVF). Binary-gain NDCG
+    // with the ideal DCG as a closed-form fold over min(10, n_rel).
+    "q377_ranking_eval" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = broadcast(emb.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+      val ranked = emb.crossJoin(qs)
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label"),
+          graft.functions.GraftFunctions
+            .cosine_similarity(col("embedding"), col("q_emb")).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("sim").desc, col("vec_id").asc)))
+        .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+      ranked.groupBy(col("q_id"))
+        .agg(sum(col("rel")).cast("long").as("n_rel"),
+          sum(when(col("rnk") <= 10, col("rel")).otherwise(0)).cast("long")
+            .as("rel_at_10"),
+          min(when(col("rel") === 1, col("rnk"))).as("first_rel"),
+          sum(when(col("rnk") <= 10 && col("rel") === 1,
+            lit(1.0) / log2(col("rnk") + 1)).otherwise(0.0)).as("dcg"))
+        .filter(col("n_rel") > 0)
+        .select(col("q_id"), col("n_rel"),
+          round(col("rel_at_10").cast("double") / col("n_rel"), 4)
+            .as("recall10"),
+          round(lit(1.0) / col("first_rel"), 4).as("mrr"),
+          round(col("dcg") / expr(
+            """aggregate(sequence(1L, least(10L, n_rel)), 0.0D,
+                 (a, i) -> a + 1.0D / log2(double(i) + 1.0D))"""), 4)
+            .as("ndcg10"))
+        .orderBy(col("q_id"))
+    }),
+
+    // t-closeness — the third rung of the privacy-gate ladder
+    // (q317 k-anonymity, q361 l-diversity): per quasi-identifier class,
+    // the earth-mover distance between the class's ORDERED sensitive
+    // distribution (acctbal bands) and the global one, EMD computed by
+    // the ordered-attribute closed form sum|cumdiff| / (m-1). The class
+    // x band grid is dimension-sized (25 nations x 5 segments x ~11
+    // bands), so every window runs over bounded rows.
+    "q378_t_closeness" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val bands = cust.select(col("band")).distinct()
+      val nBands = bands.agg(count(lit(1)).as("m"))
+      val glob = cust.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+        .crossJoin(broadcast(cust.agg(count(lit(1)).as("gn"))))
+        .select(col("band"), (col("gc").cast("double") / col("gn"))
+          .as("p_glob"))
+      val classes = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val cls = cust.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("band")).agg(count(lit(1)).as("c"))
+      val grid = classes.crossJoin(broadcast(bands))
+        .join(cls, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(broadcast(glob), "band")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          col("n"),
+          (col("c").cast("double") / col("n") - col("p_glob")).as("diff"))
+      val wCum = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum", sum(col("diff")).over(wCum))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(first(col("n")).as("n"), sum(abs(col("cum"))).as("s"))
+        .crossJoin(broadcast(nBands))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          round(col("s") / (col("m") - 1), 4).as("emd"))
+        .filter(col("emd") > 0.25)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // Weight-of-evidence encoding + information value — the credit-
+    // scoring feature transform (per-category ln(P(cat|pos)/P(cat|neg))
+    // with 0.5 smoothing) that turns a high-cardinality categorical
+    // into one monotone numeric column. One grouped aggregate over the
+    // category dimension; totals ride a broadcast.
+    "q379_woe_encoding" -> ((s, d) => {
+      val rows = t(s, d, "part").select(col("p_brand"),
+        when(col("p_retailprice") > 950.0, 1L).otherwise(0L).as("y"))
+      val tot = rows.agg(sum(col("y")).as("pos_tot"),
+        sum(lit(1L) - col("y")).as("neg_tot"))
+      rows.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .crossJoin(broadcast(tot))
+        .select(col("p_brand"), col("n"), col("pos"),
+          round(log(((col("pos") + 0.5) / col("pos_tot"))
+            / ((col("n") - col("pos") + 0.5) / col("neg_tot"))), 4)
+            .as("woe"),
+          round((col("pos").cast("double") / col("pos_tot")
+            - (col("n") - col("pos")).cast("double") / col("neg_tot"))
+            * log(((col("pos") + 0.5) / col("pos_tot"))
+              / ((col("n") - col("pos") + 0.5) / col("neg_tot"))), 4)
+            .as("iv_term"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Data-contract assertion report — the great-expectations-style
+    // gate an ingest pipeline runs before publishing a table: seven
+    // declarative contracts over lineitem evaluated in ONE scan of
+    // conditional counts, unpivoted to a (contract, checked,
+    // violations, pass) report. One contract is designed to fail
+    // (qty <= 45) so the report provably detects violations.
+    "q380_data_contracts" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val agg = li.agg(count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("v_qty"),
+        sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L))
+          .as("v_disc"),
+        sum(when(col("l_shipdate") < "1992-01-01" ||
+          col("l_shipdate") >= "1999-01-01", 1L)
+          .otherwise(0L)).as("v_ship"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("v_flag"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("v_price"),
+        sum(when(col("l_orderkey").isNull || col("l_partkey").isNull, 1L)
+          .otherwise(0L)).as("v_null"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("v_qty45"))
+      agg.selectExpr("n",
+        """stack(7,
+             'qty_in_1_50', v_qty,
+             'discount_in_0_0.1', v_disc,
+             'shipdate_in_range', v_ship,
+             'returnflag_domain', v_flag,
+             'price_positive', v_price,
+             'keys_not_null', v_null,
+             'qty_le_45_expected_fail', v_qty45)
+           AS (contract, n_violations)""")
+        .select(col("contract"), col("n").as("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+        .orderBy(col("contract"))
+    }),
+
+    // Blocking-quality audit for record linkage — the metrics that
+    // justify q350's blocked-pairs design at 100 TB: REDUCTION RATIO
+    // (candidate pairs vs the quadratic all-pairs space, from block
+    // sizes alone — never materializing a pair) and PAIR COMPLETENESS
+    // (fraction of ground-truth matches, the consecutive-key pairs of
+    // the q350 convention, that share a block). Integer ppm outputs.
+    "q381_blocking_quality" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+        expr("p_size DIV 10").as("size_band"))
+      val blocks = p.groupBy(col("p_brand"), col("size_band"))
+        .agg(count(lit(1)).as("bn"))
+      val blockStats = blocks.agg(count(lit(1)).as("n_blocks"),
+        sum(expr("bn * (bn - 1) DIV 2")).as("cand_pairs"),
+        sum(col("bn")).as("nrows"))
+      val truth = p.as("a").join(p.as("b"),
+        col("b.p_partkey") === col("a.p_partkey") + 1)
+      val truthStats = truth.agg(count(lit(1)).as("n_true"),
+        sum(when(col("a.p_brand") === col("b.p_brand") &&
+          col("a.size_band") === col("b.size_band"), 1L)
+          .otherwise(0L)).as("n_coblocked"))
+      blockStats.crossJoin(truthStats).select(
+        col("n_blocks"), col("cand_pairs"), col("n_true"),
+        col("n_coblocked"),
+        expr("""(nrows * (nrows - 1) DIV 2 - cand_pairs) * 1000000
+                DIV (nrows * (nrows - 1) DIV 2)""").as("reduction_ppm"),
+        expr("n_coblocked * 1000000 DIV n_true")
+          .as("pair_completeness_ppm"))
     })
   )
 
@@ -307,6 +481,149 @@ object Round9Ops {
                 sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
                   ::BIGINT AS n_moved
          FROM pick8 JOIN pick9 USING (doc_id)
-         GROUP BY 1 ORDER BY shard"""
+         GROUP BY 1 ORDER BY shard""",
+    "q377_ranking_eval" ->
+      """WITH ranked AS (
+           SELECT q.vec_id AS q_id, q.label AS q_label,
+                  e.vec_id, e.label,
+                  CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                      e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                      e.vec_id ASC) AS BIGINT) AS rnk
+           FROM embeddings e
+           JOIN embeddings q ON q.vec_id % 25 = 0
+             AND e.vec_id <> q.vec_id),
+         per_q AS (
+           SELECT q_id,
+                  sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                    ::BIGINT AS n_rel,
+                  sum(CASE WHEN rnk <= 10 AND label = q_label
+                      THEN 1 ELSE 0 END)::BIGINT AS rel_at_10,
+                  min(CASE WHEN label = q_label THEN rnk END)
+                    AS first_rel,
+                  sum(CASE WHEN rnk <= 10 AND label = q_label
+                      THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+           FROM ranked GROUP BY q_id)
+         SELECT q_id, n_rel,
+                round(rel_at_10::DOUBLE / n_rel, 4) AS recall10,
+                round(1.0 / first_rel, 4) AS mrr,
+                round(dcg / list_sum(list_transform(
+                  range(1, least(10, n_rel) + 1),
+                  i -> 1.0 / log2(i + 1))), 4) AS ndcg10
+         FROM per_q WHERE n_rel > 0 ORDER BY q_id""",
+    "q378_t_closeness" ->
+      """WITH cust AS (
+           SELECT c_nationkey, c_mktsegment,
+                  floor(c_acctbal / 1000)::BIGINT AS band
+           FROM customer),
+         bands AS (SELECT DISTINCT band FROM cust),
+         m AS (SELECT count(*)::BIGINT AS m FROM bands),
+         gd AS (
+           SELECT band, count(*)::DOUBLE
+                    / (SELECT count(*) FROM cust) AS p_glob
+           FROM cust GROUP BY band),
+         classes AS (
+           SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+           FROM cust GROUP BY 1, 2),
+         cls AS (
+           SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS c
+           FROM cust GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT cl.c_nationkey, cl.c_mktsegment, b.band, cl.n,
+                  coalesce(c.c, 0)::DOUBLE / cl.n - g.p_glob AS diff
+           FROM classes cl CROSS JOIN bands b
+           LEFT JOIN cls c ON c.c_nationkey = cl.c_nationkey
+             AND c.c_mktsegment = cl.c_mktsegment AND c.band = b.band
+           JOIN gd g ON g.band = b.band),
+         cum AS (
+           SELECT c_nationkey, c_mktsegment, n,
+                  sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS cumdiff
+           FROM grid)
+         SELECT c_nationkey, c_mktsegment, any_value(n) AS n,
+                round(sum(abs(cumdiff)) / ((SELECT m FROM m) - 1), 4)
+                  AS emd
+         FROM cum GROUP BY c_nationkey, c_mktsegment
+         HAVING round(sum(abs(cumdiff)) / ((SELECT m FROM m) - 1), 4)
+                  > 0.25
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q379_woe_encoding" ->
+      """WITH rows_ AS (
+           SELECT p_brand,
+                  CASE WHEN p_retailprice > 950.0 THEN 1 ELSE 0 END AS y
+           FROM part),
+         tot AS (
+           SELECT sum(y)::BIGINT AS pos_tot,
+                  sum(1 - y)::BIGINT AS neg_tot
+           FROM rows_)
+         SELECT p_brand, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+                round(ln(((sum(y) + 0.5) / pos_tot)
+                  / ((count(*) - sum(y) + 0.5) / neg_tot)), 4) AS woe,
+                round((sum(y)::DOUBLE / pos_tot
+                    - (count(*) - sum(y))::DOUBLE / neg_tot)
+                  * ln(((sum(y) + 0.5) / pos_tot)
+                    / ((count(*) - sum(y) + 0.5) / neg_tot)), 4)
+                  AS iv_term
+         FROM rows_ CROSS JOIN tot
+         GROUP BY p_brand, pos_tot, neg_tot
+         ORDER BY p_brand""",
+    "q380_data_contracts" ->
+      """WITH agg AS (
+           SELECT count(*)::BIGINT AS n,
+                  sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                      THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+                  sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                      THEN 1 ELSE 0 END)::BIGINT AS v_disc,
+                  sum(CASE WHEN l_shipdate::TIMESTAMP
+                        < TIMESTAMP '1992-01-01 00:00:00'
+                        OR l_shipdate::TIMESTAMP
+                        >= TIMESTAMP '1999-01-01 00:00:00'
+                      THEN 1 ELSE 0 END)::BIGINT AS v_ship,
+                  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END)::BIGINT AS v_flag,
+                  sum(CASE WHEN l_extendedprice <= 0
+                      THEN 1 ELSE 0 END)::BIGINT AS v_price,
+                  sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS v_null,
+                  sum(CASE WHEN l_quantity > 45
+                      THEN 1 ELSE 0 END)::BIGINT AS v_qty45
+           FROM lineitem)
+         SELECT contract, n AS n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM (
+           SELECT n, 'qty_in_1_50' AS contract, v_qty AS n_violations
+             FROM agg
+           UNION ALL SELECT n, 'discount_in_0_0.1', v_disc FROM agg
+           UNION ALL SELECT n, 'shipdate_in_range', v_ship FROM agg
+           UNION ALL SELECT n, 'returnflag_domain', v_flag FROM agg
+           UNION ALL SELECT n, 'price_positive', v_price FROM agg
+           UNION ALL SELECT n, 'keys_not_null', v_null FROM agg
+           UNION ALL SELECT n, 'qty_le_45_expected_fail', v_qty45
+             FROM agg)
+         ORDER BY contract""",
+    "q381_blocking_quality" ->
+      """WITH blocks AS (
+           SELECT p_brand, p_size // 10 AS size_band,
+                  count(*)::BIGINT AS bn
+           FROM part GROUP BY 1, 2),
+         bs AS (
+           SELECT count(*)::BIGINT AS n_blocks,
+                  sum(bn * (bn - 1) // 2)::BIGINT AS cand_pairs,
+                  sum(bn)::BIGINT AS nrows
+           FROM blocks),
+         ts AS (
+           SELECT count(*)::BIGINT AS n_true,
+                  sum(CASE WHEN a.p_brand = b.p_brand
+                      AND a.p_size // 10 = b.p_size // 10
+                      THEN 1 ELSE 0 END)::BIGINT AS n_coblocked
+           FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1)
+         SELECT n_blocks, cand_pairs, n_true, n_coblocked,
+                ((nrows * (nrows - 1) // 2 - cand_pairs) * 1000000
+                  // (nrows * (nrows - 1) // 2))::BIGINT
+                  AS reduction_ppm,
+                (n_coblocked * 1000000 // n_true)::BIGINT
+                  AS pair_completeness_ppm
+         FROM bs CROSS JOIN ts"""
   )
 }
