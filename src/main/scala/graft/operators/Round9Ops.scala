@@ -363,6 +363,110 @@ object Round9Ops {
                 DIV (nrows * (nrows - 1) DIV 2)""").as("reduction_ppm"),
         expr("n_coblocked * 1000000 DIV n_true")
           .as("pair_completeness_ppm"))
+    }),
+
+    // Weekday-seasonality decomposition — the additive model's first
+    // rung (series = seasonal(dow) + residual): per event_type, daily
+    // revenue is decomposed against per-day-of-week means and the
+    // SEASONAL STRENGTH 1 - var(resid)/var(series) reported with the
+    // peak weekday. Day-of-week is the engine-portable epoch-day mod 7
+    // (Spark's dayofweek is 1-based Sunday, DuckDB's 0-based — the mod
+    // avoids the dialect trap), variances are explicit sum-of-squares.
+    // Day-grain bounded everywhere; complements q363's Holt trend.
+    "q382_seasonal_decompose" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("rev"))
+        .withColumn("dow", pmod(unix_date(col("day").cast("date")), lit(7)))
+      val dowMeans = daily.groupBy(col("event_type"), col("dow"))
+        .agg((sum(col("rev")) / count(lit(1))).as("s"))
+      val peak = dowMeans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("s").desc, col("dow"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("dow").as("peak_dow"))
+      daily.join(dowMeans, Seq("event_type", "dow"))
+        .select(col("event_type"), col("rev").cast("double").as("x"),
+          (col("rev") - col("s")).as("r"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          ((sum(col("x") * col("x")) / count(lit(1)))
+            - (sum(col("x")) / count(lit(1)))
+            * (sum(col("x")) / count(lit(1)))).as("vx"),
+          ((sum(col("r") * col("r")) / count(lit(1)))
+            - (sum(col("r")) / count(lit(1)))
+            * (sum(col("r")) / count(lit(1)))).as("vr"))
+        .join(peak, "event_type")
+        .select(col("event_type"), col("n_days"), col("peak_dow"),
+          round(lit(1.0) - col("vr") / col("vx"), 4)
+            .as("seasonal_strength"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Population-stability-index drift — the model-monitoring standard
+    // q210's TVD complements: PSI = sum (p2-p1) ln(p2/p1) over
+    // fixed-width value bins between the observation window's first
+    // and second half, Laplace-smoothed so empty bins stay finite. One
+    // scan, a (type x 10 bin) aggregate; PSI > 0.2 is the
+    // retrain-the-model alarm convention.
+    "q383_psi_drift" -> ((s, d) => {
+      val binned = t(s, d, "events").select(col("event_type"),
+        (col("ts") >= "2024-01-16").as("late"),
+        least(floor(col("value") / 40), lit(9L)).cast("long").as("bin"))
+      val cells = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("c2"))
+      val tots = cells.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cells.join(tots, "event_type")
+        .select(col("event_type"), col("n1"), col("n2"),
+          (((col("c1") + 0.5) / (col("n1") + 5.0))
+            ).as("p1"),
+          (((col("c2") + 0.5) / (col("n2") + 5.0))
+            ).as("p2"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n1")).as("n_early"), first(col("n2")).as("n_late"),
+          round(sum((col("p2") - col("p1")) * log(col("p2") / col("p1"))),
+            4).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-document content novelty — the "how much NEW text does each
+    // source contribute" curve that decides ingest priority: a doc's
+    // distinct 5-gram hashes (q188's portable md5-prefix recipe) are
+    // novel iff their GLOBAL first occurrence (min doc_id) is this doc.
+    // One hash-keyed shuffle for the first-occurrence map, one join
+    // back — O(grams), no pairwise comparison, the same incremental
+    // shape as the q207 dedup-ingest chain. Reported per source in
+    // exact ppm.
+    "q384_doc_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val grams = docs.select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(0), size(col("tk")) - 5),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(5))))).as("g"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .distinct()
+      val firstDoc = grams.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstDoc, "h")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_grams"),
+          col("n_novel"),
+          expr("n_novel * 1000000 DIV n_grams").as("novelty_ppm"))
+        .orderBy(col("source"))
     })
   )
 
@@ -624,6 +728,85 @@ object Round9Ops {
                   AS reduction_ppm,
                 (n_coblocked * 1000000 // n_true)::BIGINT
                   AS pair_completeness_ppm
-         FROM bs CROSS JOIN ts"""
+         FROM bs CROSS JOIN ts""",
+    "q382_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS rev
+           FROM events GROUP BY 1, 2),
+         dowd AS (
+           SELECT event_type, day, rev,
+                  ((date_diff('day', DATE '1970-01-01', day::DATE) % 7)
+                   + 7) % 7 AS dow
+           FROM daily),
+         dm AS (
+           SELECT event_type, dow, sum(rev)::DOUBLE / count(*) AS s
+           FROM dowd GROUP BY 1, 2),
+         peak AS (
+           SELECT event_type, dow AS peak_dow FROM (
+             SELECT event_type, dow, row_number() OVER (
+               PARTITION BY event_type ORDER BY s DESC, dow) AS rn
+             FROM dm) WHERE rn = 1),
+         res AS (
+           SELECT d.event_type, d.rev::DOUBLE AS x, d.rev - m.s AS r
+           FROM dowd d JOIN dm m USING (event_type, dow)),
+         v AS (
+           SELECT event_type, count(*)::BIGINT AS n_days,
+                  sum(x*x) / count(*) - (sum(x) / count(*))
+                    * (sum(x) / count(*)) AS vx,
+                  sum(r*r) / count(*) - (sum(r) / count(*))
+                    * (sum(r) / count(*)) AS vr
+           FROM res GROUP BY event_type)
+         SELECT v.event_type, n_days, peak_dow,
+                round(1.0 - vr / vx, 4) AS seasonal_strength
+         FROM v JOIN peak USING (event_type)
+         ORDER BY event_type""",
+    "q383_psi_drift" ->
+      """WITH binned AS (
+           SELECT event_type,
+                  ts::TIMESTAMP >= TIMESTAMP '2024-01-16 00:00:00'
+                    AS late,
+                  least(floor(value / 40), 9)::BIGINT AS bin
+           FROM events),
+         cells AS (
+           SELECT event_type, bin,
+                  sum(CASE WHEN NOT late THEN 1 ELSE 0 END)::BIGINT
+                    AS c1,
+                  sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS c2
+           FROM binned GROUP BY 1, 2),
+         tots AS (
+           SELECT event_type, sum(c1)::BIGINT AS n1,
+                  sum(c2)::BIGINT AS n2
+           FROM cells GROUP BY 1)
+         SELECT event_type, any_value(n1) AS n_early,
+                any_value(n2) AS n_late,
+                round(sum(((c2 + 0.5) / (n2 + 5.0)
+                           - (c1 + 0.5) / (n1 + 5.0))
+                  * ln(((c2 + 0.5) / (n2 + 5.0))
+                       / ((c1 + 0.5) / (n1 + 5.0)))), 4) AS psi
+         FROM cells JOIN tots USING (event_type)
+         GROUP BY event_type ORDER BY event_type""",
+    "q384_doc_novelty" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+                  string_split_regex(trim(text), '\s+') AS tk
+           FROM documents WHERE len(string_split_regex(trim(text),
+             '\s+')) >= 5),
+         grams AS (
+           SELECT DISTINCT doc_id, source,
+                  ('0x' || substr(md5(array_to_string(
+                     tk[i+1 : i+5], ' ')), 1, 15))::BIGINT AS h
+           FROM docs, unnest(generate_series(0, len(tk) - 5)) t(i)),
+         fd AS (SELECT h, min(doc_id) AS first_doc FROM grams
+                GROUP BY h)
+         SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_grams,
+                sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                  ::BIGINT AS n_novel,
+                (sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                 * 1000000 // count(*))::BIGINT AS novelty_ppm
+         FROM grams JOIN fd USING (h)
+         GROUP BY source ORDER BY source"""
   )
 }
