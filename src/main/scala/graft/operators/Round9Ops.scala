@@ -467,6 +467,129 @@ object Round9Ops {
           col("n_novel"),
           expr("n_novel * 1000000 DIV n_grams").as("novelty_ppm"))
         .orderBy(col("source"))
+    }),
+
+    // Pairwise Pearson correlation matrix over the numeric lineitem
+    // measures — the profiling step feature selection starts from
+    // (q288's SUMMARIZE gives univariate moments; this adds the
+    // bivariate grid). ONE scan accumulates every sum/cross-sum, the 6
+    // pairs unpivot from that single row; correlations use the explicit
+    // closed form so neither engine's corr() implementation detail
+    // leaks into the gate.
+    "q385_corr_matrix" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("double").as("q"),
+        col("l_extendedprice").cast("double").as("p"),
+        col("l_discount").cast("double").as("di"),
+        col("l_tax").cast("double").as("tx"))
+      def sums(c: String) = Seq(
+        sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))
+      val agg = li.agg(count(lit(1)).cast("double").as("n"),
+        (sums("q") ++ sums("p") ++ sums("di") ++ sums("tx") ++ Seq(
+          sum(col("q") * col("p")).as("c_q_p"),
+          sum(col("q") * col("di")).as("c_q_di"),
+          sum(col("q") * col("tx")).as("c_q_tx"),
+          sum(col("p") * col("di")).as("c_p_di"),
+          sum(col("p") * col("tx")).as("c_p_tx"),
+          sum(col("di") * col("tx")).as("c_di_tx"))): _*)
+      def corrExpr(a: String, b: String) =
+        s"""round((n * c_${a}_${b} - s_${a} * s_${b})
+             / sqrt((n * ss_${a} - s_${a} * s_${a})
+                    * (n * ss_${b} - s_${b} * s_${b})), 4)"""
+      agg.selectExpr(
+        s"""stack(6,
+             'quantity', 'extendedprice', ${corrExpr("q", "p")},
+             'quantity', 'discount', ${corrExpr("q", "di")},
+             'quantity', 'tax', ${corrExpr("q", "tx")},
+             'extendedprice', 'discount', ${corrExpr("p", "di")},
+             'extendedprice', 'tax', ${corrExpr("p", "tx")},
+             'discount', 'tax', ${corrExpr("di", "tx")})
+           AS (col_a, col_b, pearson)""")
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
+    // Flesch-style readability scoring — the text-quality dimension the
+    // length/stopword heuristics miss: 206.835 - 1.015 (words/sentence)
+    // - 84.6 (syllables/word), with syllables approximated by vowel-
+    // group counts and sentences by terminal-punctuation runs (both
+    // pure regex, replayed verbatim by the oracle). Per-source means
+    // plus the hard-to-read fraction in exact ppm. One scan, projection
+    // + a dimension-sized rollup.
+    "q386_readability" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("double").as("w"),
+          greatest(lit(1L),
+            regexp_count(col("text"), lit("[.!?]+"))).cast("double")
+            .as("sent"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("double").as("syl"))
+        .select(col("source"),
+          (lit(206.835) - lit(1.015) * col("w") / col("sent")
+            - lit(84.6) * col("syl") / col("w")).as("score"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score")), 4).as("avg_score"),
+          expr("""sum(CASE WHEN score < 30 THEN 1L ELSE 0L END)
+                  * 1000000 DIV count(*)""").as("hard_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Differential-privacy release MECHANISM (Laplace, eps = 0.5,
+    // sensitivity 1) with the noise draw derandomized through the
+    // portable hash -> inverse-CDF ladder so both engines release the
+    // same value — gating the MECHANISM's plumbing (scale calibration,
+    // inverse CDF, per-group independence), while a production
+    // deployment would swap the hash for a real RNG. Completes the
+    // privacy ladder (q317/q361/q378) with the release step; true
+    // counts ride along purely for the gate.
+    "q387_dp_release" -> ((s, d) => {
+      val counts = t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      counts.select(col("event_type"), col("n_true"),
+          ((conv(substring(md5(col("event_type")), 1, 15), 16, 10)
+            .cast("long") % 4294967296L).cast("double")
+            / 4294967296.0 - 0.5).as("u"))
+        .select(col("event_type"), col("n_true"),
+          round(col("n_true") +
+            (-signum(col("u")) * lit(2.0)
+              * log(lit(1.0) - lit(2.0) * abs(col("u")))), 4)
+            .as("released"),
+          round(abs(-signum(col("u")) * lit(2.0)
+            * log(lit(1.0) - lit(2.0) * abs(col("u")))), 4)
+            .as("noise_magnitude"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Partition-key advisor — the layout decision every 100 TB table
+    // gets wrong once: score candidate partition columns by distinct
+    // count (file-count explosion), largest-partition share (skew
+    // ceiling), and Shannon entropy (balance), then verdict by the
+    // standard thresholds. Each candidate costs one dimension-sized
+    // aggregate; complements q255 (z-order), q292 (skew), q308
+    // (encodings).
+    "q388_partition_key_advisor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def profile(name: String, key: org.apache.spark.sql.Column) = {
+        val g = ev.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        g.agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n"),
+            max(col("c")).as("mx"),
+            sum(col("c") * log(col("c"))).as("clogc"))
+          .select(lit(name).as("candidate"), col("n_distinct"),
+            expr("mx * 1000000 DIV n").as("top_share_ppm"),
+            round((log(col("n")) - col("clogc") / col("n"))
+              / log(lit(2.0)), 4).as("entropy_bits"))
+      }
+      profile("event_type", col("event_type"))
+        .unionByName(profile("user_id", col("user_id")))
+        .unionByName(profile("day", date_trunc("day", col("ts"))))
+        .select(col("candidate"), col("n_distinct"), col("top_share_ppm"),
+          col("entropy_bits"),
+          when(col("n_distinct") > 10000, "too_granular")
+            .when(col("top_share_ppm") > 500000, "too_skewed")
+            .otherwise("ok").as("verdict"))
+        .orderBy(col("candidate"))
     })
   )
 
@@ -807,6 +930,109 @@ object Round9Ops {
                 (sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
                  * 1000000 // count(*))::BIGINT AS novelty_ppm
          FROM grams JOIN fd USING (h)
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    "q385_corr_matrix" ->
+      """WITH li AS (
+           SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS p,
+                  l_discount::DOUBLE AS di, l_tax::DOUBLE AS tx
+           FROM lineitem),
+         agg AS (
+           SELECT count(*)::DOUBLE AS n,
+                  sum(q) AS s_q, sum(q*q) AS ss_q,
+                  sum(p) AS s_p, sum(p*p) AS ss_p,
+                  sum(di) AS s_di, sum(di*di) AS ss_di,
+                  sum(tx) AS s_tx, sum(tx*tx) AS ss_tx,
+                  sum(q*p) AS c_q_p, sum(q*di) AS c_q_di,
+                  sum(q*tx) AS c_q_tx, sum(p*di) AS c_p_di,
+                  sum(p*tx) AS c_p_tx, sum(di*tx) AS c_di_tx
+           FROM li)
+         SELECT col_a, col_b, pearson FROM (
+           SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+                  round((n*c_q_p - s_q*s_p)
+                    / sqrt((n*ss_q - s_q*s_q)*(n*ss_p - s_p*s_p)), 4)
+                    AS pearson FROM agg
+           UNION ALL SELECT 'quantity', 'discount',
+                  round((n*c_q_di - s_q*s_di)
+                    / sqrt((n*ss_q - s_q*s_q)*(n*ss_di - s_di*s_di)), 4)
+                  FROM agg
+           UNION ALL SELECT 'quantity', 'tax',
+                  round((n*c_q_tx - s_q*s_tx)
+                    / sqrt((n*ss_q - s_q*s_q)*(n*ss_tx - s_tx*s_tx)), 4)
+                  FROM agg
+           UNION ALL SELECT 'extendedprice', 'discount',
+                  round((n*c_p_di - s_p*s_di)
+                    / sqrt((n*ss_p - s_p*s_p)*(n*ss_di - s_di*s_di)), 4)
+                  FROM agg
+           UNION ALL SELECT 'extendedprice', 'tax',
+                  round((n*c_p_tx - s_p*s_tx)
+                    / sqrt((n*ss_p - s_p*s_p)*(n*ss_tx - s_tx*s_tx)), 4)
+                  FROM agg
+           UNION ALL SELECT 'discount', 'tax',
+                  round((n*c_di_tx - s_di*s_tx)
+                    / sqrt((n*ss_di - s_di*s_di)*(n*ss_tx - s_tx*s_tx)),
+                    4)
+                  FROM agg)
+         ORDER BY col_a, col_b""",
+    "q386_readability" ->
+      """WITH scored AS (
+           SELECT source,
+                  206.835
+                  - 1.015 * len(string_split_regex(trim(text), '\s+'))
+                    / greatest(1,
+                        len(regexp_extract_all(text, '[.!?]+')))
+                  - 84.6 * len(regexp_extract_all(lower(text),
+                        '[aeiouy]+'))
+                    / len(string_split_regex(trim(text), '\s+'))
+                    AS score
+           FROM documents WHERE len(trim(text)) > 0)
+         SELECT source, count(*)::BIGINT AS n_docs,
+                round(avg(score), 4) AS avg_score,
+                (sum(CASE WHEN score < 30 THEN 1 ELSE 0 END) * 1000000
+                  // count(*))::BIGINT AS hard_ppm
+         FROM scored GROUP BY source ORDER BY source""",
+    "q387_dp_release" ->
+      """WITH counts AS (
+           SELECT event_type, count(*)::BIGINT AS n_true
+           FROM events GROUP BY event_type),
+         withu AS (
+           SELECT event_type, n_true,
+                  (('0x' || substr(md5(event_type), 1, 15))::BIGINT
+                    % 4294967296)::DOUBLE / 4294967296 - 0.5 AS u
+           FROM counts)
+         SELECT event_type, n_true,
+                round(n_true + (-sign(u) * 2.0 * ln(1.0 - 2.0 * abs(u))),
+                  4) AS released,
+                round(abs(-sign(u) * 2.0 * ln(1.0 - 2.0 * abs(u))), 4)
+                  AS noise_magnitude
+         FROM withu ORDER BY event_type""",
+    "q388_partition_key_advisor" ->
+      """WITH prof AS (
+           SELECT 'event_type' AS candidate, count(*)::BIGINT
+                    AS n_distinct,
+                  max(c) * 1000000 // sum(c) AS top_share_ppm,
+                  round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                    / ln(2.0), 4) AS entropy_bits
+           FROM (SELECT count(*)::BIGINT AS c FROM events
+                 GROUP BY event_type)
+           UNION ALL
+           SELECT 'user_id', count(*)::BIGINT,
+                  max(c) * 1000000 // sum(c),
+                  round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                    / ln(2.0), 4)
+           FROM (SELECT count(*)::BIGINT AS c FROM events
+                 GROUP BY user_id)
+           UNION ALL
+           SELECT 'day', count(*)::BIGINT,
+                  max(c) * 1000000 // sum(c),
+                  round((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                    / ln(2.0), 4)
+           FROM (SELECT count(*)::BIGINT AS c FROM events
+                 GROUP BY date_trunc('day', ts::TIMESTAMP)))
+         SELECT candidate, n_distinct,
+                top_share_ppm::BIGINT AS top_share_ppm, entropy_bits,
+                CASE WHEN n_distinct > 10000 THEN 'too_granular'
+                     WHEN top_share_ppm > 500000 THEN 'too_skewed'
+                     ELSE 'ok' END AS verdict
+         FROM prof ORDER BY candidate"""
   )
 }
