@@ -105,9 +105,12 @@ object OpsIntegrity {
       val ev = t(s, d, "events")
         .select(col("event_type"),
           date_trunc("day", col("ts")).as("day"), col("user_id"))
-      val daily = ev.groupBy(col("event_type"), col("day"))
+      // Staged: both the WAU rollup and the final DAU projection read
+      // the daily-sketch aggregate; staging keeps the corpus distinct
+      // to one pass.
+      val daily = graft.Stage(ev.groupBy(col("event_type"), col("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
-          countDistinct(col("user_id")).as("dau_exact"))
+          countDistinct(col("user_id")).as("dau_exact")), "q371_daily")
       val wauHll = daily.select(col("event_type"), col("day"), col("sk"))
         .withColumn("i", explode(sequence(lit(0), lit(6))))
         .select(col("event_type"),

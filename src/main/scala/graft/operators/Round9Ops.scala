@@ -79,11 +79,14 @@ object Round9Ops {
     "q373_seq_perplexity" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val steps = t(s, d, "events")
+      // Staged: three consumers (vocab, transition counts, the final
+      // per-user join) would otherwise each replay the corpus lag
+      // window.
+      val steps = graft.Stage(t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("cur"))
         .withColumn("nxt", lead(col("cur"), 1).over(w))
-        .filter(col("nxt").isNotNull)
+        .filter(col("nxt").isNotNull), "q373_steps")
       val vocab = steps.agg(countDistinct(col("cur")).as("v"))
       val trans = steps.groupBy(col("cur"), col("nxt"))
         .agg(count(lit(1)).as("c"))
@@ -374,13 +377,16 @@ object Round9Ops {
     // avoids the dialect trap), variances are explicit sum-of-squares.
     // Day-grain bounded everywhere; complements q363's Holt trend.
     "q382_seasonal_decompose" -> ((s, d) => {
-      val daily = t(s, d, "events")
+      // Staged: consumed by both the dow-means build and the residual
+      // join.
+      val daily = graft.Stage(t(s, d, "events")
         .select(col("event_type"),
           date_trunc("day", col("ts")).as("day"),
           floor(col("value") * 100).cast("long").as("cents"))
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("cents")).as("rev"))
-        .withColumn("dow", pmod(unix_date(col("day").cast("date")), lit(7)))
+        .withColumn("dow",
+          pmod(unix_date(col("day").cast("date")), lit(7))), "q382_daily")
       val dowMeans = daily.groupBy(col("event_type"), col("dow"))
         .agg((sum(col("rev")) / count(lit(1))).as("s"))
       val peak = dowMeans
@@ -448,13 +454,16 @@ object Round9Ops {
         .select(col("doc_id"), col("source"),
           split(trim(col("text")), "\\s+").as("tk"))
         .filter(size(col("tk")) >= 5)
-      val grams = docs.select(col("doc_id"), col("source"),
+      // Staged: the first-occurrence map and the novelty join both
+      // consume the (doc, gram-hash) set; without staging the explode +
+      // distinct shuffle runs twice over the corpus.
+      val grams = graft.Stage(docs.select(col("doc_id"), col("source"),
           explode(transform(sequence(lit(0), size(col("tk")) - 5),
             i => concat_ws(" ", slice(col("tk"), i + 1, lit(5))))).as("g"))
         .select(col("doc_id"), col("source"),
           conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
             .as("h"))
-        .distinct()
+        .distinct(), "q384_grams")
       val firstDoc = grams.groupBy(col("h"))
         .agg(min(col("doc_id")).as("first_doc"))
       grams.join(firstDoc, "h")
