@@ -599,6 +599,99 @@ object Round9Ops {
             .when(col("top_share_ppm") > 500000, "too_skewed")
             .otherwise("ok").as("verdict"))
         .orderBy(col("candidate"))
+    }),
+
+    // Incremental statistics maintenance — the optimizer-stats refresh
+    // an append pipeline should NEVER pay a full rescan for: per-column
+    // count/min/max/sum merge exactly from segment stats, and NDV
+    // merges through the q171 mergeable HLL sketches. Both the merged
+    // and the recomputed stats are derived here and gated for equality
+    // (exact fields) / 2% closeness (NDV), proving the merge identity
+    // the 100 TB path relies on. Segments = old (l_orderkey below the
+    // split) + delta.
+    "q389_stats_merge" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        (col("l_orderkey") >= 30000L).as("is_delta"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      def seg(cn: String) = li
+        .groupBy(col("is_delta"))
+        .agg(count(lit(1)).as("n"), min(col(cn)).as("mn"),
+          max(col(cn)).as("mx"), sum(col(cn)).as("sm"),
+          hll_sketch_agg(col(cn)).as("sk"))
+        .agg(sum(col("n")).as("n_m"), min(col("mn")).as("mn_m"),
+          max(col("mx")).as("mx_m"), sum(col("sm")).as("sm_m"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("ndv_m"))
+        .crossJoin(li.agg(count(lit(1)).as("n_f"),
+          min(col(cn)).as("mn_f"), max(col(cn)).as("mx_f"),
+          sum(col(cn)).as("sm_f"),
+          countDistinct(col(cn)).as("ndv_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col(cn))).as("ndv_f")))
+        .select(lit(cn).as("column_name"), col("n_f").as("n"),
+          col("mn_f").as("mn"), col("mx_f").as("mx"),
+          col("sm_f").as("sum_v"), col("ndv_exact"),
+          (col("n_m") === col("n_f") && col("mn_m") === col("mn_f") &&
+            col("mx_m") === col("mx_f") && col("sm_m") === col("sm_f"))
+            .as("merge_exact_ok"),
+          (abs(col("ndv_m") - col("ndv_f")).cast("double")
+            / col("ndv_f") < 0.02).as("ndv_merge_ok"))
+      seg("qty").unionByName(seg("cents")).orderBy(col("column_name"))
+    }),
+
+    // Cross-source content-overlap matrix — which corpus segments
+    // duplicate each other (the decision input for source-level dedup
+    // ordering): distinct 5-gram hashes per source, pairwise
+    // intersection via one self-join on the gram hash (s1 < s2 — only
+    // co-occurring hashes ever pair, never sources), exact Jaccard in
+    // ppm. O(grams) shuffle; the matrix is dimension-sized.
+    "q390_source_overlap" -> ((s, d) => {
+      val grams = graft.Stage(t(s, d, "documents")
+        .select(col("source"), split(trim(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("source"),
+          explode(transform(sequence(lit(0), size(col("tk")) - 5),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(5))))).as("g"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .distinct(), "q390_grams")
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("s1"), col("sz").as("sz1")), "s1")
+        .join(sizes.select(col("source").as("s2"), col("sz").as("sz2")), "s2")
+        .select(col("s1"), col("s2"), col("n_common"),
+          expr("n_common * 1000000 DIV (sz1 + sz2 - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // Schema-evolution scan — the ingest reality a long-lived table
+    // faces: two parquet batches written with DIFFERENT schemas (an
+    // added column, a dropped one) read back as ONE relation via
+    // mergeSchema, missing columns null-filled. The batches derive
+    // deterministically from `documents` (even doc_ids carry lang,
+    // odd carry source + n_chars), so the oracle replays the merged
+    // result from the fixture alone. Gates Spark's schema-merge
+    // semantics end-to-end through a real write/read cycle.
+    "q391_schema_merge_scan" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = graft.Stage.scratchDir("q391_evolving")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("lang")).as("n_lang"),
+          count(col("source")).as("n_source"),
+          sum(col("n_chars")).cast("long").as("chars_odd"),
+          countDistinct(col("doc_id")).as("n_docs"))
     })
   )
 
@@ -1042,6 +1135,60 @@ object Round9Ops {
                 CASE WHEN n_distinct > 10000 THEN 'too_granular'
                      WHEN top_share_ppm > 500000 THEN 'too_skewed'
                      ELSE 'ok' END AS verdict
-         FROM prof ORDER BY candidate"""
+         FROM prof ORDER BY candidate""",
+    "q389_stats_merge" ->
+      """WITH li AS (
+           SELECT floor(l_quantity)::BIGINT AS qty,
+                  floor(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem)
+         SELECT * FROM (
+           SELECT 'qty' AS column_name, count(*)::BIGINT AS n,
+                  min(qty) AS mn, max(qty) AS mx,
+                  sum(qty)::BIGINT AS sum_v,
+                  count(DISTINCT qty)::BIGINT AS ndv_exact,
+                  TRUE AS merge_exact_ok, TRUE AS ndv_merge_ok
+           FROM li
+           UNION ALL
+           SELECT 'cents', count(*)::BIGINT, min(cents), max(cents),
+                  sum(cents)::BIGINT, count(DISTINCT cents)::BIGINT,
+                  TRUE, TRUE
+           FROM li)
+         ORDER BY column_name""",
+    "q390_source_overlap" ->
+      """WITH docs AS (
+           SELECT source, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents
+           WHERE len(string_split_regex(trim(text), '\s+')) >= 5),
+         grams AS (
+           SELECT DISTINCT source,
+                  ('0x' || substr(md5(array_to_string(
+                     tk[i+1 : i+5], ' ')), 1, 15))::BIGINT AS h
+           FROM docs, unnest(generate_series(0, len(tk) - 5)) t(i)),
+         sizes AS (
+           SELECT source, count(*)::BIGINT AS sz FROM grams
+           GROUP BY source),
+         inter AS (
+           SELECT a.source AS s1, b.source AS s2,
+                  count(*)::BIGINT AS n_common
+           FROM grams a JOIN grams b
+             ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT s1, s2, n_common,
+                (n_common * 1000000
+                  // (x.sz + y.sz - n_common))::BIGINT AS jaccard_ppm
+         FROM inter
+         JOIN sizes x ON x.source = s1
+         JOIN sizes y ON y.source = s2
+         ORDER BY s1, s2""",
+    "q391_schema_merge_scan" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_lang,
+                sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_source,
+                sum(CASE WHEN doc_id % 2 = 1 THEN n_chars
+                    ELSE 0 END)::BIGINT AS chars_odd,
+                count(DISTINCT doc_id)::BIGINT AS n_docs
+         FROM documents"""
   )
 }
