@@ -203,7 +203,11 @@ object Round9Ops {
     // with the ideal DCG as a closed-form fold over min(10, n_rel).
     "q377_ranking_eval" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val qs = broadcast(emb.filter(col("vec_id") % 25 === 0)
+      // vec_id < 2500 caps the eval set at a FIXED <=100 queries: an
+      // eval sample must not grow with the corpus (sf1 ScaleRun showed
+      // the %25 filter alone going quadratic — 482 MB shuffle).
+      val qs = broadcast(emb.filter(col("vec_id") % 25 === 0 &&
+        col("vec_id") < 2500)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("label").as("q_label")))
       val ranked = emb.crossJoin(qs)
@@ -820,7 +824,7 @@ object Round9Ops {
                       e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
                       e.vec_id ASC) AS BIGINT) AS rnk
            FROM embeddings e
-           JOIN embeddings q ON q.vec_id % 25 = 0
+           JOIN embeddings q ON q.vec_id % 25 = 0 AND q.vec_id < 2500
              AND e.vec_id <> q.vec_id),
          per_q AS (
            SELECT q_id,
