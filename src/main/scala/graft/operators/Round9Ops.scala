@@ -696,6 +696,112 @@ object Round9Ops {
           count(col("source")).as("n_source"),
           sum(col("n_chars")).cast("long").as("chars_odd"),
           countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // Span-REMOVAL planning — the cut-list q188's span dedup stops
+    // short of: stride-10 W=20 token windows whose hash is shared
+    // across docs become intervals [start, start+20), unioned per doc
+    // (lag + running-max island detection over the doc's own bounded
+    // window list), yielding exactly how many tokens deduplication
+    // would remove per document. The Lee et al. 2022 "dedup the spans,
+    // not the docs" step as a distributed plan: one window-hash
+    // shuffle, per-doc bounded windows, no all-pairs.
+    "q392_span_removal_plan" -> ((s, d) => {
+      val W = 20; val S = 10
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") >= W)
+      val win = docs.select(col("doc_id"), col("n_tok"),
+          explode(transform(
+            sequence(lit(0), ((col("n_tok") - W) / S).cast("int")),
+            i => struct((i * S).cast("long").as("st"),
+              conv(substring(md5(concat_ws(" ",
+                slice(col("tk"), i * S + 1, lit(W)))), 1, 15), 16, 10)
+                .cast("long").as("h")))).as("w"))
+        .select(col("doc_id"), col("n_tok"),
+          col("w.st").as("st"), col("w.h").as("h"))
+      val shared = win.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val spans = win.join(shared, "h")
+        .select(col("doc_id"), col("n_tok"), col("st"),
+          (col("st") + W).as("en"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val covered = spans
+        .withColumn("prev_max", max(col("en")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("seg",
+          when(col("prev_max").isNull || col("st") > col("prev_max"),
+            col("en") - col("st"))
+            .otherwise(greatest(lit(0L), col("en") - col("prev_max"))))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_tok")).as("n_tok"),
+          sum(col("seg")).as("covered_tok"))
+      covered.select(col("doc_id"), col("n_tok"), col("covered_tok"),
+          expr("covered_tok * 1000000 DIV n_tok").as("removable_ppm"))
+        .orderBy(col("covered_tok").desc, col("doc_id")).limit(20)
+    }),
+
+    // Exact weighted percentiles over a BOUNDED value domain — revenue-
+    // weighted quantity quantiles via the value-grouped cumulative-
+    // weight walk (the domain is the group key, so the cumulative
+    // window runs over <=50 rows regardless of corpus size; unbounded
+    // domains take the ExactSelection refinement instead). All-integer:
+    // weights in cents, thresholds by ceil half/9-tenths comparisons.
+    "q393_weighted_percentile" -> ((s, d) => {
+      val byVal = t(s, d, "lineitem")
+        .select(floor(col("l_quantity")).cast("long").as("v"),
+          floor(col("l_extendedprice") * 100).cast("long").as("wt"))
+        .groupBy(col("v")).agg(sum(col("wt")).as("w"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byVal.withColumn("cw", sum(col("w")).over(wCum))
+        .crossJoin(broadcast(byVal.agg(sum(col("w")).as("tw"))))
+      cum.agg(
+        min(when(col("cw") * 2 >= col("tw"), col("v")))
+          .as("wmedian_qty"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("v")))
+          .as("wp90_qty"),
+        first(col("tw")).as("total_weight_cents"))
+    }),
+
+    // Sequential probability ratio test (Wald) monitor — the A/B
+    // stopping rule a daily dashboard actually runs: variant B's
+    // cumulative conversions test H0: p = 0.30 vs H1: p = 0.35, the
+    // log-likelihood ratio walks day by day, and the decision fires
+    // when it crosses ln((1-beta)/alpha) = +-2.9444 (alpha = beta =
+    // 0.05). Assignment and conversion derive from portable hashes /
+    // thresholds, so both engines replay the identical path. Day-grain
+    // cumulative window over bounded rows.
+    "q394_sprt_monitor" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(date_trunc("day", col("ts")).as("day"),
+          (knuth(col("user_id")) % 2 === 1).as("is_b"),
+          (col("value") >= 100.0).as("conv"))
+        .filter(col("is_b"))
+      val daily = ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("trials"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("convs"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lnP = math.log(0.35 / 0.30)
+      val lnQ = math.log(0.65 / 0.70)
+      val bound = math.log(0.95 / 0.05)
+      daily
+        .withColumn("ck", sum(col("convs")).over(wCum))
+        .withColumn("cn", sum(col("trials")).over(wCum))
+        .select(col("day"), col("cn").as("cum_trials"),
+          col("ck").as("cum_convs"),
+          round(col("ck") * lnP + (col("cn") - col("ck")) * lnQ, 4)
+            .as("llr"),
+          when(col("ck") * lnP + (col("cn") - col("ck")) * lnQ
+            >= bound, "accept_h1")
+            .when(col("ck") * lnP + (col("cn") - col("ck")) * lnQ
+              <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1193,6 +1299,91 @@ object Round9Ops {
                 sum(CASE WHEN doc_id % 2 = 1 THEN n_chars
                     ELSE 0 END)::BIGINT AS chars_odd,
                 count(DISTINCT doc_id)::BIGINT AS n_docs
-         FROM documents"""
+         FROM documents""",
+    "q392_span_removal_plan" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           FROM documents),
+         d2 AS (
+           SELECT doc_id, tk, len(tk)::BIGINT AS n_tok FROM docs
+           WHERE len(tk) >= 20),
+         win AS (
+           SELECT doc_id, n_tok, (i * 10)::BIGINT AS st,
+                  ('0x' || substr(md5(array_to_string(
+                     tk[i*10+1 : i*10+20], ' ')), 1, 15))::BIGINT AS h
+           FROM d2, unnest(generate_series(0, (n_tok - 20) // 10)) t(i)),
+         shared AS (
+           SELECT h FROM win GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         spans AS (
+           SELECT doc_id, n_tok, st, st + 20 AS en
+           FROM win JOIN shared USING (h)),
+         cov AS (
+           SELECT doc_id, n_tok, st, en,
+                  max(en) OVER (PARTITION BY doc_id ORDER BY st
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM spans),
+         segs AS (
+           SELECT doc_id, any_value(n_tok) AS n_tok,
+                  sum(CASE WHEN prev_max IS NULL OR st > prev_max
+                      THEN en - st
+                      ELSE greatest(0, en - prev_max) END)::BIGINT
+                    AS covered_tok
+           FROM cov GROUP BY doc_id)
+         SELECT doc_id, n_tok, covered_tok,
+                (covered_tok * 1000000 // n_tok)::BIGINT
+                  AS removable_ppm
+         FROM segs ORDER BY covered_tok DESC, doc_id LIMIT 20""",
+    "q393_weighted_percentile" ->
+      """WITH byv AS (
+           SELECT floor(l_quantity)::BIGINT AS v,
+                  sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS w
+           FROM lineitem GROUP BY 1),
+         cum AS (
+           SELECT v, w,
+                  (sum(w) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    ::BIGINT AS cw,
+                  (SELECT sum(w)::BIGINT FROM byv) AS tw
+           FROM byv)
+         SELECT min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian_qty,
+                min(CASE WHEN cw * 10 >= tw * 9 THEN v END)
+                  AS wp90_qty,
+                any_value(tw) AS total_weight_cents
+         FROM cum""",
+    "q394_sprt_monitor" ->
+      """WITH ev AS (
+           SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                  value >= 100.0 AS conv
+           FROM events
+           WHERE event_type = 'purchase'
+             AND (user_id % 2147483648 * 2654435761 % 4294967296)
+                 % 2 = 1),
+         daily AS (
+           SELECT day, count(*)::BIGINT AS trials,
+                  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT
+                    AS convs
+           FROM ev GROUP BY day),
+         cum AS (
+           SELECT day,
+                  (sum(trials) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    ::BIGINT AS cn,
+                  (sum(convs) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    ::BIGINT AS ck
+           FROM daily)
+         SELECT day, cn AS cum_trials, ck AS cum_convs,
+                round(ck * ln(0.35 / 0.30) + (cn - ck) * ln(0.65 / 0.70),
+                  4) AS llr,
+                CASE WHEN ck * ln(0.35 / 0.30)
+                          + (cn - ck) * ln(0.65 / 0.70)
+                          >= ln(0.95 / 0.05) THEN 'accept_h1'
+                     WHEN ck * ln(0.35 / 0.30)
+                          + (cn - ck) * ln(0.65 / 0.70)
+                          <= -ln(0.95 / 0.05) THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM cum ORDER BY day"""
   )
 }
