@@ -35,14 +35,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
-    // 560 s (was 520 at 262 queries, 450, 330): at 278 queries pass 1
-    // alone measures ~285 s and a full warm pass 2 ~200 s more; a
-    // tighter budget leaves a cold tail reporting spurious
-    // "regressions" (the round-7 local run showed q158 at its cold
-    // 7.5 s vs 4.9 s warm). Wall stays bounded: the summary is
-    // rewritten after every measurement, so any external kill still
-    // leaves a complete pass-1 table plus whatever warmed.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "560.0").toDouble
+    // 720 s (was 560 at 354 queries, 520 at 262, 450, 330): at 378
+    // queries pass 1 alone measures ~330 s; the round-9 refresh at 560
+    // left a cold 1-2 s band unrerun and eight spurious "regressions"
+    // (q238 11x cold vs 0.12 s isolated — same failure class as
+    // round 7). A tighter budget leaves a cold tail reporting spurious
+    // "regressions". Wall stays bounded: the summary is rewritten
+    // after every measurement, so any external kill still leaves a
+    // complete pass-1 table plus whatever warmed.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "720.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
