@@ -49,6 +49,7 @@ object SparkEntry {
     (operators.Round8Ops.queries, operators.Round8Ops.oracles),
     (operators.Round9Ops.queries, operators.Round9Ops.oracles),
     (operators.Round9Stats.queries, operators.Round9Stats.oracles),
+    (operators.Round9Sys.queries, operators.Round9Sys.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
