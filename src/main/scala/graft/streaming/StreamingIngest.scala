@@ -447,8 +447,64 @@ object StreamingIngest {
     "q198_stream_custom_state" -> ((s, d) => streamedErrorRuns(s, d)),
     "q272_stream_funnel" -> ((s, d) => streamedFunnel(s, d)),
     "q302_stream_cdc_apply" -> ((s, d) => streamedCdcApply(s, d)),
-    "q327_stream_mv_maintain" -> ((s, d) => streamedMvMaintain(s, d))
+    "q327_stream_mv_maintain" -> ((s, d) => streamedMvMaintain(s, d)),
+    "q403_stream_watermark_audit" -> ((s, d) => streamedWatermarkAudit(s, d))
   )
+
+  /** Watermark-discipline audit — proves LATE data is actually DROPPED,
+    * the semantics every other streaming query here merely relies on.
+    * Three micro-batches with deterministic boundaries (files land in
+    * the source directory between processAllAvailable calls — no
+    * driver-side row shuttling): (1) days 1-20, which advances the
+    * event-time watermark to ~day 17 (max - 3 days); (2) a LATE replay
+    * of days 5-10 — every row's window end is below the watermark, so
+    * the update-mode aggregate must emit NOTHING for them; (3) days
+    * 21+. The sink appends every update; the final per-day count is
+    * the MAX update per window (counts are monotone), and it must
+    * equal the plain batch count with the late duplicates contributing
+    * zero — if watermark eviction failed, days 5-10 would double and
+    * the hash gate goes red. State is (window x 1) rows; the sink holds
+    * only bounded aggregate updates.
+    */
+  def streamedWatermarkAudit(spark: SparkSession, dir: String,
+      lateFrom: String = "2024-01-05",
+      lateTo: String = "2024-01-11"): DataFrame = {
+    val purchases = graft.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val landing = graft.Stage.scratchDir("graft_wm_src")
+    val outDir = graft.Stage.scratchDir("graft_wm_out")
+    def land(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+    land("a", purchases.filter(col("ts") < "2024-01-21"))
+    val schema = spark.read.parquet(s"$landing/a").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+    withStatePartitions(spark) {
+      val agg = stream
+        .withWatermark("ts", "3 days")
+        .groupBy(window(col("ts"), "1 day").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("day"), col("n"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir("graft_wm_ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: days 1-20; wm -> ~day 17
+        land("late", purchases
+          .filter(col("ts") >= lateFrom && col("ts") < lateTo))
+        q.processAllAvailable() // batch 2: all below watermark -> dropped
+        land("b", purchases.filter(col("ts") >= "2024-01-21"))
+        q.processAllAvailable() // batch 3: days 21+
+      } finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .groupBy(col("day")).agg(max(col("n")).as("n_purchases"))
+      .orderBy(col("day"))
+  }
 
   /** Streaming maintenance of a materialized aggregate — the
     * incremental-MV contract (q259) driven by micro-batches: lineitem
@@ -522,6 +578,13 @@ object StreamingIngest {
          FROM events GROUP BY 1, 2""",
     "q153_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    // The late replay must contribute NOTHING: the streamed per-day
+    // counts equal the plain batch counts over the original rows.
+    "q403_stream_watermark_audit" ->
+      """SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+                count(*)::BIGINT AS n_purchases
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY day""",
     // The streamed CDC state must equal the one-shot batch compaction
     // (q293's last-writer-wins view, replayed directly over events).
     "q302_stream_cdc_apply" ->

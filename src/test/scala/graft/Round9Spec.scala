@@ -109,3 +109,36 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("wau_ok")))
   }
 }
+
+/** Positive control for the q403 watermark audit: a replay INSIDE the
+  * watermark must be APPLIED (days double), proving the late file is
+  * really read and the green q403 result comes from watermark DROPS,
+  * not from the source never seeing the replay.
+  */
+class WatermarkControlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("in-watermark replay doubles its days; out-of-watermark does not") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // In-watermark replay: days 19-20 sit above wm (~day 17).
+    val doubled = streaming.StreamingIngest
+      .streamedWatermarkAudit(spark, sf, "2024-01-19", "2024-01-21")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val jan19 = java.sql.Timestamp.valueOf("2024-01-19 00:00:00")
+    val jan20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    assert(doubled(jan19) == 2 * base(jan19) &&
+      doubled(jan20) == 2 * base(jan20),
+      "in-watermark replay was not applied - the audit harness is blind")
+    // Out-of-watermark replay (the q403 default): nothing doubles.
+    val dropped = streaming.StreamingIngest
+      .streamedWatermarkAudit(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(dropped == base, "late replay leaked into the aggregate")
+  }
+}
