@@ -185,7 +185,50 @@ object Round9Sys {
           round(col("h") / lit(HitsScale.toDouble), 6).as("hub"),
           round(col("a") / lit(HitsScale.toDouble), 6).as("auth"))
         .orderBy(col("node"))
-    })
+    }),
+
+    // SQL:2003 linear-regression aggregate family (REGR_*) + COVAR/
+    // CORR — the standard surface an analyst reaches for before any ML
+    // library (q372's closed-form OLS via the engine's own builtins).
+    // All six REGR_ members plus covariance, rounded identically on
+    // both engines; per-returnflag grouping keeps it one partial-merge
+    // aggregate.
+    "q404_regr_aggregates" -> ((s, d) =>
+      graft.HeavyEngine(s, d).sql(
+        """SELECT l_returnflag,
+                  regr_count(l_extendedprice, l_quantity) AS rn,
+                  round(regr_slope(l_extendedprice, l_quantity), 4)
+                    AS slope,
+                  round(regr_intercept(l_extendedprice, l_quantity), 4)
+                    AS icept,
+                  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                  round(regr_avgx(l_extendedprice, l_quantity), 4)
+                    AS avgx,
+                  round(regr_avgy(l_extendedprice, l_quantity), 4)
+                    AS avgy,
+                  round(covar_pop(l_quantity, l_extendedprice), 4)
+                    AS cov_p,
+                  round(corr(l_quantity, l_extendedprice), 6) AS r
+           FROM lineitem GROUP BY l_returnflag""")),
+
+    // SQL:2003 ordered-set aggregates — PERCENTILE_CONT / _DISC with
+    // the WITHIN GROUP (ORDER BY ...) syntax, per group: the inverse-
+    // distribution functions every SQL dialect spells this way. DuckDB
+    // replays with quantile_cont/quantile_disc (same interpolation
+    // semantics).
+    "q405_within_group" -> ((s, d) =>
+      graft.HeavyEngine(s, d).sql(
+        """SELECT l_returnflag,
+                  round(percentile_cont(0.5)
+                    WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                    AS median_price,
+                  round(percentile_cont(0.9)
+                    WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                    AS p90_price,
+                  percentile_disc(0.5)
+                    WITHIN GROUP (ORDER BY l_quantity) AS median_qty_disc,
+                  count(*) AS n
+           FROM lineitem GROUP BY l_returnflag"""))
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -347,6 +390,31 @@ object Round9Sys {
                 round(a.a / ${HitsScale.toDouble}, 6) AS auth
          FROM h$HitsIters h JOIN a$HitsIters a ON a.node = h.node
          ORDER BY h.node"""
-    }
+    },
+    "q404_regr_aggregates" ->
+      """SELECT l_returnflag,
+                regr_count(l_extendedprice, l_quantity)::BIGINT AS rn,
+                round(regr_slope(l_extendedprice, l_quantity), 4)
+                  AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4)
+                  AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                round(regr_avgx(l_extendedprice, l_quantity), 4)
+                  AS avgx,
+                round(regr_avgy(l_extendedprice, l_quantity), 4)
+                  AS avgy,
+                round(covar_pop(l_quantity, l_extendedprice), 4)
+                  AS cov_p,
+                round(corr(l_quantity, l_extendedprice), 6) AS r
+         FROM lineitem GROUP BY l_returnflag""",
+    "q405_within_group" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4)
+                  AS median_price,
+                round(quantile_cont(l_extendedprice, 0.9), 4)
+                  AS p90_price,
+                quantile_disc(l_quantity, 0.5) AS median_qty_disc,
+                count(*)::BIGINT AS n
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }
