@@ -50,6 +50,7 @@ object SparkEntry {
     (operators.Round9Ops.queries, operators.Round9Ops.oracles),
     (operators.Round9Stats.queries, operators.Round9Stats.oracles),
     (operators.Round9Sys.queries, operators.Round9Sys.oracles),
+    (operators.Round9Assoc.queries, operators.Round9Assoc.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
