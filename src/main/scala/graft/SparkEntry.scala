@@ -51,6 +51,7 @@ object SparkEntry {
     (operators.Round9Stats.queries, operators.Round9Stats.oracles),
     (operators.Round9Sys.queries, operators.Round9Sys.oracles),
     (operators.Round9Assoc.queries, operators.Round9Assoc.oracles),
+    (operators.Round9Forecast.queries, operators.Round9Forecast.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),

@@ -360,7 +360,14 @@ object OpsIntegrity {
                 round(min(entropy_l), 6) AS min_entropy_l
          FROM e""",
     "q363_holt_forecast" ->
-      """WITH daily AS (
+      // Recursive CTE, NOT list_reduce: DuckDB's list_reduce
+      // mis-evaluates repeated nested struct-field subexpressions
+      // against a partially-updated accumulator (found via q409, where
+      // the divergence was visible at the fixture; here it was LATENT
+      // — a two-step probe shows the lambda form computing b = 0 where
+      // the recursion gives -2, while fixture values happened to
+      // agree). Columns in a recursive CTE evaluate unambiguously.
+      """WITH RECURSIVE daily AS (
            SELECT event_type,
                   date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
                   sum(floor(value * 1000)::BIGINT) // count(*) AS m
@@ -369,28 +376,22 @@ object OpsIntegrity {
            SELECT event_type, list(m ORDER BY day) AS arr,
                   count(*)::BIGINT AS n_days
            FROM daily GROUP BY event_type),
-         enc AS (
-           -- list_reduce needs acc type = element type: carry (l, b, v)
-           SELECT event_type, n_days,
-                  list_prepend(
-                    {'l': arr[1], 'b': 0::BIGINT, 'v': 0::BIGINT},
-                    list_transform(arr[2:n_days::INT],
-                      x -> {'l': 0::BIGINT, 'b': 0::BIGINT, 'v': x}))
-                    AS steps
-           FROM ser),
-         folded AS (
-           SELECT event_type, n_days,
-                  list_reduce(steps, (a, x) -> {
-                    'l': floor((x.v + a.l + a.b) / 2.0)::BIGINT,
-                    'b': floor((floor((x.v + a.l + a.b) / 2.0)::BIGINT
-                                - a.l + a.b) / 2.0)::BIGINT,
-                    'v': 0::BIGINT}) AS st
-           FROM enc)
-         SELECT event_type, n_days,
-                (st.l)::BIGINT AS level_milli,
-                (st.b)::BIGINT AS trend_milli,
-                (st.l + st.b)::BIGINT AS forecast_milli
-         FROM folded""",
+         fold AS (
+           SELECT event_type, arr, n_days, 1::BIGINT AS t,
+                  arr[1]::BIGINT AS l, 0::BIGINT AS b
+           FROM ser
+           UNION ALL
+           SELECT event_type, arr, n_days, t + 1,
+                  ln AS l,
+                  cast(floor((ln - l + b) / 2.0) as bigint) AS b
+           FROM (
+             SELECT *, cast(floor((arr[(t + 1)::INT]::BIGINT + l + b)
+                    / 2.0) as bigint) AS ln
+             FROM fold WHERE t < n_days)),
+         done AS (SELECT * FROM fold WHERE t = n_days)
+         SELECT event_type, n_days, l AS level_milli, b AS trend_milli,
+                (l + b)::BIGINT AS forecast_milli
+         FROM done""",
     "q364_boolean_retrieval" ->
       """WITH toks AS (
            SELECT doc_id,
