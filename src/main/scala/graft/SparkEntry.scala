@@ -53,6 +53,7 @@ object SparkEntry {
     (operators.Round9Assoc.queries, operators.Round9Assoc.oracles),
     (operators.Round9Forecast.queries, operators.Round9Forecast.oracles),
     (operators.Round9Text.queries, operators.Round9Text.oracles),
+    (operators.Round9Mining.queries, operators.Round9Mining.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
