@@ -123,10 +123,69 @@ object Round9Causal {
         round(lit(u(0)), 6).as("u_brand"),
         round(lit(u(1)), 6).as("u_type"),
         round(lit(u(2)), 6).as("u_size"))
-    })
+    }),
+
+    // Sample-ratio-mismatch check — the first thing to run on ANY
+    // experiment before reading its metrics: chi-square of observed
+    // variant counts against the designed 50/50 split, with the
+    // 3.841 (df = 1, alpha = .05) critical-value verdict. A failed SRM
+    // invalidates q267/q394/q396 downstream. One aggregate.
+    "q419_srm_check" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select((knuth(col("user_id")) % 2 === 1).as("is_b"))
+        .agg(sum(when(col("is_b"), 1L).otherwise(0L)).as("nb"),
+          count(lit(1)).as("n"))
+      counts.select(col("n").as("n_users"), col("nb").as("n_variant_b"),
+          (((col("nb") - col("n") / 2.0) * (col("nb") - col("n") / 2.0))
+            / (col("n") / 4.0)).as("chi2"))
+        .select(col("n_users"), col("n_variant_b"),
+          round(col("chi2"), 4).as("chi2"),
+          when(col("chi2") > 3.841, "srm_detected").otherwise("ok")
+            .as("verdict"))
+    }),
+
+    // Pythagorean means per group — geometric and harmonic means via
+    // their log/reciprocal identities (no native aggregate in either
+    // engine), alongside the arithmetic mean: the AM >= GM >= HM
+    // inequality doubles as a free sanity gate. One partial-merge
+    // aggregate over positive quantities.
+    "q420_pythagorean_means" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 4).as("arith_mean"),
+          round(exp(avg(log(col("l_quantity")))), 4).as("geo_mean"),
+          round(count(lit(1)) / sum(lit(1.0) / col("l_quantity")), 4)
+            .as("harm_mean"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q419_srm_check" ->
+      """WITH u AS (
+           SELECT DISTINCT user_id FROM events),
+         counts AS (
+           SELECT sum(CASE WHEN (user_id % 2147483648 * 2654435761
+                    % 4294967296) % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS nb,
+                  count(*)::BIGINT AS n
+           FROM u)
+         SELECT n AS n_users, nb AS n_variant_b,
+                round((nb - n / 2.0) * (nb - n / 2.0) / (n / 4.0), 4)
+                  AS chi2,
+                CASE WHEN (nb - n / 2.0) * (nb - n / 2.0) / (n / 4.0)
+                     > 3.841 THEN 'srm_detected' ELSE 'ok' END
+                  AS verdict
+         FROM counts""",
+    "q420_pythagorean_means" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+                round(avg(l_quantity), 4) AS arith_mean,
+                round(exp(avg(ln(l_quantity))), 4) AS geo_mean,
+                round(count(*) / sum(1.0 / l_quantity), 4) AS harm_mean
+         FROM lineitem WHERE l_quantity > 0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q417_propensity_matching" ->
       """WITH per AS (
            SELECT user_id,

@@ -142,3 +142,68 @@ class WatermarkControlSpec extends AnyFunSuite {
     assert(dropped == base, "late replay leaked into the aggregate")
   }
 }
+
+/** Invariants for the later round-9 batches (q413-q420). */
+class Round9LateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q420: AM >= GM >= HM on every group (Pythagorean inequality)") {
+    q("q420_pythagorean_means").collect().foreach { r =>
+      val am = r.getAs[Double]("arith_mean")
+      val gm = r.getAs[Double]("geo_mean")
+      val hm = r.getAs[Double]("harm_mean")
+      assert(am >= gm - 1e-9 && gm >= hm - 1e-9, s"AM/GM/HM violated: $r")
+    }
+  }
+
+  test("q413: containment dominates Jaccard on every pair") {
+    q("q413_containment_pairs").collect().foreach { r =>
+      assert(r.getAs[Long]("containment_ppm") >=
+        r.getAs[Long]("jaccard_ppm"))
+    }
+  }
+
+  test("q414: every reported scan window is a positive-LLR excess") {
+    q("q414_scan_statistic").collect().foreach { r =>
+      assert(r.getAs[Double]("llr") > 0.0)
+      assert(r.getAs[Number]("win_len").longValue() >= 1)
+    }
+  }
+
+  test("q415: gains are sorted descending and within (0, 0.5]") {
+    val gains = q("q415_best_split").collect()
+      .map(_.getAs[Double]("gini_gain"))
+    assert(gains.nonEmpty)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    assert(gains.forall(g => g > -1e-9 && g <= 0.5))
+  }
+
+  test("q416: confidence dominates support for every rule") {
+    q("q416_association_rules").collect().foreach { r =>
+      assert(r.getAs[Long]("conf_a_to_b_ppm") >=
+        r.getAs[Long]("support_ppm"))
+      assert(r.getAs[Long]("conf_b_to_a_ppm") >=
+        r.getAs[Long]("support_ppm"))
+    }
+  }
+
+  test("q417: matched pairs respect the caliper and cover most treated") {
+    val r = q("q417_propensity_matching").collect().head
+    assert(r.getAs[Double]("mean_covariate_gap") <= 2.0)
+    assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_treated"))
+    assert(r.getAs[Long]("n_matched") > 0)
+  }
+
+  test("q418: EM parameters are probabilities with m above u per field") {
+    val r = q("q418_linkage_em").collect().head
+    Seq("pi", "m_brand", "m_type", "m_size", "u_brand", "u_type",
+      "u_size").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v out of [0,1]")
+    }
+    assert(r.getAs[Double]("m_size") >= r.getAs[Double]("u_size"),
+      "agreement should be likelier under match than non-match")
+  }
+}
