@@ -284,12 +284,14 @@ object Round9Ops {
     // scoring feature transform (per-category ln(P(cat|pos)/P(cat|neg))
     // with 0.5 smoothing) that turns a high-cardinality categorical
     // into one monotone numeric column. One grouped aggregate over the
-    // category dimension; totals ride a broadcast.
+    // category dimension; totals ride a broadcast. The class totals are
+    // +1-smoothed too so an all-one-class label (possible at tiny scale
+    // factors) stays defined instead of dividing by zero.
     "q379_woe_encoding" -> ((s, d) => {
       val rows = t(s, d, "part").select(col("p_brand"),
         when(col("p_retailprice") > 950.0, 1L).otherwise(0L).as("y"))
-      val tot = rows.agg(sum(col("y")).as("pos_tot"),
-        sum(lit(1L) - col("y")).as("neg_tot"))
+      val tot = rows.agg((sum(col("y")) + 1.0).as("pos_tot"),
+        (sum(lit(1L) - col("y")) + 1.0).as("neg_tot"))
       rows.groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
         .crossJoin(broadcast(tot))
@@ -993,8 +995,8 @@ object Round9Ops {
                   CASE WHEN p_retailprice > 950.0 THEN 1 ELSE 0 END AS y
            FROM part),
          tot AS (
-           SELECT sum(y)::BIGINT AS pos_tot,
-                  sum(1 - y)::BIGINT AS neg_tot
+           SELECT sum(y)::BIGINT + 1.0 AS pos_tot,
+                  sum(1 - y)::BIGINT + 1.0 AS neg_tot
            FROM rows_)
          SELECT p_brand, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
                 round(ln(((sum(y) + 0.5) / pos_tot)
