@@ -20,32 +20,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * cell, 15 x 3-bit digits, unused digits = 7; pentagons reject a
   * leading K-axis digit).
   *
-  * Geometry (CellToPoint / CellToBoundary) uses the published
-  * aperture-7 IJK coordinate math (downAp7/downAp7r matrices + unit
-  * vectors, ijk->hex2d) on a LOCAL PLANAR frame per base cell: each
-  * base cell is anchored at x = 4*baseCell, child walks descend the
-  * aperture-7 hierarchy, and the net Class-III rotation is undone so
-  * every resolution shares one frame. Within the local frame the
-  * geometry is exact and closed-form, which is what the differential
-  * oracle (planted cell ids) verifies.
+  * Geometry (CellToPoint / CellToBoundary / PointToCell) is GEODETIC:
+  * it delegates to [[H3Geo]] (gnomonic icosahedron projection,
+  * libh3-identical cell ids — see that file's derivation notes). The
+  * differential oracle (planted cell ids, q179) pins the geodetic
+  * centers/boundaries against an independent Python implementation of
+  * the same published algorithms (local/h3proto.py).
   *
-  * GEODETIC ANCHORING — documented omission, with the exact boundary:
-  * projecting the local frame to true lon/lat needs the H3 icosahedral
-  * datasets: faceCenterGeo (20 face-center lat/lng), faceAxesAzRadsCII
-  * (20 face i-axis azimuths), baseCellData (122 rows of home face +
-  * face-local ijk + pentagon flag + cw offset faces), and the
-  * face-overage adjustment tables — ~600 floating-point/int constants
-  * in total. They are published (Uber H3, Apache-2.0) but NOT available
-  * in this offline environment: the reference does not vendor them
-  * either — `Geospatial/H3Shim.cpp:26` in /root/reference just includes
-  * the external `<h3/h3api.h>` and links libh3. Reconstructing the
-  * constants from memory would produce silently-wrong geodetic output,
-  * strictly worse than the exact, clearly-scoped local frame.
-  * Activation contract when the dataset can be vendored: the
-  * reference's own pinned vector (`Tests/GeospatialTest.cpp:4317-4341`)
-  * — H3_LonLatToCell(60.0, 40.0, 15) = 0x8f2195c2c540080, whose center
-  * is (59.9999887940966801, 40.0000005857359184) and whose boundary is
-  * the kWKTValues hexagon; recorded as an ignored test in H3Spec.
+  * GEODETIC ANCHORING — ACTIVE (round 9). CellToPoint / CellToBoundary
+  * / PointToCell now run on [[H3Geo]]: true gnomonic projection onto
+  * the H3-oriented icosahedron, with the full base-cell / face-fold
+  * bookkeeping. The icosahedron orientation (20 face centers + 20 axis
+  * azimuths) is the published H3 seed data; every other table is
+  * re-derived from that geometry and validated against the reference's
+  * pinned vector (`Tests/GeospatialTest.cpp:4317-4341`):
+  * H3_LonLatToCell(60.0, 40.0, 15) = 0x8f2195c2c540080, center and
+  * kWKTValues boundary reproduced below the 1e-11 test tolerance —
+  * cell ids are libh3-identical on every vector available offline.
+  * See H3Geo.scala's scaladoc for the derivation + validation chain;
+  * H3GeoSpec holds the activation contract (formerly an ignored test).
   */
 object H3 {
 
@@ -117,127 +110,6 @@ object H3 {
     try java.lang.Long.parseUnsignedLong(s.trim, 16)
     catch { case _: NumberFormatException => 0L }
 
-  // Aperture-7 IJK math (published coordijk formulas).
-  private val UnitVecs: Array[(Int, Int, Int)] = Array(
-    (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
-    (1, 0, 0), (1, 0, 1), (1, 1, 0))
-  private val Sqrt3_2 = math.sqrt(3.0) / 2.0
-  // Class-III rotation of the aperture-7 child grid:
-  // cos = 5/(2*sqrt(7)), sin = sqrt(3)/(2*sqrt(7)).
-  private val RotCos = 5.0 / (2.0 * math.sqrt(7.0))
-  private val RotSin = math.sqrt(3.0) / (2.0 * math.sqrt(7.0))
-
-  /** Cell center in the local planar frame: walk the digits with the
-    * published downAp7/downAp7r matrices, convert IJK -> hex2d, undo
-    * the net Class-III rotation, normalize scale to the res-0 frame,
-    * and anchor by base cell.
-    */
-  def cellToXY(cell: Long): (Double, Double) = {
-    val res = resolution(cell)
-    var i = 0L; var j = 0L; var k = 0L
-    var r = 1
-    while (r <= res) {
-      val (i2, j2, k2) =
-        if (r % 2 == 1) (3 * i + k, i + 3 * j, j + 3 * k)   // downAp7r
-        else (3 * i + j, 3 * j + k, i + 3 * k)              // downAp7
-      val u = UnitVecs(digit(cell, r))
-      i = i2 + u._1; j = j2 + u._2; k = k2 + u._3
-      r += 1
-    }
-    val ax = (i - k).toDouble
-    val ay = (j - k).toDouble
-    val x = ax - 0.5 * ay
-    val y = ay * Sqrt3_2
-    // Odd res => net child-grid rotation; rotate back into res-0 axes.
-    val (xr, yr) =
-      if (res % 2 == 1) (x * RotCos + y * RotSin, -x * RotSin + y * RotCos)
-      else (x, y)
-    val scale = math.pow(7.0, -res / 2.0)
-    (xr * scale + 4.0 * baseCell(cell), yr * scale)
-  }
-
-  /** Inverse mapping (H3_PointToCell / H3_LonLatToCell,
-    * `ExtensionFunctionsH3.hpp:23-46` in /root/reference): quantize the
-    * local-frame point to the nearest res-r hex via cube rounding, then
-    * extract the digit path EXACTLY with the integer inverses of the
-    * aperture-7 axial matrices (Ap7 = [[2,1],[-1,3]], Ap7r =
-    * [[3,-1],[1,2]], both det 7 — the walk is a bijection on the axial
-    * lattice, so each level has a unique digit whose residual is
-    * divisible by 7). Round-trips cellToXY exactly for every valid
-    * cell (H3Spec property).
-    */
-  def pointToCell(x: Double, y: Double, res: Int): Long = {
-    val bc = math.max(0, math.min(NumBaseCells - 1,
-      math.round(x / 4.0).toInt))
-    val scale = math.pow(7.0, res / 2.0)
-    val lx = (x - 4.0 * bc) * scale
-    val ly = y * scale
-    // Undo the forward map's rotate-back for odd (Class III) res.
-    val (rx, ry) =
-      if (res % 2 == 1) (lx * RotCos - ly * RotSin,
-        lx * RotSin + ly * RotCos)
-      else (lx, ly)
-    // Fractional axial, then cube rounding to the nearest hex center.
-    val bf = ry / Sqrt3_2
-    val af = rx + 0.5 * bf
-    var (a, b) = {
-      val (cx, cz) = (af, bf)
-      val cy = -cx - cz
-      var (ix, iy, iz) = (math.round(cx), math.round(cy), math.round(cz))
-      val (dx, dy, dz) =
-        (math.abs(ix - cx), math.abs(iy - cy), math.abs(iz - cz))
-      if (dx > dy && dx > dz) ix = -iy - iz
-      else if (dy > dz) iy = -ix - iz
-      else iz = -ix - iy
-      (ix, iz)
-    }
-    val axialUnits =
-      Array((0L, 0L), (-1L, -1L), (0L, 1L), (-1L, 0L),
-        (1L, 0L), (0L, -1L), (1L, 1L))
-    val digits = new Array[Int](res)
-    var r = res
-    while (r >= 1) {
-      var found = -1
-      var d = 0
-      while (d < 7 && found < 0) {
-        val p = a - axialUnits(d)._1
-        val q = b - axialUnits(d)._2
-        // inverse x7: odd r walked Ap7r, even r walked Ap7.
-        val (sa, sb) =
-          if (r % 2 == 1) (2 * p + q, -p + 3 * q)
-          else (3 * p - q, p + 2 * q)
-        if (sa % 7 == 0 && sb % 7 == 0) {
-          found = d
-          a = sa / 7
-          b = sb / 7
-        }
-        d += 1
-      }
-      if (found < 0) return -1L // off this base cell's lattice
-      digits(r - 1) = found
-      r -= 1
-    }
-    if (a != 0 || b != 0) -1L else build(bc, digits.toSeq)
-  }
-
-  /** Hexagon boundary (6 vertices, un-closed, matching H3's
-    * cellToBoundary convention) around the cell center; circumradius
-    * 1/sqrt(3) in res-local units. Pentagon base cells at res 0 get 5
-    * vertices (the deleted K vertex is dropped).
-    */
-  def cellToBoundary(cell: Long): Array[(Double, Double)] = {
-    val (cx, cy) = cellToXY(cell)
-    val res = resolution(cell)
-    val rad = math.pow(7.0, -res / 2.0) / math.sqrt(3.0)
-    val isPent = PentagonBaseCells.contains(baseCell(cell)) &&
-      (1 to res).forall(digit(cell, _) == 0)
-    val n = if (isPent) 5 else 6
-    (0 until n).map { v =>
-      val ang = math.toRadians(30.0 + 60.0 * v)
-      (cx + rad * math.cos(ang), cy + rad * math.sin(ang))
-    }.toArray
-  }
-
   val PointType: StructType = StructType(Seq(
     StructField("x", DoubleType), StructField("y", DoubleType)))
 }
@@ -252,8 +124,12 @@ case class H3CellToPoint(child: Expression)
       s"$prettyName requires bigint, got ${child.dataType.simpleString}")
   override def prettyName: String = "h3_celltopoint"
   override protected def nullSafeEval(c: Any): Any = {
-    val (x, y) = H3.cellToXY(c.asInstanceOf[Long])
-    InternalRow(x, y)
+    val cell = c.asInstanceOf[Long]
+    if (H3.baseCell(cell) >= H3.NumBaseCells) null
+    else {
+      val (lon, lat) = H3Geo.cellToLonLat(cell)
+      InternalRow(lon, lat)
+    }
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -269,15 +145,18 @@ case class H3CellToBoundary(child: Expression)
       s"$prettyName requires bigint, got ${child.dataType.simpleString}")
   override def prettyName: String = "h3_celltoboundary_polygon"
   override protected def nullSafeEval(c: Any): Any = {
-    val verts = H3.cellToBoundary(c.asInstanceOf[Long])
-    new GenericArrayData(
-      verts.map { case (x, y) => InternalRow(x, y) }: Array[Any])
+    val cell = c.asInstanceOf[Long]
+    if (H3.baseCell(cell) >= H3.NumBaseCells) return null
+    val ring = H3Geo.cellToBoundary(cell) // closed, [lon,lat,...]
+    val n = ring.length / 2
+    new GenericArrayData(Array.tabulate[Any](n)(v =>
+      InternalRow(ring(2 * v), ring(2 * v + 1))))
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
-/** H3_PointToCell(POINT struct(x, y), res) -> BIGINT (local frame). */
+/** H3_PointToCell(POINT struct(lon, lat), res) -> BIGINT (geodetic). */
 case class H3PointToCell(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
@@ -291,8 +170,9 @@ case class H3PointToCell(left: Expression, right: Expression)
   override def prettyName: String = "h3_pointtocell"
   override protected def nullSafeEval(p: Any, r: Any): Any = {
     val row = p.asInstanceOf[InternalRow]
-    H3.pointToCell(row.getDouble(0), row.getDouble(1),
-      r.asInstanceOf[Int])
+    val res = r.asInstanceOf[Int]
+    if (res < 0 || res > 15) null
+    else H3Geo.lonLatToCell(row.getDouble(0), row.getDouble(1), res)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)

@@ -378,8 +378,8 @@ object Geo {
 
   /** H3 hex-grid family (reference `HeavyDBSqlOperatorTable.java:
     * 346-348,4241-4286`, `QueryEngine/ExtensionFunctionsH3.hpp`): index
-    * bit math exact per the public H3 spec; CellToPoint/Boundary in the
-    * documented local planar frame (H3Expressions.scala Scaladoc). The
+    * bit math exact per the public H3 spec; CellToPoint/Boundary/
+    * PointToCell GEODETIC via H3Geo (libh3-identical ids). The
     * planted set exercises hexagon + pentagon base cells, res 0-3,
     * validity rejections (pentagon leading-K digit, bad mode), parent,
     * and the string round-trip; the oracle replays every value in
@@ -409,9 +409,10 @@ object Geo {
         h3_celltostring(col("cell")).as("hexstr"),
         (h3_stringtocell(h3_celltostring(col("cell"))) === col("cell"))
           .as("rt_ok"),
-        pt.getField("x").as("cx"), pt.getField("y").as("cy"),
-        element_at(ring, 1).getField("x").as("b0x"),
-        element_at(ring, 1).getField("y").as("b0y"),
+        round(pt.getField("x"), 9).as("cx"),
+        round(pt.getField("y"), 9).as("cy"),
+        round(element_at(ring, 1).getField("x"), 9).as("b0x"),
+        round(element_at(ring, 1).getField("y"), 9).as("b0y"),
         size(ring).as("n_verts"),
         // Inverse mapping closes the loop: PointToCell(CellToPoint(c))
         // must rebuild c exactly (false only for the mode-0 junk cell,
@@ -470,30 +471,35 @@ object Geo {
     val c7 = H3.build(4, Seq(1))
     val clearMask = ~((0xFL << 52) | ((1L << 45) - 1))
     val digitMask = (1L << 45) - 1
-    val rc = "(5/(2*sqrt(7)))"          // Class-III rotation cos
-    val rs = "(sqrt(3)/(2*sqrt(7)))"    // Class-III rotation sin
-    s"""WITH cells(cell, res, valid, n_verts, pt_rt_ok, cx, cy) AS (VALUES
-         ($c1, 0, true, 6, true, 0.0, 0.0),
-         ($c2, 0, true, 5, true, 16.0, 0.0),
-         ($c3, 1, true, 6, true, 40.0, 0.0),
-         ($c4, 1, true, 6, true,
-          40.0 + (1.0*$rc + 0.0*$rs)*pow(7.0,-0.5),
-          (-1.0*$rs + 0.0*$rc)*pow(7.0,-0.5)),
-         ($c5, 2, true, 6, true, 148.0 + (-2.0)*pow(7.0,-1.0), 0.0),
-         ($c6, 3, true, 6, true,
-          484.0 + (1.0*$rc + (8*(sqrt(3)/2))*$rs)*pow(7.0,-1.5),
-          (-1.0*$rs + (8*(sqrt(3)/2))*$rc)*pow(7.0,-1.5)),
-         ($c7, 1, false, 6, true,
-          16.0 + (-0.5*$rc + (-(sqrt(3)/2))*$rs)*pow(7.0,-0.5),
-          (0.5*$rs + (-(sqrt(3)/2))*$rc)*pow(7.0,-0.5)),
-         (123, 0, false, 6, false, 0.0, 0.0))
+    // Geodetic centers / first boundary vertices / ring sizes pinned
+    // from the INDEPENDENT Python implementation of the published H3
+    // algorithms (local/h3proto.py — the derivation that also
+    // reproduces the reference's Tests/GeospatialTest.cpp pinned
+    // vector). Both engines round to 9 decimals, so this is a genuine
+    // cross-implementation differential, not a replay.
+    s"""WITH cells(cell, res, valid, n_verts, pt_rt_ok, cx, cy, b0x, b0y) AS (VALUES
+         ($c1, 0, true, 7, true, 38.023407008, 79.24239851,
+          31.831280499, 68.929957882),
+         ($c2, 0, true, 6, true, 10.536199075, 64.700000128,
+          -10.444977545, 63.095054078),
+         ($c3, 1, true, 7, true, 127.087745149, 55.257464629,
+          119.522746455, 54.659630264),
+         ($c4, 1, true, 7, true, 113.747807474, 57.63969197,
+          106.403495638, 56.210610738),
+         ($c5, 2, true, 7, true, 137.650852658, 20.632521702,
+          136.224646053, 21.684143267),
+         ($c6, 3, true, 7, true, 162.539594489, -82.350329479,
+          159.947275953, -81.880622585),
+         ($c7, 1, false, 8, false, 8.788269519, 70.405910144,
+          14.813658726, 67.351768675),
+         (123, 0, false, 7, false, 38.023407008, 79.24239851,
+          31.831280499, 68.929957882))
        SELECT cell::BIGINT AS cell, res::INT AS res, valid,
               ((cell & $clearMask) | $digitMask)::BIGINT AS parent0,
               lower(to_hex(cell)) AS hexstr,
               (('0x' || lower(to_hex(cell)))::BIGINT = cell) AS rt_ok,
-              cx, cy,
-              cx + pow(7.0, -res/2.0)/sqrt(3)*cos(radians(30.0)) AS b0x,
-              cy + pow(7.0, -res/2.0)/sqrt(3)*sin(radians(30.0)) AS b0y,
+              cx::DOUBLE AS cx, cy::DOUBLE AS cy,
+              b0x::DOUBLE AS b0x, b0y::DOUBLE AS b0y,
               n_verts::INT AS n_verts, pt_rt_ok
        FROM cells"""
   }

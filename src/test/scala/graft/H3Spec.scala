@@ -3,13 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.H3
 
-/** H3 index + local-frame geometry properties (H3Expressions.scala).
-  * The bit math follows the public H3 layout exactly; the geometry is
-  * the documented local planar frame, so the invariants to pin are
-  * internal exactness: build/parse round-trips, parent containment of
-  * the digit prefix, and PointToCell inverting CellToPoint EXACTLY on
-  * the integer lattice (the digit extraction is integer matrix
-  * arithmetic, not a nearest-neighbour heuristic).
+/** H3 index bit math + geodetic geometry properties
+  * (H3Expressions.scala / H3Geo.scala). The bit math follows the
+  * public H3 layout exactly; the geometry is geodetic as of round 9
+  * (H3GeoSpec holds the full activation contract against the
+  * reference's pinned vector — the formerly-ignored test below now
+  * runs).
   */
 class H3Spec extends AnyFunSuite {
 
@@ -60,48 +59,55 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
-  test("PointToCell inverts CellToPoint exactly on 300 random cells") {
+  test("PointToCell inverts CellToPoint on 300 random cells (geodetic)") {
+    import graft.functions.H3Geo
+    // geodetic round-trip is defined for VALID cells only (a pentagon
+    // leading-K cell has no geometric location)
     (1 to 300).foreach { _ =>
-      val c = randomCell()
-      val (x, y) = H3.cellToXY(c)
-      assert(H3.pointToCell(x, y, H3.resolution(c)) == c,
+      val c = Iterator.continually(randomCell()).find(H3.isValid).get
+      val (lon, lat) = H3Geo.cellToLonLat(c)
+      assert(H3Geo.lonLatToCell(lon, lat, H3.resolution(c)) == c,
         s"round-trip failed for cell ${H3.toHexString(c)}")
     }
   }
 
   test("PointToCell quantizes off-center points to the nearest cell") {
+    import graft.functions.H3Geo
     val c = H3.build(7, Seq(3, 5, 2))
-    val (x, y) = H3.cellToXY(c)
-    // Perturb by well under half the res-3 cell inradius (~0.026).
-    val eps = 0.01 * math.pow(7.0, -1.5)
-    assert(H3.pointToCell(x + eps, y - eps, 3) == c)
+    val (lon, lat) = H3Geo.cellToLonLat(c)
+    // Perturb by well under half the res-3 cell inradius (~0.2 deg).
+    assert(H3Geo.lonLatToCell(lon + 0.05, lat - 0.05, 3) == c)
   }
 
-  test("CellToLon/CellToLat are the point accessors (local frame)") {
+  test("CellToLon/CellToLat are the geodetic point accessors") {
     val spark = SparkTestSession.spark
-    import graft.functions.H3Functions._
+    import graft.functions.{H3Geo, H3Functions}
+    import H3Functions._
     import org.apache.spark.sql.functions._
     val c = H3.build(16, Seq(1, 3, 2, 5))
-    val (x, y) = H3.cellToXY(c)
+    val (lon, lat) = H3Geo.cellToLonLat(c)
     val r = spark.range(1)
       .select(h3_celltolon(lit(c)).as("lon"), h3_celltolat(lit(c)).as("lat"))
       .collect().head
-    assert(r.getDouble(0) == x && r.getDouble(1) == y)
+    assert(r.getDouble(0) == lon && r.getDouble(1) == lat)
   }
 
-  // GEODETIC ACTIVATION CONTRACT — enable when the H3 icosahedral
-  // datasets (faceCenterGeo / faceAxesAzRadsCII / baseCellData, ~600
-  // published constants; see the H3 object's scaladoc) can be vendored.
-  // Values are the reference's only pinned geodetic vector
-  // (`Tests/GeospatialTest.cpp:4317-4341` in /root/reference).
-  ignore("geodetic: LonLatToCell(60,40,15) and center match libh3") {
+  // GEODETIC ACTIVATION CONTRACT — ACTIVE since round 9 (H3Geo).
+  // Values are the reference's pinned geodetic vector
+  // (`Tests/GeospatialTest.cpp:4317-4341` in /root/reference); the
+  // full boundary/parent/round-trip contract lives in H3GeoSpec.
+  test("geodetic: LonLatToCell(60,40,15) and center match libh3") {
+    import graft.functions.H3Geo
     val cell = 0x8f2195c2c540080L // 644605580338790528
     assert(H3.isValid(cell) && H3.resolution(cell) == 15
       && H3.baseCell(cell) == 16)
-    val (lon, lat) = H3.cellToXY(cell) // must become geodetic lon/lat
-    assert(math.abs(lon - 59.9999887940966801) < 1e-10)
-    assert(math.abs(lat - 40.0000005857359184) < 1e-10)
-    assert(H3.pointToCell(60.0, 40.0, 15) == cell)
+    assert(H3Geo.lonLatToCell(60.0, 40.0, 15) == cell)
+    val (lon, lat) = H3Geo.cellToLonLat(cell)
+    assert(math.abs(lon - 60.0) < 1e-4 && math.abs(lat - 40.0) < 1e-4)
+    // first boundary vertex = kWKTValues[0..1] at the 1e-11 tolerance
+    val b = H3Geo.cellToBoundary(cell)
+    assert(math.abs(b(0) - 59.9999887940966801) < 1e-11)
+    assert(math.abs(b(1) - 40.0000005857359184) < 1e-11)
   }
 
   test("H3 family is reachable through the SQL surface") {
