@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * libh3-identical cell ids — see that file's derivation notes). The
   * differential oracle (planted cell ids, q179) pins the geodetic
   * centers/boundaries against an independent Python implementation of
-  * the same published algorithms (local/h3proto.py).
+  * the same published algorithms (tools/h3proto.py).
   *
   * GEODETIC ANCHORING — ACTIVE (round 9). CellToPoint / CellToBoundary
   * / PointToCell now run on [[H3Geo]]: true gnomonic projection onto

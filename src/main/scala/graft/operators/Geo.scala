@@ -473,7 +473,7 @@ object Geo {
     val digitMask = (1L << 45) - 1
     // Geodetic centers / first boundary vertices / ring sizes pinned
     // from the INDEPENDENT Python implementation of the published H3
-    // algorithms (local/h3proto.py — the derivation that also
+    // algorithms (tools/h3proto.py — the derivation that also
     // reproduces the reference's Tests/GeospatialTest.cpp pinned
     // vector). Both engines round to 9 decimals, so this is a genuine
     // cross-implementation differential, not a replay.
