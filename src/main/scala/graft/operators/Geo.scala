@@ -453,6 +453,42 @@ object Geo {
         concat_ws(";", transform(hull,
           p => concat(p.getField("x"), lit(","), p.getField("y"))))
           .as("hull_walk"))
+    }),
+
+    // Geodetic H3 rollup over fixture data: cells are CONSTRUCTED by
+    // pure index bit math on BOTH engines (so DuckDB can replay them),
+    // then the Spark side additionally routes every cell through the
+    // geodetic geometry — CellToPoint then LonLatToCell must rebuild
+    // the cell (libh3-identical encode of the decoded center) — and
+    // aggregates per res-1 parent (parent = bit truncation, also
+    // DuckDB-expressible). geo_mismatch must be 0 for every parent: a
+    // single geodetic divergence anywhere on the globe flips the hash.
+    // Scale: one projection + one ~800-group aggregate, no other
+    // shuffle; H3 eval is per-row O(res).
+    "q421_h3_geodetic_rollup" -> ((s, d) => {
+      import graft.functions.H3Functions._
+      val pents = Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+      val o = t(s, d, "orders").select(col("o_orderkey").as("id"))
+      val bc = (col("id") % 122).cast("long")
+      val pent = bc.isin(pents.map(_.toLong): _*)
+      val d1r = expr("id div 122") % 7
+      val d1 = when(pent && d1r === 1, lit(2L)).otherwise(d1r)
+      val d2r = expr("id div 854") % 7
+      // pentagon leading-K guard applies to the first NONZERO digit
+      val d2 = when(pent && d1 === 0 && d2r === 1, lit(2L)).otherwise(d2r)
+      val cell = lit((1L << 59) | (2L << 52) | ((1L << 39) - 1))
+        .bitwiseOR(shiftleft(bc, 45))
+        .bitwiseOR(shiftleft(d1, 42))
+        .bitwiseOR(shiftleft(d2, 39))
+      val pt = h3_celltopoint(cell)
+      val cell2 = h3_lonlattocell(pt.getField("x"), pt.getField("y"), lit(2))
+      val parentKeep = ~((0xFL << 52) | ((1L << 42) - 1))
+      val parent1 = cell.bitwiseAND(lit(parentKeep))
+        .bitwiseOR(lit((1L << 52) | ((1L << 42) - 1)))
+      o.select(parent1.as("parent1"),
+          when(cell2 === cell, 0L).otherwise(1L).as("miss"))
+        .groupBy(col("parent1"))
+        .agg(count(lit(1)).as("n"), sum(col("miss")).as("geo_mismatch"))
     })
   )
 
@@ -504,8 +540,36 @@ object Geo {
        FROM cells"""
   }
 
+  private val q421Oracle: String = {
+    val pents = "(4,14,24,38,49,58,63,72,83,97,107,117)"
+    // the geodetic round-trip is exact (H3GeoSpec); the oracle replays
+    // the index algebra and pins geo_mismatch = 0
+    s"""WITH c AS (
+         SELECT (o_orderkey % 122)::BIGINT AS bc,
+                CASE WHEN (o_orderkey % 122) IN $pents
+                      AND ((o_orderkey // 122) % 7) = 1
+                     THEN 2 ELSE ((o_orderkey // 122) % 7) END AS d1x,
+                ((o_orderkey // 854) % 7) AS d2r
+         FROM orders),
+       c2 AS (
+         SELECT bc, d1x,
+                CASE WHEN bc IN $pents AND d1x = 0 AND d2r = 1
+                     THEN 2 ELSE d2r END AS d2x
+         FROM c),
+       cells AS (
+         SELECT ((1::BIGINT << 59) | (2::BIGINT << 52)
+                 | ((1::BIGINT << 39) - 1) | (bc << 45)
+                 | (d1x::BIGINT << 42) | (d2x::BIGINT << 39)) AS cell
+         FROM c2)
+       SELECT ((cell & ${~((0xFL << 52) | ((1L << 42) - 1))})
+               | ${(1L << 52) | ((1L << 42) - 1)})::BIGINT AS parent1,
+              count(*)::BIGINT AS n, 0::BIGINT AS geo_mismatch
+       FROM cells GROUP BY 1"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "q179_h3_cells" -> h3Oracle,
+    "q421_h3_geodetic_rollup" -> q421Oracle,
     // Pinned ground truth for the planted shapes (verified by hand:
     // each walk is a simple polygon starting at the min-y vertex,
     // every input point is inside-or-on, and each concave area is
