@@ -37,15 +37,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "1").toInt
-    // 720 s (was 560 at 354 queries, 520 at 262, 450, 330): at 378
-    // queries pass 1 alone measures ~330 s; the round-9 refresh at 560
-    // left a cold 1-2 s band unrerun and eight spurious "regressions"
-    // (q238 11x cold vs 0.12 s isolated — same failure class as
-    // round 7). A tighter budget leaves a cold tail reporting spurious
-    // "regressions". Wall stays bounded: the summary is rewritten
+    // Default budget scales with the inventory (~1.9 s per query —
+    // derived from the round-8/9 history: 560 s at 354 queries, 520 at
+    // 262, 450, 330 were each retuned by hand as the inventory grew, and
+    // every round that lagged the retune left a cold 1-2 s band unrerun
+    // that masqueraded as a uniform regression, e.g. q238 11x cold vs
+    // 0.12 s isolated). Wall stays bounded: the summary is rewritten
     // after every measurement, so any external kill still leaves a
     // complete pass-1 table plus whatever warmed.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "780.0").toDouble
+    lazy val defaultBudget = math.max(780.0, 1.9 * SparkEntry.queries.size)
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .map(_.toDouble).getOrElse(defaultBudget)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
