@@ -60,6 +60,7 @@ object SparkEntry {
     (operators.Round9Layout.queries, operators.Round9Layout.oracles),
     (operators.Round9MlOps.queries, operators.Round9MlOps.oracles),
     (operators.Round9Snap.queries, operators.Round9Snap.oracles),
+    (operators.Round9Audit.queries, operators.Round9Audit.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
