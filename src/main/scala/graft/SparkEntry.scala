@@ -61,6 +61,7 @@ object SparkEntry {
     (operators.Round9MlOps.queries, operators.Round9MlOps.oracles),
     (operators.Round9Snap.queries, operators.Round9Snap.oracles),
     (operators.Round9Audit.queries, operators.Round9Audit.oracles),
+    (operators.Round9Graphs.queries, operators.Round9Graphs.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
