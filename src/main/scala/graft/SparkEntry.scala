@@ -62,6 +62,7 @@ object SparkEntry {
     (operators.Round9Snap.queries, operators.Round9Snap.oracles),
     (operators.Round9Audit.queries, operators.Round9Audit.oracles),
     (operators.Round9Graphs.queries, operators.Round9Graphs.oracles),
+    (operators.Round9Bom.queries, operators.Round9Bom.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
