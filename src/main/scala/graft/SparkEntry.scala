@@ -65,6 +65,7 @@ object SparkEntry {
     (operators.Round9Bom.queries, operators.Round9Bom.oracles),
     (operators.Round9Ledger.queries, operators.Round9Ledger.oracles),
     (operators.Round9Curves.queries, operators.Round9Curves.oracles),
+    (operators.Round9Patterns.queries, operators.Round9Patterns.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
