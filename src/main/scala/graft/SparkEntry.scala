@@ -66,6 +66,10 @@ object SparkEntry {
     (operators.Round9Ledger.queries, operators.Round9Ledger.oracles),
     (operators.Round9Curves.queries, operators.Round9Curves.oracles),
     (operators.Round9Patterns.queries, operators.Round9Patterns.oracles),
+    (operators.Round9Inference.queries, operators.Round9Inference.oracles),
+    (operators.Round9Net.queries, operators.Round9Net.oracles),
+    (operators.Round9Rank.queries, operators.Round9Rank.oracles),
+    (operators.Round9Temporal.queries, operators.Round9Temporal.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),

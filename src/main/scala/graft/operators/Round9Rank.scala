@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Round-9 batch X (q466-q468) — preference ranking + curve analysis:
+  *
+  *  - q466: Bradley-Terry strength estimation from pairwise
+  *    comparisons (Hunter's MM algorithm, 2 fixed iterations) — the
+  *    arena-style "rank models from pairwise preferences" operator.
+  *    Comparisons: within each order, line pairs with different part
+  *    brands; the pricier line wins. The corpus stage is ONE bounded
+  *    self-join per order (<= 7 lines/order, so <= 21 pairs); the MM
+  *    iterations run on the 25-brand / <= 625-pair summary, all
+  *    broadcast-sized.
+  *  - q467: sequential-pattern support (a THEN b across event types):
+  *    "exists a before b" == first(a) < last(b) per user, so support
+  *    needs only the per-user (type, min_ts, max_ts) summary —
+  *    5 rows/user, never a per-event self-join. Confidence is
+  *    support(a,b)/users(a) in exact ppm.
+  *  - q468: knee/elbow detection (Kneedle-lite) on the cumulative
+  *    revenue-vs-rank curve over customers: knee = argmax(cum_share −
+  *    rank_share). The global rank+cumsum uses the q345
+  *    range-partition + bounded-offset technique (8 partition offsets
+  *    to the driver), not a single-partition window.
+  */
+object Round9Rank {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q466_bradley_terry" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p_brand").as("brand"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
+        col("brand").as("ba"), col("cents").as("ca"))
+      val b = li.select(col("l_orderkey").as("ok_b"),
+        col("l_linenumber").as("ln_b"), col("brand").as("bb"),
+        col("cents").as("cb"))
+      // within-order line pairs; strict price order decides the win
+      val games = a.join(b, col("l_orderkey") === col("ok_b") &&
+          col("ln_a") < col("ln_b") && col("ba") =!= col("bb") &&
+          col("ca") =!= col("cb"))
+        .select(
+          when(col("ca") > col("cb"), col("ba")).otherwise(col("bb"))
+            .as("winner"),
+          when(col("ca") > col("cb"), col("bb")).otherwise(col("ba"))
+            .as("loser"))
+      val wins = games.groupBy(col("winner").as("brand"))
+        .agg(count(lit(1)).as("w"))
+      // symmetric games-played matrix (both directions)
+      val pairs = games
+        .groupBy(col("winner").as("bi"), col("loser").as("bj"))
+        .agg(count(lit(1)).as("n"))
+      val sym = pairs.select(col("bi"), col("bj"), col("n"))
+        .union(pairs.select(col("bj").as("bi"), col("bi").as("bj"),
+          col("n")))
+        .groupBy(col("bi"), col("bj")).agg(sum(col("n")).as("nij"))
+      // MM iterations on the bounded brand set: s_i <- W_i /
+      // sum_j nij/(s_i+s_j), then sum-normalize to |brands|
+      val brands = sym.select(col("bi").as("brand")).distinct()
+        .join(wins, Seq("brand"), "left")
+        .na.fill(0L, Seq("w"))
+      var strength = brands.withColumn("s", lit(1.0))
+      for (_ <- 1 to 2) {
+        val si = strength.select(col("brand").as("bi"), col("s").as("si"))
+        val sj = strength.select(col("brand").as("bj"), col("s").as("sj"))
+        val denom = sym
+          .join(broadcast(si), "bi").join(broadcast(sj), "bj")
+          .groupBy(col("bi"))
+          .agg(sum(col("nij") / (col("si") + col("sj"))).as("den"))
+        val raw = brands.join(denom, col("brand") === col("bi"))
+          .select(col("brand"), col("w"),
+            (col("w") / col("den")).as("s_raw"))
+        val z = raw.agg(sum(col("s_raw")).as("tot"),
+          count(lit(1)).as("k"))
+        // clamp at 1e-9 so two zero-win brands can never produce a
+        // 0/0 in the next iteration's denominators (engine-dependent)
+        strength = raw.crossJoin(broadcast(z))
+          .select(col("brand"), col("w"),
+            greatest(col("s_raw") * col("k") / col("tot"), lit(1e-9))
+              .as("s"))
+      }
+      val wRk = Window.orderBy(col("strength_micro").desc, col("brand"))
+      strength
+        .select(col("brand"), col("w").as("wins"),
+          floor(col("s") * 1000000).cast("long").as("strength_micro"))
+        .withColumn("rk", row_number().over(wRk)) // 25-row window
+        .orderBy(col("rk"))
+    }),
+
+    "q467_seq_pattern_support" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val a = perUser.select(col("user_id"), col("event_type").as("ta"),
+        col("first_ts"))
+      val b = perUser.select(col("user_id").as("uid_b"),
+        col("event_type").as("tb"), col("last_ts"))
+      val support = a.join(b, col("user_id") === col("uid_b") &&
+          col("ta") =!= col("tb") && col("first_ts") < col("last_ts"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("support_users"))
+      val base = perUser.groupBy(col("event_type").as("ta"))
+        .agg(count(lit(1)).as("users_a"))
+      support.join(broadcast(base), "ta")
+        .select(col("ta"), col("tb"), col("support_users"),
+          col("users_a"),
+          expr("support_users * 1000000 DIV users_a")
+            .as("confidence_ppm"))
+        .orderBy(col("support_users").desc, col("ta"), col("tb"))
+    }),
+
+    "q468_knee_detection" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val tot = rev.agg(sum(col("cents")).as("total"),
+        count(lit(1)).as("n"))
+      // global desc rank + cumsum via range partitions + offsets
+      // (q345 technique: bounded collect of one row per partition)
+      val parts = rev.repartitionByRange(8, col("cents").desc,
+          col("o_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val local = graft.Stage(parts
+        .withColumn("lrank", row_number().over(wLoc))
+        .withColumn("lcum", sum(col("cents")).over(wLoc)), "q468_local")
+      val cnt = local.groupBy(col("pid"))
+        .agg(count(lit(1)).as("c"), sum(col("cents")).as("csum"))
+        .collect().sortBy(_.getInt(0)) // bounded: one row per partition
+      val off = cnt.scanLeft((0, 0L, 0L)) { case ((_, accC, accS), r) =>
+        (r.getInt(0), accC + r.getLong(1), accS + r.getLong(2)) }
+      val offDf = off.init.zip(off.tail)
+        .map { case ((_, c, sm), (pid, _, _)) => (pid, c, sm) }
+        .toSeq.toDF("pid", "off_n", "off_sum")
+      val curve = local.join(broadcast(offDf), "pid")
+        .crossJoin(broadcast(tot))
+        .withColumn("rk", col("off_n") + col("lrank"))
+        .withColumn("cum", col("off_sum") + col("lcum"))
+        .withColumn("gap_ppm", floor(lit(1000000.0) *
+          (col("cum") / col("total") - col("rk") / col("n")))
+          .cast("long"))
+      // knee = max gap, ties -> lowest rank: single bounded argmax
+      curve.orderBy(col("gap_ppm").desc, col("rk")).limit(1)
+        .select(col("rk").cast("long").as("knee_rank"), col("n"),
+          col("cum").as("cum_cents_at_knee"), col("gap_ppm"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q466_bradley_terry" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, p_brand AS brand,
+                  floor(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         games AS (
+           SELECT CASE WHEN a.cents > b.cents THEN a.brand
+                       ELSE b.brand END AS winner,
+                  CASE WHEN a.cents > b.cents THEN b.brand
+                       ELSE a.brand END AS loser
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_linenumber < b.l_linenumber
+            AND a.brand <> b.brand AND a.cents <> b.cents),
+         wins AS (
+           SELECT winner AS brand, count(*)::BIGINT AS w
+           FROM games GROUP BY winner),
+         pairs AS (
+           SELECT winner AS bi, loser AS bj, count(*)::BIGINT AS n
+           FROM games GROUP BY winner, loser),
+         sym AS (
+           SELECT bi, bj, sum(n)::BIGINT AS nij FROM (
+             SELECT bi, bj, n FROM pairs
+             UNION ALL SELECT bj AS bi, bi AS bj, n FROM pairs)
+           GROUP BY bi, bj),
+         brands AS (
+           SELECT DISTINCT sym.bi AS brand,
+                  coalesce(wins.w, 0)::BIGINT AS w
+           FROM sym LEFT JOIN wins ON sym.bi = wins.brand),
+         s0 AS (SELECT brand, w, 1.0 AS s FROM brands),
+         d1 AS (
+           SELECT sym.bi, sum(sym.nij / (si.s + sj.s)) AS den
+           FROM sym JOIN s0 si ON sym.bi = si.brand
+                    JOIN s0 sj ON sym.bj = sj.brand
+           GROUP BY sym.bi),
+         r1 AS (
+           SELECT brand, w, w / den AS s_raw
+           FROM brands JOIN d1 ON brand = bi),
+         s1 AS (
+           SELECT brand, w,
+                  greatest(s_raw * (SELECT count(*) FROM r1)
+                    / (SELECT sum(s_raw) FROM r1), 0.000000001) AS s
+           FROM r1),
+         d2 AS (
+           SELECT sym.bi, sum(sym.nij / (si.s + sj.s)) AS den
+           FROM sym JOIN s1 si ON sym.bi = si.brand
+                    JOIN s1 sj ON sym.bj = sj.brand
+           GROUP BY sym.bi),
+         r2 AS (
+           SELECT brand, w, w / den AS s_raw
+           FROM brands JOIN d2 ON brand = bi),
+         s2 AS (
+           SELECT brand, w,
+                  greatest(s_raw * (SELECT count(*) FROM r2)
+                    / (SELECT sum(s_raw) FROM r2), 0.000000001) AS s
+           FROM r2)
+         SELECT brand, w AS wins,
+                floor(s * 1000000)::BIGINT AS strength_micro,
+                row_number() OVER (ORDER BY floor(s * 1000000) DESC,
+                  brand) AS rk
+         FROM s2
+         ORDER BY rk""",
+
+    "q467_seq_pattern_support" ->
+      """WITH per_user AS (
+           SELECT user_id, event_type,
+                  min(ts::TIMESTAMP) AS first_ts,
+                  max(ts::TIMESTAMP) AS last_ts
+           FROM events GROUP BY user_id, event_type),
+         support AS (
+           SELECT a.event_type AS ta, b.event_type AS tb,
+                  count(*)::BIGINT AS support_users
+           FROM per_user a JOIN per_user b
+             ON a.user_id = b.user_id
+            AND a.event_type <> b.event_type
+            AND a.first_ts < b.last_ts
+           GROUP BY a.event_type, b.event_type),
+         base AS (
+           SELECT event_type AS ta, count(*)::BIGINT AS users_a
+           FROM per_user GROUP BY event_type)
+         SELECT s.ta, s.tb, s.support_users, base.users_a,
+                (s.support_users * 1000000 // base.users_a)::BIGINT
+                  AS confidence_ppm
+         FROM support s JOIN base ON s.ta = base.ta
+         ORDER BY s.support_users DESC, s.ta, s.tb""",
+
+    "q468_knee_detection" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT
+                    AS cents
+           FROM orders GROUP BY o_custkey),
+         tot AS (SELECT sum(cents) AS total, count(*)::BIGINT AS n
+                 FROM rev),
+         curve AS (
+           SELECT row_number() OVER w AS rk,
+                  sum(cents) OVER w AS cum
+           FROM rev
+           WINDOW w AS (ORDER BY cents DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT rk::BIGINT AS knee_rank,
+                (SELECT n FROM tot) AS n,
+                cum::BIGINT AS cum_cents_at_knee,
+                floor(1000000.0 * (cum / (SELECT total FROM tot)
+                  - rk / CAST((SELECT n FROM tot) AS DOUBLE)))::BIGINT
+                  AS gap_ppm
+         FROM curve
+         ORDER BY floor(1000000.0 * (cum / (SELECT total FROM tot)
+           - rk / CAST((SELECT n FROM tot) AS DOUBLE))) DESC, rk
+         LIMIT 1"""
+  )
+}
