@@ -71,6 +71,7 @@ object SparkEntry {
     (operators.Round9Rank.queries, operators.Round9Rank.oracles),
     (operators.Round9Temporal.queries, operators.Round9Temporal.oracles),
     (operators.Round9Behavior.queries, operators.Round9Behavior.oracles),
+    (operators.Round9Econ.queries, operators.Round9Econ.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),

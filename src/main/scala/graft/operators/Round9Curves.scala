@@ -42,11 +42,14 @@ object Round9Curves {
         .select((col("o_orderkey") % 10).as("dec"),
           floor(col("c_acctbal") * 100).cast("long").as("x"),
           floor(col("o_totalprice") * 100).cast("long").as("y"))
+      // second moments in DECIMAL(38,0): sum(y*y) over cent-scaled
+      // totalprice exceeds 2^63 at sf0.1 (~5e19) — long would overflow
       val perDec = j.groupBy(col("dec")).agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
       val ks = s.range(1, 10).toDF("k")
       // cumulative train moments over deciles < k (10x10 tiny join)
       val train = ks.join(perDec, col("dec") < col("k"))
@@ -152,15 +155,17 @@ object Round9Curves {
                   floor(o_totalprice * 100)::BIGINT AS y
            FROM orders JOIN customer ON o_custkey = c_custkey),
          per_dec AS (
+           -- second moments stay HUGEINT: sum(y*y) over cent-scaled
+           -- totalprice exceeds 2^63 at sf0.1
            SELECT dec, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-                  sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
-                  sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+                  sum(y)::BIGINT AS sy, sum(x * x) AS sxx,
+                  sum(x * y) AS sxy, sum(y * y) AS syy
            FROM j GROUP BY dec),
          ks AS (SELECT g.k FROM generate_series(1, 9) AS g(k)),
          train AS (
            SELECT k, sum(n)::BIGINT AS n_t, sum(sx)::BIGINT AS sx_t,
-                  sum(sy)::BIGINT AS sy_t, sum(sxx)::BIGINT AS sxx_t,
-                  sum(sxy)::BIGINT AS sxy_t
+                  sum(sy)::BIGINT AS sy_t, sum(sxx) AS sxx_t,
+                  sum(sxy) AS sxy_t
            FROM ks JOIN per_dec ON dec < k GROUP BY k),
          va AS (
            SELECT n AS n_v, sx AS sx_v, sy AS sy_v, sxx AS sxx_v,
