@@ -72,6 +72,11 @@ object SparkEntry {
     (operators.Round9Temporal.queries, operators.Round9Temporal.oracles),
     (operators.Round9Behavior.queries, operators.Round9Behavior.oracles),
     (operators.Round9Econ.queries, operators.Round9Econ.oracles),
+    (operators.Round9Hygiene.queries, operators.Round9Hygiene.oracles),
+    (operators.Round9Signals.queries, operators.Round9Signals.oracles),
+    (operators.Round9Monitor.queries, operators.Round9Monitor.oracles),
+    (operators.Round9Market.queries, operators.Round9Market.oracles),
+    (operators.Round9Portfolio.queries, operators.Round9Portfolio.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
