@@ -83,8 +83,10 @@ object Round9Portfolio {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perBrand.crossJoin(broadcast(tot))
         .withColumn("cum", sum(col("rev")).over(wCum)) // 25-row window
-        .withColumn("cum_ppm",
-          expr("cum * 1000000 DIV total"))
+        // cum*1e6 exceeds 2^63 at sf1 -> lift to DECIMAL first
+        .withColumn("cum_ppm", expr(
+          "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) DIV total" +
+            " AS BIGINT)"))
         .withColumn("abc", when(col("cum_ppm") <= 800000, "A")
           .when(col("cum_ppm") <= 950000, "B").otherwise("C"))
         .withColumn("mean_w", col("rev") / col("nw").cast("double"))
