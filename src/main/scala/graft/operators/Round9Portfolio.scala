@@ -73,10 +73,11 @@ object Round9Portfolio {
           floor(col("l_extendedprice") * 100).cast("long").as("cents"))
       val weekly = li.groupBy(col("brand"), col("week"))
         .agg(sum(col("cents")).as("wrev"))
-      // squared weekly revenue exceeds 2^63 summed at sf1 — DECIMAL
+      // squared weekly revenue exceeds 2^63 at sf1 — lift the
+      // OPERAND to DECIMAL so the per-row product never sits in long
       val perBrand = weekly.groupBy(col("brand"))
         .agg(sum(col("wrev")).as("rev"), count(lit(1)).as("nw"),
-          sum((col("wrev") * col("wrev")).cast("decimal(38,0)"))
+          sum(col("wrev").cast("decimal(19,0)") * col("wrev"))
             .as("srr"))
       val tot = perBrand.agg(sum(col("rev")).as("total"))
       val wCum = Window.orderBy(col("rev").desc, col("brand"))
@@ -185,9 +186,11 @@ object Round9Portfolio {
            SELECT brand, week, sum(cents)::BIGINT AS wrev
            FROM li GROUP BY brand, week),
          per_brand AS (
+           -- wrev::HUGEINT before the square: BIGINT*BIGINT aborts
+           -- on overflow at large SF
            SELECT brand, sum(wrev)::BIGINT AS rev,
                   count(*)::BIGINT AS nw,
-                  sum(wrev * wrev) AS srr
+                  sum(wrev::HUGEINT * wrev) AS srr
            FROM weekly GROUP BY brand),
          tot AS (SELECT sum(rev) AS total FROM per_brand),
          ranked AS (
