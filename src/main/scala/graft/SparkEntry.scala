@@ -77,6 +77,7 @@ object SparkEntry {
     (operators.Round9Monitor.queries, operators.Round9Monitor.oracles),
     (operators.Round9Market.queries, operators.Round9Market.oracles),
     (operators.Round9Portfolio.queries, operators.Round9Portfolio.oracles),
+    (operators.Round9Sketch.queries, operators.Round9Sketch.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
