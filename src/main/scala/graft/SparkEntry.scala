@@ -78,6 +78,7 @@ object SparkEntry {
     (operators.Round9Market.queries, operators.Round9Market.oracles),
     (operators.Round9Portfolio.queries, operators.Round9Portfolio.oracles),
     (operators.Round9Sketch.queries, operators.Round9Sketch.oracles),
+    (operators.Round9Motifs.queries, operators.Round9Motifs.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
