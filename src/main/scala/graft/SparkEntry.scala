@@ -79,6 +79,8 @@ object SparkEntry {
     (operators.Round9Portfolio.queries, operators.Round9Portfolio.oracles),
     (operators.Round9Sketch.queries, operators.Round9Sketch.oracles),
     (operators.Round9Motifs.queries, operators.Round9Motifs.oracles),
+    (operators.Round9Bloom.queries, operators.Round9Bloom.oracles),
+    (operators.Round9Correlate.queries, operators.Round9Correlate.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
