@@ -81,6 +81,7 @@ object SparkEntry {
     (operators.Round9Motifs.queries, operators.Round9Motifs.oracles),
     (operators.Round9Bloom.queries, operators.Round9Bloom.oracles),
     (operators.Round9Correlate.queries, operators.Round9Correlate.oracles),
+    (operators.Round9Extremes.queries, operators.Round9Extremes.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
