@@ -82,6 +82,7 @@ object SparkEntry {
     (operators.Round9Bloom.queries, operators.Round9Bloom.oracles),
     (operators.Round9Correlate.queries, operators.Round9Correlate.oracles),
     (operators.Round9Extremes.queries, operators.Round9Extremes.oracles),
+    (operators.Round9Stationarity.queries, operators.Round9Stationarity.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
