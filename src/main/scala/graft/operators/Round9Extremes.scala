@@ -9,7 +9,7 @@ import graft.Tables.t
   * values, and coverage-maximizing selection:
   *
   *  - q505: Hurst exponent by rescaled-range (R/S) analysis of the
-  *    daily revenue series. Within each block of size s ∈ {8,16,32,
+  *    hourly revenue series. Within each block of size s ∈ {8,16,32,
   *    64}, deviations are kept INTEGER by scaling: dev_i = s·x_i −
   *    Σx (so the block mean never becomes a float mid-computation);
   *    R/S = (max−min cumdev) / sqrt(s·Σx² − (Σx)²) touches doubles
@@ -23,9 +23,9 @@ import graft.Tables.t
   *    the (1−1/e) approximation). 5 rounds, each one anti-join +
   *    keyed count + a SINGLE-ROW argmax to the driver (bounded);
   *    ties break to the smaller doc_id on both engines.
-  *  - q507: Gumbel extreme-value fit on weekly maxima of daily
+  *  - q507: Gumbel extreme-value fit on daily maxima of hourly
   *    revenue, method of moments (β = sd·√6/π, μ = mean − γβ), with
-  *    10-week / 52-week / 365-week return levels — the capacity-
+  *    10/52/365-block return levels — the capacity-
   *    planning readout (what daily peak to provision for). Moments
   *    from exact integer cents (squares DECIMAL-lifted); doubles
   *    only on the final bounded scalars.
@@ -39,12 +39,14 @@ object Round9Extremes {
   val queries: Seq[(String, Q)] = Seq(
 
     "q505_hurst_rs" -> ((s, d) => {
-      val daily = t(s, d, "events")
-        .groupBy(floor(unix_timestamp(col("ts")) / 86400L)
-          .cast("long").as("day"))
+      // hourly grain: the fixture spans 30 days — 720 hourly points
+      // give 11..90 full blocks per size; still calendar-bounded
+      val hourly = t(s, d, "events")
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600L)
+          .cast("long").as("hr"))
         .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
-      val wDay = Window.orderBy(col("day")) // day grain, calendar-bounded
-      val idx = daily.withColumn("i", row_number().over(wDay) - 1)
+      val wHr = Window.orderBy(col("hr")) // hour grain, calendar-bounded
+      val idx = hourly.withColumn("i", row_number().over(wHr) - 1)
       val sizes = Seq(8, 16, 32, 64)
       val perSize = sizes.map { bs =>
         val blocks = idx.withColumn("blk", expr(s"i DIV $bs"))
@@ -121,13 +123,15 @@ object Round9Extremes {
     }),
 
     "q507_gumbel_return_levels" -> ((s, d) => {
-      val weeklyMax = t(s, d, "events")
-        .groupBy(floor(unix_timestamp(col("ts")) / 86400L)
-          .cast("long").as("day"))
+      // block maxima: per-day max of HOURLY revenue (the fixture
+      // spans 30 days -> 30 blocks of 24 hourly observations)
+      val dailyMax = t(s, d, "events")
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600L)
+          .cast("long").as("hr"))
         .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
-        .groupBy(expr("day DIV 7").as("wk"))
+        .groupBy(expr("hr DIV 24").as("day"))
         .agg(max(col("x")).as("mx"))
-      val m = weeklyMax.agg(count(lit(1)).as("n"),
+      val m = dailyMax.agg(count(lit(1)).as("n"),
         sum(col("mx")).as("s1"),
         sum(col("mx").cast("decimal(38,0)") * col("mx")).as("s2"))
         .withColumn("mean", col("s1").cast("double") / col("n"))
@@ -142,7 +146,7 @@ object Round9Extremes {
       def rl(tt: Int) = floor(col("mu") - col("beta")
         * log(-log(lit(1.0) - lit(1.0) / tt))).cast("long")
         .as(s"rl_${tt}_cents")
-      m.select(col("n").as("n_weeks"),
+      m.select(col("n").as("n_blocks"),
         floor(col("mu")).cast("long").as("mu_cents"),
         floor(col("beta")).cast("long").as("beta_cents"),
         rl(10), rl(52), rl(365))
@@ -182,14 +186,14 @@ object Round9Extremes {
                    FROM idx GROUP BY 1) st ON b.blk = st.blk
              GROUP BY b.blk))"""
       }.mkString(",\n         ")
-      s"""WITH daily AS (
-           SELECT floor(epoch(ts::TIMESTAMP) / 86400)::BIGINT AS day,
+      s"""WITH hourly AS (
+           SELECT floor(epoch(ts::TIMESTAMP) / 3600)::BIGINT AS hr,
                   sum(floor(value * 100)::BIGINT)::BIGINT AS x
            FROM events GROUP BY 1),
          idx AS (
-           SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS i,
+           SELECT (row_number() OVER (ORDER BY hr) - 1)::BIGINT AS i,
                   x
-           FROM daily),
+           FROM hourly),
          $per
          SELECT rs8_ppm, rs16_ppm, rs32_ppm, rs64_ppm,
                 floor((3.0 * (ln(CAST(rs64_ppm AS DOUBLE) / 1e6)
@@ -239,13 +243,13 @@ object Round9Extremes {
     },
 
     "q507_gumbel_return_levels" ->
-      s"""WITH daily AS (
-           SELECT floor(epoch(ts::TIMESTAMP) / 86400)::BIGINT AS day,
+      s"""WITH hourly AS (
+           SELECT floor(epoch(ts::TIMESTAMP) / 3600)::BIGINT AS hr,
                   sum(floor(value * 100)::BIGINT)::BIGINT AS x
            FROM events GROUP BY 1),
          wm AS (
-           SELECT day // 7 AS wk, max(x)::BIGINT AS mx
-           FROM daily GROUP BY 1),
+           SELECT hr // 24 AS day, max(x)::BIGINT AS mx
+           FROM hourly GROUP BY 1),
          m AS (
            SELECT count(*)::BIGINT AS n, sum(mx)::BIGINT AS s1,
                   sum(mx::HUGEINT * mx) AS s2
@@ -260,7 +264,7 @@ object Round9Extremes {
            SELECT n, mean, sd * sqrt(6.0) / pi() AS beta,
                   mean - $EULER * (sd * sqrt(6.0) / pi()) AS mu
            FROM fit)
-         SELECT n AS n_weeks,
+         SELECT n AS n_blocks,
                 floor(mu)::BIGINT AS mu_cents,
                 floor(beta)::BIGINT AS beta_cents,
                 floor(mu - beta * ln(-ln(1.0 - 1.0 / 10)))::BIGINT
