@@ -83,6 +83,7 @@ object SparkEntry {
     (operators.Round9Correlate.queries, operators.Round9Correlate.oracles),
     (operators.Round9Extremes.queries, operators.Round9Extremes.oracles),
     (operators.Round9Stationarity.queries, operators.Round9Stationarity.oracles),
+    (operators.Round9Spectral.queries, operators.Round9Spectral.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),

@@ -87,14 +87,18 @@ object Round9Patterns {
     "q459_spatial_hotspots" -> ((s, d) => {
       // uniform background + a planted dense cluster near (51, 51)
       // (every 37th event): the detector must find the plant, and at
-      // uniform density must flag (almost) nothing else
+      // uniform density must flag (almost) nothing else. Background
+      // scatter uses Knuth multiplicative mixing — a small multiplier
+      // (the original *17/*31) degenerates to a diagonal LINE at small
+      // fixtures (no wraparound below id≈600), whose ridge cells
+      // out-score the plant
       val pts = t(s, d, "events").select(
         when(col("event_id") % 37 === 0,
           lit(50.0) + (col("event_id") % 100) / 25.0)
-          .otherwise((col("event_id") * 17 % 10000) / 100.0).as("px"),
+          .otherwise((col("event_id") * 2654435761L % 10000) / 100.0).as("px"),
         when(col("event_id") % 37 === 0,
           lit(50.0) + (col("event_id") % 97) / 25.0)
-          .otherwise((col("event_id") * 31 % 10000) / 100.0).as("py"))
+          .otherwise((col("event_id") * 2246822519L % 10000) / 100.0).as("py"))
       val cells = pts.groupBy(
           floor(col("px") / 5).cast("long").as("cx"),
           floor(col("py") / 5).cast("long").as("cy"))
@@ -196,11 +200,11 @@ object Round9Patterns {
       """WITH pts AS (
            SELECT (CASE WHEN event_id % 37 = 0
                         THEN 50.0 + (event_id % 100) / 25.0
-                        ELSE (event_id * 17 % 10000) / 100.0
+                        ELSE (event_id * 2654435761 % 10000) / 100.0
                    END)::DOUBLE AS px,
                   (CASE WHEN event_id % 37 = 0
                         THEN 50.0 + (event_id % 97) / 25.0
-                        ELSE (event_id * 31 % 10000) / 100.0
+                        ELSE (event_id * 2246822519 % 10000) / 100.0
                    END)::DOUBLE AS py
            FROM events),
          cells AS (

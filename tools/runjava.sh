@@ -4,7 +4,10 @@
 # interactive sbt session for the project lock.
 # Usage: tools/runjava.sh graft.Verify <sfDir> <outDir> [filter]
 set -e
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# GRAFT_CLASSES overrides the classes dir — snapshot it (cp -r) before a
+# long sweep so concurrent sbt recompiles can't swap class files under
+# the running JVM (silent death observed round 9).
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
