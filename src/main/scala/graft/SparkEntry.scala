@@ -84,6 +84,7 @@ object SparkEntry {
     (operators.Round9Extremes.queries, operators.Round9Extremes.oracles),
     (operators.Round9Stationarity.queries, operators.Round9Stationarity.oracles),
     (operators.Round9Spectral.queries, operators.Round9Spectral.oracles),
+    (operators.Round9Audit2.queries, operators.Round9Audit2.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
