@@ -87,6 +87,7 @@ object SparkEntry {
     (operators.Round9Audit2.queries, operators.Round9Audit2.oracles),
     (operators.Round9Distance.queries, operators.Round9Distance.oracles),
     (operators.Round9Lattice.queries, operators.Round9Lattice.oracles),
+    (operators.Round9Payback.queries, operators.Round9Payback.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
