@@ -89,6 +89,7 @@ object SparkEntry {
     (operators.Round9Lattice.queries, operators.Round9Lattice.oracles),
     (operators.Round9Payback.queries, operators.Round9Payback.oracles),
     (operators.Round9Sequential.queries, operators.Round9Sequential.oracles),
+    (operators.Round9Tails.queries, operators.Round9Tails.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
