@@ -90,6 +90,7 @@ object SparkEntry {
     (operators.Round9Payback.queries, operators.Round9Payback.oracles),
     (operators.Round9Sequential.queries, operators.Round9Sequential.oracles),
     (operators.Round9Tails.queries, operators.Round9Tails.oracles),
+    (operators.Round9Anova2.queries, operators.Round9Anova2.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
