@@ -91,6 +91,7 @@ object SparkEntry {
     (operators.Round9Sequential.queries, operators.Round9Sequential.oracles),
     (operators.Round9Tails.queries, operators.Round9Tails.oracles),
     (operators.Round9Anova2.queries, operators.Round9Anova2.oracles),
+    (operators.Round9Diagnostics.queries, operators.Round9Diagnostics.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
