@@ -92,6 +92,7 @@ object SparkEntry {
     (operators.Round9Tails.queries, operators.Round9Tails.oracles),
     (operators.Round9Anova2.queries, operators.Round9Anova2.oracles),
     (operators.Round9Diagnostics.queries, operators.Round9Diagnostics.oracles),
+    (operators.Round9Venn.queries, operators.Round9Venn.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
