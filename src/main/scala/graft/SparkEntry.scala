@@ -94,6 +94,7 @@ object SparkEntry {
     (operators.Round9Diagnostics.queries, operators.Round9Diagnostics.oracles),
     (operators.Round9Venn.queries, operators.Round9Venn.oracles),
     (operators.Round9Attribution.queries, operators.Round9Attribution.oracles),
+    (operators.Round9Filters.queries, operators.Round9Filters.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
