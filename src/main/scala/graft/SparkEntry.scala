@@ -95,6 +95,7 @@ object SparkEntry {
     (operators.Round9Venn.queries, operators.Round9Venn.oracles),
     (operators.Round9Attribution.queries, operators.Round9Attribution.oracles),
     (operators.Round9Filters.queries, operators.Round9Filters.oracles),
+    (operators.Round9TextMl.queries, operators.Round9TextMl.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
