@@ -96,6 +96,7 @@ object SparkEntry {
     (operators.Round9Attribution.queries, operators.Round9Attribution.oracles),
     (operators.Round9Filters.queries, operators.Round9Filters.oracles),
     (operators.Round9TextMl.queries, operators.Round9TextMl.oracles),
+    (operators.Round9Planner.queries, operators.Round9Planner.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
