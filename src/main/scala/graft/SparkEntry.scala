@@ -97,6 +97,7 @@ object SparkEntry {
     (operators.Round9Filters.queries, operators.Round9Filters.oracles),
     (operators.Round9TextMl.queries, operators.Round9TextMl.oracles),
     (operators.Round9Planner.queries, operators.Round9Planner.oracles),
+    (operators.Round9Bootstrap.queries, operators.Round9Bootstrap.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
