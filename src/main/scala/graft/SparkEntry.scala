@@ -98,6 +98,7 @@ object SparkEntry {
     (operators.Round9TextMl.queries, operators.Round9TextMl.oracles),
     (operators.Round9Planner.queries, operators.Round9Planner.oracles),
     (operators.Round9Bootstrap.queries, operators.Round9Bootstrap.oracles),
+    (operators.Round9Phonetic.queries, operators.Round9Phonetic.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
