@@ -23,8 +23,8 @@ import graft.Tables.t
   *    sMAPE (per-day integer-floored ratios in ppm, then averaged —
   *    no float aggregation).
   *  - q558: 4-hop harmonic + closeness centrality on the category
-  *    co-occurrence graph (edges = pairs above 1.2× the mean pair
-  *    weight — scale-free threshold), distances by 3 bounded min-plus
+  *    co-occurrence graph (edges = the 300 heaviest pairs — a
+  *    scale-independent density), distances by 3 bounded min-plus
   *    rounds over the ≤|items|² distance table. Harmonic sums
   *    floor(1000/d); k-hop truncation is explicit in the operator
   *    contract (Boldi-Vigna's HyperBall approximates exactly this at
@@ -109,11 +109,13 @@ object Round9Phonetic {
             && col("a.item") < col("b.item"))
         .groupBy(col("a.item").as("i"), col("b.item").as("j"))
         .agg(count(lit(1)).as("c"))
-      val thresh = up.agg(sum(col("c")).as("sc"),
-        count(lit(1)).as("np"))
-      // scale-free edge rule: weight above 1.2× the mean pair weight
-      val strong = up.crossJoin(broadcast(thresh))
-        .filter(col("c") * col("np") * 10 > col("sc") * 12)
+      // scale-independent edge rule: the 300 heaviest pairs (a
+      // relative threshold degenerates under binomial concentration —
+      // 1.2× mean keeps 990 edges at sf0.001 but only 9 at sf0.1).
+      // The rank window runs on the ≤|items|² pair table.
+      val wP = Window.orderBy(col("c").desc, col("i"), col("j"))
+      val strong = up.withColumn("pr", row_number().over(wP))
+        .filter(col("pr") <= 300)
         .select(col("i"), col("j"))
       val edges = graft.Stage(strong.unionByName(
         strong.select(col("j").as("i"), col("i").as("j"))),
@@ -215,11 +217,12 @@ object Round9Phonetic {
            FROM basket a JOIN basket b
              ON a.ok = b.ok AND a.item < b.item
            GROUP BY 1, 2),
-         th AS (
-           SELECT sum(c)::BIGINT AS sc, count(*)::BIGINT AS np
-           FROM up),
          strong AS (
-           SELECT i, j FROM up, th WHERE c * np * 10 > sc * 12),
+           SELECT i, j FROM (
+             SELECT i, j, row_number() OVER (ORDER BY c DESC, i, j)
+                      AS pr
+             FROM up)
+           WHERE pr <= 300),
          edges AS (
            SELECT i, j FROM strong
            UNION ALL SELECT j, i FROM strong),
