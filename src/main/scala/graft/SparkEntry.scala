@@ -100,6 +100,7 @@ object SparkEntry {
     (operators.Round9Bootstrap.queries, operators.Round9Bootstrap.oracles),
     (operators.Round9Phonetic.queries, operators.Round9Phonetic.oracles),
     (operators.Round9Communities.queries, operators.Round9Communities.oracles),
+    (operators.Round9Outliers.queries, operators.Round9Outliers.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
