@@ -101,6 +101,7 @@ object SparkEntry {
     (operators.Round9Phonetic.queries, operators.Round9Phonetic.oracles),
     (operators.Round9Communities.queries, operators.Round9Communities.oracles),
     (operators.Round9Outliers.queries, operators.Round9Outliers.oracles),
+    (operators.Round9Normalize.queries, operators.Round9Normalize.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
