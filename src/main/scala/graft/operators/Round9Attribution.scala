@@ -83,9 +83,10 @@ object Round9Attribution {
         .agg(count(lit(1)).as("cnt"))
       val totals = cnts.groupBy(col("src"))
         .agg(sum(col("cnt")).as("tot"))
-      val p = cnts.join(broadcast(totals), Seq("src"))
+      val p = graft.Stage(cnts.join(broadcast(totals), Seq("src"))
         .select(col("src"), col("dst"),
-          (col("cnt").cast("double") / col("tot")).as("prob"))
+          (col("cnt").cast("double") / col("tot")).as("prob")),
+        "q541_p")
       // empirical entry distribution: users' first events
       val starts = seqs.filter(col("rn") === 1)
         .groupBy(col("src").as("state"))
@@ -102,11 +103,14 @@ object Round9Attribution {
         when(st === "purchase", 1.0).otherwise(0.0)
       var vec = states.crossJoin(channels)
         .select(col("ch"), col("state"), pvInit(col("state")).as("pv"))
+        .localCheckpoint(true)
       // 8 Jacobi rounds keyed by (removed channel, state); a removed
       // channel's pv is pinned to 0 (transitions into it exit); each
       // round rounded 1e-12 so engine sum order can't drift a boundary
       for (_ <- 1 to 8) {
-        val stepped = p.join(vec, p("dst") === vec("state"))
+        // vec is |channels|·|states| rows — broadcast keeps each
+        // round a map-side join over the staged transition table
+        val stepped = p.join(broadcast(vec), p("dst") === vec("state"))
           .groupBy(col("ch"), col("src"))
           .agg(round(sum(col("prob") *
             when(col("state") === col("ch"), 0.0)
@@ -116,7 +120,9 @@ object Round9Attribution {
           lit("purchase").as("state"), lit(1.0).as("pv"))
           .unionByName(channels.select(col("ch"),
             lit("exit").as("state"), lit(0.0).as("pv")))
-        vec = stepped.unionByName(absorbing)
+        // bounded |channels|·|states| rows: eager localCheckpoint
+        // cuts the 8-round lineage (q291's discipline)
+        vec = stepped.unionByName(absorbing).localCheckpoint(true)
       }
       // P(ch) = Σ_s π(s)·pv(ch,s), a removed channel's entries lost
       val nUsers = starts.agg(sum(col("ns")).as("nu"))

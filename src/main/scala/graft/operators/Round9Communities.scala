@@ -58,14 +58,18 @@ object Round9Communities {
       val deg = edges.groupBy(col("i").as("v"))
         .agg(sum(col("c")).as("dg"))
       var lab = deg.select(col("v"), col("v").as("lb"))
+        .localCheckpoint(true)
       for (_ <- 1 to 4) {
-        val nb = edges.join(lab, edges("j") === lab("v"))
+        // lab/nb are node-bounded (≤|items| rows) — broadcast both
+        // sides of the propagation so each round is map-side
+        val nb = edges.join(broadcast(lab), edges("j") === lab("v"))
           .groupBy(edges("i").as("u"))
           .agg(min(col("lb")).as("nlb"))
-        lab = lab.join(nb, lab("v") === nb("u"), "left")
+        lab = lab.join(broadcast(nb), lab("v") === nb("u"), "left")
           .select(col("v"),
             least(col("lb"), coalesce(col("nlb"), col("lb")))
               .as("lb"))
+          .localCheckpoint(true) // node-bounded rows, cut lineage
       }
       val m2 = edges.agg(sum(col("c")).as("m2")) // = 2m (symmetric)
       val sin = edges

@@ -87,10 +87,11 @@ object Round9TextMl {
       val nN = nodes.agg(count(lit(1)).as("nn"))
       var pr = nodes.crossJoin(broadcast(nN))
         .select(col("node"), (lit(1.0) / col("nn")).as("p"))
+        .localCheckpoint(true)
       for (_ <- 1 to 8) {
         val contrib = edges
           .join(broadcast(wdeg), Seq("u"))
-          .join(pr, edges("u") === pr("node"))
+          .join(broadcast(pr), edges("u") === pr("node"))
           .groupBy(col("v"))
           .agg(sum(col("p") * col("w") / col("wd")).as("inp"))
         pr = nodes.crossJoin(broadcast(nN))
@@ -99,6 +100,7 @@ object Round9TextMl {
             round(lit(0.15) / col("nn")
               + lit(0.85) * coalesce(col("inp"), lit(0.0)), 12)
               .as("p"))
+          .localCheckpoint(true) // vocab-bounded rows, cut lineage
       }
       val ranked = pr
         .select(col("node").as("keyword"),
