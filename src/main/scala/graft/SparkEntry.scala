@@ -103,6 +103,7 @@ object SparkEntry {
     (operators.Round9Outliers.queries, operators.Round9Outliers.oracles),
     (operators.Round9Normalize.queries, operators.Round9Normalize.oracles),
     (operators.Round9Process.queries, operators.Round9Process.oracles),
+    (operators.Round9RankTests.queries, operators.Round9RankTests.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
