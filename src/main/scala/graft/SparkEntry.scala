@@ -105,6 +105,7 @@ object SparkEntry {
     (operators.Round9Process.queries, operators.Round9Process.oracles),
     (operators.Round9RankTests.queries, operators.Round9RankTests.oracles),
     (operators.Round9Advisor.queries, operators.Round9Advisor.oracles),
+    (operators.Round9Commerce.queries, operators.Round9Commerce.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),
