@@ -151,7 +151,11 @@ object Round9Attribution {
     "q542_item_item_cf" -> ((s, d) => {
       val pairs = pairTable(s, d)
         .withColumn("cos2_ppb",
-          expr("c * c * 1000000000 DIV (ni * nj)"))
+          // c²·1e9 in DECIMAL(38,0): a pair co-occurrence past ~3M
+          // rows would overflow the int64 product (the q555/q559
+          // widening discipline); DIV lands back in BIGINT
+          expr("""CAST(c AS DECIMAL(38,0)) * c * 1000000000
+                  DIV (CAST(ni AS DECIMAL(38,0)) * nj)"""))
       val wI = Window.partitionBy(col("i"))
         .orderBy(col("cos2_ppb").desc, col("j"))
       pairs.withColumn("rank", row_number().over(wI))
@@ -172,7 +176,9 @@ object Round9Attribution {
           col("j").as("consequent"), col("c").as("cooc"),
           expr("c * 1000000 DIV n_orders").as("support_ppm"),
           expr("c * 1000000 DIV ni").as("confidence_ppm"),
-          expr("c * n_orders * 1000000 DIV (ni * nj)").as("lift_ppm"))
+          expr("""CAST(c AS DECIMAL(38,0)) * n_orders * 1000000
+                  DIV (CAST(ni AS DECIMAL(38,0)) * nj)""")
+            .as("lift_ppm"))
         .filter(col("support_ppm") >= 2000)
       val wAll = Window.orderBy(col("lift_ppm").desc,
         col("antecedent"), col("consequent"))
@@ -275,7 +281,8 @@ object Round9Attribution {
            UNION ALL SELECT j, i, c FROM up),
          pairs AS (
            SELECT s.i, s.j, s.c, fi.n AS ni, fj.n AS nj,
-                  s.c * s.c * 1000000000 // (fi.n * fj.n) AS cos2_ppb
+                  s.c::HUGEINT * s.c * 1000000000
+                    // (fi.n::HUGEINT * fj.n) AS cos2_ppb
            FROM sym s
            JOIN freq fi ON s.i = fi.item
            JOIN freq fj ON s.j = fj.item),
@@ -312,8 +319,8 @@ object Round9Attribution {
            SELECT s.i AS antecedent, s.j AS consequent, s.c AS cooc,
                   s.c * 1000000 // o.n_orders AS support_ppm,
                   s.c * 1000000 // fi.n AS confidence_ppm,
-                  s.c * o.n_orders * 1000000 // (fi.n * fj.n)
-                    AS lift_ppm
+                  s.c::HUGEINT * o.n_orders * 1000000
+                    // (fi.n::HUGEINT * fj.n) AS lift_ppm
            FROM sym s
            JOIN freq fi ON s.i = fi.item
            JOIN freq fj ON s.j = fj.item, no o

@@ -64,10 +64,14 @@ object Round9MlOps {
       // logging-policy model); rewards/counts from the EVAL half — so
       // IPS and DM genuinely differ (with same-half propensities they
       // coincide algebraically)
-      policy
-        .join(segAct, policy("seg") === segAct("seg") &&
-          col("pi_action") === segAct("action"), "left")
-        .drop(segAct("seg")).drop(segAct("action"))
+      // both sides descend from the same `ev` lineage — explicit
+      // aliases keep the join predicate unambiguous (dataset-handle
+      // column refs on shared lineage log the trivially-true-predicate
+      // warning and break silently under refactors)
+      policy.alias("pol")
+        .join(segAct.alias("sa"), col("pol.seg") === col("sa.seg") &&
+          col("pol.pi_action") === col("sa.action"), "left")
+        .drop(col("sa.seg")).drop(col("sa.action"))
         .join(segTot, "seg").join(trainSeg, "seg")
         .select(col("seg"), col("pi_action"), col("n_s").as("n_eval"),
           coalesce(col("n_sa"), lit(0L)).as("n_matched"),

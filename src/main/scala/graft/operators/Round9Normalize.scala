@@ -123,26 +123,18 @@ object Round9Normalize {
           sum(greatest(col("ca"), col("cb"))).as("smax_shared"))
       val totals = tf.groupBy(col("source"))
         .agg(sum(col("c")).as("tot"))
-      // Σmax over ALL tokens = shared-max + each side's exclusive
-      // mass: tot_a + tot_b − (shared ca + cb) + smax_shared; the
-      // shared ca+cb sum is smin + smax_shared, so
-      // Σmax = tot_a + tot_b − smin − smax_shared + smax_shared
-      //      = tot_a + tot_b − smin... careful: Σmax_shared covers
-      // shared tokens; exclusive tokens contribute their full count.
+      // Σmax over ALL tokens = ta + tb − smin (shared tokens
+      // contribute max = ca + cb − min; exclusives their full count)
       val j = pairs
         .join(broadcast(totals.select(col("source").as("sa"),
           col("tot").as("ta"))), Seq("sa"))
         .join(broadcast(totals.select(col("source").as("sb"),
           col("tot").as("tb"))), Seq("sb"))
         .select(col("sa"), col("sb"), col("smin"),
-          (col("ta") + col("tb") - col("smin")
-            - col("smax_shared") - col("smin")
-            + col("smax_shared")).as("drop_me"),
           (col("ta") + col("tb") - col("smin") - col("smax_shared"))
             .as("excl"),
           expr("""smin * 1000000
                   DIV (ta + tb - smin)""").as("wjaccard_ppm"))
-        .drop("drop_me")
       val wAll = Window.orderBy(col("wjaccard_ppm").desc, col("sa"),
         col("sb"))
       j.withColumn("rk", row_number().over(wAll))

@@ -91,11 +91,15 @@ object Round9Outliers {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("nh"),
           sum(col("xm")).as("sx"),
-          sum(col("xm") * col("xm")).as("sx2"))
+          // the Σx² SUM itself in DECIMAL(38,0): DuckDB sum(BIGINT)
+          // widens to HUGEINT, so past ~20M milli-scaled rows an
+          // int64 Spark sum aborts while the oracle still runs
+          sum(col("xm").cast("decimal(38,0)") * col("xm")).as("sx2"))
         .select(col("event_type"), col("nh"),
           // moments in DECIMAL(38,0): nh·Σx² overflows int64 once a
           // stratum holds ~2M milli-scaled rows (seen at the sf1 proof)
-          expr("""CAST(floor(sqrt(CAST(CAST(nh AS DECIMAL(38,0)) * sx2
+          expr("""CAST(floor(sqrt(CAST(CAST(nh AS DECIMAL(38,0))
+                  * CAST(sx2 AS DECIMAL(38,0))
                   - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
                   / CAST(nh * (nh - 1) AS DOUBLE))) AS BIGINT)""")
             .as("sigma_milli"))
@@ -191,8 +195,8 @@ object Round9Outliers {
       """WITH strata AS (
            SELECT event_type, count(*)::BIGINT AS nh,
                   sum(floor(value * 1000)::BIGINT)::BIGINT AS sx,
-                  sum(floor(value * 1000)::BIGINT
-                      * floor(value * 1000)::BIGINT)::BIGINT AS sx2
+                  sum(floor(value * 1000)::HUGEINT
+                      * floor(value * 1000)::BIGINT) AS sx2
            FROM events GROUP BY event_type),
          sig AS (
            SELECT event_type, nh,

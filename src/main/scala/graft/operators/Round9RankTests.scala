@@ -35,17 +35,22 @@ object Round9RankTests {
     "4-NOT SPECIFIED", "5-LOW")
 
   /** Exact integer autocovariance numerator at lag k over arr with
-    * row count nn and sum ss (Spark HOF text). */
+    * row count nn and sum ss (Spark HOF text). The products grow as
+    * (nn·deviation)² — a decade-scale day grain with milli-scaled
+    * means can clear int64, so the fold accumulates in DECIMAL(38,0)
+    * (the oracle's list_sum widens the same way via HUGEINT); the
+    * c_k values only feed double expressions downstream. */
   private def ckSpark(k: Int): String =
-    s"""aggregate(sequence(1, int(nn) - $k), 0L,
+    s"""aggregate(sequence(1, int(nn) - $k),
+        CAST(0 AS DECIMAL(38,0)),
         (acc, i) -> acc
-          + (nn * element_at(arr, i) - ss)
+          + CAST(nn * element_at(arr, i) - ss AS DECIMAL(38,0))
           * (nn * element_at(arr, i + $k) - ss))"""
 
   private def ckDuck(k: Int): String =
     s"""list_sum(list_transform(range(1, (nn - $k + 1)::INT),
-        i -> (nn * ms[i::INT] - ss)
-          * (nn * ms[(i + $k)::INT] - ss)))::BIGINT"""
+        i -> (nn * ms[i::INT] - ss)::HUGEINT
+          * (nn * ms[(i + $k)::INT] - ss)))"""
 
   val queries: Seq[(String, Q)] = Seq(
 
