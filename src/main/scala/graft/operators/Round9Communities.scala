@@ -27,8 +27,17 @@ import graft.Tables.t
   *  - q561: per-cluster medoid over the embeddings table — the
   *    member maximizing the integer sum of pairwise cosine-micros
   *    (each cosine floor(·1e6 + 0.5) in the repo's bit-reproducible
-  *    dot/sqrt shape from q202). The pair join is cluster-bounded
-  *    (O(Σ|cluster|²), one label shuffle).
+  *    dot/sqrt shape from q202). Round-10: the all-pairs join (and
+  *    its round-9 1024-member truncation cap) is replaced by the
+  *    EXACT linear identity Σ_j cos(i,j) = u_i·S − 1 with
+  *    S = Σ_j x_j/‖x_j‖ — each unit vector is quantized to integer
+  *    micros so the per-cluster dimension sums (and hence the
+  *    candidate ranking) are exact integers, identical in any
+  *    engine/order; the top-8 candidates per cluster then get the
+  *    integer pair statistic against ALL members (8·n pairs, linear),
+  *    so membership never truncates. The only gap vs brute force is
+  *    pair-level rounding (≤0.5 µ per pair) flipping a near-tie
+  *    between candidates ranked by the exact double identity.
   */
 object Round9Communities {
 
@@ -145,21 +154,47 @@ object Round9Communities {
     "q561_cluster_medoid" -> ((s, d) => {
       def dotp(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
-      // deterministic 1024-member cap per cluster (quadratic pair
-      // join — bounded by contract; no-op at the gate fixtures)
-      val wCap = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      // Phase 1 — candidate generation via the exact linear identity
+      // Σ_j cos(i,j) = u_i·S − 1 (u = x/‖x‖, S = Σ u_j): quantize u
+      // to integer micros element-wise (one double div/sqrt per
+      // element — deterministic IEEE, no cross-row float sums), so S
+      // and every candidate score are exact integers in both engines.
       val vecs = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("x"))
-        .withColumn("capr", row_number().over(wCap))
-        .filter(col("capr") <= 1024).drop("capr")
         .withColumn("n2",
           aggregate(transform(col("x"), a => a * a), lit(0.0), _ + _))
-      val a = vecs.select(col("label"), col("vec_id").as("ia"),
-        col("x").as("xa"), col("n2").as("na"))
-      val b = vecs.select(col("label"), col("vec_id").as("ib"),
+      val vstage = graft.Stage(vecs.withColumn("q", expr(
+        """transform(x, v ->
+           CAST(floor(v / sqrt(n2) * 1000000 + 0.5) AS BIGINT))""")),
+        "q561_vecs")
+      // per-label per-dimension integer sums — order-independent
+      val sq = vstage
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "qd")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("qd")).as("sv"))
+        .groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)")
+          .as("sq"))
+      // candidate score dot(q_i, S) in DECIMAL(38,0): q ≤ 1e6/dim but
+      // S grows with cluster size — int64 dies past ~1e11 members
+      val wC = Window.partitionBy(col("label"))
+        .orderBy(col("cscore").desc, col("vec_id"))
+      val cands = vstage.join(broadcast(sq), Seq("label"))
+        .withColumn("cscore", expr(
+          """aggregate(zip_with(q, sq,
+             (a, b) -> CAST(a AS DECIMAL(38,0)) * b),
+             CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)"""))
+        .withColumn("cr", row_number().over(wC))
+        .filter(col("cr") <= 8)
+        .select(col("label"), col("vec_id").as("ia"),
+          col("x").as("xa"), col("n2").as("na"))
+      // Phase 2 — exact integer pair statistic, candidates × ALL
+      // members: 8·n pairs per cluster (linear), no truncation
+      val b = vstage.select(col("label"), col("vec_id").as("ib"),
         col("x").as("xb"), col("n2").as("nb"))
-      val sums = a.join(b, Seq("label"))
+      val sums = cands.join(b, Seq("label"))
         .filter(col("ia") =!= col("ib"))
         .select(col("label"), col("ia"),
           floor(dotp(col("xa"), col("xb"))
@@ -287,31 +322,49 @@ object Round9Communities {
          FROM steps ORDER BY t_days""",
 
     "q561_cluster_medoid" ->
-      """WITH vecs AS (
-           SELECT vec_id, label, x FROM (
-             SELECT vec_id, label,
-                    list_transform(embedding, e -> CAST(e AS DOUBLE))
-                      AS x,
-                    row_number() OVER (PARTITION BY label
-                      ORDER BY vec_id) AS capr
-             FROM embeddings)
-           WHERE capr <= 1024),
-         normed AS (
-           SELECT vec_id, label, x,
-                  list_aggregate(list_transform(x, a -> a * a),
-                    'sum') AS n2
-           FROM vecs),
+      """WITH normed AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, e -> CAST(e AS DOUBLE))
+                    AS x,
+                  list_aggregate(list_transform(
+                    list_transform(embedding, e -> CAST(e AS DOUBLE)),
+                    a -> a * a), 'sum') AS n2
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id, label, x, n2,
+                  list_transform(x, v ->
+                    floor(v / sqrt(n2) * 1000000 + 0.5)::BIGINT) AS q
+           FROM normed),
+         dims AS (
+           SELECT label, r.range AS i,
+                  sum(q[r.range::INT])::BIGINT AS sv
+           FROM qv, range(1, 65) r
+           GROUP BY label, r.range),
+         sq AS (
+           SELECT label, list(sv ORDER BY i) AS sq FROM dims
+           GROUP BY label),
+         cand0 AS (
+           SELECT v.vec_id, v.label, v.x, v.n2,
+                  list_sum(list_transform(list_zip(v.q, s.sq),
+                    z -> z[1]::HUGEINT * z[2])) AS cscore
+           FROM qv v JOIN sq s ON v.label = s.label),
+         cands AS (
+           SELECT label, vec_id AS ia, x AS xa, n2 AS na FROM (
+             SELECT *, row_number() OVER (PARTITION BY label
+                      ORDER BY cscore DESC, vec_id) AS cr
+             FROM cand0)
+           WHERE cr <= 8),
          sums AS (
-           SELECT a.label, a.vec_id AS ia,
+           SELECT c.label, c.ia,
                   sum(floor(
-                    list_aggregate(list_transform(list_zip(a.x, b.x),
+                    list_aggregate(list_transform(list_zip(c.xa, b.x),
                       z -> z[1] * z[2]), 'sum')
-                    / sqrt(a.n2 * b.n2) * 1e6 + 0.5)::BIGINT)
+                    / sqrt(c.na * b.n2) * 1e6 + 0.5)::BIGINT)
                     ::BIGINT AS sum_cos_micro,
                   count(*)::BIGINT AS n_others
-           FROM normed a JOIN normed b
-             ON a.label = b.label AND a.vec_id <> b.vec_id
-           GROUP BY a.label, a.vec_id),
+           FROM cands c JOIN normed b
+             ON c.label = b.label AND c.ia <> b.vec_id
+           GROUP BY c.label, c.ia),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY label
                     ORDER BY sum_cos_micro DESC, ia) AS rn

@@ -12,12 +12,19 @@ import graft.Tables.t
   * [Neyman 1934] with Hamilton rounding, and multi-window burn-rate
   * alerts [Google SRE Workbook ch. 5]):
   *
-  *  - q562: embedding outlier gate — within-cluster (label) pairwise
-  *    squared L2 in integer micro (sequential-fold double, then one
-  *    floor — the q202 discipline), each point's 5th-NN distance,
-  *    scored against the cluster's lower-median 5th-NN distance in
-  *    ppm. All windows run on cluster-bounded sets (O(Σ|cluster|²)
-  *    pairs, one label shuffle). The vector-quality filter a dedup
+  *  - q562: embedding outlier gate — within-cluster (label) squared
+  *    L2 in integer micro (sequential-fold double, then one floor —
+  *    the q202 discipline), each point's 5th-NN distance, scored
+  *    against the cluster's lower-median 5th-NN distance in ppm.
+  *    Round-10: the all-pairs join (and its round-9 1024-member
+  *    truncation cap) is replaced by a deterministic 64-member
+  *    REFERENCE SAMPLE per cluster (lowest multiplicative-hash rank
+  *    of vec_id — the sampled-kNN outlier scheme of Sugiyama &
+  *    Borgwardt, NeurIPS 2013): every member is scored against the
+  *    sample, so pair work is n·64 (linear) and membership never
+  *    truncates; at the gate fixtures clusters are under 64 members,
+  *    so the sample IS the cluster and the statistic is the exact
+  *    full kNN. The vector-quality filter a dedup
   *    pipeline runs before SemDeDup.
   *  - q563: Neyman allocation — per-stratum σ from exact integer
   *    moments, allocation n_h ∝ N_h·σ_h for a budget of 1000 probes,
@@ -37,19 +44,23 @@ object Round9Outliers {
   val queries: Seq[(String, Q)] = Seq(
 
     "q562_knn_outlier_gate" -> ((s, d) => {
-      // deterministic 1024-member cap per cluster: the pair join is
-      // quadratic in cluster size, so growth must be bounded by
-      // contract, not by luck (no-op at the gate fixtures)
-      val wCap = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-      val vecs = t(s, d, "embeddings")
+      // deterministic 64-member reference sample per cluster (lowest
+      // splitmix-style hash of vec_id): every member scores against
+      // the sample → n·64 pairs, linear in cluster size, zero
+      // membership truncation [Sugiyama-Borgwardt 2013]
+      val wS = Window.partitionBy(col("label"))
+        .orderBy(col("h"), col("vec_id"))
+      val vecs = graft.Stage(t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("x"))
-        .withColumn("capr", row_number().over(wCap))
-        .filter(col("capr") <= 1024).drop("capr")
+        .withColumn("h",
+          expr("((vec_id % 2147483648L) * 2654435761L) & 4294967295L"))
+        .withColumn("sr", row_number().over(wS)), "q562_vecs")
       val a = vecs.select(col("label"), col("vec_id").as("ia"),
         col("x").as("xa"))
-      val b = vecs.select(col("label"), col("vec_id").as("ib"),
-        col("x").as("xb"))
+      val b = vecs.filter(col("sr") <= 64)
+        .select(col("label"), col("vec_id").as("ib"),
+          col("x").as("xb"))
       val d2 = a.join(b, Seq("label"))
         .filter(col("ia") =!= col("ib"))
         .select(col("label"), col("ia"), col("ib"),
@@ -147,14 +158,16 @@ object Round9Outliers {
 
     "q562_knn_outlier_gate" ->
       """WITH vecs AS (
-           SELECT vec_id, label, x FROM (
+           SELECT vec_id, label, x, sr FROM (
              SELECT vec_id, label,
                     list_transform(embedding, e -> CAST(e AS DOUBLE))
                       AS x,
+                    ((vec_id % 2147483648) * 2654435761)
+                      & 4294967295 AS h,
                     row_number() OVER (PARTITION BY label
-                      ORDER BY vec_id) AS capr
-             FROM embeddings)
-           WHERE capr <= 1024),
+                      ORDER BY ((vec_id % 2147483648) * 2654435761)
+                        & 4294967295, vec_id) AS sr
+             FROM embeddings)),
          d2 AS (
            SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
                   floor(list_aggregate(list_transform(
@@ -162,7 +175,8 @@ object Round9Outliers {
                     z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')
                     * 1e6 + 0.5)::BIGINT AS d2m
            FROM vecs a JOIN vecs b
-             ON a.label = b.label AND a.vec_id <> b.vec_id),
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           WHERE b.sr <= 64),
          dk AS (
            SELECT label, ia, d2m AS dk FROM (
              SELECT label, ia, d2m,
