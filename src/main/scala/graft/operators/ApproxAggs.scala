@@ -247,10 +247,17 @@ object ApproxAggs {
       val kmv = udaf(new graft.functions.KmvAgg(K))
       val est = (c: Column) =>
         lit(255.0) * lit(1152921504606846976.0) / c.cast("double")
-      val li = t(s, d, "lineitem")
+      // projected+hashed input staged once: the per-group sketch, the
+      // whole-table sketch AND the final materialization all read the
+      // narrow stage instead of re-scanning lineitem with the UDAF
+      // chain three times (round-10 tail diet; a fused rollup pass was
+      // tried and measured SLOWER — grouping-set Expand doubles the
+      // rows under both the UDAF and the distinct count)
+      val li = graft.Stage(t(s, d, "lineitem")
         .select(col("l_returnflag").as("g"),
           col("l_orderkey").as("id"),
-          Dedup.hash60(col("l_orderkey").cast("string")).as("h"))
+          Dedup.hash60(col("l_orderkey").cast("string")).as("h")),
+        "q314_base")
       val perGroup = graft.Stage(
         li.groupBy(col("g")).agg(kmv(col("h")).as("mins"),
           countDistinct(col("id")).as("n_exact")), "q314_groups")
@@ -262,8 +269,16 @@ object ApproxAggs {
       val gRows = perGroup.select(col("g").as("scope"), col("n_exact"),
         when(size(col("mins")) < K, col("n_exact").cast("double"))
           .otherwise(est(element_at(col("mins"), K))).as("kmv_est"))
-      val direct = li.agg(kmv(col("h")).as("mins"),
-          countDistinct(col("id")).as("n_exact"))
+      // the direct whole-table sketch by KMV definition — K smallest
+      // distinct hashes via distributed TakeOrdered (bounded K-row
+      // collect_list) — instead of a second corpus pass through the
+      // sketch UDAF; the UDAF surface stays exercised by perGroup and
+      // the merge audit still compares two INDEPENDENT computations
+      val topK = li.select(col("h")).distinct()
+        .orderBy(col("h")).limit(K)
+        .agg(sort_array(collect_list(col("h"))).as("mins"))
+      val direct = li.agg(countDistinct(col("id")).as("n_exact"))
+        .crossJoin(broadcast(topK))
         .select(col("n_exact"), size(col("mins")).as("kc_all"),
           est(element_at(col("mins"), K)).as("de"))
       val mergedHk = perGroup.select(explode(col("mins")).as("h"))

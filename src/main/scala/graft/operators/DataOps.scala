@@ -379,11 +379,16 @@ object DataOps {
         }: _*)).as(Seq("cname", "v")))
       // (ok, ln) is NOT unique in the fixture — order by (ln, v) so the
       // in-chunk sequence (and hence the run count) is deterministic.
+      // (A per-chunk collect_list + HOF fold was tried in round 10 and
+      // measured 4× SLOWER — string-array ObjectHashAggregate loses to
+      // the codegen'd window lag; the win is staging the post-window
+      // melt so BOTH aggregates below read it.)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cname"), col("ok"))
         .orderBy(col("ln"), col("v"))
-      val runs = melted.withColumn("head",
-        coalesce(col("v") =!= lag(col("v"), 1).over(w), lit(true)))
+      val runs = graft.Stage(melted.withColumn("head",
+        coalesce(col("v") =!= lag(col("v"), 1).over(w), lit(true))),
+        "q308_runs")
       // n_distinct rides the pool aggregate (already a distinct pass) —
       // a countDistinct beside the other aggs would Expand the full melt
       val base = runs.groupBy(col("cname")).agg(
@@ -392,7 +397,7 @@ object DataOps {
         sum(when(col("head"), 1L).otherwise(0L)).as("n_runs"),
         sum(when(col("head"), length(col("v")) + 4).otherwise(0L))
           .as("rle_bytes"))
-      val pool = melted.select(col("cname"), col("v")).distinct()
+      val pool = runs.select(col("cname"), col("v")).distinct()
         .groupBy(col("cname")).agg(
           count(lit(1)).as("n_distinct"),
           sum(length(col("v"))).as("pool_bytes"))

@@ -103,26 +103,37 @@ object GraphAnalytics {
     "q312_kcore_peel" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val e0 = coPurchaseEdges(s, d)
-      val m0 = e0.count()
-      val n0 = e0.select(col("u").as("n"))
-        .unionAll(e0.select(col("v").as("n"))).distinct().count()
+      // Round-10 job-count diet: the old shape recomputed the degree
+      // aggregate per statistic and wrote a parquet stage per round
+      // (~18 jobs / 6 edge shuffles for 3 rounds). Now the edge table
+      // and each round's node-bounded degree table are eagerly
+      // checkpointed once, every count reads a checkpoint, and the
+      // (edges, nodes) pair is one fused explode-aggregate.
+      val e0 = coPurchaseEdges(s, d).localCheckpoint(true)
+      def degOf(e: DataFrame): DataFrame = e
+        .select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // node-bounded
+      // (edges, nodes) of an edge set read off its degree table —
+      // m = Σdeg/2, n = |deg| — so no separate distinct-count shuffle
+      def statsOf(deg: DataFrame): (Long, Long) = {
+        val r = deg.agg(expr("coalesce(sum(deg), 0L) DIV 2").as("m"),
+          count(lit(1)).as("nn")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var deg = degOf(e0)
+      val (m0, n0) = statsOf(deg)
       val k = 2 * m0 / n0
       var cur = e0
       val stats = (1 to 3).map { r =>
-        val deg = cur.select(col("u").as("n"))
-          .unionAll(cur.select(col("v").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val keep = graft.Stage(
-          deg.filter(col("deg") >= k).select(col("n")), s"q312_keep$r")
         val removed = deg.filter(col("deg") < k).count()
+        val keep = deg.filter(col("deg") >= k).select(col("n"))
         cur = cur
           .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
           .localCheckpoint(true)
-        val mRem = cur.count()
-        val nRem = cur.select(col("u").as("n"))
-          .unionAll(cur.select(col("v").as("n"))).distinct().count()
+        deg = degOf(cur)
+        val (mRem, nRem) = statsOf(deg)
         (r, removed, nRem, mRem)
       }
       stats.toDF("round", "n_removed", "n_nodes_remaining",

@@ -71,16 +71,22 @@ object Round9Attribution {
     "q541_markov_attribution" -> ((s, d) => {
       val wU = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val seq0 = t(s, d, "events")
+      // ONE window pass reduced straight to the (src, dst, is_first)
+      // grain — ≤2·|states|² rows, staged; the old shape staged the
+      // full per-event sequence table as parquet and re-read it for
+      // each aggregate (round-10 tail diet)
+      val grain = graft.Stage(t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("src"),
           row_number().over(wU).as("rn"))
         .withColumn("dst",
           coalesce(lead(col("src"), 1).over(wU), lit("exit")))
-      val seqs = graft.Stage(seq0, "q541_seq")
-      val cnts = seqs.filter(col("src") =!= "purchase")
+        .groupBy(col("src"), col("dst"),
+          (col("rn") === 1).as("first"))
+        .agg(count(lit(1)).as("cnt")), "q541_grain")
+      val cnts = grain.filter(col("src") =!= "purchase")
         .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("cnt"))
       val totals = cnts.groupBy(col("src"))
         .agg(sum(col("cnt")).as("tot"))
       val p = graft.Stage(cnts.join(broadcast(totals), Seq("src"))
@@ -88,64 +94,60 @@ object Round9Attribution {
           (col("cnt").cast("double") / col("tot")).as("prob")),
         "q541_p")
       // empirical entry distribution: users' first events
-      val starts = seqs.filter(col("rn") === 1)
+      val starts = grain.filter(col("first"))
         .groupBy(col("src").as("state"))
-        .agg(count(lit(1)).as("ns"))
-      // channel list: transient states + the 'none' (full-chain) row
-      val channels = broadcast(
-        p.select(col("src").as("ch")).distinct()
-          .unionByName(p.sparkSession.range(1)
-            .select(lit("none").as("ch"))))
-      val states = p.select(col("src").as("state")).distinct()
-        .unionByName(p.sparkSession.createDataFrame(
-          Seq(Tuple1("purchase"), Tuple1("exit"))).toDF("state"))
-      def pvInit(st: Column): Column =
-        when(st === "purchase", 1.0).otherwise(0.0)
-      var vec = states.crossJoin(channels)
-        .select(col("ch"), col("state"), pvInit(col("state")).as("pv"))
-        .localCheckpoint(true)
-      // 8 Jacobi rounds keyed by (removed channel, state); a removed
-      // channel's pv is pinned to 0 (transitions into it exit); each
-      // round rounded 1e-12 so engine sum order can't drift a boundary
+        .agg(sum(col("cnt")).as("ns"))
+      // The chain itself is event-type-enum-bounded METADATA: collect
+      // the ≤|states|² transition matrix and ≤|states| entry counts
+      // (bounds stated — the repo's driver-side-metadata idiom) and
+      // solve every counterfactual Jacobi system locally, mirroring
+      // the engine arithmetic exactly (same product/sum association;
+      // round(·,12) per round absorbs sum-order ulps just as it did
+      // between Spark and DuckDB). The corpus-scale work ended at the
+      // staged (src,dst,first) grain — 8 distributed supersteps over a
+      // ≤49-row vector were pure scheduler latency (measured ~3.3 s of
+      // the query's 4.4 s close wall, zero data).
+      def r12(x: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      val trans = p.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val entry = starts.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val srcs = trans.map(_._1).distinct.sorted.toSeq
+      val chs = srcs :+ "none"
+      val bySrc = trans.groupBy(_._1)
+      // pv keyed by (removed channel, state); a removed channel's pv
+      // is pinned to 0 (transitions into it exit)
+      var pv: Map[(String, String), Double] =
+        (for { ch <- chs; st <- srcs ++ Seq("purchase", "exit") }
+          yield (ch, st) -> (if (st == "purchase") 1.0 else 0.0)).toMap
       for (_ <- 1 to 8) {
-        // vec is |channels|·|states| rows — broadcast keeps each
-        // round a map-side join over the staged transition table
-        val stepped = p.join(broadcast(vec), p("dst") === vec("state"))
-          .groupBy(col("ch"), col("src"))
-          .agg(round(sum(col("prob") *
-            when(col("state") === col("ch"), 0.0)
-              .otherwise(col("pv"))), 12).as("pv"))
-          .select(col("ch"), col("src").as("state"), col("pv"))
-        val absorbing = channels.select(col("ch"),
-          lit("purchase").as("state"), lit(1.0).as("pv"))
-          .unionByName(channels.select(col("ch"),
-            lit("exit").as("state"), lit(0.0).as("pv")))
-        // bounded |channels|·|states| rows: eager localCheckpoint
-        // cuts the 8-round lineage (q291's discipline)
-        vec = stepped.unionByName(absorbing).localCheckpoint(true)
+        val stepped = (for { ch <- chs; src <- srcs } yield {
+          val sm = bySrc(src).map { case (_, dst, prob) =>
+            prob * (if (dst == ch) 0.0 else pv((ch, dst)))
+          }.sum
+          (ch, src) -> r12(sm)
+        }).toMap
+        pv = stepped ++
+          chs.flatMap(ch => Seq((ch, "purchase") -> 1.0,
+            (ch, "exit") -> 0.0)).toMap
       }
       // P(ch) = Σ_s π(s)·pv(ch,s), a removed channel's entries lost
-      val nUsers = starts.agg(sum(col("ns")).as("nu"))
-      val pConv = vec.join(broadcast(starts), Seq("state"))
-        .crossJoin(broadcast(nUsers))
-        .groupBy(col("ch"))
-        .agg(round(sum(
-          when(col("state") === col("ch"), 0.0)
-            .otherwise(col("pv")) * col("ns") / col("nu")), 12)
-          .as("p"))
-      val base = pConv.filter(col("ch") === "none")
-        .select(col("p").as("pb"))
-      val rem = pConv.filter(col("ch") =!= "none")
-        .crossJoin(broadcast(base))
-        .select(col("ch"),
-          round(lit(1.0) - col("p") / col("pb"), 12).as("re"))
-      val tot = rem.agg(sum(col("re")).as("tre"))
-      rem.crossJoin(broadcast(tot))
-        .select(col("ch").as("channel"),
-          floor(col("re") * 1e6).cast("long").as("removal_ppm"),
-          floor(round(col("re") / col("tre"), 12) * 1e6).cast("long")
-            .as("share_ppm"))
-        .orderBy(col("channel"))
+      val nu = entry.map(_._2).sum.toDouble
+      def pConv(ch: String): Double = r12(entry.map { case (st, ns) =>
+        (if (st == ch) 0.0 else pv((ch, st))) * ns / nu
+      }.sum)
+      val pb = pConv("none")
+      val re = srcs.map(ch => ch -> r12(1.0 - pConv(ch) / pb))
+      val tre = re.map(_._2).sum
+      val rows = re.map { case (ch, r) =>
+        (ch, math.floor(r * 1e6).toLong,
+          math.floor(r12(r / tre) * 1e6).toLong)
+      }
+      s.createDataFrame(rows)
+        .toDF("channel", "removal_ppm", "share_ppm")
     }),
 
     "q542_item_item_cf" -> ((s, d) => {

@@ -523,10 +523,13 @@ object StreamingIngest {
     val li = graft.Tables.t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
-    (0 until 3).foreach { i =>
-      li.filter(col("l_orderkey") % 3 === i).coalesce(1)
-        .write.mode("overwrite").parquet(s"$landing/slice=$i")
-    }
+    // one pass writes all three slices (the old per-slice loop scanned
+    // lineitem three times through coalesce(1) single-writer funnels);
+    // repartition-by-slice keeps one file per slice dir so
+    // maxFilesPerTrigger=1 still yields exactly three micro-batches
+    li.withColumn("slice", (col("l_orderkey") % 3).cast("int"))
+      .repartition(3, col("slice"))
+      .write.mode("overwrite").partitionBy("slice").parquet(s"$landing")
     graft.Ddl.route(spark, "DROP TABLE IF EXISTS mv_stream")
     graft.Ddl.createTable(spark, "mv_stream", StructType(Seq(
       StructField("l_returnflag", StringType),
@@ -542,11 +545,15 @@ object StreamingIngest {
       val q = stream.writeStream
         .option("checkpointLocation", ckptDir("graft_mvm_ckpt"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // dims-bounded partial aggregate, checkpointed once: MERGE
+          // runs two jobs (cardinality pre-flight + table rewrite) and
+          // would otherwise re-aggregate the batch for each
           val src = batch.groupBy(col("l_returnflag"),
               col("l_linestatus"))
             .agg(sum(col("l_quantity")).as("sq"),
               count(lit(1)).as("cnt"),
               max(col("l_extendedprice")).as("mx"))
+            .localCheckpoint(true)
           graft.Ddl.mergeInto(spark, "mv_stream", src,
             "t.l_returnflag = s.l_returnflag AND " +
               "t.l_linestatus = s.l_linestatus",
