@@ -238,6 +238,52 @@ object DdlDml {
       eng.sql("DROP TABLE mvb_q320")
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), schema)
+    }),
+
+    // Star-join MV navigation (round-10, MvRewrite.baseMatches): an MV
+    // over fact⋈dim grouped by (o_orderpriority, l_returnflag) answers
+    // the coarser priority roll-up over the SAME join by re-aggregating
+    // its partial sums/counts/extrema — neither the fact table nor the
+    // join is re-executed (DdlSpec pins the plan to a bare MV scan).
+    // This is the recycler-serves-repeated-subplans contract
+    // (reference: QueryEngine/DataRecycler/, RelAlgExecutor.cpp:1667)
+    // lifted from identical-plan caching to the roll-up lattice above a
+    // join. Dedicated managed bases keep the session registry from
+    // rewriting unrelated fixture aggregates; results collected eagerly
+    // (≤5 rows — bounded) before the MV is dropped.
+    "q580_mv_join_rollup" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q580")
+      eng.sql("DROP TABLE IF EXISTS mvf_q580")
+      eng.sql("DROP TABLE IF EXISTS mvd_q580")
+      eng.sql(
+        """CREATE TABLE mvf_q580 AS
+           SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+           FROM lineitem WHERE l_orderkey % 3 = 0""")
+      eng.sql(
+        """CREATE TABLE mvd_q580 AS
+           SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderkey % 3 = 0""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q580 AS
+           SELECT o_orderpriority, l_returnflag,
+                  sum(l_quantity) AS sq, count(*) AS cnt,
+                  max(l_extendedprice) AS mx
+           FROM mvf_q580 JOIN mvd_q580 ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority, l_returnflag""")
+      val out = eng.sql(
+        """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+                  count(*) AS n, max(l_extendedprice) AS max_price
+           FROM mvf_q580 JOIN mvd_q580 ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority""")
+      val rows = out.collect().toSeq // ≤5 rows — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q580")
+      eng.sql("DROP TABLE mvf_q580")
+      eng.sql("DROP TABLE mvd_q580")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -333,6 +379,17 @@ object DdlDml {
                 count(*)::BIGINT AS n,
                 max(l_extendedprice) AS max_price
          FROM lineitem WHERE l_orderkey % 3 = 0
-         GROUP BY l_returnflag"""
+         GROUP BY l_returnflag""",
+    "q580_mv_join_rollup" ->
+      """SELECT o.o_orderpriority, sum(l.l_quantity) AS sum_qty,
+                count(*)::BIGINT AS n,
+                max(l.l_extendedprice) AS max_price
+         FROM (SELECT l_orderkey, l_quantity, l_extendedprice
+               FROM lineitem WHERE l_orderkey % 3 = 0) l
+         JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE o_orderkey % 3 = 0) o
+           ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority
+         ORDER BY o.o_orderpriority"""
   )
 }

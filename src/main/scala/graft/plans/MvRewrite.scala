@@ -55,9 +55,74 @@ object MvRewrite {
     case other                 => other
   }
 
+  /** Strict strip: only pure attribute-selection Projects (column
+    * pruning) and aliases are transparent — a Project computing new
+    * expressions is semantics and must NOT be looked through.
+    */
+  private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPrune(c)
+    case SubqueryAlias(_, c) => stripPrune(c)
+    case other => other
+  }
+
+  /** Is `e` a pure conjunction of IsNotNull(attr) — the filters the
+    * optimizer infers from inner-equi-join constraints. They are no-ops
+    * with respect to the join output (null keys never match), so the
+    * QUERY side may look through them when matching an MV base; the
+    * registered base side never strips them (a user-written
+    * `WHERE x IS NOT NULL` stays semantics).
+    */
+  private def onlyIsNotNull(e: Expression): Boolean = e match {
+    case And(l, r) => onlyIsNotNull(l) && onlyIsNotNull(r)
+    case IsNotNull(_: AttributeReference) => true
+    case _ => false
+  }
+
+  private def stripQuery(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      stripQuery(c)
+    case SubqueryAlias(_, c) => stripQuery(c)
+    case Filter(cond, c) if onlyIsNotNull(cond) => stripQuery(c)
+    case other => other
+  }
+
+  /** Attribute-name-normalized expression (exprIds and qualifiers
+    * erased) so join conditions from two independently-analyzed plans
+    * over the same tables compare structurally.
+    */
+  private def normExpr(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      AttributeReference(a.name.toLowerCase(java.util.Locale.ROOT),
+        a.dataType, a.nullable)(exprId = ExprId(0), qualifier = Nil)
+  }
+
+  /** Does the query aggregate's child compute the MV's base relation?
+    * Join-aware (round-10, the reference's recycler serves repeated
+    * JOIN subplans — `QueryEngine/DataRecycler/`): descend through
+    * structurally-equal joins (same type, name-normalized condition)
+    * because column pruning rewrites the Projects inside a join tree,
+    * which defeats a whole-plan sameResult; leaves (managed-table
+    * scans) still compare by sameResult.
+    */
+  private def baseMatches(q: LogicalPlan, b: LogicalPlan): Boolean =
+    (stripQuery(q), stripPrune(b)) match {
+      case (Join(l1, r1, t1, c1, _), Join(l2, r2, t2, c2, _)) =>
+        t1 == t2 &&
+          ((c1, c2) match {
+            case (Some(x), Some(y)) =>
+              normExpr(x).semanticEquals(normExpr(y))
+            case (None, None) => true
+            case _ => false
+          }) && baseMatches(l1, l2) && baseMatches(r1, r2)
+      case (x, y) => x.sameResult(y)
+    }
+
   /** Register an MV from its defining DataFrame + the scan of the
     * materialized table. Returns false (no-op) when the definition is
-    * not a supported single-table aggregate.
+    * not a supported aggregate (single-table roll-up or star-join
+    * aggregate — the base may be any join tree over managed tables;
+    * matching is handled join-structurally by `baseMatches`).
     */
   def register(name: String, defDf: DataFrame, scanDf: DataFrame)
       : Boolean = defDf.queryExecution.analyzed match {
@@ -152,7 +217,7 @@ object MvRewrite {
       else plan.transformUp {
         case agg @ Aggregate(groupings, _, child, _) =>
           registry.values.asScala
-            .find(mv => strip(child).sameResult(mv.base) &&
+            .find(mv => baseMatches(child, mv.base) &&
               groupings.forall {
                 case a: AttributeReference => mv.dims.contains(a.name)
                 case _ => false

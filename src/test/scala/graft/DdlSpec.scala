@@ -448,6 +448,63 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE mvb_spec")
   }
 
+  test("MV rewrite: star-join roll-up is served from the join-MV as a " +
+      "bare scan+agg; a different join condition is untouched") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_jspec")
+    eng.sql("DROP TABLE IF EXISTS mvf_jspec")
+    eng.sql("DROP TABLE IF EXISTS mvd_jspec")
+    eng.sql(
+      """CREATE TABLE mvf_jspec AS
+         SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+         WHERE l_orderkey % 3 = 0""")
+    eng.sql(
+      """CREATE TABLE mvd_jspec AS
+         SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey % 3 = 0""")
+    // independent truth captured BEFORE the MV exists
+    val wantRows = eng.sql(
+      """SELECT o_orderpriority, sum(l_quantity) AS s, count(*) AS n
+         FROM mvf_jspec JOIN mvd_jspec ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val reg = eng.sql(
+      """CREATE MATERIALIZED VIEW mv_jspec AS
+         SELECT o_orderpriority, l_returnflag, sum(l_quantity) AS sq,
+                count(*) AS cnt
+         FROM mvf_jspec JOIN mvd_jspec ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority, l_returnflag""").collect().head
+    assert(reg.getAs[Boolean]("rewrite_registered"),
+      "join-MV definition was not registered for rewrite")
+    val df = eng.sql(
+      """SELECT o_orderpriority, sum(l_quantity) AS s, count(*) AS n
+         FROM mvf_jspec JOIN mvd_jspec ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""")
+    val plan = df.queryExecution.executedPlan.toString
+    // rewritten: re-aggregates the MV's partials, no fact scan, NO JOIN
+    assert(plan.contains("sum(sq") && plan.contains("sum(cnt"),
+      "plan does not re-aggregate the join-MV")
+    assert(!plan.contains("l_quantity"),
+      "rewritten plan still scans the fact table")
+    assert(!plan.toLowerCase.contains("join"),
+      "rewritten plan still executes the join")
+    val got = df.collect().map(r => (r.getString(0),
+      r.getAs[Double]("s"), r.getAs[Long]("n"))).toSet
+    assert(got == wantRows, "join-MV roll-up diverges from the join")
+    // a DIFFERENT join condition must not be redirected
+    val other = eng.sql(
+      """SELECT o_orderpriority, count(*) AS n
+         FROM mvf_jspec JOIN mvd_jspec ON l_orderkey = o_orderkey + 1
+         GROUP BY o_orderpriority""")
+    assert(other.queryExecution.executedPlan.toString.toLowerCase
+      .contains("join"),
+      "a mismatched join condition was wrongly served from the MV")
+    eng.sql("DROP MATERIALIZED VIEW mv_jspec")
+    eng.sql("DROP TABLE mvf_jspec")
+    eng.sql("DROP TABLE mvd_jspec")
+  }
+
   test("VERSION AS OF reads historical versions; VACUUM makes them " +
       "unreadable with a clear error") {
     val eng = HeavyEngine(spark, sf)
