@@ -50,16 +50,105 @@ object Ddl {
 
   private def currentPath(m: Managed) = s"${m.baseDir}/v${m.version}"
 
+  // ---- table-level statistics (CBO contract) --------------------------
+  // The reference keys join ordering off per-table cardinalities
+  // (`QueryEngine/FromTableReordering.cpp:118`); Spark's analog is
+  // CatalogStatistics consumed under spark.sql.cbo.enabled. Managed
+  // tables here are path-based (no session-catalog entry), so stats live
+  // in this registry and are attached to every scan by stamping a
+  // minimal CatalogTable onto the LogicalRelation — rowCount-derived
+  // sizes then drive build-side/broadcast choices exactly like a
+  // catalog table's. Basic stats (rows + bytes) are computed
+  // automatically at CTAS and OPTIMIZE; column stats via
+  // ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS. Any mutation
+  // (DML rewrite, INSERT append) invalidates until re-ANALYZE.
+  private case class ColStat(ndv: Long, nulls: Long, minV: Option[String],
+      maxV: Option[String], avgLen: Long, maxLen: Long)
+  private case class TableStats(rowCount: Long, sizeBytes: Long,
+      cols: Map[String, ColStat])
+  private val tableStats = new ConcurrentHashMap[String, TableStats]()
+
+  private def dirParquetBytes(dir: String): Long = {
+    val s = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+    } finally s.close()
+  }
+
+  /** Rows (parquet-footer count — metadata-only job) + on-disk bytes. */
+  private def computeBasicStats(spark: SparkSession, name: String)
+      : TableStats = {
+    val m = catalog.get(name)
+    require(m != null, s"table not found: $name")
+    val dir = currentPath(m)
+    val prev = Option(tableStats.get(name))
+    val st = TableStats(spark.read.parquet(dir).count(),
+      dirParquetBytes(dir),
+      prev.map(_.cols).getOrElse(Map.empty))
+    tableStats.put(name, st)
+    st
+  }
+
+  /** Stamp registered statistics onto the scan so the optimizer sees
+    * them (LogicalRelation.computeStats reads catalogTable.stats; with
+    * cbo.enabled the rowCount-derived size replaces the raw file size).
+    * min/max only ride along for types CatalogColumnStat can re-parse.
+    */
+  private def withStats(spark: SparkSession, name: String,
+      df: DataFrame): DataFrame = {
+    val st = tableStats.get(name)
+    if (st == null) df
+    else {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog._
+      import org.apache.spark.sql.types._
+      def rangeSafe(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val colStats = st.cols.collect {
+        case (c, cs) if fieldType.contains(c) =>
+          val safe = rangeSafe(fieldType(c))
+          c -> CatalogColumnStat(
+            distinctCount = Some(BigInt(cs.ndv)),
+            min = if (safe) cs.minV else None,
+            max = if (safe) cs.maxV else None,
+            nullCount = Some(BigInt(cs.nulls)),
+            avgLen = Some(cs.avgLen),
+            maxLen = Some(cs.maxLen))
+      }
+      val ct = CatalogTable(
+        identifier = TableIdentifier(name),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = df.schema,
+        provider = Some("parquet"),
+        stats = Some(CatalogStatistics(BigInt(st.sizeBytes),
+          Some(BigInt(st.rowCount)), colStats)))
+      val plan = df.queryExecution.analyzed.transform {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.copy(catalogTable = Some(ct))
+      }
+      org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, plan)
+    }
+  }
+
   private def registerView(spark: SparkSession, name: String): Unit = {
     val m = catalog.get(name)
     require(m != null, s"table not found: $name")
-    spark.read.parquet(currentPath(m)).createOrReplaceTempView(name)
+    withStats(spark, name, spark.read.parquet(currentPath(m)))
+      .createOrReplaceTempView(name)
   }
 
   private def table(spark: SparkSession, name: String): DataFrame = {
     val m = catalog.get(name)
     require(m != null, s"table not found: $name")
-    spark.read.parquet(currentPath(m))
+    withStats(spark, name, spark.read.parquet(currentPath(m)))
   }
 
   /** Rewrite `<table> VERSION AS OF <n>` references to temp views over
@@ -96,6 +185,7 @@ object Ddl {
     val sized = if (bytes < (64L << 20)) df.coalesce(1) else df
     sized.write.mode("overwrite").parquet(s"$base/v$next")
     catalog.put(name, Managed(base, next))
+    tableStats.remove(name) // a rewrite stales stats until re-ANALYZE
     registerView(spark, name)
   }
 
@@ -128,6 +218,10 @@ object Ddl {
       (w, k) => w.partitionBy(k))
     writer.parquet(s"$base/v$next")
     catalog.put(name, Managed(base, next))
+    tableStats.remove(name)
+    // basic stats ride along with every CTAS (the reference computes
+    // fragment metadata at load; ANALYZE adds column stats on demand)
+    computeBasicStats(spark, name)
     registerView(spark, name)
   }
 
@@ -153,6 +247,7 @@ object Ddl {
         col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     aligned.write.mode("append").parquet(currentPath(m))
     spark.catalog.refreshByPath(currentPath(m))
+    tableStats.remove(name) // appended rows stale stats until re-ANALYZE
     registerView(spark, name)
   }
 
@@ -290,6 +385,13 @@ object Ddl {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val OptimizeTable: Regex =
     """(?is)\s*OPTIMIZE\s+TABLE\s+(\w+)\s*""".r
+  // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2, ...] — the
+  // CBO stats contract (reference: per-table cardinalities feeding
+  // FromTableReordering.cpp:118). Basic stats are one metadata count;
+  // column stats are one aggregate pass (ndv/nulls/min/max/len).
+  private val AnalyzeTable: Regex =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?\s*""").r
   private val ValidateTable: Regex =
     """(?is)\s*VALIDATE\s+TABLE\s+(\w+)\s*""".r
   // VACUUM <table> — drop all superseded copy-on-write versions of a
@@ -431,7 +533,7 @@ object Ddl {
   private val comments = new ConcurrentHashMap[String, String]()
 
   private def tableDetails(spark: SparkSession, name: String)
-      : (String, Long, Int, Int, Long, String) = {
+      : (String, Long, Int, Int, Long, String, Long, Int) = {
     val m = catalog.get(name)
     require(m != null, s"table not found: $name")
     val files = {
@@ -442,8 +544,11 @@ object Ddl {
       finally s.close()
     }
     val df = table(spark, name)
+    val st = Option(tableStats.get(name))
     (name, df.count(), df.schema.length, files.size, files.sum,
-      comments.getOrDefault(name, ""))
+      comments.getOrDefault(name, ""),
+      st.map(_.rowCount).getOrElse(-1L),
+      st.map(_.cols.size).getOrElse(0))
   }
 
   /** The implemented table-function surface (SHOW TABLE FUNCTIONS —
@@ -706,7 +811,60 @@ object Ddl {
         val df = table(spark, name)
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val target = math.max(1, (bytes / (128L << 20)).toInt) // ~128MB
-        swapIn(spark, name, df.repartition(target)); done
+        swapIn(spark, name, df.repartition(target))
+        computeBasicStats(spark, name) // compaction refreshes stats
+        registerView(spark, name)
+        done
+      case AnalyzeTable(name, colsGroup) =>
+        val basic = computeBasicStats(spark, name)
+        val cols = Option(colsGroup).map(
+          _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val df = table(spark, name)
+        val colRows: Seq[(String, Long, Long, String, String)] =
+          if (cols.isEmpty) Seq.empty
+          else {
+            import org.apache.spark.sql.types.StringType
+            val ftype = df.schema.fields.map(f => f.name -> f.dataType).toMap
+            cols.foreach(c => require(ftype.contains(c),
+              s"ANALYZE: column $c not in $name"))
+            val aggs = cols.flatMap { c =>
+              val width: org.apache.spark.sql.Column =
+                if (ftype(c) == StringType) ceil(avg(length(col(c))))
+                else lit(ftype(c).defaultSize.toLong)
+              Seq(countDistinct(col(c)).as(s"${c}__ndv"),
+                sum(when(col(c).isNull, 1L).otherwise(0L))
+                  .as(s"${c}__nulls"),
+                min(col(c)).cast("string").as(s"${c}__min"),
+                max(col(c)).cast("string").as(s"${c}__max"),
+                coalesce(width.cast("long"),
+                  lit(ftype(c).defaultSize.toLong)).as(s"${c}__avg"),
+                (if (ftype(c) == StringType)
+                   coalesce(max(length(col(c))).cast("long"), lit(0L))
+                 else lit(ftype(c).defaultSize.toLong)).as(s"${c}__maxl"))
+            }
+            val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+            val newCols = cols.map { c =>
+              c -> ColStat(r.getAs[Long](s"${c}__ndv"),
+                r.getAs[Long](s"${c}__nulls"),
+                Option(r.getAs[String](s"${c}__min")),
+                Option(r.getAs[String](s"${c}__max")),
+                r.getAs[Long](s"${c}__avg"),
+                r.getAs[Long](s"${c}__maxl"))
+            }.toMap
+            tableStats.put(name,
+              basic.copy(cols = basic.cols ++ newCols))
+            newCols.toSeq.sortBy(_._1).map { case (c, cs) =>
+              (c, cs.ndv, cs.nulls, cs.minV.getOrElse(""),
+                cs.maxV.getOrElse(""))
+            }
+          }
+        registerView(spark, name) // view now carries the new stats
+        import spark.implicits._
+        Some((("__table__", basic.rowCount, basic.sizeBytes, "", "")
+          +: colRows)
+          .toDF("col_name", "ndv_or_rows", "nulls_or_bytes", "min_val",
+            "max_val"))
       // VALIDATE (`ParserNode.h:1277`): scan-and-count integrity check.
       case ValidateTable(name) =>
         val df = table(spark, name)
@@ -804,7 +962,7 @@ object Ddl {
         }
         Some(names.map(tableDetails(spark, _))
           .toDF("table_name", "n_rows", "n_cols", "n_fragments",
-            "size_bytes", "comment"))
+            "size_bytes", "comment", "stats_rows", "analyzed_columns"))
       case ShowDatabases() =>
         import spark.implicits._
         Some(Seq("graft").toDF("database_name"))

@@ -284,6 +284,35 @@ object DdlDml {
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), schema)
         .orderBy("o_orderpriority")
+    }),
+
+    // ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS (round-10): the
+    // CBO stats contract — exact ndv/nulls/min/max per column plus the
+    // table row count, computed in one aggregate pass, stored in the
+    // managed catalog, stamped onto every scan (DdlSpec pins the
+    // broadcast build-side FLIP these stats cause under
+    // spark.sql.cbo.enabled, mirroring FromTableReordering.cpp:118).
+    // The on-disk byte stat is encoding-dependent, so the gate output
+    // carries rows/ndv/nulls/min/max only.
+    "q581_analyze_stats" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP TABLE IF EXISTS t_q581")
+      eng.sql(
+        """CREATE TABLE t_q581 AS
+           SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey % 5 = 0""")
+      val out = eng.sql(
+        """ANALYZE TABLE t_q581 COMPUTE STATISTICS
+           FOR COLUMNS o_orderkey, o_orderpriority, o_totalprice""")
+      val rows = out.collect().toSeq // 1 + 3 columns — bounded
+        .map(r => if (r.getString(0) == "__table__")
+          org.apache.spark.sql.Row("__rows__", r.getLong(1), 0L, "", "")
+        else r)
+      val schema = out.schema
+      eng.sql("DROP TABLE t_q581")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("col_name")
     })
   )
 
@@ -380,6 +409,35 @@ object DdlDml {
                 max(l_extendedprice) AS max_price
          FROM lineitem WHERE l_orderkey % 3 = 0
          GROUP BY l_returnflag""",
+    "q581_analyze_stats" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey % 5 = 0)
+         SELECT * FROM (
+           SELECT '__rows__' AS col_name, count(*)::BIGINT AS ndv_or_rows,
+                  0::BIGINT AS nulls_or_bytes, '' AS min_val,
+                  '' AS max_val
+           FROM base
+           UNION ALL
+           SELECT 'o_orderkey', count(DISTINCT o_orderkey)::BIGINT,
+                  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+                      END)::BIGINT,
+                  min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR
+           FROM base
+           UNION ALL
+           SELECT 'o_orderpriority',
+                  count(DISTINCT o_orderpriority)::BIGINT,
+                  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                      END)::BIGINT,
+                  min(o_orderpriority), max(o_orderpriority)
+           FROM base
+           UNION ALL
+           SELECT 'o_totalprice', count(DISTINCT o_totalprice)::BIGINT,
+                  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                      END)::BIGINT,
+                  min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR
+           FROM base)
+         ORDER BY col_name""",
     "q580_mv_join_rollup" ->
       """SELECT o.o_orderpriority, sum(l.l_quantity) AS sum_qty,
                 count(*)::BIGINT AS n,

@@ -505,6 +505,66 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE mvd_jspec")
   }
 
+  test("ANALYZE/CTAS statistics flip the broadcast build side under " +
+      "spark.sql.cbo.enabled (file size lies, row count does not)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_wide")
+    eng.sql("DROP TABLE IF EXISTS t_narrow")
+    // t_wide: many rows of a CONSTANT long string — dictionary+RLE
+    // collapse the file to a few KB while the logical relation is tens
+    // of MB. t_narrow: few rows of incompressible md5 text — a BIGGER
+    // file than t_wide but a far smaller relation. File-size-based
+    // planning (cbo off) must therefore broadcast the WRONG side; the
+    // rowCount stats computed at CTAS flip it (cbo on) — the reference
+    // keys its join order off table cardinalities the same way
+    // (FromTableReordering.cpp:118).
+    eng.sql(
+      """CREATE TABLE t_wide AS
+         SELECT l_orderkey % 100 AS k, repeat('x', 400) AS pad
+         FROM lineitem""")
+    eng.sql(
+      """CREATE TABLE t_narrow AS
+         SELECT o_orderkey % 100 AS k,
+                concat(md5(CAST(o_orderkey AS STRING)),
+                       md5(CAST(o_orderkey + 1 AS STRING)),
+                       md5(CAST(o_orderkey + 2 AS STRING)),
+                       md5(CAST(o_orderkey + 3 AS STRING))) AS tag
+         FROM orders WHERE o_orderkey % 2 = 0""")
+    def broadcastSide(): String = {
+      val plan = eng.sql(
+        """SELECT max(length(w.pad)) AS mp, max(length(n.tag)) AS mt
+           FROM t_wide w JOIN t_narrow n ON w.k = n.k""")
+        .queryExecution.executedPlan.toString
+      val i = plan.indexOf("BroadcastExchange")
+      assert(i >= 0, s"no broadcast exchange in plan:\n$plan")
+      val rest = plan.substring(i)
+      val (p, t) = (rest.indexOf("pad"), rest.indexOf("tag"))
+      if (p >= 0 && (t < 0 || p < t)) "wide" else "narrow"
+    }
+    val cboPrev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(broadcastSide() == "wide",
+        "without CBO the (misleadingly tiny) compressed file should be " +
+          "the build side — fixture no longer exhibits the skew")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(broadcastSide() == "narrow",
+        "rowCount statistics did not flip the build side under CBO")
+    } finally spark.conf.set("spark.sql.cbo.enabled", cboPrev)
+    // column stats surface through ANALYZE + SHOW TABLE DETAILS
+    val an = eng.sql(
+      "ANALYZE TABLE t_narrow COMPUTE STATISTICS FOR COLUMNS k, tag")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(an("k").getLong(1) == 50,
+      "ndv(k) should be 50 (even keys mod 100)")
+    assert(an("tag").getLong(2) == 0L, "tag has no nulls")
+    val det = eng.sql("SHOW TABLE DETAILS t_narrow").collect().head
+    assert(det.getAs[Long]("stats_rows") == det.getAs[Long]("n_rows"))
+    assert(det.getAs[Int]("analyzed_columns") == 2)
+    eng.sql("DROP TABLE t_wide")
+    eng.sql("DROP TABLE t_narrow")
+  }
+
   test("VERSION AS OF reads historical versions; VACUUM makes them " +
       "unreadable with a clear error") {
     val eng = HeavyEngine(spark, sf)
