@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Round-9 batch AZ (q550-q552) — snapshot drift, sketch set algebra,
   * and physical-layout planning (reference surface: the catalog's
@@ -309,5 +311,1112 @@ object Round9Planner {
                   / CAST(n_rows AS DOUBLE) / 4.0)::BIGINT)
                   AS salt_factor
          FROM allp ORDER BY tbl"""
+  )
+}
+
+/** Round-9 batch M (q431-q433): physical-layout advisors — the tooling
+  * a 100 TB lakehouse runs OVER its own storage to decide how to
+  * rewrite it (the reference's OPTIMIZE/VACUUM surface told users WHEN
+  * to rewrite; these tell them HOW):
+  *
+  *  - q431: Z-order clustering advisor — simulate laying the fact
+  *    table out in Morton-interleaved (date, customer-bucket) order vs
+  *    plain date order, compute per-file min/max zone maps for both
+  *    layouts, and report how many files / rows two canonical probe
+  *    predicates would have to scan under each (the decision input for
+  *    an OPTIMIZE ZORDER BY),
+  *  - q432: compaction bin packing — per partition, pack the current
+  *    small files into target-size bins by descending-size cumulative
+  *    fill and report the before/after file counts and bin skew,
+  *  - q433: URL canonicalization — normalize scheme/host case, default
+  *    ports, tracking params, fragments and trailing slashes, then
+  *    report the duplicate-cluster profile (the web-corpus sibling of
+  *    the q40 exact-dedup chain).
+  *
+  * All corpus-scale stages are single keyed aggregates (file id / URL
+  * are derived columns); the advisor logic then runs on file-count /
+  * cluster-count rows. Everything is exact integer arithmetic.
+  */
+object Round9Layout {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // 8-bit Morton interleave: d1 bits land at odd positions, d2 at even.
+  private def morton(d1: Column, d2: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(d1, i).bitwiseAND(1), 2 * i + 1) +
+        shiftleft(shiftright(d2, i).bitwiseAND(1), 2 * i)
+    }.reduce(_ + _)
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // Probe P1: d1 (decade-of-days since 1995-01-01) in [100, 120];
+    // probe P2: d2 (customer bucket) in [30, 40]. Files = 64-cell
+    // ranges of the layout's linear index; a file is scanned iff its
+    // zone-map [min, max] of the probed dim overlaps the predicate.
+    "q431_zorder_advisor" -> ((s, d) => {
+      val dims = t(s, d, "orders").select(
+        least(lit(255), greatest(lit(0),
+          floor(datediff(col("o_orderdate"), lit("1995-01-01")) / 10)
+            .cast("int"))).as("d1"),
+        (col("o_custkey") % 256).cast("int").as("d2"))
+      val laid = dims
+        .withColumn("z", morton(col("d1"), col("d2")))
+        .withColumn("lin", col("d1") * 256 + col("d2"))
+      def layout(name: String, fileOf: Column): DataFrame =
+        laid.groupBy(fileOf.as("file"))
+          .agg(count(lit(1)).as("nrows"),
+            min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+            min(col("d2")).as("lo2"), max(col("d2")).as("hi2"),
+            sum(when(col("d1").between(100, 120), 1L).otherwise(0L))
+              .as("m1"),
+            sum(when(col("d2").between(30, 40), 1L).otherwise(0L))
+              .as("m2"))
+          .withColumn("layout", lit(name))
+      val files = layout("zorder", expr("z DIV 64"))
+        .unionByName(layout("datesort", expr("lin DIV 64")))
+      files.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"), sum(col("nrows")).as("rows_total"),
+          sum(when(col("hi1") >= 100 && col("lo1") <= 120, 1L)
+            .otherwise(0L)).as("p1_files_hit"),
+          sum(when(col("hi1") >= 100 && col("lo1") <= 120, col("nrows"))
+            .otherwise(0L)).as("p1_rows_scanned"),
+          sum(col("m1")).as("p1_rows_matched"),
+          sum(when(col("hi2") >= 30 && col("lo2") <= 40, 1L)
+            .otherwise(0L)).as("p2_files_hit"),
+          sum(when(col("hi2") >= 30 && col("lo2") <= 40, col("nrows"))
+            .otherwise(0L)).as("p2_rows_scanned"),
+          sum(col("m2")).as("p2_rows_matched"))
+        .orderBy(col("layout"))
+    }),
+
+    // Current "files" = hash buckets of o_orderkey within each month
+    // partition; plan = descending-size cumulative fill into 500-row
+    // bins (deterministic tie-break on file id). One corpus aggregate;
+    // the packing windows run over <=37 file rows per partition.
+    "q432_compaction_plan" -> ((s, d) => {
+      val files = t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part"),
+          (col("o_orderkey") % 37).as("file_id"))
+        .agg(count(lit(1)).as("nrows"))
+      val wFill = Window.partitionBy(col("part"))
+        .orderBy(col("nrows").desc, col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = files
+        .withColumn("cum", sum(col("nrows")).over(wFill))
+        .withColumn("bin", expr("(cum - 1) DIV 500"))
+      binned.groupBy(col("part"), col("bin"))
+        .agg(count(lit(1)).as("files_in_bin"), sum(col("nrows")).as("binrows"))
+        .groupBy(col("part"))
+        .agg(sum(col("files_in_bin")).as("n_files"),
+          sum(col("binrows")).as("rows_total"),
+          count(lit(1)).as("n_bins"),
+          max(col("binrows")).as("max_bin_rows"),
+          min(col("binrows")).as("min_bin_rows"))
+        .withColumn("compaction_ratio_ppm",
+          expr("1000000 * n_bins DIV n_files"))
+        .orderBy(col("part"))
+    }),
+
+    // Deterministic messy-URL synthesis (4 raw variants per canonical
+    // target, junk varying by doc_id), then canonicalization:
+    // lower-case scheme+host, strip :80/:443, drop utm_*/fbclid
+    // params (and a then-empty '?'), drop fragments, collapse '//' in
+    // the path, strip one trailing slash. Gate: cluster profile.
+    "q433_url_canonicalize" -> ((s, d) => {
+      // four raw variants per canonical target (host keyed on the QUAD
+      // id so the variants genuinely collide after cleaning); each
+      // variant exercises a different canonicalization rule
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("HTTP://WWW.site"))
+            .when(col("doc_id") % 4 === 2, lit("http://WWW.site"))
+            .otherwise(lit("http://www.site")),
+          expr("doc_id DIV 4"), lit(".com"),
+          when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+          lit("/news//item/"), expr("doc_id DIV 4"),
+          when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 2,
+            concat(lit("?utm_source=feed&utm_campaign=c"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 3, concat(lit("#sec"), col("doc_id")))
+            .otherwise(lit(""))).as("url"))
+      // no regex backreferences anywhere: DuckDB's regexp_replace
+      // renders '\2' as a literal control byte, so the port rule is
+      // split into a before-slash and an end-of-host form instead
+      val canon = raw.withColumn("c0",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(col("url"), "#.*$", ""),
+                  "\\?(utm_[^&#]*|fbclid=[^&#]*)(&(utm_[^&#]*|fbclid=[^&#]*))*$",
+                  ""),
+                ":(80|443)/", "/"),
+              ":(80|443)$", ""),
+            "//+", "/"),
+          "/$", ""))
+        // lower-case scheme+host only (path case is significant), and
+        // repair the '//' after the scheme that the collapse above ate
+        .withColumn("curl", concat(
+          lower(regexp_extract(col("c0"), "^([A-Za-z]+:/)", 1)),
+          lit("/"),
+          lower(regexp_extract(col("c0"), "^[A-Za-z]+:/([^/?#]+)", 1)),
+          regexp_extract(col("c0"), "^[A-Za-z]+:/[^/?#]+(.*)$", 1)))
+      val clusters = canon.groupBy(col("curl"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("url")).as("n_distinct_raw"))
+      clusters.groupBy(col("n_raw").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_distinct_raw")).as("raw_variants"))
+        .orderBy(col("cluster_size"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q431_zorder_advisor" -> {
+      val mortonSql = (0 until 8).map { i =>
+        s"(((d1 >> $i) & 1) << ${2 * i + 1}) + (((d2 >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      s"""WITH dims AS (
+           SELECT least(255, greatest(0,
+                    floor(datediff('day', DATE '1995-01-01',
+                      o_orderdate::DATE) / 10)))::INT AS d1,
+                  (o_custkey % 256)::INT AS d2
+           FROM orders),
+         laid AS (
+           SELECT d1, d2, ($mortonSql)::BIGINT AS z,
+                  (d1 * 256 + d2)::BIGINT AS lin
+           FROM dims),
+         files AS (
+           SELECT 'zorder' AS layout, z // 64 AS file,
+                  count(*)::BIGINT AS rows,
+                  min(d1) AS lo1, max(d1) AS hi1,
+                  min(d2) AS lo2, max(d2) AS hi2,
+                  sum(CASE WHEN d1 BETWEEN 100 AND 120 THEN 1 ELSE 0
+                      END)::BIGINT AS m1,
+                  sum(CASE WHEN d2 BETWEEN 30 AND 40 THEN 1 ELSE 0
+                      END)::BIGINT AS m2
+           FROM laid GROUP BY 1, 2
+           UNION ALL
+           SELECT 'datesort', lin // 64, count(*)::BIGINT,
+                  min(d1), max(d1), min(d2), max(d2),
+                  sum(CASE WHEN d1 BETWEEN 100 AND 120 THEN 1 ELSE 0
+                      END)::BIGINT,
+                  sum(CASE WHEN d2 BETWEEN 30 AND 40 THEN 1 ELSE 0
+                      END)::BIGINT
+           FROM laid GROUP BY 1, 2)
+         SELECT layout, count(*)::BIGINT AS n_files,
+                sum(rows)::BIGINT AS rows_total,
+                sum(CASE WHEN hi1 >= 100 AND lo1 <= 120 THEN 1 ELSE 0
+                    END)::BIGINT AS p1_files_hit,
+                sum(CASE WHEN hi1 >= 100 AND lo1 <= 120 THEN rows
+                    ELSE 0 END)::BIGINT AS p1_rows_scanned,
+                sum(m1)::BIGINT AS p1_rows_matched,
+                sum(CASE WHEN hi2 >= 30 AND lo2 <= 40 THEN 1 ELSE 0
+                    END)::BIGINT AS p2_files_hit,
+                sum(CASE WHEN hi2 >= 30 AND lo2 <= 40 THEN rows
+                    ELSE 0 END)::BIGINT AS p2_rows_scanned,
+                sum(m2)::BIGINT AS p2_rows_matched
+         FROM files GROUP BY layout ORDER BY layout""".stripMargin
+    },
+
+    "q432_compaction_plan" ->
+      """WITH files AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS part,
+                  (o_orderkey % 37)::BIGINT AS file_id,
+                  count(*)::BIGINT AS rows
+           FROM orders GROUP BY 1, 2),
+         binned AS (
+           SELECT part, file_id, rows,
+                  ((sum(rows) OVER (PARTITION BY part
+                    ORDER BY rows DESC, file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1) // 500)::BIGINT AS bin
+           FROM files),
+         bins AS (
+           SELECT part, bin, count(*)::BIGINT AS files_in_bin,
+                  sum(rows)::BIGINT AS rows
+           FROM binned GROUP BY 1, 2)
+         SELECT part, sum(files_in_bin)::BIGINT AS n_files,
+                sum(rows)::BIGINT AS rows_total,
+                count(*)::BIGINT AS n_bins,
+                max(rows)::BIGINT AS max_bin_rows,
+                min(rows)::BIGINT AS min_bin_rows,
+                ((1000000 * count(*)) // sum(files_in_bin))::BIGINT
+                  AS compaction_ratio_ppm
+         FROM bins GROUP BY part ORDER BY part""",
+
+    "q433_url_canonicalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.site'
+                        WHEN doc_id % 4 = 2 THEN 'http://WWW.site'
+                        ELSE 'http://www.site' END)
+                  || (doc_id // 4) || '.com'
+                  || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+                  || '/news//item/' || (doc_id // 4)
+                  || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 2
+                        THEN '?utm_source=feed&utm_campaign=c' || doc_id
+                        ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 3 THEN '#sec' || doc_id
+                        ELSE '' END) AS url
+           FROM documents),
+         canon0 AS (
+           SELECT doc_id, url,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(url, '#.*$', '', 'g'),
+                            '\?(utm_[^&#]*|fbclid=[^&#]*)(&(utm_[^&#]*|fbclid=[^&#]*))*$',
+                            '', 'g'),
+                          ':(80|443)/', '/', 'g'),
+                        ':(80|443)$', '', 'g'),
+                      '//+', '/', 'g'),
+                    '/$', '', 'g') AS c0
+           FROM raw),
+         canon AS (
+           SELECT doc_id, url,
+                  lower(regexp_extract(c0, '^([A-Za-z]+:/)', 1))
+                  || '/'
+                  || lower(regexp_extract(c0, '^[A-Za-z]+:/([^/?#]+)', 1))
+                  || regexp_extract(c0, '^[A-Za-z]+:/[^/?#]+(.*)$', 1)
+                    AS curl
+           FROM canon0),
+         clusters AS (
+           SELECT curl, count(*)::BIGINT AS n_raw,
+                  count(DISTINCT url)::BIGINT AS n_distinct_raw
+           FROM canon GROUP BY curl)
+         SELECT n_raw AS cluster_size, count(*)::BIGINT AS n_clusters,
+                sum(n_distinct_raw)::BIGINT AS raw_variants
+         FROM clusters GROUP BY 1 ORDER BY 1"""
+  )
+}
+
+
+/** Round-9 batch BH (q574-q576) — complexity measures and optimizer
+  * advisories (public algorithms: permutation entropy [Bandt-Pompe
+  * 2002], textbook System-R cardinality estimation
+  * [Selinger et al. 1979], and bitmap-index size accounting
+  * [O'Neil-Quass 1997]):
+  *
+  *  - q574: permutation entropy of daily revenue — ordinal 3-patterns
+  *    (ties broken earlier-index-smaller, the standard convention)
+  *    counted exactly over the calendar-bounded day arrays; entropy
+  *    normalized by ln 6 in ppm via one fixed 6-term expression over
+  *    the integer counts. The model-free "how predictable is this
+  *    series" readout.
+  *  - q575: join-order advisor for customer ⋈ σ(orders) ⋈ lineitem —
+  *    both orders costed with the uniform-key estimate
+  *    |A⋈B| ≈ |A|·|B|/max(d_A, d_B) from EXACT collected statistics,
+  *    then each estimate audited against the exact intermediate
+  *    cardinality (one aggregation each); the recommendation plus
+  *    estimate error in ppm. The reference pins join order the same
+  *    way in its cost model.
+  *  - q576: bitmap index advisor — per candidate column: exact
+  *    cardinality, plain-bitmap bits (card·rows), and an RLE bound
+  *    from value-change runs counted INSIDE 1024-order blocks
+  *    (block-local windows — bounded rows per block, block sums
+  *    exact; a global insertion-order window would be a corpus
+  *    sort). Recommends bitmap when the RLE estimate beats the
+  *    8-byte-per-row btree baseline.
+  */
+object Round9Advisor {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q574_permutation_entropy" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+            .as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("sum(vm) DIV count(*)").as("m"))
+      val codes = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("m"))))
+          .as("series"))
+        .select(col("event_type"),
+          expr("transform(series, s -> s.m)").as("arr"))
+        .withColumn("nn", size(col("arr")).cast("long"))
+        .filter(col("nn") >= 5)
+        // ordinal code of (a,b,c) with earlier-index-smaller ties:
+        // lexicographic rank over the 3 pairwise strict comparisons
+        // b<a ("ba"), c<a ("ca"), c<b ("cb") — 6 reachable codes
+        .select(col("event_type"), explode(expr(
+          """transform(sequence(1, int(nn) - 2), i ->
+               (CASE WHEN element_at(arr, i + 1) < element_at(arr, i)
+                 THEN 4 ELSE 0 END)
+             + (CASE WHEN element_at(arr, i + 2) < element_at(arr, i)
+                 THEN 2 ELSE 0 END)
+             + (CASE WHEN element_at(arr, i + 2)
+                      < element_at(arr, i + 1)
+                 THEN 1 ELSE 0 END))""")).as("code"))
+      val counts = codes.groupBy(col("event_type"), col("code"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("nw"),
+          countDistinct(col("code")).as("n_patterns"))
+      counts.join(broadcast(tot), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("nw")).as("n_windows"),
+          first(col("n_patterns")).as("n_patterns"),
+          // −Σ p ln p / ln 6 in ppm; each term a fixed expression of
+          // integer counts
+          expr("""CAST(floor(1000000.0 * sum(
+              -(CAST(c AS DOUBLE) / nw)
+              * ln(CAST(c AS DOUBLE) / nw)) / ln(6.0)) AS BIGINT)""")
+            .as("perm_entropy_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q575_join_order_advisor" -> ((s, d) => {
+      val so = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val stats = so.agg(count(lit(1)).as("n_so"),
+        countDistinct(col("o_custkey")).as("d_so_ck"),
+        countDistinct(col("o_orderkey")).as("d_so_ok"))
+        .crossJoin(t(s, d, "customer")
+          .agg(count(lit(1)).as("n_c"),
+            countDistinct(col("c_custkey")).as("d_c")))
+        .crossJoin(t(s, d, "lineitem")
+          .agg(count(lit(1)).as("n_l"),
+            countDistinct(col("l_orderkey")).as("d_l_ok")))
+      val exactCO = so
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      val exactOL = so
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      val planA = stats.crossJoin(broadcast(exactCO))
+        .select(lit("customer_first").as("plan"),
+          expr("n_so * n_c DIV greatest(d_so_ck, d_c)")
+            .as("est_rows"), col("exact_rows"))
+      val planB = stats.crossJoin(broadcast(exactOL))
+        .select(lit("lineitem_first").as("plan"),
+          expr("n_so * n_l DIV greatest(d_so_ok, d_l_ok)")
+            .as("est_rows"), col("exact_rows"))
+      val both = planA.unionByName(planB)
+      val best = both.agg(min(col("est_rows")).as("best"))
+      both.crossJoin(broadcast(best))
+        .select(col("plan"), col("est_rows"), col("exact_rows"),
+          expr("""abs(est_rows - exact_rows) * 1000000
+                  DIV greatest(exact_rows, 1)""").as("est_err_ppm"),
+          when(col("est_rows") === col("best"), 1L).otherwise(0L)
+            .as("recommended"))
+        .orderBy(col("plan"))
+    }),
+
+    "q576_bitmap_index_advisor" -> ((s, d) => {
+      def advise(colName: String, c: org.apache.spark.sql.Column)
+          : DataFrame = {
+        val base = t(s, d, "lineitem")
+          .select(expr("l_orderkey DIV 1024").as("blk"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            c.cast("string").as("v"))
+        // (ok, ln) is NOT unique in the synthetic fixture (11.8k
+        // duplicate pairs at sf0.01) — order by the value too so the
+        // sequence, and therefore the run count, is total
+        val wB = Window.partitionBy(col("blk"))
+          .orderBy(col("ok"), col("ln"), col("v"))
+        val runs = base
+          .withColumn("chg",
+            when(lag(col("v"), 1).over(wB).isNull
+              || lag(col("v"), 1).over(wB) =!= col("v"), 1L)
+              .otherwise(0L))
+          .agg(sum(col("chg")).as("runs"), count(lit(1)).as("n_rows"),
+            countDistinct(col("v")).as("card"))
+        runs.select(lit(colName).as("column_name"), col("n_rows"),
+          col("card"), col("runs"),
+          expr("card * n_rows DIV 8").as("plain_bitmap_bytes"),
+          (col("runs") * 8L).as("rle_bitmap_bytes"),
+          (col("n_rows") * 8L).as("btree_bytes"))
+          .withColumn("recommend",
+            when(col("runs") * 8L < col("n_rows") * 8L
+              && col("card") <= 64L, lit("bitmap_rle"))
+              .otherwise(lit("btree")))
+      }
+      advise("l_returnflag", col("l_returnflag"))
+        .unionByName(advise("l_linestatus", col("l_linestatus")))
+        .unionByName(advise("l_quantity", col("l_quantity")))
+        .unionByName(advise("l_partkey_cat",
+          (col("l_partkey") % 100).cast("long")))
+        .orderBy(col("column_name"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q574_permutation_entropy" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  floor(epoch(ts::TIMESTAMP) / 86400)::BIGINT AS day,
+                  sum(floor(value * 1000)::BIGINT) // count(*) AS m
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, list(m ORDER BY day) AS ms,
+                  count(*)::BIGINT AS nn
+           FROM daily GROUP BY event_type),
+         codes AS (
+           SELECT event_type,
+                  unnest(list_transform(range(1, (nn - 1)::INT),
+                    i -> (CASE WHEN ms[(i + 1)::INT] < ms[i::INT]
+                           THEN 4 ELSE 0 END)
+                       + (CASE WHEN ms[(i + 2)::INT] < ms[i::INT]
+                           THEN 2 ELSE 0 END)
+                       + (CASE WHEN ms[(i + 2)::INT]
+                                < ms[(i + 1)::INT]
+                           THEN 1 ELSE 0 END))) AS code
+           FROM ser WHERE nn >= 5),
+         counts AS (
+           SELECT event_type, code, count(*)::BIGINT AS c
+           FROM codes GROUP BY event_type, code),
+         tot AS (
+           SELECT event_type, sum(c)::BIGINT AS nw,
+                  count(DISTINCT code)::BIGINT AS n_patterns
+           FROM counts GROUP BY event_type)
+         SELECT c.event_type, any_value(t.nw)::BIGINT AS n_windows,
+                any_value(t.n_patterns)::BIGINT AS n_patterns,
+                CAST(floor(1000000.0 * sum(
+                  -(CAST(c.c AS DOUBLE) / t.nw)
+                  * ln(CAST(c.c AS DOUBLE) / t.nw)) / ln(6.0))
+                  AS BIGINT) AS perm_entropy_ppm
+         FROM counts c JOIN tot t ON c.event_type = t.event_type
+         GROUP BY c.event_type ORDER BY c.event_type""",
+
+    "q575_join_order_advisor" ->
+      """WITH so AS (
+           SELECT * FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+         stats AS (
+           SELECT (SELECT count(*) FROM so)::BIGINT AS n_so,
+                  (SELECT count(DISTINCT o_custkey) FROM so)::BIGINT
+                    AS d_so_ck,
+                  (SELECT count(DISTINCT o_orderkey) FROM so)::BIGINT
+                    AS d_so_ok,
+                  (SELECT count(*) FROM customer)::BIGINT AS n_c,
+                  (SELECT count(DISTINCT c_custkey) FROM customer)
+                    ::BIGINT AS d_c,
+                  (SELECT count(*) FROM lineitem)::BIGINT AS n_l,
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                    ::BIGINT AS d_l_ok),
+         exco AS (
+           SELECT count(*)::BIGINT AS exact_rows
+           FROM so JOIN customer ON o_custkey = c_custkey),
+         exol AS (
+           SELECT count(*)::BIGINT AS exact_rows
+           FROM so JOIN lineitem ON o_orderkey = l_orderkey),
+         plans AS (
+           SELECT 'customer_first' AS plan,
+                  (n_so * n_c // greatest(d_so_ck, d_c))::BIGINT
+                    AS est_rows,
+                  (SELECT exact_rows FROM exco) AS exact_rows
+           FROM stats
+           UNION ALL
+           SELECT 'lineitem_first',
+                  (n_so * n_l // greatest(d_so_ok, d_l_ok))::BIGINT,
+                  (SELECT exact_rows FROM exol)
+           FROM stats),
+         best AS (SELECT min(est_rows) AS best FROM plans)
+         SELECT plan, est_rows, exact_rows,
+                (abs(est_rows - exact_rows) * 1000000
+                  // greatest(exact_rows, 1))::BIGINT AS est_err_ppm,
+                (CASE WHEN est_rows = best THEN 1 ELSE 0 END)::BIGINT
+                  AS recommended
+         FROM plans, best ORDER BY plan""",
+
+    "q576_bitmap_index_advisor" -> {
+      val arms = Seq(
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+        ("l_quantity", "l_quantity"),
+        ("l_partkey_cat", "(l_partkey % 100)")).map {
+        case (name, exprS) =>
+          s"""SELECT '$name' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               count(DISTINCT v)::BIGINT AS card,
+               sum(chg)::BIGINT AS runs
+             FROM (
+               SELECT v, (CASE WHEN lag(v, 1) OVER w IS NULL
+                          OR lag(v, 1) OVER w <> v
+                     THEN 1 ELSE 0 END)::BIGINT AS chg
+               FROM (SELECT l_orderkey // 1024 AS blk, l_orderkey,
+                            l_linenumber,
+                            CAST($exprS AS VARCHAR) AS v
+                     FROM lineitem)
+               WINDOW w AS (PARTITION BY blk
+                 ORDER BY l_orderkey, l_linenumber, v))"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH arms AS (
+           $arms)
+         SELECT column_name, n_rows, card, runs,
+                (card * n_rows // 8)::BIGINT AS plain_bitmap_bytes,
+                (runs * 8)::BIGINT AS rle_bitmap_bytes,
+                (n_rows * 8)::BIGINT AS btree_bytes,
+                (CASE WHEN runs * 8 < n_rows * 8 AND card <= 64
+                 THEN 'bitmap_rle' ELSE 'btree' END) AS recommend
+         FROM arms ORDER BY column_name"""
+    }
+  )
+}
+
+
+/** Round-9 batch P (q441-q444): optimizer/steward audits that look AT
+  * the data the way the engine's planner does:
+  *
+  *  - q441: join-cardinality estimation audit — the textbook
+  *    |A||B| / max(ndv_A, ndv_B) estimate vs the true join size for
+  *    every FK edge (what a cost-based optimizer gets wrong and by
+  *    how much; complements q328's single-column selectivity audit),
+  *  - q442: point-in-time feature backfill — per order, the
+  *    customer's STRICTLY-PRIOR revenue via a range window (the
+  *    leakage-free as-of aggregate a feature store needs; q295 covers
+  *    the as-of attribute lookup, this covers the as-of aggregate),
+  *  - q443: snapshot diff — added/removed/changed/unchanged between
+  *    two table versions keyed on the primary key (the audit view of
+  *    what q302's CDC apply produced),
+  *  - q444: shuffle-skew advisor — per candidate join key, heavy-key
+  *    share and the salt factor that would level the worst partition
+  *    (the planning input to q154/q237's salted executions).
+  *
+  * All estimates/errors are integer ppm (abs error + sign kept apart:
+  * Spark's DIV truncates toward zero while DuckDB's // floors, so
+  * signed integer division never crosses the engines). Corpus-scale
+  * stages are keyed aggregates; key-profile windows run over
+  * dimension-sized (not corpus-sized) row sets.
+  */
+object Round9Audit {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q441_join_card_estimate" -> ((s, d) => {
+      def edge(name: String, a: DataFrame, ak: String,
+          b: DataFrame, bk: String): DataFrame = {
+        val sa = a.agg(count(lit(1)).as("na"),
+          countDistinct(col(ak)).as("da"))
+        val sb = b.agg(count(lit(1)).as("nb"),
+          countDistinct(col(bk)).as("db"))
+        // true join size as sum(ca * cb) over per-key counts — the
+        // join is never materialized (the skewed edge would produce
+        // ~1e9 rows at sf0.1; the audit must not pay what it audits)
+        val actual = a.groupBy(col(ak).as("k"))
+          .agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("cb")),
+            "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .as("actual"))
+        sa.crossJoin(sb).crossJoin(actual)
+          .select(lit(name).as("edge"), col("na"), col("nb"),
+            col("da"), col("db"),
+            expr("na * nb DIV greatest(da, db)").as("est"),
+            col("actual"))
+          .withColumn("abs_err_ppm",
+            expr("1000000 * abs(est - actual) DIV greatest(actual, 1)"))
+          .withColumn("overestimates",
+            (col("est") >= col("actual")).cast("long"))
+      }
+      // the three FK edges are the planner's easy cases (uniform keys
+      // make the formula near-exact); the fourth edge joins on a
+      // SKEWED derived key, where independence fails and the audit
+      // shows a real underestimate
+      edge("lineitem-orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .unionByName(edge("lineitem-part", t(s, d, "lineitem"),
+          "l_partkey", t(s, d, "part"), "p_partkey"))
+        .unionByName(edge("orders-customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"), "c_custkey"))
+        .unionByName(edge("skewed-derived",
+          t(s, d, "lineitem").withColumn("sk",
+            least(col("l_suppkey") % 100, lit(10))), "sk",
+          t(s, d, "orders").withColumn("sk",
+            least(col("o_custkey") % 100, lit(10))), "sk"))
+        .orderBy(col("edge"))
+    }),
+
+    // Strictly-prior (leakage-free) cumulative revenue per customer at
+    // each order date: RANGE window on the day index excludes the
+    // whole current day, so same-day orders never see each other.
+    // Rolled up by order month for a bounded gate.
+    "q442_pit_feature_backfill" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("dayi"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("dayi"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      o.withColumn("prior_cents",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .withColumn("has_history",
+          (sum(lit(1L)).over(w) > 0).cast("long"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(coalesce(col("has_history"), lit(0L)))
+            .as("orders_with_history"),
+          sum(col("prior_cents")).as("sum_prior_cents"))
+        .orderBy(col("month"))
+    }),
+
+    // v1 = base minus "late inserts" (key % 13 = 0); v2 = base minus
+    // "deletes" (key % 11 = 0), with key % 7 = 0 rows repriced +1
+    // cent. Full-outer on the key, compare the one mutable field.
+    "q443_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val v1 = base.filter(col("k") % 13 =!= 0)
+        .select(col("k"), col("cents").as("c1"))
+      val v2 = base.filter(col("k") % 11 =!= 0)
+        .select(col("k"), (col("cents") +
+          when(col("k") % 7 === 0, 1L).otherwise(0L)).as("c2"))
+      v1.join(v2, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("c1").isNotNull && col("c2").isNotNull &&
+            col("c1") =!= col("c2"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("c1") === col("c2"), 1L).otherwise(0L))
+            .as("n_unchanged"),
+          sum(when(col("c1").isNotNull && col("c2").isNotNull,
+            col("c2") - col("c1")).otherwise(0L)).as("changed_cents_delta"))
+    }),
+
+    // Key-skew profile for two candidate shuffle keys: top-key share,
+    // p99 key weight, and the salt factor that levels the heaviest key
+    // to the average-partition target (32 partitions).
+    "q444_skew_salt_advisor" -> ((s, d) => {
+      def profile(keyName: String, keyed: DataFrame): DataFrame = {
+        val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        val wRank = Window.orderBy(col("c").desc, col("k"))
+        // dimension-sized window (distinct join keys), not corpus rows
+        val ranked = counts.withColumn("rk", row_number().over(wRank))
+        val nk = ranked.agg(max(col("rk")).as("n_keys"),
+          sum(col("c")).as("n_rows"), max(col("c")).as("top_cnt"))
+        val p99 = ranked.crossJoin(broadcast(nk))
+          .filter(col("rk") === expr("greatest(1, 99 * n_keys DIV 100)"))
+          .select(col("c").as("p99_cnt"))
+        nk.crossJoin(p99)
+          .select(lit(keyName).as("join_key"), col("n_rows"),
+            col("n_keys"), col("top_cnt"), col("p99_cnt"),
+            expr("1000000 * top_cnt DIV n_rows").as("top_share_ppm"),
+            expr("""greatest(1, (top_cnt + (n_rows DIV 32) - 1)
+                DIV greatest(n_rows DIV 32, 1))""").as("salt_factor"))
+      }
+      // natural keys (near-uniform -> salt 1) plus a heavily skewed
+      // derived key, where ~95% of rows share one value and the
+      // advisor recommends a real salt factor
+      profile("l_suppkey", t(s, d, "lineitem")
+          .select(col("l_suppkey").as("k")))
+        .unionByName(profile("o_custkey", t(s, d, "orders")
+          .select(col("o_custkey").as("k"))))
+        .unionByName(profile("skewed_demo", t(s, d, "lineitem")
+          .select(least(col("l_partkey") % 1000, lit(50)).as("k"))))
+        .orderBy(col("join_key"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q441_join_card_estimate" ->
+      """WITH e1 AS (
+           SELECT 'lineitem-orders' AS edge,
+                  (SELECT count(*) FROM lineitem)::BIGINT AS na,
+                  (SELECT count(*) FROM orders)::BIGINT AS nb,
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                    ::BIGINT AS da,
+                  (SELECT count(DISTINCT o_orderkey) FROM orders)
+                    ::BIGINT AS db,
+                  (SELECT coalesce(sum(ca * cb), 0) FROM
+                     (SELECT l_orderkey k, count(*)::BIGINT ca
+                      FROM lineitem GROUP BY 1) l
+                   JOIN (SELECT o_orderkey k, count(*)::BIGINT cb
+                         FROM orders GROUP BY 1) o ON l.k = o.k)
+                    ::BIGINT AS actual),
+         e2 AS (
+           SELECT 'lineitem-part',
+                  (SELECT count(*) FROM lineitem)::BIGINT,
+                  (SELECT count(*) FROM part)::BIGINT,
+                  (SELECT count(DISTINCT l_partkey) FROM lineitem)
+                    ::BIGINT,
+                  (SELECT count(DISTINCT p_partkey) FROM part)::BIGINT,
+                  (SELECT coalesce(sum(ca * cb), 0) FROM
+                     (SELECT l_partkey k, count(*)::BIGINT ca
+                      FROM lineitem GROUP BY 1) l
+                   JOIN (SELECT p_partkey k, count(*)::BIGINT cb
+                         FROM part GROUP BY 1) p ON l.k = p.k)::BIGINT),
+         e3 AS (
+           SELECT 'orders-customer',
+                  (SELECT count(*) FROM orders)::BIGINT,
+                  (SELECT count(*) FROM customer)::BIGINT,
+                  (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+                  (SELECT count(DISTINCT c_custkey) FROM customer)
+                    ::BIGINT,
+                  (SELECT coalesce(sum(ca * cb), 0) FROM
+                     (SELECT o_custkey k, count(*)::BIGINT ca
+                      FROM orders GROUP BY 1) o
+                   JOIN (SELECT c_custkey k, count(*)::BIGINT cb
+                         FROM customer GROUP BY 1) c ON o.k = c.k)
+                    ::BIGINT),
+         e4 AS (
+           SELECT 'skewed-derived',
+                  (SELECT count(*) FROM lineitem)::BIGINT,
+                  (SELECT count(*) FROM orders)::BIGINT,
+                  (SELECT count(DISTINCT least(l_suppkey % 100, 10))
+                   FROM lineitem)::BIGINT,
+                  (SELECT count(DISTINCT least(o_custkey % 100, 10))
+                   FROM orders)::BIGINT,
+                  (SELECT coalesce(sum(ca * cb), 0) FROM
+                     (SELECT least(l_suppkey % 100, 10) AS sk,
+                             count(*)::BIGINT ca
+                      FROM lineitem GROUP BY 1) l
+                   JOIN (SELECT least(o_custkey % 100, 10) AS sk,
+                              count(*)::BIGINT cb
+                         FROM orders GROUP BY 1) o ON l.sk = o.sk)
+                    ::BIGINT),
+         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+               UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+         SELECT edge, na, nb, da, db,
+                ((na * nb) // greatest(da, db))::BIGINT AS est,
+                actual,
+                ((1000000 * abs((na * nb) // greatest(da, db) - actual))
+                  // greatest(actual, 1))::BIGINT AS abs_err_ppm,
+                (CASE WHEN (na * nb) // greatest(da, db) >= actual
+                      THEN 1 ELSE 0 END)::BIGINT AS overestimates
+         FROM u ORDER BY edge""",
+
+    "q442_pit_feature_backfill" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  datediff('day', DATE '1995-01-01', o_orderdate::DATE)
+                    AS dayi,
+                  strftime(o_orderdate, '%Y-%m') AS month,
+                  floor(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         feat AS (
+           SELECT month,
+                  coalesce(sum(cents) OVER w, 0)::BIGINT AS prior_cents,
+                  (CASE WHEN coalesce(sum(1) OVER w, 0) > 0
+                        THEN 1 ELSE 0 END)::BIGINT AS has_history
+           FROM o
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY dayi
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT month, count(*)::BIGINT AS n_orders,
+                sum(has_history)::BIGINT AS orders_with_history,
+                sum(prior_cents)::BIGINT AS sum_prior_cents
+         FROM feat GROUP BY month ORDER BY month""",
+
+    "q443_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k,
+                  floor(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         v1 AS (SELECT k, cents AS c1 FROM base WHERE k % 13 <> 0),
+         v2 AS (SELECT k, (cents + CASE WHEN k % 7 = 0 THEN 1 ELSE 0
+                  END)::BIGINT AS c2
+                FROM base WHERE k % 11 <> 0),
+         j AS (SELECT v1.k AS k1, v2.k AS k2, c1, c2
+               FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+         SELECT sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_added,
+                sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_removed,
+                sum(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                      AND c1 <> c2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_changed,
+                sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_unchanged,
+                sum(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                      THEN c2 - c1 ELSE 0 END)::BIGINT
+                  AS changed_cents_delta
+         FROM j""",
+
+    "q444_skew_salt_advisor" ->
+      """WITH keys AS (
+           SELECT 'l_suppkey' AS join_key, l_suppkey::BIGINT AS k
+           FROM lineitem
+           UNION ALL
+           SELECT 'o_custkey', o_custkey FROM orders
+           UNION ALL
+           SELECT 'skewed_demo', least(l_partkey % 1000, 50)
+           FROM lineitem),
+         counts AS (
+           SELECT join_key, k, count(*)::BIGINT AS c
+           FROM keys GROUP BY 1, 2),
+         ranked AS (
+           SELECT join_key, k, c,
+                  row_number() OVER (PARTITION BY join_key
+                    ORDER BY c DESC, k) AS rk
+           FROM counts),
+         nk AS (
+           SELECT join_key, max(rk)::BIGINT AS n_keys,
+                  sum(c)::BIGINT AS n_rows, max(c)::BIGINT AS top_cnt
+           FROM ranked GROUP BY 1),
+         p99 AS (
+           SELECT r.join_key, r.c AS p99_cnt
+           FROM ranked r JOIN nk ON r.join_key = nk.join_key
+           WHERE r.rk = greatest(1, (99 * nk.n_keys) // 100))
+         SELECT nk.join_key, nk.n_rows, nk.n_keys, nk.top_cnt,
+                p99.p99_cnt,
+                ((1000000 * nk.top_cnt) // nk.n_rows)::BIGINT
+                  AS top_share_ppm,
+                greatest(1, (nk.top_cnt + (nk.n_rows // 32) - 1)
+                  // greatest(nk.n_rows // 32, 1))::BIGINT AS salt_factor
+         FROM nk JOIN p99 ON nk.join_key = p99.join_key
+         ORDER BY nk.join_key"""
+  )
+}
+
+
+/** Round-9 batch AN (q514-q516) — retention dynamics, audit
+  * sampling, and referential integrity:
+  *
+  *  - q514: retention half-life — weekly cohort retention rates
+  *    (distinct actives at week k over cohort size), then a
+  *    log-linear decay fit over k ∈ {1,2,3} whose slope collapses
+  *    to (w3−w1)/2 (u-values symmetric around 2 — fixed operation
+  *    order, no float-sum ambiguity), reported as the cohort's
+  *    half-life in milli-weeks. Cohort×week grid is
+  *    calendar-bounded; distinct-user counts are the only corpus
+  *    aggregates.
+  *  - q515: monetary-unit sampling (MUS / dollar-unit sampling) —
+  *    the financial-audit selection where every cent is equally
+  *    likely, so big invoices are proportionally sampled.
+  *    Fixed-interval selection over the GLOBAL cumulative cents in
+  *    orderkey order; the running total uses the q345 range-
+  *    partition pattern (per-partition window + broadcast offsets),
+  *    never a single-partition corpus window; the 12 probe
+  *    positions broadcast to one interval-containment join.
+  *  - q516: foreign-key orphan audit over the star schema — per
+  *    relationship: child rows, orphaned children (anti-join),
+  *    childless parents, orphan ppm. The data-contract gate a
+  *    warehouse runs before trusting any join; every check is one
+  *    distinct-project + one anti-join.
+  */
+object Round9Audit2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q514_retention_halflife" -> ((s, d) => {
+      // activity = purchases (any-event weekly presence is ~100% in
+      // the fixture -> no decay to fit)
+      val act = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("floor(unix_timestamp(ts) / 86400) DIV 7").as("aw"))
+        .distinct()
+      val first = act.groupBy(col("user_id"))
+        .agg(min(col("aw")).as("cw"))
+      val horizon = act.agg(max(col("aw")).as("maxw"))
+      val grid = graft.Stage(act.join(first, Seq("user_id"))
+        .withColumn("k", col("aw") - col("cw"))
+        .filter(col("k").between(0, 3))
+        .groupBy(col("cw"), col("k"))
+        .agg(countDistinct(col("user_id")).as("u")), "q514_grid")
+      val sizes = grid.filter(col("k") === 0)
+        .select(col("cw"), col("u").as("n0"))
+      val rates = grid.join(sizes, Seq("cw"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("cw") <= col("maxw") - 3) // full 3-week horizon
+        .withColumn("r_ppm", expr("u * 1000000 DIV n0"))
+        .groupBy(col("cw"), col("n0"))
+        .agg(
+          sum(when(col("k") === 1, col("r_ppm"))).as("r1_ppm"),
+          sum(when(col("k") === 2, col("r_ppm"))).as("r2_ppm"),
+          sum(when(col("k") === 3, col("r_ppm"))).as("r3_ppm"))
+      rates
+        .withColumn("slope",
+          // coalesce to 1 (not 0): DuckDB's ln(0) raises even under
+          // a CASE guard, and the r>0 gate already voids these rows
+          (log(coalesce(col("r3_ppm"), lit(1L)).cast("double") / 1e6)
+            - log(coalesce(col("r1_ppm"), lit(1L)).cast("double") / 1e6))
+            / 2.0)
+        .select(col("cw").as("cohort_week"), col("n0").as("cohort_size"),
+          col("r1_ppm"), col("r2_ppm"), col("r3_ppm"),
+          when(col("r1_ppm") > 0 && col("r3_ppm") > 0
+            && col("slope") < 0,
+            floor(lit(-math.log(2.0)) / col("slope") * 1000)
+              .cast("long"))
+            .otherwise(lit(-1L)).as("halflife_milli_weeks"))
+        .orderBy(col("cohort_week"))
+    }),
+
+    "q515_monetary_unit_sampling" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val k = 12
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey").as("okey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val parts = base.repartitionByRange(8, col("okey"))
+        .withColumn("pid", spark_partition_id())
+      val wCum = Window.partitionBy(col("pid")).orderBy(col("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = graft.Stage(parts
+        .withColumn("lcum", sum(col("cents")).over(wCum)), "q515_local")
+      val per = local.groupBy(col("pid")).agg(sum(col("cents")).as("c"))
+        .collect().sortBy(_.getInt(0)) // bounded: one row per partition
+      val off = per.scanLeft((0, 0L)) { case ((_, acc), r) =>
+        (r.getInt(0), acc + r.getLong(1)) }
+      val offDf = off.init.zip(off.tail)
+        .map { case ((_, before), (pid, _)) => (pid, before) }
+        .toSeq.toDF("pid", "off")
+      val total = per.map(_.getLong(1)).sum
+      val interval = total / k
+      val probes = (0 until k)
+        .map(j => (j.toLong, j * interval + interval / 2))
+        .toDF("j", "pos")
+      local.join(broadcast(offDf), Seq("pid"))
+        .withColumn("cum", col("off") + col("lcum"))
+        .join(broadcast(probes),
+          col("pos") >= col("cum") - col("cents")
+            && col("pos") < col("cum"))
+        .select(col("j"), col("pos"), col("okey").as("selected_okey"),
+          col("cents"), col("cum"))
+        .orderBy(col("j"))
+    }),
+
+    "q516_fk_orphan_audit" -> ((s, d) => {
+      def audit(rel: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("ck"))
+        val p = graft.Stage(parent.select(col(pk).as("pk")).distinct(),
+          s"q516_$rel")
+        val orphans = c.join(p, c("ck") === p("pk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val cd = c.distinct()
+        val childless = p.join(cd, cd("ck") === p("pk"),
+          "left_anti").agg(count(lit(1)).as("n_childless_parents"))
+        c.agg(count(lit(1)).as("n_child_rows"))
+          .crossJoin(orphans).crossJoin(childless)
+          .select(lit(rel).as("relationship"), col("n_child_rows"),
+            col("n_orphans"),
+            expr("n_orphans * 1000000 DIV n_child_rows")
+              .as("orphan_ppm"),
+            col("n_childless_parents"))
+      }
+      val li = t(s, d, "lineitem")
+      val or = t(s, d, "orders")
+      Seq(
+        audit("lineitem_orders", li, "l_orderkey", or, "o_orderkey"),
+        audit("lineitem_part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"),
+        audit("lineitem_supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"),
+        audit("orders_customer", or, "o_custkey",
+          t(s, d, "customer"), "c_custkey"),
+        audit("customer_nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("relationship"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q514_retention_halflife" ->
+      s"""WITH act AS (
+           SELECT DISTINCT user_id,
+                  floor(epoch(ts::TIMESTAMP) / 86400)::BIGINT // 7
+                    AS aw
+           FROM events WHERE event_type = 'purchase'),
+         first_w AS (
+           SELECT user_id, min(aw) AS cw FROM act GROUP BY user_id),
+         horizon AS (SELECT max(aw) AS maxw FROM act),
+         grid AS (
+           SELECT f.cw, a.aw - f.cw AS k,
+                  count(DISTINCT a.user_id)::BIGINT AS u
+           FROM act a JOIN first_w f ON a.user_id = f.user_id
+           WHERE a.aw - f.cw BETWEEN 0 AND 3
+           GROUP BY 1, 2),
+         sizes AS (
+           SELECT cw, u AS n0 FROM grid WHERE k = 0),
+         rates AS (
+           SELECT g.cw, s.n0,
+                  sum(CASE WHEN g.k = 1
+                      THEN g.u * 1000000 // s.n0 END)::BIGINT AS r1_ppm,
+                  sum(CASE WHEN g.k = 2
+                      THEN g.u * 1000000 // s.n0 END)::BIGINT AS r2_ppm,
+                  sum(CASE WHEN g.k = 3
+                      THEN g.u * 1000000 // s.n0 END)::BIGINT AS r3_ppm
+           FROM grid g
+           JOIN sizes s ON g.cw = s.cw, horizon h
+           WHERE g.cw <= h.maxw - 3
+           GROUP BY g.cw, s.n0),
+         fit AS (
+           SELECT cw, n0, r1_ppm, r2_ppm, r3_ppm,
+             (ln(CAST(coalesce(r3_ppm, 1) AS DOUBLE) / 1e6)
+               - ln(CAST(coalesce(r1_ppm, 1) AS DOUBLE) / 1e6))
+               / 2.0 AS slope
+           FROM rates)
+         SELECT cw AS cohort_week, n0 AS cohort_size,
+                r1_ppm, r2_ppm, r3_ppm,
+                (CASE WHEN r1_ppm > 0 AND r3_ppm > 0 AND slope < 0
+                 THEN floor(${-math.log(2.0)} / slope * 1000)
+                 ELSE -1 END)::BIGINT AS halflife_milli_weeks
+         FROM fit ORDER BY cohort_week""",
+
+    "q515_monetary_unit_sampling" ->
+      """WITH base AS (
+           SELECT o_orderkey AS okey,
+                  floor(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+         cum AS (
+           SELECT okey, cents,
+                  sum(cents) OVER (ORDER BY okey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS cum
+           FROM base),
+         tot AS (SELECT sum(cents)::BIGINT AS total FROM base),
+         probes AS (
+           SELECT j.range::BIGINT AS j,
+                  (j.range * (t.total // 12)
+                    + (t.total // 12) // 2)::BIGINT AS pos
+           FROM range(0, 12) j, tot t)
+         SELECT p.j, p.pos, c.okey AS selected_okey, c.cents, c.cum
+         FROM probes p JOIN cum c
+           ON p.pos >= c.cum - c.cents AND p.pos < c.cum
+         ORDER BY p.j""",
+
+    "q516_fk_orphan_audit" -> {
+      def one(rel: String, child: String, ck: String,
+              parent: String, pk: String) =
+        s"""SELECT '$rel' AS relationship,
+              (SELECT count(*) FROM $child)::BIGINT AS n_child_rows,
+              (SELECT count(*) FROM $child c
+               WHERE NOT EXISTS (SELECT 1 FROM $parent p
+                 WHERE p.$pk = c.$ck))::BIGINT AS n_orphans,
+              ((SELECT count(*) FROM $child c
+                WHERE NOT EXISTS (SELECT 1 FROM $parent p
+                  WHERE p.$pk = c.$ck)) * 1000000
+                // (SELECT count(*) FROM $child))::BIGINT
+                AS orphan_ppm,
+              (SELECT count(*) FROM (SELECT DISTINCT $pk FROM $parent)
+                 p(pk)
+               WHERE NOT EXISTS (SELECT 1 FROM $child c
+                 WHERE c.$ck = p.pk))::BIGINT AS n_childless_parents"""
+      Seq(
+        one("lineitem_orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        one("lineitem_part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        one("lineitem_supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        one("orders_customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        one("customer_nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    }
   )
 }

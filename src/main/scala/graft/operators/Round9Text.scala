@@ -221,3 +221,846 @@ object Round9Text {
          ORDER BY containment_ppm DESC, d1, d2 LIMIT 20"""
   )
 }
+
+/** Round-9 batch AY (q547-q549) — graph/probabilistic text ML over the
+  * documents corpus (public algorithms: TextRank [Mihalcea-Tarau 2004],
+  * multinomial Naive Bayes [McCallum-Nigam 1998], and mutual-information
+  * feature selection [Yang-Pedersen 1997]; reference surface: the text
+  * UDTF family — tf_feature_similarity, the quality classifier — in
+  * QueryEngine/TableFunctions).
+  *
+  *  - q547: corpus-level TextRank keywords — adjacent-token
+  *    co-occurrence edges (window 2, content tokens ≥ 4 chars) over
+  *    the en subcorpus, symmetric weighted graph, 8 damped PageRank
+  *    rounds (d = 0.85) with the repo's round-12 float discipline
+  *    (q291/q497), top-20 keywords in integer ppb. Edge construction
+  *    is one token shuffle; the iteration runs on the vocabulary-
+  *    bounded node table, corpus-size-independent.
+  *  - q548: multinomial Naive Bayes language classifier — 80/20
+  *    deterministic split on doc_id, Laplace-smoothed per-(class,
+  *    token) log-likelihoods quantized to INTEGER micro-nats
+  *    (floor(ln·1e6 + 0.5)) so the per-document score sums are exact
+  *    integer arithmetic and the argmax cannot flip on engine float
+  *    sum order. Unseen tokens take the class's smoothed default via
+  *    coalesce after a class-crossed left join (|classes| = 5 — the
+  *    cross is bounded). Readout: the confusion matrix.
+  *  - q549: mutual information I(token presence; lang) per token at
+  *    doc grain — counts aggregated exactly, MI evaluated as ONE fixed
+  *    scalar expression over the 5-class count columns (no float
+  *    aggregation order at all), top-15 in integer nano-nats.
+  */
+object Round9TextMl {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Canonical ascii tokenization shared with q364/q177. */
+  private val sparkTok =
+    """split(regexp_replace(trim(lower(text)), '[^a-z0-9 ]', ''), ' +')"""
+  private val duckTok =
+    """string_split_regex(regexp_replace(trim(lower(text)),
+       '[^a-z0-9 ]', '', 'g'), ' +')"""
+
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** MI contribution of one (count a, class total nc) cell against
+    * marginals m (token-side) and n (corpus): identical text in both
+    * dialects. */
+  private def miTerm(a: String, m: String, nc: String): String =
+    s"""(CASE WHEN $a > 0 THEN
+          (CAST($a AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST($a AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST($m AS DOUBLE) * CAST($nc AS DOUBLE)))
+        ELSE 0.0 END)"""
+
+  private val miExpr: String = {
+    val terms = langs.map { l =>
+      miTerm(s"p_$l", "n1", s"nc_$l") + " + " +
+        miTerm(s"(nc_$l - p_$l)", "(n - n1)", s"nc_$l")
+    }
+    s"CAST(floor((${terms.mkString(" + ")}) * 1e9 + 0.5) AS BIGINT)"
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q547_textrank_keywords" -> ((s, d) => {
+      val arrs = t(s, d, "documents")
+        .filter(col("lang") === "en")
+        .select(expr(
+          s"filter($sparkTok, x -> length(x) >= 4)").as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val pairs = arrs.select(explode(expr(
+        """arrays_zip(slice(arr, 1, size(arr) - 1),
+                      slice(arr, 2, size(arr) - 1))""")).as("z"))
+        .select(col("z.0").as("u"), col("z.1").as("v"))
+        .filter(col("u") =!= col("v"))
+      val edges = graft.Stage(
+        pairs.unionByName(pairs.select(col("v").as("u"),
+            col("u").as("v")))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).cast("double").as("w")), "q547_edges")
+      val wdeg = edges.groupBy(col("u"))
+        .agg(sum(col("w")).as("wd"))
+      val nodes = wdeg.select(col("u").as("node"))
+      val nN = nodes.agg(count(lit(1)).as("nn"))
+      var pr = nodes.crossJoin(broadcast(nN))
+        .select(col("node"), (lit(1.0) / col("nn")).as("p"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 8) {
+        val contrib = edges
+          .join(broadcast(wdeg), Seq("u"))
+          .join(broadcast(pr), edges("u") === pr("node"))
+          .groupBy(col("v"))
+          .agg(sum(col("p") * col("w") / col("wd")).as("inp"))
+        pr = nodes.crossJoin(broadcast(nN))
+          .join(contrib, col("node") === col("v"), "left")
+          .select(col("node"),
+            round(lit(0.15) / col("nn")
+              + lit(0.85) * coalesce(col("inp"), lit(0.0)), 12)
+              .as("p"))
+          .localCheckpoint(true) // vocab-bounded rows, cut lineage
+      }
+      val ranked = pr
+        .select(col("node").as("keyword"),
+          floor(col("p") * 1e9).cast("long").as("pr_ppb"))
+      val wAll = Window.orderBy(col("pr_ppb").desc, col("keyword"))
+      // vocabulary-bounded window (distinct content tokens), not corpus
+      ranked.withColumn("rk", row_number().over(wAll))
+        .filter(col("rk") <= 20)
+        .select(col("keyword"), col("pr_ppb"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    }),
+
+    "q548_naive_bayes_langid" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"filter($sparkTok, x -> x <> '')").as("arr"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val trainToks = train.select(col("lang"),
+        explode(col("arr")).as("tok"))
+      val cw = trainToks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val totc = cw.groupBy(col("lang"))
+        .agg(sum(col("tf")).as("tot"))
+      val vocab = cw.select(col("tok")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val nTrain = train.agg(count(lit(1)).as("ntr"))
+      val classes = broadcast(train.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nc"))
+        .join(totc, Seq("lang"))
+        .crossJoin(vocab).crossJoin(nTrain)
+        .select(col("lang").as("cls"),
+          expr("""CAST(floor(ln(CAST(nc AS DOUBLE) / ntr) * 1e6 + 0.5)
+                  AS BIGINT)""").as("prior_micro"),
+          expr("""CAST(floor(-ln(CAST(tot + v AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)""").as("w0"),
+          col("tot"), col("v")))
+      val weights = cw.join(broadcast(totc), Seq("lang"))
+        .crossJoin(broadcast(vocab))
+        .select(col("lang").as("cls"), col("tok"),
+          expr("""CAST(floor((ln(CAST(tf + 1 AS DOUBLE))
+                  - ln(CAST(tot + v AS DOUBLE))) * 1e6 + 0.5)
+                  AS BIGINT)""").as("w"))
+      val testToks = test.select(col("doc_id"),
+          col("lang").as("true_lang"), explode(col("arr")).as("tok"))
+        .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = testToks
+        .crossJoin(classes.select(col("cls"), col("prior_micro"),
+          col("w0")))
+        .join(weights, Seq("cls", "tok"), "left")
+        .groupBy(col("doc_id"), col("true_lang"), col("cls"))
+        .agg((first(col("prior_micro"))
+          + sum(col("cnt") * coalesce(col("w"), col("w0"))))
+          .as("score_micro"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("cls"))
+      scored.withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
+    "q549_mutual_info_features" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"filter($sparkTok, x -> x <> '')").as("arr"))
+      val present = docs
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(col("arr"))).as("tok"))
+      val pCols = langs.map(l => sum(when(col("lang") === l, 1L)
+        .otherwise(0L)).as(s"p_$l"))
+      val perTok = present.groupBy(col("tok"))
+        .agg(pCols.head, pCols.tail: _*)
+      val mCols = count(lit(1)).as("n") +:
+        langs.map(l => sum(when(col("lang") === l, 1L)
+          .otherwise(0L)).as(s"nc_$l"))
+      val margins = broadcast(docs.agg(mCols.head, mCols.tail: _*))
+      val mi = perTok.crossJoin(margins)
+        .withColumn("n1",
+          langs.map(l => col(s"p_$l")).reduce(_ + _))
+        .filter(col("n1") >= 10)
+        .select(col("tok"), col("n1").as("docs_with"),
+          expr(miExpr).as("mi_nano"))
+      val wAll = Window.orderBy(col("mi_nano").desc, col("tok"))
+      mi.withColumn("rk", row_number().over(wAll))
+        .filter(col("rk") <= 15)
+        .select(col("tok"), col("docs_with"), col("mi_nano"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q547_textrank_keywords" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS (
+           SELECT n.node,
+                  round(0.15 / (SELECT nn FROM nn)
+                    + 0.85 * coalesce(c.inp, 0.0), 12) AS p
+           FROM nodes n LEFT JOIN (
+             SELECT e.v, sum(p.p * e.w / wd.wd) AS inp
+             FROM edges e
+             JOIN wdeg wd ON e.u = wd.u
+             JOIN p${k - 1} p ON e.u = p.node
+             GROUP BY e.v) c ON n.node = c.v)"""
+      }.mkString(",\n         ")
+      s"""WITH arrs AS (
+           SELECT list_filter($duckTok, x -> len(x) >= 4) AS arr
+           FROM documents WHERE lang = 'en'),
+         rawp AS (
+           SELECT z[1] AS u, z[2] AS v
+           FROM (SELECT unnest(list_zip(arr[:-2], arr[2:])) AS z
+                 FROM arrs WHERE len(arr) >= 2)
+           WHERE z[1] <> z[2]),
+         edges AS (
+           SELECT u, v, CAST(count(*) AS DOUBLE) AS w FROM (
+             SELECT u, v FROM rawp
+             UNION ALL SELECT v, u FROM rawp)
+           GROUP BY u, v),
+         wdeg AS (
+           SELECT u, sum(w) AS wd FROM edges GROUP BY u),
+         nodes AS (SELECT u AS node FROM wdeg),
+         nn AS (SELECT count(*)::BIGINT AS nn FROM nodes),
+         p0 AS (
+           SELECT node, 1.0 / (SELECT nn FROM nn) AS p FROM nodes),
+         $rounds,
+         ranked AS (
+           SELECT node AS keyword,
+                  floor(p * 1e9)::BIGINT AS pr_ppb,
+                  row_number() OVER (ORDER BY floor(p * 1e9) DESC,
+                    node) AS rk
+           FROM p8)
+         SELECT keyword, pr_ppb, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 20 ORDER BY rk"""
+    },
+
+    "q548_naive_bayes_langid" ->
+      s"""WITH docs AS (
+           SELECT doc_id, lang,
+                  list_filter($duckTok, x -> x <> '') AS arr
+           FROM documents),
+         train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+         test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+         traintoks AS (
+           SELECT lang, unnest(arr) AS tok FROM train),
+         cw AS (
+           SELECT lang, tok, count(*)::BIGINT AS tf FROM traintoks
+           GROUP BY lang, tok),
+         totc AS (
+           SELECT lang, sum(tf)::BIGINT AS tot FROM cw GROUP BY lang),
+         vocab AS (
+           SELECT count(DISTINCT tok)::BIGINT AS v FROM cw),
+         ntr AS (SELECT count(*)::BIGINT AS ntr FROM train),
+         classes AS (
+           SELECT g.lang AS cls,
+                  CAST(floor(ln(CAST(g.nc AS DOUBLE) / r.ntr) * 1e6
+                    + 0.5) AS BIGINT) AS prior_micro,
+                  CAST(floor(-ln(CAST(tc.tot + vb.v AS DOUBLE)) * 1e6
+                    + 0.5) AS BIGINT) AS w0
+           FROM (SELECT lang, count(*)::BIGINT AS nc FROM train
+                 GROUP BY lang) g
+           JOIN totc tc ON g.lang = tc.lang, vocab vb, ntr r),
+         weights AS (
+           SELECT cw.lang AS cls, cw.tok,
+                  CAST(floor((ln(CAST(cw.tf + 1 AS DOUBLE))
+                    - ln(CAST(tc.tot + vb.v AS DOUBLE))) * 1e6 + 0.5)
+                    AS BIGINT) AS w
+           FROM cw JOIN totc tc ON cw.lang = tc.lang, vocab vb),
+         testtoks AS (
+           SELECT doc_id, true_lang, tok, count(*)::BIGINT AS cnt
+           FROM (SELECT doc_id, lang AS true_lang, unnest(arr) AS tok
+                 FROM test)
+           GROUP BY doc_id, true_lang, tok),
+         scored AS (
+           SELECT tt.doc_id, tt.true_lang, c.cls,
+                  (any_value(c.prior_micro)
+                   + sum(tt.cnt * coalesce(w.w, c.w0)))::BIGINT
+                    AS score_micro
+           FROM testtoks tt
+           CROSS JOIN classes c
+           LEFT JOIN weights w ON w.cls = c.cls AND w.tok = tt.tok
+           GROUP BY tt.doc_id, tt.true_lang, c.cls),
+         pred AS (
+           SELECT true_lang, cls AS pred_lang,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_micro DESC, cls) AS rn
+           FROM scored)
+         SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+         FROM pred WHERE rn = 1
+         GROUP BY true_lang, pred_lang
+         ORDER BY true_lang, pred_lang""",
+
+    "q549_mutual_info_features" -> {
+      val pCols = langs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS p_$l")
+        .mkString(", ")
+      val ncCols = langs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS nc_$l")
+        .mkString(", ")
+      val n1 = langs.map(l => s"p_$l").mkString(" + ")
+      s"""WITH docs AS (
+           SELECT doc_id, lang,
+                  list_filter($duckTok, x -> x <> '') AS arr
+           FROM documents),
+         present AS (
+           SELECT DISTINCT doc_id, lang, unnest(arr) AS tok
+           FROM (SELECT doc_id, lang, list_distinct(arr) AS arr
+                 FROM docs)),
+         pertok AS (
+           SELECT tok, $pCols FROM present GROUP BY tok),
+         pertok2 AS (
+           SELECT *, ($n1)::BIGINT AS n1 FROM pertok),
+         margins AS (
+           SELECT count(*)::BIGINT AS n, $ncCols FROM docs),
+         mi AS (
+           SELECT tok, n1 AS docs_with, $miExpr AS mi_nano
+           FROM pertok2, margins
+           WHERE n1 >= 10),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY mi_nano DESC, tok)
+                    AS rk
+           FROM mi)
+         SELECT tok, docs_with, mi_nano, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 15 ORDER BY rk"""
+    }
+  )
+}
+
+
+/** Round-9 batch BE (q565-q567) — distribution alignment and corpus
+  * statistics (public algorithms: quantile normalization
+  * [Bolstad et al. 2003], Heaps'-law vocabulary growth + the simple
+  * Good-Turing unseen-mass estimate [Heaps 1978; Gale-Sampson 1995],
+  * and weighted Jaccard similarity on count vectors [Ioffe 2010 gives
+  * the sketch; here the exact min/max-sum form]):
+  *
+  *  - q565: quantile normalization of per-source document lengths —
+  *    each source's decile values read off a VALUE-GRAIN cumulative
+  *    histogram (nearest-rank via cum-count, the q539 discipline —
+  *    never a per-source row sort), the reference distribution =
+  *    integer mean of the source deciles, and the per-source shift
+  *    the normalization would apply. The cross-source feature
+  *    alignment step of a mixing pipeline.
+  *  - q566: corpus vocabulary statistics per source: token count N,
+  *    vocab V, hapax count N1, Good-Turing unseen mass N1/N in ppm,
+  *    and the pooled Heaps-law fit ln V = ln k + β ln N by exact-
+  *    moment OLS over the 20 source points (β in milli). The sizing
+  *    arithmetic a tokenizer-training plan starts from.
+  *  - q567: weighted Jaccard between source token-count vectors —
+  *    Σ min(c_A, c_B) / Σ max(c_A, c_B) on the token grain, exact
+  *    integers end-to-end via a full outer join per source pair
+  *    (|sources|² bounded pair set, one token shuffle), top-15 most
+  *    similar pairs. The corpus-overlap readout that decides whether
+  *    two crawls should be deduped jointly.
+  */
+object Round9Normalize {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q565_quantile_normalization" -> ((s, d) => {
+      val hist = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = graft.Stage(hist
+        .withColumn("cum", sum(col("cnt")).over(wS)), "q565_cum")
+      val ns = hist.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("ns"))
+      val decs = broadcast(s.range(1, 10)
+        .select(col("id").as("dec")))
+      // nearest-rank decile: smallest value whose cum count reaches
+      // rank 1 + (ns-1)·d/10 — a bounded join on the value grain
+      val targets = ns.crossJoin(decs)
+        .select(col("source"), col("dec"),
+          expr("1 + (ns - 1) * dec DIV 10").as("r"))
+      val srcQ = targets
+        .join(cum, Seq("source"))
+        .filter(col("cum") >= col("r"))
+        .groupBy(col("source"), col("dec"))
+        .agg(min(col("n_chars")).as("src_q"))
+      val ref = srcQ.groupBy(col("dec"))
+        .agg(expr("sum(src_q) DIV count(*)").as("ref_q"))
+      srcQ.join(broadcast(ref), Seq("dec"))
+        .select(col("source"), col("dec"), col("src_q"), col("ref_q"),
+          (col("ref_q") - col("src_q")).as("shift_chars"))
+        .orderBy(col("source"), col("dec"))
+    }),
+
+    "q566_vocab_statistics" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(expr(
+          """filter(split(regexp_replace(trim(lower(text)),
+             '[^a-z0-9 ]', ''), ' +'), x -> x <> '')""")).as("tok"))
+      val tf = graft.Stage(toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")), "q566_tf")
+      val perSrc = tf.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("unseen_mass_ppm",
+          expr("hapax * 1000000 DIV n_tokens"))
+      // pooled Heaps fit over the source points: β and ln k by OLS
+      // on (ln N, ln V); the 20-point regression is one fixed-shape
+      // aggregate, coefficients quantized to milli
+      val fit = perSrc.agg(count(lit(1)).as("np"),
+        sum(expr("ln(CAST(n_tokens AS DOUBLE))")).as("sx"),
+        sum(expr("ln(CAST(vocab AS DOUBLE))")).as("sy"),
+        sum(expr("ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(vocab AS DOUBLE))"))
+          .as("sxy"),
+        sum(expr("ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE))"))
+          .as("sxx"))
+        .select(
+          expr("""CAST(floor((np * sxy - sx * sy) * 1000
+                  / (np * sxx - sx * sx)) AS BIGINT)""")
+            .as("heaps_beta_milli"),
+          expr("""CAST(floor((sy - (np * sxy - sx * sy)
+                  / (np * sxx - sx * sx) * sx) / np * 1000)
+                  AS BIGINT)""").as("heaps_lnk_milli"))
+      perSrc.crossJoin(broadcast(fit))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("hapax"), col("unseen_mass_ppm"),
+          col("heaps_beta_milli"), col("heaps_lnk_milli"))
+        .orderBy(col("source"))
+    }),
+
+    "q567_weighted_jaccard_sources" -> ((s, d) => {
+      val tf = graft.Stage(t(s, d, "documents")
+        .select(col("source"), explode(expr(
+          """filter(split(regexp_replace(trim(lower(text)),
+             '[^a-z0-9 ]', ''), ' +'), x -> x <> '')""")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")), "q566_tf")
+      val a = tf.select(col("source").as("sa"), col("tok"),
+        col("c").as("ca"))
+      val b = tf.select(col("source").as("sb"), col("tok"),
+        col("c").as("cb"))
+      val pairs = a.join(b, Seq("tok"), "inner")
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(least(col("ca"), col("cb"))).as("smin"),
+          sum(greatest(col("ca"), col("cb"))).as("smax_shared"))
+      val totals = tf.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"))
+      // Σmax over ALL tokens = ta + tb − smin (shared tokens
+      // contribute max = ca + cb − min; exclusives their full count)
+      val j = pairs
+        .join(broadcast(totals.select(col("source").as("sa"),
+          col("tot").as("ta"))), Seq("sa"))
+        .join(broadcast(totals.select(col("source").as("sb"),
+          col("tot").as("tb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("smin"),
+          (col("ta") + col("tb") - col("smin") - col("smax_shared"))
+            .as("excl"),
+          expr("""smin * 1000000
+                  DIV (ta + tb - smin)""").as("wjaccard_ppm"))
+      val wAll = Window.orderBy(col("wjaccard_ppm").desc, col("sa"),
+        col("sb"))
+      j.withColumn("rk", row_number().over(wAll))
+        .filter(col("rk") <= 15)
+        .select(col("sa"), col("sb"), col("smin"), col("excl"),
+          col("wjaccard_ppm"), col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q565_quantile_normalization" ->
+      """WITH hist AS (
+           SELECT source, n_chars, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY source, n_chars),
+         cum AS (
+           SELECT source, n_chars, cnt,
+                  sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM hist),
+         ns AS (
+           SELECT source, sum(cnt)::BIGINT AS ns FROM hist
+           GROUP BY source),
+         targets AS (
+           SELECT n.source, d.range::BIGINT AS dec,
+                  1 + (n.ns - 1) * d.range // 10 AS r
+           FROM ns n, range(1, 10) d),
+         srcq AS (
+           SELECT t.source, t.dec, min(c.n_chars)::BIGINT AS src_q
+           FROM targets t JOIN cum c ON t.source = c.source
+           WHERE c.cum >= t.r
+           GROUP BY t.source, t.dec),
+         ref AS (
+           SELECT dec, (sum(src_q) // count(*))::BIGINT AS ref_q
+           FROM srcq GROUP BY dec)
+         SELECT s.source, s.dec, s.src_q, r.ref_q,
+                (r.ref_q - s.src_q)::BIGINT AS shift_chars
+         FROM srcq s JOIN ref r ON s.dec = r.dec
+         ORDER BY s.source, s.dec""",
+
+    "q566_vocab_statistics" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(
+                    regexp_replace(trim(lower(text)), '[^a-z0-9 ]',
+                    '', 'g'), ' +'), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT source, tok, count(*)::BIGINT AS c FROM toks
+           GROUP BY source, tok),
+         persrc AS (
+           SELECT source, sum(c)::BIGINT AS n_tokens,
+                  count(*)::BIGINT AS vocab,
+                  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS hapax
+           FROM tf GROUP BY source),
+         withmass AS (
+           SELECT *, (hapax * 1000000 // n_tokens)::BIGINT
+                    AS unseen_mass_ppm
+           FROM persrc),
+         fit AS (
+           SELECT count(*)::BIGINT AS np,
+                  sum(ln(CAST(n_tokens AS DOUBLE))) AS sx,
+                  sum(ln(CAST(vocab AS DOUBLE))) AS sy,
+                  sum(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(vocab AS DOUBLE))) AS sxy,
+                  sum(ln(CAST(n_tokens AS DOUBLE))
+                      * ln(CAST(n_tokens AS DOUBLE))) AS sxx
+           FROM persrc),
+         coef AS (
+           SELECT CAST(floor((np * sxy - sx * sy) * 1000
+                    / (np * sxx - sx * sx)) AS BIGINT)
+                    AS heaps_beta_milli,
+                  CAST(floor((sy - (np * sxy - sx * sy)
+                    / (np * sxx - sx * sx) * sx) / np * 1000)
+                    AS BIGINT) AS heaps_lnk_milli
+           FROM fit)
+         SELECT w.source, w.n_tokens, w.vocab, w.hapax,
+                w.unseen_mass_ppm, c.heaps_beta_milli,
+                c.heaps_lnk_milli
+         FROM withmass w, coef c ORDER BY w.source""",
+
+    "q567_weighted_jaccard_sources" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(
+                    regexp_replace(trim(lower(text)), '[^a-z0-9 ]',
+                    '', 'g'), ' +'), x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT source, tok, count(*)::BIGINT AS c FROM toks
+           GROUP BY source, tok),
+         pairs AS (
+           SELECT a.source AS sa, b.source AS sb,
+                  sum(least(a.c, b.c))::BIGINT AS smin,
+                  sum(greatest(a.c, b.c))::BIGINT AS smax_shared
+           FROM tf a JOIN tf b
+             ON a.tok = b.tok AND a.source < b.source
+           GROUP BY a.source, b.source),
+         totals AS (
+           SELECT source, sum(c)::BIGINT AS tot FROM tf
+           GROUP BY source),
+         j AS (
+           SELECT p.sa, p.sb, p.smin,
+                  (ta.tot + tb.tot - p.smin - p.smax_shared)::BIGINT
+                    AS excl,
+                  (p.smin * 1000000
+                    // (ta.tot + tb.tot - p.smin))::BIGINT
+                    AS wjaccard_ppm
+           FROM pairs p
+           JOIN totals ta ON p.sa = ta.source
+           JOIN totals tb ON p.sb = tb.source),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY wjaccard_ppm DESC,
+                    sa, sb) AS rk
+           FROM j)
+         SELECT sa, sb, smin, excl, wjaccard_ppm, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 15 ORDER BY rk"""
+  )
+}
+
+
+/** Round-9 batch BB (q556-q558) — phonetic blocking, forecast
+  * backtesting, and k-hop centrality (public algorithms: American
+  * Soundex [Russell 1918, the simplified textbook variant], the
+  * seasonal-naive benchmark forecast [Hyndman-Athanasopoulos, FPP],
+  * and harmonic/closeness centrality [Boldi-Vigna 2014]; reference
+  * surface: the string-function family and graph UDTFs).
+  *
+  *  - q556: Soundex codes for part-name first words, computed as a
+  *    pure translate/regex expression pipeline (identical algorithm
+  *    in both engines: map consonant classes to digits, collapse
+  *    runs, drop vowels, pad to 4) — then the record-linkage blocking
+  *    readout: block sizes and candidate pair counts per code. One
+  *    aggregation; codes are a bounded domain (≤ 26·7³).
+  *  - q557: seasonal-naive backtest — forecast(d) = actual(d−7) via
+  *    a self-join on the day grain, scored with MAE (milli), MAPE and
+  *    sMAPE (per-day integer-floored ratios in ppm, then averaged —
+  *    no float aggregation).
+  *  - q558: 4-hop harmonic + closeness centrality on the category
+  *    co-occurrence graph (edges = the 300 heaviest pairs — a
+  *    scale-independent density), distances by 3 bounded min-plus
+  *    rounds over the ≤|items|² distance table. Harmonic sums
+  *    floor(1000/d); k-hop truncation is explicit in the operator
+  *    contract (Boldi-Vigna's HyperBall approximates exactly this at
+  *    web scale).
+  */
+object Round9Phonetic {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Soundex steps shared text: translate map (A-Z →
+    * 01230120022455012623010202). */
+  private val sdxFrom = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val sdxTo = "01230120022455012623010202"
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "q556_soundex_blocking" -> ((s, d) => {
+      val words = t(s, d, "part")
+        .select(upper(regexp_extract(col("p_name"),
+          "^([A-Za-z]+)", 1)).as("w"))
+        .filter(col("w") =!= "")
+      val coded = words
+        .withColumn("t1", translate(col("w"), sdxFrom, sdxTo))
+        // collapse adjacent duplicate codes (vowel codes 0 included,
+        // so vowels separate consonant runs — the textbook variant).
+        // One replace per digit: DuckDB's RE2 has no backreferences,
+        // so the oracle must collapse the same backref-free way.
+        .withColumn("t2", (0 to 6).foldLeft(col("t1")) { (c, k) =>
+          regexp_replace(c, s"$k$k+", s"$k")
+        })
+        .withColumn("body",
+          regexp_replace(expr("substring(t2, 2)"), "0", ""))
+        .select(col("w"),
+          concat(expr("substring(w, 1, 1)"),
+            expr("substring(concat(body, '000'), 1, 3)"))
+            .as("code"))
+      val blocks = coded.groupBy(col("code"))
+        .agg(count(lit(1)).as("n_names"),
+          countDistinct(col("w")).as("n_distinct"))
+        .withColumn("n_pairs",
+          expr("n_names * (n_names - 1) DIV 2"))
+      val wAll = Window.orderBy(col("n_names").desc, col("code"))
+      blocks.withColumn("rk", row_number().over(wAll))
+        .filter(col("rk") <= 15)
+        .select(col("code"), col("n_names"), col("n_distinct"),
+          col("n_pairs"), col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    }),
+
+    "q557_seasonal_naive_backtest" -> ((s, d) => {
+      val daily = graft.Stage(t(s, d, "events")
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+            .as("day"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("vm")).as("a")), "q557_daily")
+      val f = daily.select(col("event_type"),
+        (col("day") + 7L).as("day"), col("a").as("fc"))
+      daily.join(f, Seq("event_type", "day"))
+        .select(col("event_type"),
+          abs(col("a") - col("fc")).as("ae"),
+          expr("abs(a - fc) * 1000000 DIV greatest(abs(a), 1)")
+            .as("ape_ppm"),
+          expr("""abs(a - fc) * 2000000
+                  DIV greatest(abs(a) + abs(fc), 1)""").as("sape_ppm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          expr("sum(ae) DIV count(*)").as("mae_milli"),
+          expr("sum(ape_ppm) DIV count(*)").as("mape_ppm"),
+          expr("sum(sape_ppm) DIV count(*)").as("smape_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q558_khop_centrality" -> ((s, d) => {
+      val basket = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 100).cast("long").as("item"))
+        .distinct()
+      val up = basket.as("a").join(basket.as("b"),
+          col("a.ok") === col("b.ok")
+            && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("c"))
+      // scale-independent edge rule: the 300 heaviest pairs (a
+      // relative threshold degenerates under binomial concentration —
+      // 1.2× mean keeps 990 edges at sf0.001 but only 9 at sf0.1).
+      // The rank window runs on the ≤|items|² pair table.
+      val wP = Window.orderBy(col("c").desc, col("i"), col("j"))
+      val strong = up.withColumn("pr", row_number().over(wP))
+        .filter(col("pr") <= 300)
+        .select(col("i"), col("j"))
+      val edges = graft.Stage(strong.unionByName(
+        strong.select(col("j").as("i"), col("i").as("j"))),
+        "q558_edges")
+      var dist = edges.select(col("i").as("u"), col("j").as("v"),
+        lit(1L).as("dd"))
+      for (_ <- 1 to 3) { // 3 relaxations → exact distances ≤ 4 hops
+        val ext = dist
+          .join(edges.select(col("i").as("v"), col("j").as("w")),
+            Seq("v"))
+          .filter(col("u") =!= col("w"))
+          .select(col("u"), col("w").as("v"),
+            (col("dd") + 1L).as("dd"))
+        dist = dist.unionByName(ext)
+          .groupBy(col("u"), col("v"))
+          .agg(min(col("dd")).as("dd"))
+      }
+      val cent = dist.groupBy(col("u").as("item"))
+        .agg(count(lit(1)).as("n_reach4"),
+          sum(col("dd")).as("sum_dist4"),
+          sum(expr("1000 DIV dd")).as("harmonic_milli"))
+        .withColumn("closeness_micro",
+          expr("n_reach4 * 1000000 DIV greatest(sum_dist4, 1)"))
+      val wAll = Window.orderBy(col("harmonic_milli").desc,
+        col("item"))
+      cent.withColumn("rk", row_number().over(wAll))
+        .filter(col("rk") <= 15)
+        .select(col("item"), col("n_reach4"), col("sum_dist4"),
+          col("harmonic_milli"), col("closeness_micro"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("rk"))
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q556_soundex_blocking" ->
+      s"""WITH words AS (
+           SELECT upper(regexp_extract(p_name, '^([A-Za-z]+)', 1))
+                    AS w
+           FROM part
+           WHERE regexp_extract(p_name, '^([A-Za-z]+)', 1) <> ''),
+         coded AS (
+           SELECT w,
+                  substring(w, 1, 1) ||
+                  substring(
+                    regexp_replace(
+                      substring(
+                        ${(0 to 6).foldLeft(
+                          s"translate(w, '$sdxFrom', '$sdxTo')") {
+                          (e, k) =>
+                            s"regexp_replace($e, '$k$k+', '$k', 'g')"
+                        }},
+                        2),
+                      '0', '', 'g') || '000',
+                    1, 3) AS code
+           FROM words),
+         blocks AS (
+           SELECT code, count(*)::BIGINT AS n_names,
+                  count(DISTINCT w)::BIGINT AS n_distinct,
+                  (count(*) * (count(*) - 1) // 2)::BIGINT AS n_pairs
+           FROM coded GROUP BY code),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY n_names DESC, code)
+                    AS rk
+           FROM blocks)
+         SELECT code, n_names, n_distinct, n_pairs, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 15 ORDER BY rk""",
+
+    "q557_seasonal_naive_backtest" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  floor(epoch(ts::TIMESTAMP) / 86400)::BIGINT AS day,
+                  sum(floor(value * 1000)::BIGINT)::BIGINT AS a
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT d.event_type,
+                  abs(d.a - f.a)::BIGINT AS ae,
+                  (abs(d.a - f.a) * 1000000
+                    // greatest(abs(d.a), 1))::BIGINT AS ape_ppm,
+                  (abs(d.a - f.a) * 2000000
+                    // greatest(abs(d.a) + abs(f.a), 1))::BIGINT
+                    AS sape_ppm
+           FROM daily d JOIN daily f
+             ON d.event_type = f.event_type AND d.day = f.day + 7)
+         SELECT event_type, count(*)::BIGINT AS n_scored,
+                (sum(ae) // count(*))::BIGINT AS mae_milli,
+                (sum(ape_ppm) // count(*))::BIGINT AS mape_ppm,
+                (sum(sape_ppm) // count(*))::BIGINT AS smape_ppm
+         FROM scored GROUP BY event_type ORDER BY event_type""",
+
+    "q558_khop_centrality" ->
+      """WITH basket AS (
+           SELECT DISTINCT l_orderkey AS ok,
+                  (l_partkey % 100)::BIGINT AS item
+           FROM lineitem),
+         up AS (
+           SELECT a.item AS i, b.item AS j, count(*)::BIGINT AS c
+           FROM basket a JOIN basket b
+             ON a.ok = b.ok AND a.item < b.item
+           GROUP BY 1, 2),
+         strong AS (
+           SELECT i, j FROM (
+             SELECT i, j, row_number() OVER (ORDER BY c DESC, i, j)
+                      AS pr
+             FROM up)
+           WHERE pr <= 300),
+         edges AS (
+           SELECT i, j FROM strong
+           UNION ALL SELECT j, i FROM strong),
+         d1 AS (
+           SELECT i AS u, j AS v, 1::BIGINT AS dd FROM edges),
+         d2 AS (
+           SELECT u, v, min(dd)::BIGINT AS dd FROM (
+             SELECT u, v, dd FROM d1
+             UNION ALL
+             SELECT d.u, e.j AS v, d.dd + 1
+             FROM d1 d JOIN edges e ON d.v = e.i WHERE d.u <> e.j)
+           GROUP BY u, v),
+         d3 AS (
+           SELECT u, v, min(dd)::BIGINT AS dd FROM (
+             SELECT u, v, dd FROM d2
+             UNION ALL
+             SELECT d.u, e.j AS v, d.dd + 1
+             FROM d2 d JOIN edges e ON d.v = e.i WHERE d.u <> e.j)
+           GROUP BY u, v),
+         d4 AS (
+           SELECT u, v, min(dd)::BIGINT AS dd FROM (
+             SELECT u, v, dd FROM d3
+             UNION ALL
+             SELECT d.u, e.j AS v, d.dd + 1
+             FROM d3 d JOIN edges e ON d.v = e.i WHERE d.u <> e.j)
+           GROUP BY u, v),
+         cent AS (
+           SELECT u AS item, count(*)::BIGINT AS n_reach4,
+                  sum(dd)::BIGINT AS sum_dist4,
+                  sum(1000 // dd)::BIGINT AS harmonic_milli
+           FROM d4 GROUP BY u),
+         ranked AS (
+           SELECT *, (n_reach4 * 1000000
+                      // greatest(sum_dist4, 1))::BIGINT
+                    AS closeness_micro,
+                  row_number() OVER (ORDER BY harmonic_milli DESC,
+                    item) AS rk
+           FROM cent)
+         SELECT item, n_reach4, sum_dist4, harmonic_milli,
+                closeness_micro, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 15 ORDER BY rk"""
+  )
+}
