@@ -1,0 +1,216 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal Kafka WIRE-PROTOCOL client — Metadata (api 3) and Fetch
+  * (api 1) at protocol version 0 over a plain TCP socket, per the
+  * public Kafka protocol guide (kafka.apache.org/protocol). This
+  * retires the "no connector jars offline" gap on the repo's own
+  * terms: the broker-facing byte layout (request framing, v0 message
+  * sets, CRC32 verification) is implemented and exercised against an
+  * in-test mock broker speaking the same bytes (KafkaStreamSpec), so
+  * the only thing a production deployment swaps in is the real
+  * endpoint. The reference surface is the librdkafka-based importer
+  * (`ImportExport/KafkaImporter.cpp:476` in /root/reference).
+  *
+  * Scope: v0 APIs are deliberately chosen — they are the smallest
+  * self-contained wire dialect every broker still answers, and they
+  * avoid record-batch v2 compression/transactional framing that a
+  * bounded ingest probe does not need. The file-source micro-batch
+  * path (StreamingIngest) remains the default ingest; `fetchBatchDf`
+  * lands rows in the connector's exact output schema so
+  * `decodeKafkaEvents` is shared between both paths.
+  */
+object KafkaWire {
+
+  case class BrokerMeta(nodeId: Int, host: String, port: Int)
+  case class PartitionMeta(partition: Int, leaderId: Int)
+  case class TopicMeta(brokers: Seq[BrokerMeta], topic: String,
+      partitions: Seq[PartitionMeta])
+  case class MessageRec(partition: Int, offset: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  // ---- primitive writers ----------------------------------------------
+
+  private def kString(s: String): Array[Byte] = {
+    if (s == null) return Array[Byte](-1, -1)
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    val out = ByteBuffer.allocate(2 + b.length)
+    out.putShort(b.length.toShort).put(b).array()
+  }
+
+  /** Frame and send one request; return the response body (after the
+    * correlation-id echo, which is checked).
+    */
+  private def roundTrip(sock: Socket, apiKey: Short, version: Short,
+      corr: Int, body: Array[Byte]): ByteBuffer = {
+    val clientId = kString("graft-wire")
+    val size = 2 + 2 + 4 + clientId.length + body.length
+    val req = ByteBuffer.allocate(4 + size)
+    req.putInt(size).putShort(apiKey).putShort(version).putInt(corr)
+      .put(clientId).put(body)
+    val out = new DataOutputStream(sock.getOutputStream)
+    out.write(req.array()); out.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val respSize = in.readInt()
+    require(respSize > 4 && respSize < (64 << 20),
+      s"implausible kafka response size $respSize")
+    val buf = new Array[Byte](respSize)
+    in.readFully(buf)
+    val resp = ByteBuffer.wrap(buf)
+    val echoed = resp.getInt()
+    require(echoed == corr,
+      s"correlation id mismatch: sent $corr, got $echoed")
+    resp
+  }
+
+  private def readString(b: ByteBuffer): String = {
+    val len = b.getShort()
+    if (len < 0) null
+    else {
+      val arr = new Array[Byte](len)
+      b.get(arr)
+      new String(arr, StandardCharsets.UTF_8)
+    }
+  }
+
+  private def readBytes(b: ByteBuffer): Array[Byte] = {
+    val len = b.getInt()
+    if (len < 0) null
+    else { val arr = new Array[Byte](len); b.get(arr); arr }
+  }
+
+  // ---- Metadata v0 ------------------------------------------------------
+
+  def metadata(host: String, port: Int, topic: String): TopicMeta = {
+    val sock = new Socket(host, port)
+    try {
+      val topicBytes = kString(topic)
+      val body = ByteBuffer.allocate(4 + topicBytes.length)
+        .putInt(1).put(topicBytes).array()
+      val r = roundTrip(sock, apiKey = 3, version = 0, corr = 1, body)
+      val brokers = (0 until r.getInt()).map { _ =>
+        BrokerMeta(r.getInt(), readString(r), r.getInt())
+      }
+      val nTopics = r.getInt()
+      require(nTopics >= 1, s"no metadata returned for $topic")
+      val tops = (0 until nTopics).map { _ =>
+        val err = r.getShort()
+        val name = readString(r)
+        val parts = (0 until r.getInt()).map { _ =>
+          val perr = r.getShort()
+          val pid = r.getInt()
+          val leader = r.getInt()
+          (0 until r.getInt()).foreach(_ => r.getInt()) // replicas
+          (0 until r.getInt()).foreach(_ => r.getInt()) // isr
+          require(perr == 0, s"partition $pid of $name: error $perr")
+          PartitionMeta(pid, leader)
+        }
+        require(err == 0, s"topic $name: error $err")
+        name -> parts
+      }.toMap
+      TopicMeta(brokers, topic, tops(topic))
+    } finally sock.close()
+  }
+
+  // ---- Fetch v0 ---------------------------------------------------------
+
+  def fetch(host: String, port: Int, topic: String, partition: Int,
+      offset: Long, maxBytes: Int = 1 << 20,
+      maxWaitMs: Int = 100): Seq[MessageRec] = {
+    val sock = new Socket(host, port)
+    try {
+      val topicBytes = kString(topic)
+      val body = ByteBuffer.allocate(4 + 4 + 4 + 4 + topicBytes.length
+          + 4 + 4 + 8 + 4)
+        .putInt(-1)          // replica_id (consumer)
+        .putInt(maxWaitMs)
+        .putInt(1)           // min_bytes
+        .putInt(1)           // one topic
+        .put(topicBytes)
+        .putInt(1)           // one partition
+        .putInt(partition)
+        .putLong(offset)
+        .putInt(maxBytes)
+        .array()
+      val r = roundTrip(sock, apiKey = 1, version = 0, corr = 2, body)
+      val recs = Seq.newBuilder[MessageRec]
+      (0 until r.getInt()).foreach { _ =>
+        val name = readString(r)
+        (0 until r.getInt()).foreach { _ =>
+          val pid = r.getInt()
+          val err = r.getShort()
+          r.getLong() // high watermark
+          val setSize = r.getInt()
+          require(err == 0, s"fetch $name/$pid: error $err")
+          val end = r.position() + setSize
+          // v0 message set: [offset INT64, size INT32, message]* —
+          // a trailing partial message (broker-side maxBytes cut) is
+          // legal and must be dropped silently
+          while (r.position() + 12 <= end) {
+            val msgOffset = r.getLong()
+            val msgSize = r.getInt()
+            if (r.position() + msgSize > end) {
+              r.position(end)
+            } else {
+              val msgStart = r.position()
+              val crc = r.getInt()
+              val crcCheck = new CRC32()
+              crcCheck.update(r.array(), r.position(),
+                msgSize - 4)
+              require((crcCheck.getValue & 0xffffffffL) ==
+                  (crc.toLong & 0xffffffffL),
+                s"CRC mismatch at offset $msgOffset")
+              val magic = r.get()
+              require(magic == 0, s"unsupported message magic $magic")
+              r.get() // attributes (0 = uncompressed)
+              val key = readBytes(r)
+              val value = readBytes(r)
+              r.position(msgStart + msgSize)
+              recs += MessageRec(pid, msgOffset, key, value)
+            }
+          }
+        }
+      }
+      recs.result()
+    } finally sock.close()
+  }
+
+  // ---- one bounded micro-batch as a DataFrame ---------------------------
+
+  /** The Spark Kafka connector's fixed output schema. */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Metadata + per-partition fetch-from-0 as ONE bounded batch in the
+    * connector's wire schema — feed to StreamingIngest.decodeKafkaEvents.
+    * (v0 messages carry no timestamp; the connector surfaces epoch 0
+    * with timestampType NO_TIMESTAMP_TYPE = -1 semantics; we pin 0.)
+    */
+  def fetchBatchDf(spark: SparkSession, host: String, port: Int,
+      topic: String): DataFrame = {
+    val meta = metadata(host, port, topic)
+    val byId = meta.brokers.map(b => b.nodeId -> b).toMap
+    val rows = meta.partitions.flatMap { p =>
+      val leader = byId(p.leaderId)
+      fetch(leader.host, leader.port, topic, p.partition, offset = 0L)
+        .map(m => Row(m.key, m.value, topic, m.partition, m.offset,
+          new java.sql.Timestamp(0L), 0))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), wireSchema)
+  }
+}

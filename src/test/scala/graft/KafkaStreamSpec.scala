@@ -50,6 +50,41 @@ class KafkaStreamSpec extends AnyFunSuite {
     assert(got(1).getDouble(4) == -2.0 && got(1).getString(5) == """{"a":1}""")
   }
 
+  test("KafkaWire: metadata + fetch v0 round-trip over a real socket, " +
+      "CRC-verified, decoded through the shared wire-schema path") {
+    val json1 = """{"event_id":11,"ts":1700000000000000000,"user_id":1,
+                    "event_type":"click","value":0.5,"props":"{}"}"""
+      .replaceAll("\n\\s*", "")
+    val json2 = """{"event_id":12,"ts":1700000001000000000,"user_id":2,
+                    "event_type":"view","value":1.5,"props":"{}"}"""
+      .replaceAll("\n\\s*", "")
+    val broker = new MockKafkaBroker("events", Seq(
+      ("k1".getBytes("UTF-8"), json1.getBytes("UTF-8")),
+      (null, json2.getBytes("UTF-8"))))
+    try {
+      val meta = streaming.KafkaWire.metadata("127.0.0.1", broker.port,
+        "events")
+      assert(meta.partitions.map(_.partition) == Seq(0))
+      assert(meta.brokers.head.port == broker.port)
+      val recs = streaming.KafkaWire.fetch("127.0.0.1", broker.port,
+        "events", partition = 0, offset = 0L)
+      assert(recs.map(_.offset) == Seq(0L, 1L))
+      assert(new String(recs.head.key, "UTF-8") == "k1")
+      assert(recs(1).key == null)
+      // resume semantics: a fetch from offset 1 returns only the tail
+      assert(streaming.KafkaWire.fetch("127.0.0.1", broker.port,
+        "events", 0, offset = 1L).map(_.offset) == Seq(1L))
+      // full path: wire batch -> connector schema -> shared decoder
+      val df = streaming.KafkaWire.fetchBatchDf(spark, "127.0.0.1",
+        broker.port, "events")
+      assert(df.schema == kafkaWire)
+      val out = StreamingIngest.decodeKafkaEvents(df)
+        .orderBy("event_id").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(11L, 12L))
+      assert(out(1).getString(3) == "view" && out(1).getDouble(4) == 1.5)
+    } finally broker.stop()
+  }
+
   test("KafkaSource branch wires to the kafka DataSource lookup") {
     val e = intercept[Exception](StreamingIngest.eventStream(spark,
       StreamingIngest.KafkaSource("broker:9092", "events")))

@@ -1,0 +1,129 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** In-test mock Kafka broker speaking the v0 wire dialect KafkaWire
+  * implements: Metadata (api 3) and Fetch (api 1) over a real TCP
+  * socket, byte-for-byte per the public protocol guide. One topic, one
+  * partition, a fixed message list; this broker is the counterparty
+  * that lets KafkaStreamSpec exercise a genuine socket round-trip in a
+  * container with no broker and no connector jars.
+  */
+class MockKafkaBroker(topic: String,
+    messages: Seq[(Array[Byte], Array[Byte])]) {
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private def kString(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    ByteBuffer.allocate(2 + b.length)
+      .putShort(b.length.toShort).put(b).array()
+  }
+
+  private def kBytes(b: Array[Byte]): Array[Byte] =
+    if (b == null) ByteBuffer.allocate(4).putInt(-1).array()
+    else ByteBuffer.allocate(4 + b.length).putInt(b.length).put(b).array()
+
+  private def messageSet(from: Long): Array[Byte] = {
+    val parts = messages.zipWithIndex.drop(from.toInt).map {
+      case ((k, v), i) =>
+        val kb = kBytes(k)
+        val vb = kBytes(v)
+        val payload = ByteBuffer.allocate(2 + kb.length + vb.length)
+          .put(0.toByte) // magic v0
+          .put(0.toByte) // attributes: uncompressed
+          .put(kb).put(vb).array()
+        val crc = new CRC32()
+        crc.update(payload)
+        val msg = ByteBuffer.allocate(4 + payload.length)
+          .putInt(crc.getValue.toInt).put(payload).array()
+        ByteBuffer.allocate(8 + 4 + msg.length)
+          .putLong(i.toLong).putInt(msg.length).put(msg).array()
+    }
+    parts.foldLeft(Array.empty[Byte])(_ ++ _)
+  }
+
+  private def metadataResponse(corr: Int): Array[Byte] = {
+    val host = kString("127.0.0.1")
+    val name = kString(topic)
+    val b = ByteBuffer.allocate(4 + 4 + (4 + host.length + 4)
+      + 4 + (2 + name.length + 4 + (2 + 4 + 4 + 4 + 4)))
+    b.putInt(corr)
+    b.putInt(1).putInt(0).put(host).putInt(port) // one broker: node 0
+    b.putInt(1)                                  // one topic
+    b.putShort(0).put(name)
+    b.putInt(1)                                  // one partition
+    b.putShort(0).putInt(0).putInt(0)            // err, pid 0, leader 0
+    b.putInt(0).putInt(0)                        // replicas[], isr[]
+    b.array()
+  }
+
+  private def fetchResponse(corr: Int, from: Long): Array[Byte] = {
+    val name = kString(topic)
+    val set = messageSet(from)
+    val b = ByteBuffer.allocate(4 + 4 + 2 + name.length + 4
+      + 4 + 2 + 8 + 4 + set.length)
+    b.putInt(corr)
+    b.putInt(1).put(name)                        // one topic
+    b.putInt(1)                                  // one partition
+    b.putInt(0).putShort(0)                      // pid 0, no error
+    b.putLong(messages.size.toLong)              // high watermark
+    b.putInt(set.length).put(set)
+    b.array()
+  }
+
+  private val thread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        serve(sock)
+      } catch { case _: Throwable if !running => () }
+    }
+  }, "mock-kafka-broker")
+  thread.setDaemon(true)
+  thread.start()
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val size = in.readInt()
+      val buf = new Array[Byte](size)
+      in.readFully(buf)
+      val req = ByteBuffer.wrap(buf)
+      val apiKey = req.getShort()
+      req.getShort() // api version (v0 expected)
+      val corr = req.getInt()
+      val cidLen = req.getShort() // client id
+      if (cidLen > 0) req.position(req.position() + cidLen)
+      val resp = apiKey match {
+        case 3 => metadataResponse(corr)
+        case 1 =>
+          req.getInt(); req.getInt(); req.getInt() // replica/wait/min
+          req.getInt()                             // topic count
+          val tLen = req.getShort()                // topic name
+          req.position(req.position() + tLen)
+          req.getInt()                             // partition count
+          req.getInt()                             // partition id
+          val offset = req.getLong()
+          fetchResponse(corr, offset)
+        case other =>
+          throw new IllegalStateException(s"mock broker: api $other")
+      }
+      out.writeInt(resp.length)
+      out.write(resp)
+      out.flush()
+    } finally sock.close()
+  }
+
+  def stop(): Unit = {
+    running = false
+    server.close()
+  }
+}
