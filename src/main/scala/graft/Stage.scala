@@ -26,7 +26,13 @@ object Stage {
   }
 
   private def deleteTree(p: Path): Unit = {
-    if (Files.isDirectory(p))
+    // NOFOLLOW is load-bearing: the streaming file source symlinks the
+    // fixture's events.parquet into a scratch dir, and a follow here
+    // would descend THROUGH the link and delete the fixture's own
+    // files (observed round 10: a directory-shaped GenScaled fixture
+    // was emptied by the shutdown hook). A symlink is deleted as a
+    // link, never traversed.
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       Files.list(p).forEach(deleteTree(_))
     Files.deleteIfExists(p)
   }

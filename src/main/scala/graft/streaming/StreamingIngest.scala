@@ -85,9 +85,24 @@ object StreamingIngest {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val srcDir = java.nio.file.Paths.get(
           graft.Stage.scratchDir("graft_stream_src"))
-        java.nio.file.Files.createSymbolicLink(
-          srcDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val fixture = java.nio.file.Paths.get(s"$dir/events.parquet")
+        // Directory-shaped fixtures (multi-file parquet, e.g. GenScaled
+        // output) must be linked FILE BY FILE: the file stream source
+        // lists the landing dir non-recursively, so a symlinked
+        // subdirectory contributes zero input files.
+        if (java.nio.file.Files.isDirectory(fixture)) {
+          val l = java.nio.file.Files.list(fixture)
+          try {
+            import scala.jdk.CollectionConverters._
+            l.iterator().asScala
+              .filter(_.toString.endsWith(".parquet"))
+              .foreach(p => java.nio.file.Files.createSymbolicLink(
+                srcDir.resolve(p.getFileName), p))
+          } finally l.close()
+        } else {
+          java.nio.file.Files.createSymbolicLink(
+            srcDir.resolve("events.parquet"), fixture)
+        }
         val inferred = spark.read.parquet(s"$dir/events.parquet").schema
         val raw = spark.readStream.schema(inferred).parquet(srcDir.toString)
         inferred("ts").dataType match {
