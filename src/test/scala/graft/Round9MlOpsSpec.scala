@@ -22,6 +22,35 @@ class Round9MlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q434 never logs the trivially-true self-join predicate warning " +
+      "(explicit aliases on shared-lineage joins)") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender("graft-selfjoin-capture", null, null,
+        true, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("trivially true")) hits.add(m)
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      q("q434_ips_policy_eval").collect()
+    } finally {
+      root.removeAppender("graft-selfjoin-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    assert(hits.isEmpty,
+      s"self-join resolved via trivially-true predicate repair: $hits")
+  }
+
   test("q435: ranks are a permutation and gains decrease with rank") {
     val rows = q("q435_infogain_ranking").collect()
       .sortBy(_.getAs[Number]("rank").longValue())
