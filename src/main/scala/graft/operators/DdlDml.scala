@@ -313,6 +313,87 @@ object DdlDml {
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), schema)
         .orderBy("col_name")
+    }),
+
+    // CBO join REORDER (round-11, one step past q581's build-side
+    // flip — the full FromTableReordering.cpp:118 analog): a 3-table
+    // join written fact⋈BIG-fanout-dim⋈tiny-dim in deliberately bad
+    // textual order. With ANALYZE column stats + cbo.joinReorder
+    // enabled, Spark's cost-based reorder must join the TINY dim
+    // first (the textual order pays a fanout× intermediate); with the
+    // flags off the textual order stands. Both plan shapes are
+    // REQUIRED (a silent non-reorder fails the query, not just a
+    // spec), and the aggregate result — order-invariant — is
+    // hash-gated against DuckDB. DdlSpec pins the same flip.
+    "q583_cbo_join_reorder" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      Seq("f_q583", "d1_q583", "d2_q583")
+        .foreach(t => eng.sql(s"DROP TABLE IF EXISTS $t"))
+      eng.sql(
+        """CREATE TABLE f_q583 AS
+           SELECT l_orderkey % 50 AS fk1, l_linenumber % 5 AS fk2,
+                  l_quantity FROM lineitem""")
+      eng.sql(
+        """CREATE TABLE d1_q583 AS
+           SELECT o_orderkey % 50 AS k1, o_totalprice AS w
+           FROM orders""")
+      eng.sql(
+        """CREATE TABLE d2_q583 AS
+           SELECT DISTINCT l_linenumber % 5 AS k2 FROM lineitem""")
+      eng.sql("ANALYZE TABLE f_q583 COMPUTE STATISTICS FOR COLUMNS fk1, fk2")
+      eng.sql("ANALYZE TABLE d1_q583 COMPUTE STATISTICS FOR COLUMNS k1")
+      eng.sql("ANALYZE TABLE d2_q583 COMPUTE STATISTICS FOR COLUMNS k2")
+      val q =
+        """SELECT k2, count(*) AS n, round(sum(l_quantity), 2) AS sq,
+                  round(sum(w), 2) AS sw
+           FROM f_q583 JOIN d1_q583 ON fk1 = k1
+                       JOIN d2_q583 ON fk2 = k2
+           GROUP BY k2"""
+      // innermost join's leaf tables (the first join executed)
+      def innermost(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        import org.apache.spark.sql.execution.datasources.{
+          HadoopFsRelation, LogicalRelation}
+        val joins = df.queryExecution.optimizedPlan
+          .collect { case j: Join => j }
+        val deepest = joins.filter(j => j.children.forall(
+          c => c.collectFirst { case jj: Join => jj }.isEmpty))
+        deepest.flatMap(_.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).toSeq
+            case _ => Seq.empty[String]
+          }
+        }.flatten).toSet.flatMap { (p: String) =>
+          "(f|d1|d2)_q583".r.findFirstIn(p)
+        }
+      }
+      val cboPrev = s.conf.get("spark.sql.cbo.enabled", "false")
+      val reoPrev = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+      val out = try {
+        s.conf.set("spark.sql.cbo.enabled", "false")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        val textual = innermost(eng.sql(q))
+        require(textual == Set("f_q583", "d1_q583"),
+          s"without CBO the textual join order must stand, got $textual")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val df = eng.sql(q)
+        val reordered = innermost(df)
+        require(reordered == Set("f_q583", "d2_q583"),
+          s"CBO stats did not reorder the join, innermost = $reordered")
+        val rows = df.collect().toSeq // ≤5 groups — bounded
+        (rows, df.schema)
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", cboPrev)
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", reoPrev)
+      }
+      Seq("f_q583", "d1_q583", "d2_q583")
+        .foreach(t => eng.sql(s"DROP TABLE $t"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(out._1, 1), out._2)
+        .withColumn("reorder_pinned", org.apache.spark.sql.functions.lit(true))
+        .orderBy("k2")
     })
   )
 
@@ -448,6 +529,19 @@ object DdlDml {
                WHERE o_orderkey % 3 = 0) o
            ON l.l_orderkey = o.o_orderkey
          GROUP BY o.o_orderpriority
-         ORDER BY o.o_orderpriority"""
+         ORDER BY o.o_orderpriority""",
+    "q583_cbo_join_reorder" ->
+      """WITH f AS (
+           SELECT l_orderkey % 50 AS fk1, l_linenumber % 5 AS fk2,
+                  l_quantity FROM lineitem),
+         d1 AS (
+           SELECT o_orderkey % 50 AS k1, o_totalprice AS w FROM orders),
+         d2 AS (
+           SELECT DISTINCT l_linenumber % 5 AS k2 FROM lineitem)
+         SELECT k2, count(*)::BIGINT AS n,
+                round(sum(l_quantity), 2) AS sq,
+                round(sum(w), 2) AS sw, true AS reorder_pinned
+         FROM f JOIN d1 ON fk1 = k1 JOIN d2 ON fk2 = k2
+         GROUP BY k2 ORDER BY k2"""
   )
 }

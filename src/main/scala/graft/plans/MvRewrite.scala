@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -49,12 +50,6 @@ object MvRewrite {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Mv]()
 
-  private def strip(p: LogicalPlan): LogicalPlan = p match {
-    case Project(_, c)         => strip(c)
-    case SubqueryAlias(_, c)   => strip(c)
-    case other                 => other
-  }
-
   /** Strict strip: only pure attribute-selection Projects (column
     * pruning) and aliases are transparent — a Project computing new
     * expressions is semantics and must NOT be looked through.
@@ -79,42 +74,95 @@ object MvRewrite {
     case _ => false
   }
 
-  private def stripQuery(p: LogicalPlan): LogicalPlan = p match {
+  private def lc(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Column names (lowercased) that are equi-join keys of an INNER
+    * join anywhere in the MV base tree. Only IsNotNull filters on
+    * THESE columns are provably implied by the base (an inner equi
+    * join already discards null keys from both sides); an IsNotNull
+    * on anything else is user semantics and blocks the match
+    * (round-10 ADVICE: stripping every IsNotNull let `WHERE x IS NOT
+    * NULL` over a bare scan falsely match an unfiltered MV).
+    */
+  private def innerJoinKeys(p: LogicalPlan): Set[String] =
+    stripPrune(p) match {
+      case Join(l, r, Inner, cond, _) =>
+        cond.toSeq.flatMap(_.collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            Seq(lc(a.name), lc(b.name))
+        }.flatten).toSet ++ innerJoinKeys(l) ++ innerJoinKeys(r)
+      case _ => Set.empty
+    }
+
+  private def stripQuery(p: LogicalPlan, joinKeys: Set[String])
+      : LogicalPlan = p match {
     case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
-      stripQuery(c)
-    case SubqueryAlias(_, c) => stripQuery(c)
-    case Filter(cond, c) if onlyIsNotNull(cond) => stripQuery(c)
+      stripQuery(c, joinKeys)
+    case SubqueryAlias(_, c) => stripQuery(c, joinKeys)
+    case Filter(cond, c) if onlyIsNotNull(cond) &&
+        cond.references.forall(a => joinKeys(lc(a.name))) =>
+      stripQuery(c, joinKeys)
     case other => other
   }
 
-  /** Attribute-name-normalized expression (exprIds and qualifiers
-    * erased) so join conditions from two independently-analyzed plans
-    * over the same tables compare structurally.
+  /** 63-bit FNV-1a over the side+name key. Expression canonicalization
+    * ERASES attribute names but KEEPS exprIds (Catalyst's
+    * `Canonicalize`), so the normalization key must ride the exprId —
+    * a name-tagged attribute with a constant exprId canonicalizes
+    * identical to every other attribute of its type and would match
+    * ANY condition of the same shape.
     */
-  private def normExpr(e: Expression): Expression = e.transform {
+  private def fnv63(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h & Long.MaxValue
+  }
+
+  /** Join condition normalized POSITIONALLY: each attribute is keyed
+    * by the join side that outputs it (resolved by exprId against the
+    * UNSTRIPPED children of the same Join node) plus its column name,
+    * the key carried in the exprId (see fnv63) — so two independently
+    * analyzed plans over the same tables compare structurally, while
+    * a self-join on `l.x = r.y` can no longer match a query joining
+    * on `l.y = r.x` (round-10 ADVICE: bare-name normalization
+    * collapsed both to `x = y`).
+    */
+  private def normJoinCond(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Expression = cond.transform {
     case a: AttributeReference =>
-      AttributeReference(a.name.toLowerCase(java.util.Locale.ROOT),
-        a.dataType, a.nullable)(exprId = ExprId(0), qualifier = Nil)
+      val side =
+        if (left.outputSet.contains(a)) "l#"
+        else if (right.outputSet.contains(a)) "r#"
+        else "?#"
+      AttributeReference(side + lc(a.name), a.dataType, nullable = true)(
+        exprId = ExprId(fnv63(side + lc(a.name))), qualifier = Nil)
   }
 
   /** Does the query aggregate's child compute the MV's base relation?
     * Join-aware (round-10, the reference's recycler serves repeated
     * JOIN subplans — `QueryEngine/DataRecycler/`): descend through
-    * structurally-equal joins (same type, name-normalized condition)
-    * because column pruning rewrites the Projects inside a join tree,
-    * which defeats a whole-plan sameResult; leaves (managed-table
-    * scans) still compare by sameResult.
+    * structurally-equal joins (same type, side+name-normalized
+    * condition) because column pruning rewrites the Projects inside a
+    * join tree, which defeats a whole-plan sameResult; leaves
+    * (managed-table scans) still compare by sameResult.
     */
   private def baseMatches(q: LogicalPlan, b: LogicalPlan): Boolean =
-    (stripQuery(q), stripPrune(b)) match {
+    matches(q, b, innerJoinKeys(b))
+
+  private def matches(q: LogicalPlan, b: LogicalPlan,
+      joinKeys: Set[String]): Boolean =
+    (stripQuery(q, joinKeys), stripPrune(b)) match {
       case (Join(l1, r1, t1, c1, _), Join(l2, r2, t2, c2, _)) =>
         t1 == t2 &&
           ((c1, c2) match {
             case (Some(x), Some(y)) =>
-              normExpr(x).semanticEquals(normExpr(y))
+              normJoinCond(x, l1, r1)
+                .semanticEquals(normJoinCond(y, l2, r2))
             case (None, None) => true
             case _ => false
-          }) && baseMatches(l1, l2) && baseMatches(r1, r2)
+          }) && matches(l1, l2, joinKeys) && matches(r1, r2, joinKeys)
       case (x, y) => x.sameResult(y)
     }
 
@@ -166,9 +214,16 @@ object MvRewrite {
           }
         case _ => ok = false
       }
-      if (ok) {
+      // The stored base must strip ONLY pruning Projects/aliases: a
+      // COMPUTING Project under the aggregate (e.g. GROUP BY on a
+      // derived alias) is semantics — collapsing it to the bare scan
+      // would let a query grouping on a REAL same-named column be
+      // answered from the MV's computed dimension (round-10 ADVICE).
+      // Such definitions are refused rather than loosely registered.
+      val base = stripPrune(child)
+      if (ok && !base.isInstanceOf[Project]) {
         registry.put(name,
-          Mv(name, strip(child), scanPlan, dims, sums, mins, maxs, cnt))
+          Mv(name, base, scanPlan, dims, sums, mins, maxs, cnt))
         true
       } else false
     case _ => false
@@ -272,7 +327,12 @@ object MvRewrite {
             case m: Max =>
               reAgg(Max(mv.maxs(m.child
                 .asInstanceOf[AttributeReference].name)))
-            case _: Count => reAgg(Sum(mv.cnt.get))
+            // COUNT(*) re-summed over an EMPTY mv scan yields NULL
+            // where the original count returns 0 (reachable for a
+            // global aggregate over a star-join base whose join is
+            // empty) — coalesce restores the count contract.
+            case _: Count =>
+              Coalesce(Seq(reAgg(Sum(mv.cnt.get)), Literal(0L)))
           }
           // Re-aggregation can widen the type (Sum over a partial sum:
           // DecimalType precision grows +10 twice, Count re-summed is a

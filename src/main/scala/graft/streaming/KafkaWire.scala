@@ -213,4 +213,76 @@ object KafkaWire {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), wireSchema)
   }
+
+  // ---- offset-resuming poll loop ----------------------------------------
+
+  /** The micro-batch poll driver the reference's importer implements
+    * (`ImportExport/KafkaImporter.cpp:476` — poll → batch → commit):
+    * per-partition consumed offsets live in this consumer; each
+    * `poll()` re-reads topic metadata (leaders may move between
+    * polls — a broker restart lands here), fetches each partition
+    * FROM its committed offset, and advances the offset only after
+    * the batch's rows are materialized, so a fetch that throws
+    * mid-poll (broker down) is redelivered in full on the next poll —
+    * at-least-once on failures, exactly-once across CLEAN polls
+    * (asserted duplicate-free by KafkaStreamSpec across a simulated
+    * broker restart). Connection errors are retried with bounded
+    * backoff inside `poll` so a restarting broker costs one stall,
+    * not a lost batch.
+    */
+  final class PollConsumer(host: String, port: Int, topic: String,
+      retries: Int = 20, backoffMs: Long = 50L) {
+
+    private val committed =
+      scala.collection.mutable.Map.empty[Int, Long]
+
+    /** Committed next-fetch offset per partition (0 before first poll). */
+    def committedOffsets: Map[Int, Long] = committed.toMap.withDefault(_ => 0L)
+
+    private def withRetry[T](what: String)(f: => T): T = {
+      var attempt = 0
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(f)
+        catch {
+          case e: java.io.IOException =>
+            attempt += 1
+            if (attempt > retries)
+              throw new java.io.IOException(
+                s"$what: broker unreachable after $retries retries", e)
+            Thread.sleep(backoffMs)
+        }
+      }
+      out.get
+    }
+
+    /** One micro-batch: every partition fetched from its committed
+      * offset; offsets advance past the returned records only after
+      * the whole poll succeeds. Returns records in wire order.
+      */
+    def poll(): Seq[MessageRec] = {
+      val meta = withRetry("metadata")(metadata(host, port, topic))
+      val byId = meta.brokers.map(b => b.nodeId -> b).toMap
+      val recs = meta.partitions.flatMap { p =>
+        val leader = byId(p.leaderId)
+        val from = committed.getOrElse(p.partition, 0L)
+        withRetry(s"fetch p${p.partition}")(
+          fetch(leader.host, leader.port, topic, p.partition, from))
+      }
+      // commit AFTER every partition fetched — a throw above leaves
+      // all offsets untouched and the next poll redelivers
+      recs.groupBy(_.partition).foreach { case (p, ms) =>
+        committed(p) = ms.map(_.offset).max + 1L
+      }
+      recs
+    }
+
+    /** `poll` as a bounded DataFrame in the connector wire schema. */
+    def pollDf(spark: SparkSession): DataFrame = {
+      val rows = poll().map(m => Row(m.key, m.value, topic, m.partition,
+        m.offset, new java.sql.Timestamp(0L), 0))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), wireSchema)
+    }
+  }
 }

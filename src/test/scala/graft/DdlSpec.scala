@@ -565,6 +565,20 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_narrow")
   }
 
+  test("CBO join reorder: ANALYZE column stats flip a 3-table join " +
+      "order under cbo.joinReorder.enabled; textual order stands " +
+      "without them") {
+    // The q583 entry REQUIREs both plan shapes internally (innermost
+    // join = fact⋈tiny-dim with stats+flags, fact⋈fanout-dim without)
+    // and throws on any non-reorder — running it IS the plan pin.
+    val df = SparkEntry.queries("q583_cbo_join_reorder")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5, "expected one group per k2 value 0-4")
+    assert(rows.forall(_.getAs[Boolean]("reorder_pinned")))
+    // fanout sanity: every group joins >1 d1 row per fact row
+    assert(rows.forall(r => r.getAs[Long]("n") > 0))
+  }
+
   test("VERSION AS OF reads historical versions; VACUUM makes them " +
       "unreadable with a clear error") {
     val eng = HeavyEngine(spark, sf)

@@ -1,7 +1,7 @@
 package graft
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.net.{ServerSocket, Socket}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 import java.util.zip.CRC32
@@ -9,16 +9,45 @@ import java.util.zip.CRC32
 /** In-test mock Kafka broker speaking the v0 wire dialect KafkaWire
   * implements: Metadata (api 3) and Fetch (api 1) over a real TCP
   * socket, byte-for-byte per the public protocol guide. One topic, one
-  * partition, a fixed message list; this broker is the counterparty
-  * that lets KafkaStreamSpec exercise a genuine socket round-trip in a
-  * container with no broker and no connector jars.
+  * partition, an appendable message log; this broker is the
+  * counterparty that lets KafkaStreamSpec exercise a genuine socket
+  * round-trip in a container with no broker and no connector jars.
+  *
+  * Round-11 additions for the offset-resuming poll-loop contract:
+  * `append` grows the log between polls (fetch responses honor the
+  * requested offset, so a resumed consumer sees only the new tail) and
+  * `restart()` simulates a broker bounce — the listener drops and
+  * re-binds on the SAME port with the log intact, so in-flight
+  * connects fail with IOException exactly like a real restart.
   */
 class MockKafkaBroker(topic: String,
-    messages: Seq[(Array[Byte], Array[Byte])]) {
+    initial: Seq[(Array[Byte], Array[Byte])]) {
 
-  private val server = new ServerSocket(0)
-  def port: Int = server.getLocalPort
+  private val log =
+    scala.collection.mutable.ArrayBuffer(initial: _*)
+  @volatile private var server = new ServerSocket(0)
+  private val boundPort = server.getLocalPort
+  def port: Int = boundPort
   @volatile private var running = true
+  @volatile private var accepting = true
+
+  def append(msgs: Seq[(Array[Byte], Array[Byte])]): Unit =
+    log.synchronized { log ++= msgs }
+
+  /** Drop the listener (in-flight connects fail), then re-bind the
+    * same port. The message log survives, like a broker restart over
+    * a persistent topic log.
+    */
+  def restart(downMs: Long = 0L): Unit = {
+    accepting = false
+    server.close()
+    if (downMs > 0) Thread.sleep(downMs)
+    val s = new ServerSocket()
+    s.setReuseAddress(true)
+    s.bind(new InetSocketAddress(boundPort))
+    server = s
+    accepting = true
+  }
 
   private def kString(s: String): Array[Byte] = {
     val b = s.getBytes(StandardCharsets.UTF_8)
@@ -30,8 +59,9 @@ class MockKafkaBroker(topic: String,
     if (b == null) ByteBuffer.allocate(4).putInt(-1).array()
     else ByteBuffer.allocate(4 + b.length).putInt(b.length).put(b).array()
 
-  private def messageSet(from: Long): Array[Byte] = {
-    val parts = messages.zipWithIndex.drop(from.toInt).map {
+  private def messageSet(from: Long): (Array[Byte], Long) = {
+    val snapshot = log.synchronized { log.toVector }
+    val parts = snapshot.zipWithIndex.drop(from.toInt).map {
       case ((k, v), i) =>
         val kb = kBytes(k)
         val vb = kBytes(v)
@@ -46,7 +76,7 @@ class MockKafkaBroker(topic: String,
         ByteBuffer.allocate(8 + 4 + msg.length)
           .putLong(i.toLong).putInt(msg.length).put(msg).array()
     }
-    parts.foldLeft(Array.empty[Byte])(_ ++ _)
+    (parts.foldLeft(Array.empty[Byte])(_ ++ _), snapshot.size.toLong)
   }
 
   private def metadataResponse(corr: Int): Array[Byte] = {
@@ -66,14 +96,14 @@ class MockKafkaBroker(topic: String,
 
   private def fetchResponse(corr: Int, from: Long): Array[Byte] = {
     val name = kString(topic)
-    val set = messageSet(from)
+    val (set, hw) = messageSet(from)
     val b = ByteBuffer.allocate(4 + 4 + 2 + name.length + 4
       + 4 + 2 + 8 + 4 + set.length)
     b.putInt(corr)
     b.putInt(1).put(name)                        // one topic
     b.putInt(1)                                  // one partition
     b.putInt(0).putShort(0)                      // pid 0, no error
-    b.putLong(messages.size.toLong)              // high watermark
+    b.putLong(hw)                                // high watermark
     b.putInt(set.length).put(set)
     b.array()
   }
@@ -83,7 +113,11 @@ class MockKafkaBroker(topic: String,
       try {
         val sock = server.accept()
         serve(sock)
-      } catch { case _: Throwable if !running => () }
+      } catch {
+        case _: Throwable if !running => ()
+        case _: java.io.IOException => // restart window: wait for re-bind
+          while (running && !accepting) Thread.sleep(5)
+      }
     }
   }, "mock-kafka-broker")
   thread.setDaemon(true)

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression pins for the round-10 ADVICE findings on
+  * plans/MvRewrite.scala — each test is the exact false-match (or
+  * wrong-value) shape the advisor constructed, asserted to no longer
+  * fire while the intended rewrite still does.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("user-written IS NOT NULL over a bare-scan base blocks the MV " +
+      "match; the unfiltered roll-up still rewrites") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_inn")
+    eng.sql("DROP TABLE IF EXISTS mvb_inn")
+    // x is nullable and NOT a join key of anything — an MV defined
+    // WITHOUT the filter must not answer a query filtered on x.
+    eng.sql(
+      """CREATE TABLE mvb_inn AS
+         SELECT l_returnflag AS g, l_quantity AS m,
+                CASE WHEN l_orderkey % 2 = 0 THEN l_partkey END AS x
+         FROM lineitem WHERE l_orderkey % 5 = 0""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_inn AS
+         SELECT g, sum(m) AS sm, count(*) AS cnt
+         FROM mvb_inn GROUP BY g""")
+    // truth computed directly (the filter makes it non-derivable, so
+    // even post-MV this SQL must hit the base — that IS the assertion)
+    val filtered = eng.sql(
+      """SELECT g, sum(m) AS s FROM mvb_inn
+         WHERE x IS NOT NULL GROUP BY g""")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("sum(sm"),
+      "IS NOT NULL query was wrongly served from the unfiltered MV")
+    assert(plan.contains("isnotnull(x"),
+      "the user filter vanished from the executed plan")
+    // unfiltered roll-up (identical groupings) still rewrites
+    val full = eng.sql("SELECT g, sum(m) AS s FROM mvb_inn GROUP BY g")
+    assert(full.queryExecution.executedPlan.toString.contains("sum(sm"),
+      "the intended unfiltered rewrite stopped firing")
+    // and the filtered values are genuinely different from the full ones
+    val fv = filtered.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val uv = full.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fv.exists { case (k, v) => uv(k) != v },
+      "fixture degenerate: filter removed no rows")
+    eng.sql("DROP MATERIALIZED VIEW mv_inn")
+    eng.sql("DROP TABLE mvb_inn")
+  }
+
+  test("self-join MV on t1.a = t2.b does not answer the transposed " +
+      "join t1.b = t2.a; the identical condition still rewrites") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_sj")
+    eng.sql("DROP TABLE IF EXISTS sjb_mv")
+    eng.sql(
+      """CREATE TABLE sjb_mv AS
+         SELECT o_orderkey % 50 AS a, o_custkey % 50 AS b,
+                o_totalprice AS m
+         FROM orders WHERE o_orderkey % 11 = 0""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_sj AS
+         SELECT t2.b AS gb, sum(t1.m) AS sm, count(*) AS cnt
+         FROM sjb_mv t1 JOIN sjb_mv t2 ON t1.a = t2.b
+         GROUP BY t2.b""")
+    // transposed condition: both canonicalize to bare-name a=b under
+    // the old normalization, but the join pairs are reversed — the
+    // rewrite would return sums of the WRONG side's measure
+    val transposed = eng.sql(
+      """SELECT t2.b AS gb, sum(t1.m) AS s
+         FROM sjb_mv t1 JOIN sjb_mv t2 ON t1.b = t2.a
+         GROUP BY t2.b""")
+    assert(transposed.queryExecution.executedPlan.toString
+      .toLowerCase.contains("join"),
+      "transposed self-join condition was wrongly served from the MV")
+    // positive control: the MV's own condition rewrites join-free
+    val same = eng.sql(
+      """SELECT t2.b AS gb, sum(t1.m) AS s
+         FROM sjb_mv t1 JOIN sjb_mv t2 ON t1.a = t2.b
+         GROUP BY t2.b""")
+    val p = same.queryExecution.executedPlan.toString
+    assert(p.contains("sum(sm") && !p.toLowerCase.contains("join"),
+      "the matching self-join roll-up stopped rewriting")
+    eng.sql("DROP MATERIALIZED VIEW mv_sj")
+    eng.sql("DROP TABLE sjb_mv")
+  }
+
+  test("an MV whose GROUP BY rides a computing Project is refused " +
+      "registration (the base never collapses past semantics)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_cp")
+    eng.sql("DROP TABLE IF EXISTS mvb_cp")
+    eng.sql(
+      """CREATE TABLE mvb_cp AS
+         SELECT l_returnflag, l_linestatus, l_quantity
+         FROM lineitem WHERE l_orderkey % 5 = 0""")
+    val reg = eng.sql(
+      """CREATE MATERIALIZED VIEW mv_cp AS
+         SELECT p, sum(l_quantity) AS sq, count(*) AS cnt
+         FROM (SELECT concat(l_returnflag, l_linestatus) AS p,
+                      l_quantity
+               FROM mvb_cp)
+         GROUP BY p""").collect().head
+    assert(!reg.getAs[Boolean]("rewrite_registered"),
+      "computed-dimension MV must not register for rewrite")
+    // the MV table itself still materialized and is directly queryable
+    assert(eng.sql("SELECT count(*) AS n FROM mv_cp")
+      .collect().head.getLong(0) > 0)
+    eng.sql("DROP MATERIALIZED VIEW mv_cp")
+    eng.sql("DROP TABLE mvb_cp")
+  }
+
+  test("global COUNT(*) rewritten against a grouped MV over an empty " +
+      "base returns 0, not NULL") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_emp")
+    eng.sql("DROP TABLE IF EXISTS mvb_emp")
+    eng.sql(
+      """CREATE TABLE mvb_emp AS
+         SELECT l_returnflag AS g, l_quantity AS m
+         FROM lineitem WHERE 1 = 0""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_emp AS
+         SELECT g, sum(m) AS sm, count(*) AS cnt
+         FROM mvb_emp GROUP BY g""")
+    val df = eng.sql("SELECT count(*) AS n FROM mvb_emp")
+    // must have been rewritten (re-sums the MV's cnt partials)…
+    assert(df.queryExecution.executedPlan.toString.contains("sum(cnt"),
+      "global count over the base was not rewritten to the MV")
+    val row = df.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"COUNT(*) over empty base via MV must be 0, got $row")
+    eng.sql("DROP MATERIALIZED VIEW mv_emp")
+    eng.sql("DROP TABLE mvb_emp")
+  }
+}
