@@ -108,6 +108,30 @@ object Bench {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_orderkey"))
           .orderBy(col("l_linenumber"), col("l_partkey"))).as("rn")))
+      // one MINIMAL streaming query (3-row file source, single batch):
+      // the session's streaming machinery — state-store coordinator,
+      // streaming listener bus, offset/commit-log classes — initializes
+      // once per JVM, and without this it lands on whichever
+      // q302/q327/q403-class query the interleave runs first
+      // (round-11: the streaming-fixture floor is bench hygiene,
+      // not plan cost)
+      val wsDir = Stage.scratchDir("graft_bench_wsrc")
+      val woDir = Stage.scratchDir("graft_bench_wout")
+      spark.range(3).select(col("id")).coalesce(1)
+        .write.mode("overwrite").parquet(wsDir)
+      val wq = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(wsDir)
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", wsDir + "/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(woDir)
+        }
+        .start()
+      try wq.processAllAvailable() finally wq.stop()
     } catch { case _: Throwable => () } // warm-up must never kill the sweep
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
 
@@ -120,6 +144,7 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val cold = scala.collection.mutable.Map.empty[String, Double]
     val gcMs = scala.collection.mutable.Map.empty[String, Long]
+    val cgMs = scala.collection.mutable.Map.empty[String, Long]
     val passes = scala.collection.mutable.Map.empty[String, Int]
     var elapsed = 0.0
 
@@ -130,6 +155,13 @@ object Bench {
       val qs = numMap(n => r3(best(n)))
       val colds = numMap(n => r3(cold.getOrElse(n, -1.0)))
       val gcs = numMap(n => gcMs.getOrElse(n, 0L).toString)
+      // per-query session-overhead floor (seconds): GC + janino codegen
+      // attributed to the best pass. (wall − floor) is the plan cost a
+      // sub-second query actually exercises — the field the driver-vs-
+      // close 3× adjudication subtracts before naming a regression
+      // (round-10 VERDICT "what's wrong" #2 / next #6).
+      val floors = numMap(n => r3(
+        (gcMs.getOrElse(n, 0L) + cgMs.getOrElse(n, 0L)) / 1000.0))
       val ps = numMap(n => passes.getOrElse(n, 0).toString)
       val total = r3(names.map(best(_)).filter(_ >= 0).sum)
       val p2cov =
@@ -138,7 +170,7 @@ object Bench {
           / names.size)
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""cold":$colds,"gc_ms":$gcs,"passes":$ps,""" +
+          s""""cold":$colds,"gc_ms":$gcs,"floor":$floors,"passes":$ps,""" +
           s""""pass2_coverage":$p2cov,"warmup_sec":${r3(warmupSec)},""" +
           s""""sf":"$sfDir"}"""
       // The FILE keeps the one-line contract. On STDOUT a compact
@@ -151,15 +183,30 @@ object Bench {
       json + "\n" + compact
     }
 
+    // Cumulative janino compile time (ms) from Spark's codegen metrics
+    // source. The Codahale histogram keeps a sampled reservoir, so the
+    // sum is reconstructed as count × sampled mean — an attribution
+    // estimate, not an exact counter, which is all the floor needs.
+    def codegenMillis(): Double = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      h.getCount.toDouble * h.getSnapshot.getMean
+    }
+
     def timed(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val g0 = gcMillis()
+      val c0 = codegenMillis()
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
       val t = (System.nanoTime() - t0) / 1e9
       val g = gcMillis() - g0
+      val c = codegenMillis() - c0
       elapsed += t
       passes(name) = passes.getOrElse(name, 0) + 1
-      if (!best.contains(name) || t < best(name)) gcMs(name) = g
+      if (!best.contains(name) || t < best(name)) {
+        gcMs(name) = g
+        cgMs(name) = math.max(0L, c.round)
+      }
       t
     }
 

@@ -279,20 +279,27 @@ object Ddl {
     val tgt = table(spark, name)
     val j = tgt.withColumn("__tp", lit(1))
       .withColumn("__tid", monotonically_increasing_id()).as("t")
-      .join(src.withColumn("__sp", lit(1)).as("s"),
+      .join(src.withColumn("__sp", lit(1))
+        .withColumn("__sid", monotonically_increasing_id()).as("s"),
         expr(onCond), "full_outer")
     val tp = col("t.__tp").isNotNull
     val sp = col("s.__sp").isNotNull
     // SQL:2003 / lakehouse MERGE cardinality rule: a target row matched
     // by MORE THAN ONE source row is an error, not a silent duplication.
-    // One bounded pre-flight aggregate (limit 1 — we only need existence)
-    // before the rewrite job.
-    val multi = j.filter(tp && sp)
-      .groupBy(col("t.__tid")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(multi == 0,
+    // Round-11: the check is FUSED into the rewrite job (the old
+    // separate pre-flight action re-ran the full-outer join — two table
+    // passes per MERGE, the measured floor under the streaming
+    // merge-per-micro-batch queries): a window keyed by target row id
+    // counts each target's source matches and raise_error fires inside
+    // the rewrite, which aborts BEFORE swapIn commits the new version —
+    // the refusal contract is unchanged. Insert-only rows (null __tid)
+    // get a unique synthetic key so no window partition can skew.
+    val cardMsg =
       s"MERGE INTO $name: the ON condition matches multiple source rows " +
-        "to one target row; de-duplicate the source on the merge keys")
+        "to one target row; de-duplicate the source on the merge keys"
+    val wKey = when(tp, col("t.__tid")).otherwise(-col("s.__sid") - 1)
+    val mcnt = count(when(tp && sp, 1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(wKey))
     val updMap = updates.getOrElse(Nil)
       .map { case (k, v) => k.replaceAll("(?i)^t\\.", "") -> v }.toMap
     val insMap = insert.getOrElse(Nil).toMap
@@ -306,10 +313,20 @@ object Ddl {
         .otherwise(ins)
         .cast(f.dataType).as(f.name)
     }
-    val kept = j.filter((tp && !sp) ||
-      (tp && sp && lit(!isDelete)) ||
-      (!tp && sp && lit(insert.isDefined)))
-    swapIn(spark, name, kept.select(out: _*))
+    val kept = j.withColumn("__mc", mcnt).filter(
+      when(col("__mc") > 1, raise_error(lit(cardMsg)).cast("boolean"))
+        .otherwise((tp && !sp) ||
+          (tp && sp && lit(!isDelete)) ||
+          (!tp && sp && lit(insert.isDefined))))
+    try swapIn(spark, name, kept.select(out: _*))
+    catch {
+      case e: Throwable
+          if Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(8)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("multiple source rows"))) =>
+        throw new IllegalArgumentException(cardMsg, e)
+    }
   }
 
   /** DELETE FROM ... WHERE cond — copy-on-write anti-filter. */
