@@ -46,66 +46,66 @@ object SparkEntry {
     (operators.Profiling.queries, operators.Profiling.oracles),
     (operators.OpsDiagnostics.queries, operators.OpsDiagnostics.oracles),
     (operators.GraphAnalytics.queries, operators.GraphAnalytics.oracles),
-    (operators.Round8Ops.queries, operators.Round8Ops.oracles),
-    (operators.Round9Ops.queries, operators.Round9Ops.oracles),
-    (operators.Round9Stats.queries, operators.Round9Stats.oracles),
-    (operators.Round9Sys.queries, operators.Round9Sys.oracles),
-    (operators.Round9Assoc.queries, operators.Round9Assoc.oracles),
-    (operators.Round9Forecast.queries, operators.Round9Forecast.oracles),
-    (operators.Round9Text.queries, operators.Round9Text.oracles),
-    (operators.Round9Mining.queries, operators.Round9Mining.oracles),
-    (operators.Round9Causal.queries, operators.Round9Causal.oracles),
-    (operators.Round9Synopsis.queries, operators.Round9Synopsis.oracles),
-    (operators.Round9Decomp.queries, operators.Round9Decomp.oracles),
-    (operators.Round9Layout.queries, operators.Round9Layout.oracles),
-    (operators.Round9MlOps.queries, operators.Round9MlOps.oracles),
-    (operators.Round9Snap.queries, operators.Round9Snap.oracles),
-    (operators.Round9Audit.queries, operators.Round9Audit.oracles),
-    (operators.Round9Graphs.queries, operators.Round9Graphs.oracles),
-    (operators.Round9Bom.queries, operators.Round9Bom.oracles),
-    (operators.Round9Ledger.queries, operators.Round9Ledger.oracles),
-    (operators.Round9Curves.queries, operators.Round9Curves.oracles),
-    (operators.Round9Patterns.queries, operators.Round9Patterns.oracles),
-    (operators.Round9Inference.queries, operators.Round9Inference.oracles),
-    (operators.Round9Net.queries, operators.Round9Net.oracles),
-    (operators.Round9Rank.queries, operators.Round9Rank.oracles),
-    (operators.Round9Temporal.queries, operators.Round9Temporal.oracles),
-    (operators.Round9Behavior.queries, operators.Round9Behavior.oracles),
-    (operators.Round9Econ.queries, operators.Round9Econ.oracles),
-    (operators.Round9Hygiene.queries, operators.Round9Hygiene.oracles),
-    (operators.Round9Signals.queries, operators.Round9Signals.oracles),
-    (operators.Round9Monitor.queries, operators.Round9Monitor.oracles),
-    (operators.Round9Market.queries, operators.Round9Market.oracles),
-    (operators.Round9Portfolio.queries, operators.Round9Portfolio.oracles),
-    (operators.Round9Sketch.queries, operators.Round9Sketch.oracles),
-    (operators.Round9Motifs.queries, operators.Round9Motifs.oracles),
-    (operators.Round9Bloom.queries, operators.Round9Bloom.oracles),
-    (operators.Round9Correlate.queries, operators.Round9Correlate.oracles),
-    (operators.Round9Extremes.queries, operators.Round9Extremes.oracles),
-    (operators.Round9Stationarity.queries, operators.Round9Stationarity.oracles),
-    (operators.Round9Spectral.queries, operators.Round9Spectral.oracles),
-    (operators.Round9Audit2.queries, operators.Round9Audit2.oracles),
-    (operators.Round9Distance.queries, operators.Round9Distance.oracles),
-    (operators.Round9Lattice.queries, operators.Round9Lattice.oracles),
-    (operators.Round9Payback.queries, operators.Round9Payback.oracles),
-    (operators.Round9Sequential.queries, operators.Round9Sequential.oracles),
-    (operators.Round9Tails.queries, operators.Round9Tails.oracles),
-    (operators.Round9Anova2.queries, operators.Round9Anova2.oracles),
-    (operators.Round9Diagnostics.queries, operators.Round9Diagnostics.oracles),
-    (operators.Round9Venn.queries, operators.Round9Venn.oracles),
-    (operators.Round9Attribution.queries, operators.Round9Attribution.oracles),
-    (operators.Round9Filters.queries, operators.Round9Filters.oracles),
-    (operators.Round9TextMl.queries, operators.Round9TextMl.oracles),
-    (operators.Round9Planner.queries, operators.Round9Planner.oracles),
-    (operators.Round9Bootstrap.queries, operators.Round9Bootstrap.oracles),
-    (operators.Round9Phonetic.queries, operators.Round9Phonetic.oracles),
-    (operators.Round9Communities.queries, operators.Round9Communities.oracles),
-    (operators.Round9Outliers.queries, operators.Round9Outliers.oracles),
-    (operators.Round9Normalize.queries, operators.Round9Normalize.oracles),
-    (operators.Round9Process.queries, operators.Round9Process.oracles),
-    (operators.Round9RankTests.queries, operators.Round9RankTests.oracles),
-    (operators.Round9Advisor.queries, operators.Round9Advisor.oracles),
-    (operators.Round9Commerce.queries, operators.Round9Commerce.oracles),
+    (operators.AnalyticsExtras.queries, operators.AnalyticsExtras.oracles),
+    (operators.OpsAnalytics.queries, operators.OpsAnalytics.oracles),
+    (operators.Experimentation.queries, operators.Experimentation.oracles),
+    (operators.SysTelemetry.queries, operators.SysTelemetry.oracles),
+    (operators.Assoc.queries, operators.Assoc.oracles),
+    (operators.Forecast.queries, operators.Forecast.oracles),
+    (operators.TextMining.queries, operators.TextMining.oracles),
+    (operators.Mining.queries, operators.Mining.oracles),
+    (operators.Causal.queries, operators.Causal.oracles),
+    (operators.Synopsis.queries, operators.Synopsis.oracles),
+    (operators.Decomp.queries, operators.Decomp.oracles),
+    (operators.Layout.queries, operators.Layout.oracles),
+    (operators.MlOps.queries, operators.MlOps.oracles),
+    (operators.Snapshots.queries, operators.Snapshots.oracles),
+    (operators.Audits.queries, operators.Audits.oracles),
+    (operators.Graphs.queries, operators.Graphs.oracles),
+    (operators.Bom.queries, operators.Bom.oracles),
+    (operators.Ledger.queries, operators.Ledger.oracles),
+    (operators.Curves.queries, operators.Curves.oracles),
+    (operators.Patterns.queries, operators.Patterns.oracles),
+    (operators.Inference.queries, operators.Inference.oracles),
+    (operators.NetworkFlows.queries, operators.NetworkFlows.oracles),
+    (operators.RankStats.queries, operators.RankStats.oracles),
+    (operators.Temporal.queries, operators.Temporal.oracles),
+    (operators.Behavior.queries, operators.Behavior.oracles),
+    (operators.Econ.queries, operators.Econ.oracles),
+    (operators.Hygiene.queries, operators.Hygiene.oracles),
+    (operators.Signals.queries, operators.Signals.oracles),
+    (operators.Monitor.queries, operators.Monitor.oracles),
+    (operators.Market.queries, operators.Market.oracles),
+    (operators.Portfolio.queries, operators.Portfolio.oracles),
+    (operators.Sketches.queries, operators.Sketches.oracles),
+    (operators.Motifs.queries, operators.Motifs.oracles),
+    (operators.Bloom.queries, operators.Bloom.oracles),
+    (operators.Correlate.queries, operators.Correlate.oracles),
+    (operators.Extremes.queries, operators.Extremes.oracles),
+    (operators.Stationarity.queries, operators.Stationarity.oracles),
+    (operators.Spectral.queries, operators.Spectral.oracles),
+    (operators.Audits2.queries, operators.Audits2.oracles),
+    (operators.DistanceStats.queries, operators.DistanceStats.oracles),
+    (operators.Lattice.queries, operators.Lattice.oracles),
+    (operators.Payback.queries, operators.Payback.oracles),
+    (operators.Sequential.queries, operators.Sequential.oracles),
+    (operators.Tails.queries, operators.Tails.oracles),
+    (operators.Anova.queries, operators.Anova.oracles),
+    (operators.Diagnostics.queries, operators.Diagnostics.oracles),
+    (operators.Venn.queries, operators.Venn.oracles),
+    (operators.Attribution.queries, operators.Attribution.oracles),
+    (operators.Filters.queries, operators.Filters.oracles),
+    (operators.TextModels.queries, operators.TextModels.oracles),
+    (operators.Planner.queries, operators.Planner.oracles),
+    (operators.Bootstrap.queries, operators.Bootstrap.oracles),
+    (operators.Phonetic.queries, operators.Phonetic.oracles),
+    (operators.Communities.queries, operators.Communities.oracles),
+    (operators.Outliers.queries, operators.Outliers.oracles),
+    (operators.Normalize.queries, operators.Normalize.oracles),
+    (operators.ProcessMining.queries, operators.ProcessMining.oracles),
+    (operators.RankTests.queries, operators.RankTests.oracles),
+    (operators.Advisor.queries, operators.Advisor.oracles),
+    (operators.Commerce.queries, operators.Commerce.oracles),
     (operators.EvalMetrics.queries, operators.EvalMetrics.oracles),
     (operators.DataQuality.queries, operators.DataQuality.oracles),
     (operators.OpsIntegrity.queries, operators.OpsIntegrity.oracles),

@@ -11,7 +11,7 @@ import graft.Tables.t
   * sampling. Each is a staple of the product-analytics / time-series /
   * training-data workloads the engine targets, hash-gated vs DuckDB.
   */
-object Round8Ops {
+object AnalyticsExtras {
 
   type Q = (SparkSession, String) => DataFrame
 

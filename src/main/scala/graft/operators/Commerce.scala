@@ -22,7 +22,7 @@ import graft.Tables.t
   *    91-180/181-365/365+ days), count, value cents, and share ppm
   *    per bucket. One scan, schema-bounded output.
   */
-object Round9Commerce {
+object Commerce {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -209,7 +209,7 @@ object Round9Commerce {
   *    cumulative sum (the first-seen trick; contrast q358's
   *    windowed exact sets).
   */
-object Round9Market {
+object Market {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -370,7 +370,7 @@ object Round9Market {
   * autocorrelation function — the association/distribution-comparison
   * trio next to q385's numeric Pearson grid. Hash-gated vs DuckDB.
   */
-object Round9Assoc {
+object Assoc {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -625,7 +625,7 @@ object Round9Assoc {
   * over a bounded feature domain, and market-basket association rules.
   * Hash-gated vs DuckDB.
   */
-object Round9Mining {
+object Mining {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -885,7 +885,7 @@ object Round9Mining {
   *    the steady-state companion to q497's absorption probabilities.
   *    The state vector is type-vocab-sized; every join broadcasts.
   */
-object Round9Sequential {
+object Sequential {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1195,7 +1195,7 @@ object Round9Sequential {
   *    value — is any weekday different? SSB/SSW from exact
   *    per-group sums; k and n are integers; F and eta² quantized.
   */
-object Round9Behavior {
+object Behavior {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -12,7 +12,7 @@ import graft.Tables.t
   * correction, and Theil-Sen robust slopes. All deterministic and
   * hash-gated vs DuckDB.
   */
-object Round9Stats {
+object Experimentation {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -367,7 +367,7 @@ object Round9Stats {
   *    products), the best lag flagged by a deterministic
   *    (corr desc, lag asc) rank over the 11-row lag grain.
   */
-object Round9Correlate {
+object Correlate {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -621,7 +621,7 @@ object Round9Correlate {
   *    cost per threshold and the deterministic argmin. The decision
   *    layer every alerting pipeline bolts onto a classifier.
   */
-object Round9Distance {
+object DistanceStats {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -881,7 +881,7 @@ object Round9Distance {
   *    range-partition + bounded-offset technique (8 partition offsets
   *    to the driver), not a single-partition window.
   */
-object Round9Rank {
+object RankStats {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1155,7 +1155,7 @@ object Round9Rank {
   *    The quantitative version of the reference's fragment skipping
   *    (the q498 curve advisor's 1-D sibling).
   */
-object Round9Venn {
+object Venn {
 
   type Q = (SparkSession, String) => DataFrame
 

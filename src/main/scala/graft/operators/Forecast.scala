@@ -11,7 +11,7 @@ import graft.Tables.t
   * forecast-backtest scorecard (naive / seasonal-naive / drift MAE
   * over a 7-day holdout). Hash-gated vs DuckDB.
   */
-object Round9Forecast {
+object Forecast {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -233,7 +233,7 @@ object Round9Forecast {
   *    Rank windows are per-week (bounded by the brand catalog);
   *    the week-over-week join touches only the top-k rows.
   */
-object Round9Monitor {
+object Monitor {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -439,7 +439,7 @@ object Round9Monitor {
   *    gaps) and the burstiness index B = (cv-1)/(cv+1); Poisson
   *    streams score B ~ 0, bursty streams -> 1.
   */
-object Round9Signals {
+object Signals {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -670,7 +670,7 @@ object Round9Signals {
   *    frequentist interval answer). Brand grain (25 rows), windows
   *    bounded; rank shifts reported.
   */
-object Round9Spectral {
+object Spectral {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -905,7 +905,7 @@ object Round9Spectral {
   * decomposition/knot/grid logic runs on bounded rows (5 segments, 41
   * knots, <=720 grid hours per series).
   */
-object Round9Decomp {
+object Decomp {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1200,7 +1200,7 @@ object Round9Decomp {
   *    census at the corpus midpoint". lead() over per-user windows;
   *    the probe is a filter, not a join.
   */
-object Round9Temporal {
+object Temporal {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -25,7 +25,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graph nodes / demand rows are dimension-sized; the only corpus
   * stage (q447) is one scan + one keyed aggregate.
   */
-object Round9Graphs {
+object Graphs {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -243,7 +243,7 @@ object Round9Graphs {
   *    curve-vs-curve decision and mirrors the reference's fragment
   *    skipping (Fragmenter/InsertOrderFragmenter.cpp zone maps).
   */
-object Round9Motifs {
+object Motifs {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -608,7 +608,7 @@ object Round9Motifs {
   *    pair-level rounding (≤0.5 µ per pair) flipping a near-tie
   *    between candidates ranked by the exact double identity.
   */
-object Round9Communities {
+object Communities {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -965,7 +965,7 @@ object Round9Communities {
   *    range-join ip BETWEEN [start, end], longest prefix wins per
   *    ip via a max-struct aggregate (no window over the fact side).
   */
-object Round9Net {
+object NetworkFlows {
 
   type Q = (SparkSession, String) => DataFrame
 

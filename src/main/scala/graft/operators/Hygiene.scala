@@ -25,7 +25,7 @@ import graft.Tables.t
   *    audit a real ledger migration runs. One join, one keyed
   *    aggregate.
   */
-object Round9Hygiene {
+object Hygiene {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -236,7 +236,7 @@ object Round9Hygiene {
   *    partial aggregation reduces each sketch to one row per copy —
   *    the shuffle is 16 rows regardless of corpus size.
   */
-object Round9Filters {
+object Filters {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -480,7 +480,7 @@ object Round9Filters {
   *    cross-multiplication (burn_milli = errs·4000 DIV tot); hour
   *    grain is calendar-bounded.
   */
-object Round9Outliers {
+object Outliers {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -856,7 +856,7 @@ object Round9Outliers {
   *    from exact integer cents (squares DECIMAL-lifted); doubles
   *    only on the final bounded scalars.
   */
-object Round9Extremes {
+object Extremes {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1128,7 +1128,7 @@ object Round9Extremes {
   *    τ-b = (C−D)/√((n₀−Tx)(n₀−Ty)) in exact DECIMAL until the
   *    final scalar. The concordance companion to q503's Spearman.
   */
-object Round9Tails {
+object Tails {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1335,7 +1335,7 @@ object Round9Tails {
   *    |z| > 2.576 flags at the 1% level. Cell grid is
   *    category-bounded; one corpus aggregate.
   */
-object Round9Diagnostics {
+object Diagnostics {
 
   type Q = (SparkSession, String) => DataFrame
 

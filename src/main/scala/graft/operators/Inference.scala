@@ -27,7 +27,7 @@ import graft.Tables.t
   *    top-R remainders; the allocation sums to the budget EXACTLY,
   *    which the spec pins.
   */
-object Round9Inference {
+object Inference {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -323,7 +323,7 @@ object Round9Inference {
   *    float expression per series. The "is this series white noise"
   *    gate before any forecasting model.
   */
-object Round9RankTests {
+object RankTests {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -589,7 +589,7 @@ object Round9RankTests {
   *    cumulative-share curve at each decile boundary. The
   *    concentration companion to q509's Theil decomposition.
   */
-object Round9Anova2 {
+object Anova {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -874,7 +874,7 @@ object Round9Anova2 {
   *    sum across children), ranked ascending. One corpus aggregation
   *    regardless of candidate count.
   */
-object Round9Bootstrap {
+object Bootstrap {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1133,7 +1133,7 @@ object Round9Bootstrap {
   * learning step q350's fixed weights presuppose). Hash-gated vs
   * DuckDB.
   */
-object Round9Causal {
+object Causal {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1419,7 +1419,7 @@ object Round9Causal {
   *    SSE via Σz² − α̂Σz − ρ̂Σxz so no second pass over the data.
   *    Day-grain lag windows only.
   */
-object Round9Stationarity {
+object Stationarity {
 
   type Q = (SparkSession, String) => DataFrame
 

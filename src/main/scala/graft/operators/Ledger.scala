@@ -23,7 +23,7 @@ import graft.Tables.t
   * Every corpus stage is a keyed aggregate or a per-key window; the
   * lambda grid and FD candidate set are constants.
   */
-object Round9Ledger {
+object Ledger {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -285,7 +285,7 @@ object Round9Ledger {
   *    week, and report the quick ratio (new + resurrected) /
   *    churned in ppm. One (user, week) dedup, one lag per user.
   */
-object Round9Portfolio {
+object Portfolio {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -540,7 +540,7 @@ object Round9Portfolio {
   *    rev·7·10⁶ / sum7, averaged per weekday, then normalized so the
   *    7 indices sum to 7·10⁶. Day-grain windows only.
   */
-object Round9Payback {
+object Payback {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -835,7 +835,7 @@ object Round9Payback {
   *    whole computation in exact integers (phi x 24). Efficiency
   *    (sum phi = v(full) − v(empty)) is pinned in the spec.
   */
-object Round9Econ {
+object Econ {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1079,7 +1079,7 @@ object Round9Econ {
   * trees. One corpus aggregate per query plus a broadcast re-scan for
   * the q456 distance flagging.
   */
-object Round9Curves {
+object Curves {
 
   type Q = (SparkSession, String) => DataFrame
 

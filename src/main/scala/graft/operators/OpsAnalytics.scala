@@ -14,7 +14,7 @@ import graft.Tables.t
   * randomized step uses the engine-independent Knuth multiplicative
   * hash recipe (q168) so the oracle replays it exactly.
   */
-object Round9Ops {
+object OpsAnalytics {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1396,7 +1396,7 @@ object Round9Ops {
   * hubs/authorities in exact integer fixed-point. Hash-gated vs
   * DuckDB.
   */
-object Round9Sys {
+object SysTelemetry {
 
   type Q = (SparkSession, String) => DataFrame
 

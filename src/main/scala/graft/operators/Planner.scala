@@ -34,7 +34,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    choose. The quantitative version of the reference's fragment
   *    size defaults.
   */
-object Round9Planner {
+object Planner {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -337,7 +337,7 @@ object Round9Planner {
   * are derived columns); the advisor logic then runs on file-count /
   * cluster-count rows. Everything is exact integer arithmetic.
   */
-object Round9Layout {
+object Layout {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -626,7 +626,7 @@ object Round9Layout {
   *    sort). Recommends bitmap when the RLE estimate beats the
   *    8-byte-per-row btree baseline.
   */
-object Round9Advisor {
+object Advisor {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -894,7 +894,7 @@ object Round9Advisor {
   * stages are keyed aggregates; key-profile windows run over
   * dimension-sized (not corpus-sized) row sets.
   */
-object Round9Audit {
+object Audits {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1201,7 +1201,7 @@ object Round9Audit {
   *    warehouse runs before trusting any join; every check is one
   *    distinct-project + one anti-join.
   */
-object Round9Audit2 {
+object Audits2 {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -27,7 +27,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    whose cumulative weight reaches q·W (lower weighted quantile),
   *    via the same value-grain cumulative discipline (q539/q565).
   */
-object Round9Process {
+object ProcessMining {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -259,7 +259,7 @@ object Round9Process {
   * integer-derived coordinates, so doubles reproduce bit-for-bit;
   * ranks/shares ride on floor-quantized integers.
   */
-object Round9Snap {
+object Snapshots {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -599,7 +599,7 @@ object Round9Snap {
   *    cells flagged. The spatial sibling of q414's temporal scan
   *    statistic.
   */
-object Round9Patterns {
+object Patterns {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -845,7 +845,7 @@ object Round9Patterns {
   * stage is one keyed aggregate; policy/ranking/alert logic runs on
   * bounded rows (10 segments, <=4 features, day grain).
   */
-object Round9MlOps {
+object MlOps {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1120,7 +1120,7 @@ object Round9MlOps {
   *    filtered, deterministically ranked. Directed rules i→j and j→i
   *    both emitted since confidence is asymmetric.
   */
-object Round9Attribution {
+object Attribution {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1446,7 +1446,7 @@ object Round9Attribution {
   * Tree levels / buckets / day spans are all bounded; each corpus
   * stage is one keyed aggregate or join per level.
   */
-object Round9Bom {
+object Bom {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -32,7 +32,7 @@ import graft.Tables.t
   *    sf1), double math only on the final bounded scalars so the
   *    result is bit-reproducible.
   */
-object Round9Sketch {
+object Sketches {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -326,7 +326,7 @@ object Round9Sketch {
   *    empirical coverage is measured on the held-out test split.
   *    Deterministic splits via modular key arithmetic.
   */
-object Round9Bloom {
+object Bloom {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -616,7 +616,7 @@ object Round9Bloom {
   * that operates on bounded synopsis rows (256 buckets, 64 buckets,
   * ~100 strata, ~5 channels).
   */
-object Round9Synopsis {
+object Synopsis {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -1166,7 +1166,7 @@ object Round9Synopsis {
   *    and discontinued parts; LFL growth vs total growth in ppm.
   *    Two keyed aggregates and one part-grain join.
   */
-object Round9Lattice {
+object Lattice {
 
   type Q = (SparkSession, String) => DataFrame
 

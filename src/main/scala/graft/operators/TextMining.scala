@@ -9,7 +9,7 @@ import graft.Tables.t
   * lifetime-value curves, and asymmetric containment mining (the
   * quote/inclusion detector Jaccard misses). Hash-gated vs DuckDB.
   */
-object Round9Text {
+object TextMining {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -249,7 +249,7 @@ object Round9Text {
   *    scalar expression over the 5-class count columns (no float
   *    aggregation order at all), top-15 in integer nano-nats.
   */
-object Round9TextMl {
+object TextModels {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -577,7 +577,7 @@ object Round9TextMl {
   *    similar pairs. The corpus-overlap readout that decides whether
   *    two crawls should be deduped jointly.
   */
-object Round9Normalize {
+object Normalize {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -828,7 +828,7 @@ object Round9Normalize {
   *    contract (Boldi-Vigna's HyperBall approximates exactly this at
   *    web scale).
   */
-object Round9Phonetic {
+object Phonetic {
 
   type Q = (SparkSession, String) => DataFrame
 
