@@ -34,8 +34,18 @@ import graft.Tables.t
   * A SparkListener accumulates task-level shuffle read/write and input
   * bytes per measured pass, so SCALE.md carries wall AND shuffle growth.
   *
+  * Text modes (round-11, VERDICT r10 #7): the default `tokens` mode
+  * suffixes every token with `v<i>`, which grows BYTES superlinearly
+  * (~+30%/copy on short synthetic tokens) — wall ratios over such a
+  * fixture overstate how the text family scales per input byte. The
+  * `bytes` mode instead applies a per-copy alphabet rotation
+  * (`translate` by i positions, case-preserving): every 3-word shingle
+  * still rewrites (no cross-copy near-dups), per-doc token counts AND
+  * byte counts are preserved exactly, so a mult=10 fixture is 10× the
+  * bytes — the honest denominator for byte-bound text walls.
+  *
   * Usage:
-  *   runMain graft.operators.GenScaled <srcDir> <outDir> <mult>
+  *   runMain graft.operators.GenScaled <srcDir> <outDir> <mult> [tokens|bytes]
   *   runMain graft.operators.ScaleRun <dir> <q1,q2,...>
   */
 object GenScaled {
@@ -58,6 +68,12 @@ object GenScaled {
   def main(args: Array[String]): Unit = {
     val Array(src, out, multS) = args.take(3)
     val mult = multS.toInt
+    val textMode = args.lift(3).getOrElse("tokens")
+    require(textMode == "tokens" || textMode == "bytes",
+      s"text mode must be tokens|bytes, got $textMode")
+    require(textMode == "tokens" || mult <= 26,
+      "bytes mode rotates the alphabet per copy: mult > 26 would wrap " +
+        "to verbatim duplicates")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,8 +89,16 @@ object GenScaled {
     }
 
     // Corpus tables — the heavy-family inputs.
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase(java.util.Locale.ROOT)
+    def rot(s: String, i: Int): String =
+      s.substring(i % 26) + s.substring(0, i % 26)
     write("documents", copies(t(spark, src, "documents"), mult) { (d, i) =>
-      val text = regexp_replace(col("text"), "(\\S+)", s"$$1v$i")
+      val text =
+        if (textMode == "bytes")
+          translate(col("text"), lower + upper,
+            rot(lower, i) + rot(upper, i))
+        else regexp_replace(col("text"), "(\\S+)", s"$$1v$i")
       d.select(off("doc_id", OFF_KEY, i), text.as("text"), col("lang"),
         col("source"), length(text).cast("long").as("n_chars"))
     })

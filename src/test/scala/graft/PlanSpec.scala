@@ -82,6 +82,40 @@ class PlanSpec extends AnyFunSuite {
     assert(rev.count() == base && intLit.count() == base)
   }
 
+  test("aggregate over UNION ALL keeps partial aggregation below the " +
+      "exchange (incremental-ingest corpus+batch plan)") {
+    // The q207/q327 production shape: standing corpus UNION ALL daily
+    // batch, aggregated. At 100 TB the raw unioned rows must NOT cross
+    // the wire — only per-partition partial aggregates may reach the
+    // shuffle. Pin: the executed plan's Union sits UNDER a partial
+    // HashAggregate which sits UNDER the single exchange (Spark does
+    // this today; the pin makes it a contract, like RuntimeFilterSpec
+    // pins runtime filters).
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 3 =!= 0)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val batch = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 3 === 0)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val df = corpus.unionAll(batch)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+    df.collect() // finalize AQE plan before reading its shape
+    val s = df.queryExecution.executedPlan.toString
+    val iUnion = s.indexOf("Union")
+    val iExchange = s.indexOf("Exchange")
+    assert(iUnion >= 0 && iExchange >= 0, s.take(2000))
+    // textual tree prints parents first: exchange line must appear
+    // BEFORE (above) the union line, with a partial aggregate between
+    val between = s.substring(iExchange, iUnion)
+    assert(iExchange < iUnion,
+      "Union appears above the exchange — raw rows would cross the wire")
+    assert(between.contains("HashAggregate") &&
+      between.contains("partial_sum"),
+      s"no partial aggregate between exchange and union:\n${s.take(3000)}")
+  }
+
   test("star join broadcasts the small dimension tables") {
     val plan = planOf("q07_join_star")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
