@@ -104,9 +104,14 @@ object GenScaled {
     })
     write("embeddings", copies(t(spark, src, "embeddings"), mult) { (d, i) =>
       val dim = size(col("embedding"))
+      // rotate by i MOD dim: a raw i ≥ dim made slice() fail silently
+      // at mult > dim (observed generating the sf10 fixture) — copies
+      // whose rotation wraps to 0 are direction-identical re-keys,
+      // which is fine for the relational/text probes a >dim mult feeds
+      val r = pmod(lit(i), dim)
       d.select(off("vec_id", OFF_KEY, i),
-        concat(slice(col("embedding"), lit(i + 1), dim - lit(i)),
-          slice(col("embedding"), lit(1), lit(i))).as("embedding"),
+        concat(slice(col("embedding"), r + lit(1), dim - r),
+          slice(col("embedding"), lit(1), r)).as("embedding"),
         col("label"))
     })
 
