@@ -266,19 +266,35 @@ object MvRewrite {
     stale.foreach(registry.remove)
   }
 
+  /** Cost key for choosing among several MVs that can all answer a
+    * query: scan bytes first (the whole point of the rewrite is to
+    * read less), then dimension count (a coarser roll-up has fewer
+    * groups to re-aggregate), then name for determinism. Stats come
+    * from the analyzed scan's leaf relation (file sizes) — no ANALYZE
+    * required, and exact enough to order MVs of the same lattice.
+    */
+  private def mvCost(mv: Mv): (BigInt, Int, String) =
+    (scala.util.Try(mv.scan.stats.sizeInBytes)
+       .getOrElse(BigInt(Long.MaxValue)),
+     mv.dims.size, mv.name)
+
   case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
       else plan.transformUp {
         case agg @ Aggregate(groupings, _, child, _) =>
-          registry.values.asScala
-            .find(mv => baseMatches(child, mv.base) &&
+          // All matching MVs compete; the CHEAPEST scan wins (a query
+          // grouping on a subset of several registered roll-ups should
+          // re-aggregate the coarsest one — the roll-up-lattice rule in
+          // Harinarayan/Rajaraman/Ullman "Implementing Data Cubes").
+          val candidates = registry.values.asScala
+            .filter(mv => baseMatches(child, mv.base) &&
               groupings.forall {
                 case a: AttributeReference => mv.dims.contains(a.name)
                 case _ => false
               } && derivable(agg, mv))
-            .map(mv => rewrite(agg, mv))
-            .getOrElse(agg)
+          if (candidates.isEmpty) agg
+          else rewrite(agg, candidates.minBy(mvCost))
       }
 
     private def derivable(agg: Aggregate, mv: Mv): Boolean =

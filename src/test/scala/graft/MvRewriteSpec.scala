@@ -135,4 +135,45 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP MATERIALIZED VIEW mv_emp")
     eng.sql("DROP TABLE mvb_emp")
   }
+
+  test("when several MVs can answer, the rewrite picks the smallest " +
+      "scan (roll-up lattice cost tie-break)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_lat_fine")
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_lat_coarse")
+    eng.sql("DROP TABLE IF EXISTS mvb_lat")
+    eng.sql(
+      """CREATE TABLE mvb_lat AS
+         SELECT l_returnflag AS g1, l_linestatus AS g2,
+                l_quantity AS m
+         FROM lineitem""")
+    val expect = eng.sql(
+      "SELECT g1, sum(m) AS s FROM mvb_lat GROUP BY g1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // fine grain registered FIRST — a first-hit registry would serve it
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_lat_fine AS
+         SELECT g1, g2, sum(m) AS s FROM mvb_lat GROUP BY g1, g2""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_lat_coarse AS
+         SELECT g1, sum(m) AS s FROM mvb_lat GROUP BY g1""")
+    val df = eng.sql("SELECT g1, sum(m) AS s FROM mvb_lat GROUP BY g1")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
+    assert(scans.contains("mv_lat_coarse"),
+      s"query was not served from the coarse (smaller) MV: $scans")
+    assert(!scans.contains("mv_lat_fine") && !scans.contains("mvb_lat"),
+      s"query read a larger relation than the best MV: $scans")
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect, s"lattice rewrite changed values: $got vs $expect")
+    eng.sql("DROP MATERIALIZED VIEW mv_lat_fine")
+    eng.sql("DROP MATERIALIZED VIEW mv_lat_coarse")
+    eng.sql("DROP TABLE mvb_lat")
+  }
 }
