@@ -267,6 +267,26 @@ object Ddl {
     swapIn(spark, name, updated)
   }
 
+  /** Pure conjunction of `t.col = s.col` / `s.col = t.col` equalities
+    * → Some(source-side key column names); None for anything else
+    * (parentheses, OR, inequality, same-side terms) — those take the
+    * general cardinality-check path.
+    */
+  private val EquiTerm =
+    """(?is)\s*([ts])\.(\w+)\s*=\s*([ts])\.(\w+)\s*""".r
+  private[graft] def equiSourceKeys(onCond: String): Option[Seq[String]] = {
+    if (onCond.exists(c => c == '(' || c == ')')) None
+    else {
+      val keys = onCond.split("(?i)\\s+AND\\s+").toSeq.map {
+        case EquiTerm(a, ac, b, bc) if !a.equalsIgnoreCase(b) =>
+          Some(if (a.equalsIgnoreCase("s")) ac else bc)
+        case _ => None
+      }
+      if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get))
+      else None
+    }
+  }
+
   /** MERGE INTO — upsert as ONE full-outer join + projection
     * copy-on-write rewrite (the Delta/Iceberg MERGE plan shape).
     * Presence is tracked by marker columns, not key nullability, so
@@ -276,30 +296,64 @@ object Ddl {
       onCond: String, updates: Option[Seq[(String, String)]],
       isDelete: Boolean,
       insert: Option[Seq[(String, String)]]): Unit = {
+    val planned =
+      mergePlan(spark, name, src, onCond, updates, isDelete, insert)
+    try swapIn(spark, name, planned)
+    catch {
+      case e: Throwable
+          if Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(8)
+            .exists(c => Option(c.getMessage)
+              .exists(_.contains("multiple source rows"))) =>
+        throw new IllegalArgumentException(cardinalityMsg(name), e)
+    }
+  }
+
+  private def cardinalityMsg(name: String): String =
+    s"MERGE INTO $name: the ON condition matches multiple source rows " +
+      "to one target row; de-duplicate the source on the merge keys"
+
+  /** Build the MERGE rewrite plan (package-visible so specs can pin
+    * its shape without committing a table version).
+    *
+    * SQL:2003 / lakehouse MERGE cardinality rule: a target row matched
+    * by MORE THAN ONE source row is an error, not a silent duplication.
+    * Round-11 fused the check into the rewrite job; this round adds the
+    * EQUI fast path: when the ON condition is a pure conjunction of
+    * `t.k = s.k` equalities, "one target row matched by >1 source rows"
+    * is exactly "a MATCHED source row whose merge-key group has >1
+    * source rows" — so the per-key count is computed on the SOURCE side
+    * BEFORE the join (a window over the small source, whose hash
+    * partitioning the equi-join reuses) instead of a window over the
+    * full joined relation (which re-shuffled target+source bytes by a
+    * synthetic key). Non-equi ON conditions keep the general
+    * joined-relation window. Either way raise_error fires inside the
+    * rewrite, aborting BEFORE swapIn commits the new version.
+    */
+  private[graft] def mergePlan(spark: SparkSession, name: String,
+      src: DataFrame, onCond: String,
+      updates: Option[Seq[(String, String)]], isDelete: Boolean,
+      insert: Option[Seq[(String, String)]]): DataFrame = {
     val tgt = table(spark, name)
+    val cardMsg = cardinalityMsg(name)
+    val srcKeys = equiSourceKeys(onCond)
+    val srcTagged = src.withColumn("__sp", lit(1))
+      .withColumn("__sid", monotonically_increasing_id())
+    val srcPre = srcKeys match {
+      case Some(ks) =>
+        // Null merge keys group together here, but a null key never
+        // joins (tp stays false for those rows), so an inflated __scnt
+        // on the null group can never reach the raise_error predicate.
+        srcTagged.withColumn("__scnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(ks.map(col): _*)))
+      case None => srcTagged
+    }
     val j = tgt.withColumn("__tp", lit(1))
       .withColumn("__tid", monotonically_increasing_id()).as("t")
-      .join(src.withColumn("__sp", lit(1))
-        .withColumn("__sid", monotonically_increasing_id()).as("s"),
-        expr(onCond), "full_outer")
+      .join(srcPre.as("s"), expr(onCond), "full_outer")
     val tp = col("t.__tp").isNotNull
     val sp = col("s.__sp").isNotNull
-    // SQL:2003 / lakehouse MERGE cardinality rule: a target row matched
-    // by MORE THAN ONE source row is an error, not a silent duplication.
-    // Round-11: the check is FUSED into the rewrite job (the old
-    // separate pre-flight action re-ran the full-outer join — two table
-    // passes per MERGE, the measured floor under the streaming
-    // merge-per-micro-batch queries): a window keyed by target row id
-    // counts each target's source matches and raise_error fires inside
-    // the rewrite, which aborts BEFORE swapIn commits the new version —
-    // the refusal contract is unchanged. Insert-only rows (null __tid)
-    // get a unique synthetic key so no window partition can skew.
-    val cardMsg =
-      s"MERGE INTO $name: the ON condition matches multiple source rows " +
-        "to one target row; de-duplicate the source on the merge keys"
-    val wKey = when(tp, col("t.__tid")).otherwise(-col("s.__sid") - 1)
-    val mcnt = count(when(tp && sp, 1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(wKey))
     val updMap = updates.getOrElse(Nil)
       .map { case (k, v) => k.replaceAll("(?i)^t\\.", "") -> v }.toMap
     val insMap = insert.getOrElse(Nil).toMap
@@ -313,20 +367,27 @@ object Ddl {
         .otherwise(ins)
         .cast(f.dataType).as(f.name)
     }
-    val kept = j.withColumn("__mc", mcnt).filter(
-      when(col("__mc") > 1, raise_error(lit(cardMsg)).cast("boolean"))
-        .otherwise((tp && !sp) ||
-          (tp && sp && lit(!isDelete)) ||
-          (!tp && sp && lit(insert.isDefined))))
-    try swapIn(spark, name, kept.select(out: _*))
-    catch {
-      case e: Throwable
-          if Iterator.iterate(e: Throwable)(_.getCause)
-            .takeWhile(_ != null).take(8)
-            .exists(c => Option(c.getMessage)
-              .exists(_.contains("multiple source rows"))) =>
-        throw new IllegalArgumentException(cardMsg, e)
+    val keepPred = (tp && !sp) ||
+      (tp && sp && lit(!isDelete)) ||
+      (!tp && sp && lit(insert.isDefined))
+    val kept = srcKeys match {
+      case Some(_) =>
+        j.filter(
+          when(tp && sp && col("s.__scnt") > 1,
+            raise_error(lit(cardMsg)).cast("boolean"))
+            .otherwise(keepPred))
+      case None =>
+        // General path: count each target's source matches with a
+        // window keyed by target row id (insert-only rows get a unique
+        // synthetic key so no window partition can skew).
+        val wKey = when(tp, col("t.__tid")).otherwise(-col("s.__sid") - 1)
+        val mcnt = count(when(tp && sp, 1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(wKey))
+        j.withColumn("__mc", mcnt).filter(
+          when(col("__mc") > 1, raise_error(lit(cardMsg)).cast("boolean"))
+            .otherwise(keepPred))
     }
+    kept.select(out: _*)
   }
 
   /** DELETE FROM ... WHERE cond — copy-on-write anti-filter. */
@@ -388,10 +449,14 @@ object Ddl {
   //   [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
   // Executes as ONE full-outer join + projection copy-on-write rewrite
   // (the Delta/Iceberg MERGE plan shape); target rows never scan twice.
+  // Both WHEN clauses are individually optional (SQL:2003 allows
+  // insert-only and matched-only MERGE); at least one must be present
+  // or the statement is a no-op the router still accepts.
   private val MergeInto: Regex =
     ("""(?is)\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?t\s+USING\s+(.*?)""" +
-      """\s+ON\s+(.*?)\s+WHEN\s+MATCHED\s+THEN\s+""" +
-      """(?:UPDATE\s+SET\s+(.*?)|(DELETE))\s*""" +
+      """\s+ON\s+(.*?)""" +
+      """(?:\s+WHEN\s+MATCHED\s+THEN\s+""" +
+      """(?:UPDATE\s+SET\s+(.*?)|(DELETE)))?\s*""" +
       """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*""" +
       """\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*)?""").r
   private val Drop: Regex =

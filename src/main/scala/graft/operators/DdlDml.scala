@@ -394,6 +394,58 @@ object DdlDml {
         s.sparkContext.parallelize(out._1, 1), out._2)
         .withColumn("reorder_pinned", org.apache.spark.sql.functions.lit(true))
         .orderBy("k2")
+    }),
+
+    // MV roll-up-lattice navigation with a COST tie-break (round-11):
+    // two MVs over the same base can both answer the coarse roll-up;
+    // the rewrite must pick the SMALLER scan (Harinarayan/Rajaraman/
+    // Ullman's lattice rule — MvRewrite.mvCost orders candidates by
+    // scan bytes). The fine-grain MV (~300 groups) is registered FIRST
+    // so a first-hit registry would serve it; the query REQUIREs the
+    // coarse MV's scan (~3 groups) is the one in the plan, and the
+    // re-aggregated result is hash-gated against DuckDB over the raw
+    // table. Reference analog: the DataRecycler serves the cheapest
+    // cached resolution (QueryEngine/DataRecycler/).
+    "q584_mv_lattice" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q584_fine")
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q584_coarse")
+      eng.sql("DROP TABLE IF EXISTS mvb_q584")
+      eng.sql(
+        """CREATE TABLE mvb_q584 AS
+           SELECT l_returnflag AS g1, l_partkey % 100 AS g2,
+                  l_quantity AS m
+           FROM lineitem""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q584_fine AS
+           SELECT g1, g2, sum(m) AS sm, count(*) AS cnt
+           FROM mvb_q584 GROUP BY g1, g2""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q584_coarse AS
+           SELECT g1, sum(m) AS sm, count(*) AS cnt
+           FROM mvb_q584 GROUP BY g1""")
+      val out = eng.sql(
+        """SELECT g1, sum(m) AS sum_m, count(*) AS n
+           FROM mvb_q584 GROUP BY g1""")
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }.mkString(";")
+      require(scans.contains("mv_q584_coarse") &&
+        !scans.contains("mv_q584_fine") && !scans.contains("mvb_q584"),
+        s"lattice tie-break did not pick the smallest MV scan: $scans")
+      val rows = out.collect().toSeq // ≤3 flags — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q584_fine")
+      eng.sql("DROP MATERIALIZED VIEW mv_q584_coarse")
+      eng.sql("DROP TABLE mvb_q584")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .orderBy("g1")
     })
   )
 
@@ -542,6 +594,10 @@ object DdlDml {
                 round(sum(l_quantity), 2) AS sq,
                 round(sum(w), 2) AS sw, true AS reorder_pinned
          FROM f JOIN d1 ON fk1 = k1 JOIN d2 ON fk2 = k2
-         GROUP BY k2 ORDER BY k2"""
+         GROUP BY k2 ORDER BY k2""",
+    "q584_mv_lattice" ->
+      """SELECT l_returnflag AS g1, sum(l_quantity) AS sum_m,
+                count(*)::BIGINT AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

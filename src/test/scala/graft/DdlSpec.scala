@@ -372,6 +372,70 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_merge")
   }
 
+  test("MERGE INTO equi fast path: cardinality window stays on the " +
+      "source side; non-equi ON keeps the joined-relation window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_merge_eq")
+    eng.sql("CREATE TABLE t_merge_eq (k BIGINT, d BIGINT, v STRING)")
+    eng.sql("INSERT INTO t_merge_eq VALUES (1, 1, 'a'), (2, 2, 'b')")
+    val src = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS k, CAST(1 AS BIGINT) AS d, 'x' AS v")
+    def windowsOverJoin(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.collectFirst { case j: Join => j }.isDefined => w
+      }.size
+    // two-key equi ON: the only Window must sit BELOW the join (over
+    // the bare source), so zero Window nodes contain a Join
+    val equi = Ddl.mergePlan(spark, "t_merge_eq", src, "t.k = s.k AND t.d = s.d",
+      Some(Seq("v" -> "s.v")), isDelete = false, None)
+    assert(equi.queryExecution.optimizedPlan
+      .collectFirst { case w: Window => w }.isDefined,
+      "equi MERGE lost its cardinality check entirely")
+    assert(windowsOverJoin(equi) == 0,
+      "equi MERGE still windows over the full joined relation:\n" +
+        equi.queryExecution.optimizedPlan)
+    // non-equi ON falls back to the general joined-relation window
+    val theta = Ddl.mergePlan(spark, "t_merge_eq", src, "t.k = s.k AND t.d <= s.d",
+      Some(Seq("v" -> "s.v")), isDelete = false, None)
+    assert(windowsOverJoin(theta) == 1,
+      "non-equi MERGE must keep the per-target-row window:\n" +
+        theta.queryExecution.optimizedPlan)
+    // the equi fast path still REJECTS duplicate-key sources, and the
+    // refusal aborts before any version swap
+    val e = intercept[Exception] {
+      eng.sql("MERGE INTO t_merge_eq t USING " +
+        "(SELECT CAST(1 AS BIGINT) AS k, CAST(1 AS BIGINT) AS d, 'x' AS v " +
+        "UNION ALL SELECT 1, 1, 'y') s " +
+        "ON t.k = s.k AND t.d = s.d " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    assert(eng.sql("SELECT v FROM t_merge_eq ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"),
+      "failed MERGE mutated the table")
+    // a NON-EQUI cardinality violation is still caught by the fallback
+    val e2 = intercept[Exception] {
+      eng.sql("MERGE INTO t_merge_eq t USING " +
+        "(SELECT CAST(1 AS BIGINT) AS k, CAST(1 AS BIGINT) AS d, 'x' AS v " +
+        "UNION ALL SELECT 1, 0, 'y') s " +
+        "ON t.k = s.k AND t.d >= s.d " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e2.getMessage.contains("multiple source rows"))
+    // and duplicate source keys that match NO target row stay legal:
+    // both rows insert (SQL MERGE inserts every unmatched source row)
+    eng.sql("MERGE INTO t_merge_eq t USING " +
+      "(SELECT CAST(7 AS BIGINT) AS k, CAST(7 AS BIGINT) AS d, 'i1' AS v " +
+      "UNION ALL SELECT 7, 7, 'i2') s " +
+      "ON t.k = s.k AND t.d = s.d " +
+      "WHEN NOT MATCHED THEN INSERT (k, d, v) VALUES (s.k, s.d, s.v)")
+    assert(eng.sql("SELECT count(*) AS n FROM t_merge_eq WHERE k = 7")
+      .collect().head.getLong(0) == 2L,
+      "unmatched duplicate source keys must both insert")
+    eng.sql("DROP TABLE t_merge_eq")
+  }
+
   test("QUALIFY: inline window predicate (no alias) also works") {
     val eng = HeavyEngine(spark, sf)
     val rows = eng.sql(
