@@ -329,6 +329,13 @@ object Ddl {
     * synthetic key). Non-equi ON conditions keep the general
     * joined-relation window. Either way raise_error fires inside the
     * rewrite, aborting BEFORE swapIn commits the new version.
+    *
+    * The refusal applies to insert-only MERGE too (slightly stricter
+    * than SQL:2003, which tolerates duplicate matches when no MATCHED
+    * clause exists): in the full-outer COW rewrite a target row joined
+    * to k source rows materializes k times, so the check is
+    * load-bearing for the rewrite itself, not just the standard's
+    * update-twice rule. Delta/Iceberg document the same refusal.
     */
   private[graft] def mergePlan(spark: SparkSession, name: String,
       src: DataFrame, onCond: String,

@@ -90,12 +90,23 @@ object Similarity {
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .distinct()
+      // Verify on PACKED per-doc element arrays, not postings: joining
+      // cand back to the (doc, e)-grain sets twice materialized a
+      // pairs-x-set-size intermediate that was then shuffled TWICE more
+      // (the second postings join + the intersection groupBy). The sf10
+      // probe (SCALE.md round-11) measured that as 89x shuffle for 10x
+      // data once every join outgrew AQE's broadcast threshold. Arrays
+      // make the verify intermediate exactly |cand| rows (two ~50-element
+      // arrays each); array_intersect is hash-based (O(n+m) per pair),
+      // and no per-pair aggregate shuffle remains.
+      val docArr = sets.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
       val inter = cand
-        .join(sets.as("sa"), col("sa.doc_id") === col("a_id"))
-        .join(sets.as("sb"),
-          col("sb.doc_id") === col("b_id") && col("sb.e") === col("sa.e"))
-        .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("n_inter"))
+        .join(docArr.as("da"), col("da.doc_id") === col("a_id"))
+        .join(docArr.as("db"), col("db.doc_id") === col("b_id"))
+        .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+          size(array_intersect(col("da.es"), col("db.es")))
+            .cast("long").as("n_inter"))
       inter
         .withColumn("jaccard",
           round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))

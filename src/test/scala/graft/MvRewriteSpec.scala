@@ -172,8 +172,22 @@ class MvRewriteSpec extends AnyFunSuite {
       s"query read a larger relation than the best MV: $scans")
     val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == expect, s"lattice rewrite changed values: $got vs $expect")
-    eng.sql("DROP MATERIALIZED VIEW mv_lat_fine")
+    // dropping the winner falls back to the next-best MV, not the base
     eng.sql("DROP MATERIALIZED VIEW mv_lat_coarse")
+    val df2 = eng.sql("SELECT g1, sum(m) AS s FROM mvb_lat GROUP BY g1")
+    val scans2 = df2.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
+    assert(scans2.contains("mv_lat_fine") && !scans2.contains("mvb_lat"),
+      s"after dropping the winner the fine MV must serve: $scans2")
+    val got2 = df2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 == expect, s"fallback rewrite changed values: $got2")
+    eng.sql("DROP MATERIALIZED VIEW mv_lat_fine")
     eng.sql("DROP TABLE mvb_lat")
   }
 }
