@@ -342,6 +342,17 @@ object Ddl {
       updates: Option[Seq[(String, String)]], isDelete: Boolean,
       insert: Option[Seq[(String, String)]]): DataFrame = {
     val tgt = table(spark, name)
+    // The rewrite's presence/identity markers are added with
+    // withColumn, which silently REPLACES a same-named input column —
+    // a user column named __scnt (say, as a merge key) would resolve
+    // to the window count and corrupt the merge with no error. Refuse
+    // the reserved names up front instead.
+    val reserved = Set("__sp", "__sid", "__scnt", "__tp", "__tid", "__mc")
+    for ((schema, side) <- Seq(src.schema -> "source", tgt.schema -> "target");
+        f <- schema.fields if reserved.contains(f.name))
+      throw new IllegalArgumentException(
+        s"MERGE INTO $name: $side column `${f.name}` collides with a " +
+          s"reserved MERGE marker name (${reserved.toSeq.sorted.mkString(", ")})")
     val cardMsg = cardinalityMsg(name)
     val srcKeys = equiSourceKeys(onCond)
     val srcTagged = src.withColumn("__sp", lit(1))
@@ -457,8 +468,9 @@ object Ddl {
   // Executes as ONE full-outer join + projection copy-on-write rewrite
   // (the Delta/Iceberg MERGE plan shape); target rows never scan twice.
   // Both WHEN clauses are individually optional (SQL:2003 allows
-  // insert-only and matched-only MERGE); at least one must be present
-  // or the statement is a no-op the router still accepts.
+  // insert-only and matched-only MERGE); the router REQUIREs at least
+  // one — a MERGE with neither is invalid SQL and is rejected before
+  // any copy-on-write work happens.
   private val MergeInto: Regex =
     ("""(?is)\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?t\s+USING\s+(.*?)""" +
       """\s+ON\s+(.*?)""" +
@@ -873,6 +885,14 @@ object Ddl {
               splitTop(vs).map(_.trim)))
           case _ => None
         }
+        // A MERGE with no WHEN clause at all is invalid SQL:2003 —
+        // reject it up front rather than executing a no-op
+        // copy-on-write rewrite (new version swap, stats drop, MV
+        // invalidation) for a statement that can't change anything.
+        require(updates.isDefined || Option(del).isDefined || ins.isDefined,
+          s"MERGE INTO $name: at least one WHEN clause is required " +
+            "(WHEN MATCHED THEN UPDATE/DELETE or " +
+            "WHEN NOT MATCHED THEN INSERT)")
         mergeInto(spark, name, srcDf, onCond, updates,
           Option(del).isDefined, ins)
         done

@@ -317,7 +317,7 @@ object DdlDml {
 
     // CBO join REORDER (round-11, one step past q581's build-side
     // flip — the full FromTableReordering.cpp:118 analog): a 3-table
-    // join written fact⋈BIG-fanout-dim⋈tiny-dim in deliberately bad
+    // join written fact⋈fanout-dim⋈tiny-dim in deliberately bad
     // textual order. With ANALYZE column stats + cbo.joinReorder
     // enabled, Spark's cost-based reorder must join the TINY dim
     // first (the textual order pays a fanout× intermediate); with the
@@ -325,27 +325,39 @@ object DdlDml {
     // REQUIRED (a silent non-reorder fails the query, not just a
     // spec), and the aggregate result — order-invariant — is
     // hash-gated against DuckDB. DdlSpec pins the same flip.
+    //
+    // Round-12 rework (VERDICT r11 #1): the fanout dim is now a
+    // deliberate, SF-invariant 12× replication of orders on the FULL
+    // high-cardinality o_orderkey (est(f⋈d1)=12·|f| vs est(f⋈d2)=|f|
+    // — the CBO asymmetry is decisive at every SF, and the
+    // intermediate is bounded at 12·|lineitem| instead of the old
+    // %50-keyed |lineitem|·|orders|/50 blow-up: 1.8 B rows at sf0.1).
+    // The money sum runs in DECIMAL(18,2) on both engines and is
+    // emitted as a fixed-scale string (the q300/q356 recipe) so the
+    // hash no longer rides on FP partial-sum order.
     "q583_cbo_join_reorder" -> ((s, d) => {
       val eng = HeavyEngine(s, d)
       Seq("f_q583", "d1_q583", "d2_q583")
         .foreach(t => eng.sql(s"DROP TABLE IF EXISTS $t"))
       eng.sql(
         """CREATE TABLE f_q583 AS
-           SELECT l_orderkey % 50 AS fk1, l_linenumber % 5 AS fk2,
-                  l_quantity FROM lineitem""")
+           SELECT l_orderkey AS fk1, l_linenumber % 5 AS fk2,
+                  l_quantity FROM lineitem WHERE l_orderkey % 10 = 0""")
       eng.sql(
         """CREATE TABLE d1_q583 AS
-           SELECT o_orderkey % 50 AS k1, o_totalprice AS w
-           FROM orders""")
+           SELECT o_orderkey AS k1,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS w
+           FROM orders LATERAL VIEW explode(sequence(1, 12)) rep AS r
+           WHERE o_orderkey % 10 = 0""")
       eng.sql(
         """CREATE TABLE d2_q583 AS
-           SELECT DISTINCT l_linenumber % 5 AS k2 FROM lineitem""")
+           SELECT explode(sequence(0, 4)) AS k2""")
       eng.sql("ANALYZE TABLE f_q583 COMPUTE STATISTICS FOR COLUMNS fk1, fk2")
       eng.sql("ANALYZE TABLE d1_q583 COMPUTE STATISTICS FOR COLUMNS k1")
       eng.sql("ANALYZE TABLE d2_q583 COMPUTE STATISTICS FOR COLUMNS k2")
       val q =
         """SELECT k2, count(*) AS n, round(sum(l_quantity), 2) AS sq,
-                  round(sum(w), 2) AS sw
+                  CAST(CAST(sum(w) AS DECIMAL(38,2)) AS STRING) AS sw
            FROM f_q583 JOIN d1_q583 ON fk1 = k1
                        JOIN d2_q583 ON fk2 = k2
            GROUP BY k2"""
@@ -584,15 +596,17 @@ object DdlDml {
          ORDER BY o.o_orderpriority""",
     "q583_cbo_join_reorder" ->
       """WITH f AS (
-           SELECT l_orderkey % 50 AS fk1, l_linenumber % 5 AS fk2,
-                  l_quantity FROM lineitem),
+           SELECT l_orderkey AS fk1, l_linenumber % 5 AS fk2,
+                  l_quantity FROM lineitem WHERE l_orderkey % 10 = 0),
          d1 AS (
-           SELECT o_orderkey % 50 AS k1, o_totalprice AS w FROM orders),
+           SELECT o_orderkey AS k1, o_totalprice::DECIMAL(18,2) AS w
+           FROM orders CROSS JOIN generate_series(1, 12)
+           WHERE o_orderkey % 10 = 0),
          d2 AS (
-           SELECT DISTINCT l_linenumber % 5 AS k2 FROM lineitem)
+           SELECT range::INTEGER AS k2 FROM range(0, 5))
          SELECT k2, count(*)::BIGINT AS n,
                 round(sum(l_quantity), 2) AS sq,
-                round(sum(w), 2) AS sw, true AS reorder_pinned
+                sum(w)::DECIMAL(38,2)::VARCHAR AS sw, true AS reorder_pinned
          FROM f JOIN d1 ON fk1 = k1 JOIN d2 ON fk2 = k2
          GROUP BY k2 ORDER BY k2""",
     "q584_mv_lattice" ->

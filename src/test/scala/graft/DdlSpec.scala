@@ -436,6 +436,36 @@ class DdlSpec extends AnyFunSuite {
     eng.sql("DROP TABLE t_merge_eq")
   }
 
+  test("MERGE INTO guards: no-WHEN-clause MERGE is rejected before any " +
+      "rewrite; reserved marker-name collisions refuse loudly") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP TABLE IF EXISTS t_merge_g")
+    eng.sql("CREATE TABLE t_merge_g (k BIGINT, v STRING)")
+    eng.sql("INSERT INTO t_merge_g VALUES (1, 'a')")
+    // invalid SQL:2003 — neither WHEN clause. Must reject up front,
+    // NOT execute a no-op copy-on-write version swap (CREATE=v0,
+    // INSERT=v1; a swap would mint v2 — readable via VERSION AS OF).
+    val e = intercept[IllegalArgumentException] {
+      eng.sql("MERGE INTO t_merge_g t USING " +
+        "(SELECT CAST(1 AS BIGINT) AS k, 'x' AS v) s ON t.k = s.k")
+    }
+    assert(e.getMessage.contains("WHEN clause"))
+    intercept[Exception] {
+      eng.sql("SELECT * FROM t_merge_g VERSION AS OF 2").collect()
+    }
+    // a source column named like a reserved marker would be silently
+    // REPLACED by withColumn — the plan must refuse instead
+    val srcBad = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS k, 'x' AS v, 2L AS __scnt")
+    val e2 = intercept[IllegalArgumentException] {
+      Ddl.mergePlan(spark, "t_merge_g", srcBad, "t.k = s.k",
+        Some(Seq("v" -> "s.v")), isDelete = false, None)
+    }
+    assert(e2.getMessage.contains("__scnt") &&
+      e2.getMessage.contains("reserved"))
+    eng.sql("DROP TABLE t_merge_g")
+  }
+
   test("QUALIFY: inline window predicate (no alias) also works") {
     val eng = HeavyEngine(spark, sf)
     val rows = eng.sql(
