@@ -458,6 +458,60 @@ object DdlDml {
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), schema)
         .orderBy("g1")
+    }),
+
+    // Predicate-transparent MV roll-up (round-12, the natural next
+    // lattice step after q584; reference analog: the DataRecycler
+    // serving FILTERED sub-plans, `QueryEngine/DataRecycler/`): a
+    // query filtering on an MV DIMENSION is answered by pushing the
+    // predicate onto the MV scan — sound because base rows within one
+    // MV group share the whole dim tuple, so a dim-only predicate
+    // keeps or drops entire groups. The entry REQUIREs the plan to
+    // read the MV (not the base) WITH the predicate, and REQUIREs a
+    // measure-referencing filter to refuse the MV (the MvRewriteSpec
+    // soundness discipline, enforced in the gated query itself).
+    "q585_mv_filter_rollup" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q585")
+      eng.sql("DROP TABLE IF EXISTS mvb_q585")
+      eng.sql(
+        """CREATE TABLE mvb_q585 AS
+           SELECT l_returnflag AS g1, l_partkey % 100 AS g2,
+                  l_quantity AS m
+           FROM lineitem""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q585 AS
+           SELECT g1, g2, sum(m) AS sm, count(*) AS cnt
+           FROM mvb_q585 GROUP BY g1, g2""")
+      def scans(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+        }.mkString(";")
+      val out = eng.sql(
+        """SELECT g1, sum(m) AS sum_m, count(*) AS n
+           FROM mvb_q585 WHERE g2 < 50 AND g2 <> 7 GROUP BY g1""")
+      require(scans(out).contains("mv_q585") &&
+        !scans(out).contains("mvb_q585"),
+        s"dim-only filter was not served from the MV: ${scans(out)}")
+      val refuse = eng.sql(
+        """SELECT g1, count(*) AS n FROM mvb_q585
+           WHERE m > 25 GROUP BY g1""")
+      require(scans(refuse).contains("mvb_q585") &&
+        !scans(refuse).contains("mv_q585"),
+        "measure filter must refuse the MV (soundness)")
+      val rows = out.collect().toSeq // ≤3 flags — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q585")
+      eng.sql("DROP TABLE mvb_q585")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .withColumn("mv_filter_pinned", org.apache.spark.sql.functions.lit(true))
+        .orderBy("g1")
     })
   )
 
@@ -612,6 +666,12 @@ object DdlDml {
     "q584_mv_lattice" ->
       """SELECT l_returnflag AS g1, sum(l_quantity) AS sum_m,
                 count(*)::BIGINT AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q585_mv_filter_rollup" ->
+      """SELECT l_returnflag AS g1, sum(l_quantity) AS sum_m,
+                count(*)::BIGINT AS n, true AS mv_filter_pinned
+         FROM lineitem
+         WHERE l_partkey % 100 < 50 AND l_partkey % 100 <> 7
+         GROUP BY 1 ORDER BY 1"""
   )
 }

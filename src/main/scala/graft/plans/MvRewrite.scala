@@ -287,15 +287,54 @@ object MvRewrite {
           // grouping on a subset of several registered roll-ups should
           // re-aggregate the coarsest one — the roll-up-lattice rule in
           // Harinarayan/Rajaraman/Ullman "Implementing Data Cubes").
+          def groupable(mv: Mv): Boolean = groupings.forall {
+            case a: AttributeReference => mv.dims.contains(a.name)
+            case _ => false
+          }
           val candidates = registry.values.asScala
             .filter(mv => baseMatches(child, mv.base) &&
-              groupings.forall {
-                case a: AttributeReference => mv.dims.contains(a.name)
-                case _ => false
-              } && derivable(agg, mv))
-          if (candidates.isEmpty) agg
-          else rewrite(agg, candidates.minBy(mvCost))
+              groupable(mv) && derivable(agg, mv))
+          if (candidates.nonEmpty)
+            rewrite(agg, candidates.minBy(mvCost), None)
+          else {
+            // Predicate-transparent roll-up (round-12; reference
+            // analog: the DataRecycler serving filtered sub-plans,
+            // `QueryEngine/DataRecycler/`): a residual Filter whose
+            // every reference is an MV DIMENSION keeps or drops whole
+            // MV groups — base rows inside one group share the full
+            // dim tuple, so `Agg(F(dims), base)` ≡
+            // `Agg(F(dims), mv_scan)`. Anything referencing a
+            // non-dim column (a measure, an unknown attr), any
+            // non-deterministic expression, or any subquery refuses
+            // the rewrite (same discipline as the unfiltered path).
+            stripFilter(child) match {
+              case Some((cond, inner)) if cond.deterministic &&
+                  cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+                val fcands = registry.values.asScala
+                  .filter(mv => cond.references.forall {
+                      a => mv.dims.contains(a.name)
+                    } && baseMatches(inner, mv.base) &&
+                    groupable(mv) && derivable(agg, mv))
+                if (fcands.isEmpty) agg
+                else rewrite(agg, fcands.minBy(mvCost), Some(cond))
+              case _ => agg
+            }
+          }
       }
+
+    /** Peel pruning Projects/aliases to expose a single residual
+      * Filter above the (to-be-matched) base; conjunction-merged
+      * filters arrive as one `And`. Returns None when no Filter is
+      * present (the unfiltered path already ran and refused).
+      */
+    private def stripFilter(p: LogicalPlan)
+        : Option[(Expression, LogicalPlan)] = p match {
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        stripFilter(c)
+      case SubqueryAlias(_, c) => stripFilter(c)
+      case Filter(cond, c) => Some((cond, c))
+      case _ => None
+    }
 
     private def derivable(agg: Aggregate, mv: Mv): Boolean =
       agg.aggregateExpressions.forall {
@@ -323,7 +362,8 @@ object MvRewrite {
         case _ => false
       }
 
-    private def rewrite(agg: Aggregate, mv: Mv): Aggregate = {
+    private def rewrite(agg: Aggregate, mv: Mv,
+        dimFilter: Option[Expression]): Aggregate = {
       def reAgg(fn: AggregateFunction): AggregateExpression =
         AggregateExpression(fn, Complete, isDistinct = false)
       val newAggs = agg.aggregateExpressions.map {
@@ -364,8 +404,17 @@ object MvRewrite {
         case a: AttributeReference => mv.dims(a.name)
         case other => other
       }
+      // The dim-only residual predicate re-targets the MV scan: every
+      // reference was checked to be a dim, so the name-keyed swap is
+      // total (same convention as the grouping swap above).
+      val newChild = dimFilter match {
+        case Some(cond) => Filter(cond.transform {
+          case a: AttributeReference => mv.dims(a.name)
+        }, mv.scan)
+        case None => mv.scan
+      }
       Aggregate(newGroupings, newAggs.map(_.asInstanceOf[NamedExpression]),
-        mv.scan)
+        newChild)
     }
   }
 

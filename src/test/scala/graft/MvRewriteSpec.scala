@@ -190,4 +190,81 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP MATERIALIZED VIEW mv_lat_fine")
     eng.sql("DROP TABLE mvb_lat")
   }
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }.mkString(";")
+
+  test("predicate-transparent roll-up: a dim-only WHERE is answered " +
+      "from the MV with the filter on the MV scan; non-dim filters " +
+      "refuse") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_pf")
+    eng.sql("DROP TABLE IF EXISTS mvb_pf")
+    eng.sql(
+      """CREATE TABLE mvb_pf AS
+         SELECT l_returnflag AS g1, l_linestatus AS g2,
+                l_quantity AS m
+         FROM lineitem""")
+    val expect = eng.sql(
+      """SELECT g1, sum(m) AS s, count(*) AS n FROM mvb_pf
+         WHERE g2 = 'F' GROUP BY g1""")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val expect2 = eng.sql(
+      """SELECT g1, sum(m) AS s FROM mvb_pf
+         WHERE g2 IN ('F', 'O') AND g1 <> 'R' GROUP BY g1""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_pf AS
+         SELECT g1, g2, sum(m) AS s, count(*) AS cnt
+         FROM mvb_pf GROUP BY g1, g2""")
+    // positive: filter references only dims -> served from the MV,
+    // with the predicate sitting on the MV scan
+    val df = eng.sql(
+      """SELECT g1, sum(m) AS s, count(*) AS n FROM mvb_pf
+         WHERE g2 = 'F' GROUP BY g1""")
+    val scans = scanPaths(df)
+    assert(scans.contains("mv_pf") && !scans.contains("mvb_pf"),
+      s"dim-filtered roll-up was not served from the MV: $scans")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expect, s"filtered rewrite changed values: $got")
+    // compound dim-only predicates (AND / IN / <>) also rewrite
+    val df2 = eng.sql(
+      """SELECT g1, sum(m) AS s FROM mvb_pf
+         WHERE g2 IN ('F', 'O') AND g1 <> 'R' GROUP BY g1""")
+    assert(scanPaths(df2).contains("mv_pf"),
+      "compound dim-only predicate refused the MV")
+    assert(df2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      expect2)
+    // negative: a filter referencing the MEASURE must hit the base
+    val dfm = eng.sql(
+      """SELECT g1, count(*) AS n FROM mvb_pf
+         WHERE m > 25 GROUP BY g1""")
+    val scansM = scanPaths(dfm)
+    assert(scansM.contains("mvb_pf") && !scansM.contains("mv_pf"),
+      s"measure-filtered query was wrongly served from the MV: $scansM")
+    // negative: mixed dim + non-dim predicate also refuses
+    val dfx = eng.sql(
+      """SELECT g1, count(*) AS n FROM mvb_pf
+         WHERE g2 = 'F' AND m > 25 GROUP BY g1""")
+    assert(scanPaths(dfx).contains("mvb_pf"),
+      "mixed dim+measure predicate was wrongly served from the MV")
+    // global aggregate whose dim filter empties the MV: count = 0
+    val z = eng.sql(
+      "SELECT count(*) AS n FROM mvb_pf WHERE g2 = 'ZZ'")
+    assert(scanPaths(z).contains("mv_pf"),
+      "emptying dim filter refused the MV")
+    assert(z.collect().head.getLong(0) == 0L,
+      "COUNT over an emptied MV scan must be 0, not NULL")
+    eng.sql("DROP MATERIALIZED VIEW mv_pf")
+    eng.sql("DROP TABLE mvb_pf")
+  }
 }
