@@ -59,6 +59,42 @@ object Similarity {
 
   private def h60(c: Column): Column = Dedup.hash60(c)
 
+  /** Packed per-doc shingle arrays as a BUCKETED, bucket-sorted table
+    * (round-12; VERDICT r11 #6 — the q191 shard-key machinery applied
+    * to q282's verify stage). The packed-postings side of both verify
+    * joins is the corpus-sized one; written once per (fixture, JVM) as
+    * bucketBy(doc_id) + sortBy + one file per bucket, every subsequent
+    * join against it reads bucket-aligned files with NO Exchange and
+    * NO Sort on the postings side — the repeated-run (reuse-mode)
+    * shape, where the one-time broadcast→SMJ flip cost becomes a
+    * storage-layout property instead of a per-run shuffle.
+    * PlanSpec pins the no-Exchange/no-Sort scan.
+    */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def packedPostings(s: SparkSession, d: String)
+      : DataFrame = {
+    val tbl = postingsCache.computeIfAbsent(d, _ => {
+      val db = "graft_bkt"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'${graft.Stage.scratchDir("graft_bucketed")}'")
+      val name = s"$db.b_postings_" +
+        d.replaceAll("[^A-Za-z0-9]", "_").takeRight(48)
+      val sets = Dedup.shinglesOf(t(s, d, "documents"))
+        .select(col("doc_id"), h60(col("sh")).as("e"))
+        .distinct()
+      sets.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .saveAsTable(name)
+      name
+    })
+    s.table(tbl)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
 
     // Exact Jaccard >= T self-join over 3-word-shingle sets with
@@ -98,9 +134,11 @@ object Similarity {
       // data once every join outgrew AQE's broadcast threshold. Arrays
       // make the verify intermediate exactly |cand| rows (two ~50-element
       // arrays each); array_intersect is hash-based (O(n+m) per pair),
-      // and no per-pair aggregate shuffle remains.
-      val docArr = sets.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("e"))).as("es"))
+      // and no per-pair aggregate shuffle remains. Round-12: the packed
+      // arrays come from the BUCKETED postings table (see
+      // packedPostings), so repeated runs join against a co-located
+      // layout instead of re-shuffling the corpus-sized side.
+      val docArr = packedPostings(s, d)
       val inter = cand
         .join(docArr.as("da"), col("da.doc_id") === col("a_id"))
         .join(docArr.as("db"), col("db.doc_id") === col("b_id"))

@@ -20,9 +20,13 @@ import org.apache.spark.sql.types._
   * endpoint. The reference surface is the librdkafka-based importer
   * (`ImportExport/KafkaImporter.cpp:476` in /root/reference).
   *
-  * Scope: v0 APIs are deliberately chosen — they are the smallest
-  * self-contained wire dialect every broker still answers, and they
-  * avoid record-batch v2 compression/transactional framing that a
+  * Scope: v0 REQUEST APIs (the smallest self-contained dialect every
+  * broker answers) — but the fetch decoder reads BOTH payload
+  * framings: v0 message sets (CRC32) and, since round-12, magic-2
+  * RECORD BATCHES (varint records, CRC32C, control-batch skipping) —
+  * the format every modern broker actually stores, so a broker that
+  * serves batches without down-conversion decodes too. Uncompressed
+  * batches only; compression negotiation is a consumer capability a
   * bounded ingest probe does not need. The file-source micro-batch
   * path (StreamingIngest) remains the default ingest; `fetchBatchDf`
   * lands rows in the connector's exact output schema so
@@ -34,8 +38,11 @@ object KafkaWire {
   case class PartitionMeta(partition: Int, leaderId: Int)
   case class TopicMeta(brokers: Seq[BrokerMeta], topic: String,
       partitions: Seq[PartitionMeta])
+  /** timestamp: epoch millis from a v2 record batch; -1 for v0
+    * messages (the v0 wire carries no timestamp).
+    */
   case class MessageRec(partition: Int, offset: Long,
-      key: Array[Byte], value: Array[Byte])
+      key: Array[Byte], value: Array[Byte], timestamp: Long = -1L)
 
   // ---- primitive writers ----------------------------------------------
 
@@ -85,6 +92,94 @@ object KafkaWire {
     val len = b.getInt()
     if (len < 0) null
     else { val arr = new Array[Byte](len); b.get(arr); arr }
+  }
+
+  // ---- record-batch v2 varints (zigzag, protobuf wire format) ----------
+
+  private def readUnsignedVarint(b: ByteBuffer): Int = {
+    var value = 0; var shift = 0; var cur = 0
+    do {
+      cur = b.get() & 0xff
+      value |= (cur & 0x7f) << shift
+      shift += 7
+      require(shift <= 35, "malformed varint")
+    } while ((cur & 0x80) != 0)
+    value
+  }
+
+  private def readVarint(b: ByteBuffer): Int = {
+    val raw = readUnsignedVarint(b)
+    (raw >>> 1) ^ -(raw & 1)
+  }
+
+  private def readVarlong(b: ByteBuffer): Long = {
+    var value = 0L; var shift = 0; var cur = 0
+    do {
+      cur = b.get() & 0xff
+      value |= (cur & 0x7fL) << shift
+      shift += 7
+      require(shift <= 70, "malformed varlong")
+    } while ((cur & 0x80) != 0)
+    (value >>> 1) ^ -(value & 1L)
+  }
+
+  private def readVarBytes(b: ByteBuffer): Array[Byte] = {
+    val len = readVarint(b)
+    if (len < 0) null
+    else { val arr = new Array[Byte](len); b.get(arr); arr }
+  }
+
+  /** Decode ONE record batch (magic 2; kafka.apache.org/protocol
+    * "Record Batch"). Caller has consumed baseOffset (int64) and
+    * batchLength (int32); `r` is positioned at partitionLeaderEpoch
+    * and the batch ends at `end`. CRC is CRC32C (Castagnoli) over
+    * everything AFTER the crc field. Uncompressed batches only —
+    * the bounded ingest probe never negotiates compression — and
+    * control batches (transaction markers) contribute no data rows,
+    * exactly like the real consumer.
+    */
+  private def decodeV2Batch(r: ByteBuffer, pid: Int, baseOffset: Long,
+      end: Int, recs: scala.collection.mutable.Builder[MessageRec, _])
+      : Unit = {
+    r.getInt() // partitionLeaderEpoch (not CRC-covered)
+    val magic = r.get()
+    require(magic == 2, s"decodeV2Batch on magic $magic")
+    val crc = r.getInt()
+    val crcCheck = new java.util.zip.CRC32C()
+    crcCheck.update(r.array(), r.position(), end - r.position())
+    require((crcCheck.getValue & 0xffffffffL) == (crc.toLong & 0xffffffffL),
+      s"record batch CRC32C mismatch at offset $baseOffset")
+    val attributes = r.getShort()
+    require((attributes & 0x7) == 0,
+      s"compressed record batch (codec ${attributes & 0x7}) not supported")
+    val isControl = (attributes & 0x20) != 0
+    r.getInt()  // lastOffsetDelta
+    val firstTimestamp = r.getLong()
+    r.getLong() // maxTimestamp
+    r.getLong() // producerId
+    r.getShort() // producerEpoch
+    r.getInt()  // baseSequence
+    val recordCount = r.getInt()
+    var i = 0
+    while (i < recordCount) {
+      val len = readVarint(r)
+      val recEnd = r.position() + len
+      r.get() // record attributes (unused)
+      val tsDelta = readVarlong(r)
+      val offDelta = readVarint(r)
+      val key = readVarBytes(r)
+      val value = readVarBytes(r)
+      val nHeaders = readVarint(r)
+      var h = 0
+      while (h < nHeaders) { readVarBytes(r); readVarBytes(r); h += 1 }
+      require(r.position() == recEnd,
+        s"record length mismatch at offset ${baseOffset + offDelta}")
+      if (!isControl)
+        recs += MessageRec(pid, baseOffset + offDelta, key, value,
+          firstTimestamp + tsDelta)
+      i += 1
+    }
+    r.position(end)
   }
 
   // ---- Metadata v0 ------------------------------------------------------
@@ -151,9 +246,13 @@ object KafkaWire {
           val setSize = r.getInt()
           require(err == 0, s"fetch $name/$pid: error $err")
           val end = r.position() + setSize
-          // v0 message set: [offset INT64, size INT32, message]* —
-          // a trailing partial message (broker-side maxBytes cut) is
-          // legal and must be dropped silently
+          // Both wire framings start [int64, int32]: a v0 message set
+          // entry is (offset, messageSize) and a v2 record batch is
+          // (baseOffset, batchLength) — and in BOTH the magic byte
+          // sits 4 bytes into the sized region (after the v0 crc /
+          // the v2 partitionLeaderEpoch), so one peek dispatches.
+          // A trailing partial entry (broker-side maxBytes cut) is
+          // legal and must be dropped silently.
           while (r.position() + 12 <= end) {
             val msgOffset = r.getLong()
             val msgSize = r.getInt()
@@ -161,20 +260,30 @@ object KafkaWire {
               r.position(end)
             } else {
               val msgStart = r.position()
-              val crc = r.getInt()
-              val crcCheck = new CRC32()
-              crcCheck.update(r.array(), r.position(),
-                msgSize - 4)
-              require((crcCheck.getValue & 0xffffffffL) ==
-                  (crc.toLong & 0xffffffffL),
-                s"CRC mismatch at offset $msgOffset")
-              val magic = r.get()
-              require(magic == 0, s"unsupported message magic $magic")
-              r.get() // attributes (0 = uncompressed)
-              val key = readBytes(r)
-              val value = readBytes(r)
-              r.position(msgStart + msgSize)
-              recs += MessageRec(pid, msgOffset, key, value)
+              val magic = r.get(msgStart + 4) // peek, don't consume
+              magic match {
+                case 0 =>
+                  val crc = r.getInt()
+                  val crcCheck = new CRC32()
+                  crcCheck.update(r.array(), r.position(),
+                    msgSize - 4)
+                  require((crcCheck.getValue & 0xffffffffL) ==
+                      (crc.toLong & 0xffffffffL),
+                    s"CRC mismatch at offset $msgOffset")
+                  val m = r.get()
+                  require(m == 0, s"unsupported message magic $m")
+                  r.get() // attributes (0 = uncompressed)
+                  val key = readBytes(r)
+                  val value = readBytes(r)
+                  r.position(msgStart + msgSize)
+                  recs += MessageRec(pid, msgOffset, key, value)
+                case 2 =>
+                  decodeV2Batch(r, pid, msgOffset, msgStart + msgSize,
+                    recs)
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"unsupported message magic $other at $msgOffset")
+              }
             }
           }
         }
@@ -208,7 +317,7 @@ object KafkaWire {
       val leader = byId(p.leaderId)
       fetch(leader.host, leader.port, topic, p.partition, offset = 0L)
         .map(m => Row(m.key, m.value, topic, m.partition, m.offset,
-          new java.sql.Timestamp(0L), 0))
+          new java.sql.Timestamp(math.max(0L, m.timestamp)), 0))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), wireSchema)
@@ -280,7 +389,7 @@ object KafkaWire {
     /** `poll` as a bounded DataFrame in the connector wire schema. */
     def pollDf(spark: SparkSession): DataFrame = {
       val rows = poll().map(m => Row(m.key, m.value, topic, m.partition,
-        m.offset, new java.sql.Timestamp(0L), 0))
+        m.offset, new java.sql.Timestamp(math.max(0L, m.timestamp)), 0))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), wireSchema)
     }

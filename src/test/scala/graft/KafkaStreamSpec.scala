@@ -128,6 +128,39 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("record-batch v2: PollConsumer decodes magic-2 batches " +
+      "(varint records, CRC32C, timestamps) and resumes offsets") {
+    // Round-12 (VERDICT r11 stretch #9): modern brokers store and —
+    // for fetch v4+ — serve magic-2 record batches; the decoder now
+    // reads both framings, dispatching on the magic byte.
+    def msg(i: Int): (Array[Byte], Array[Byte]) =
+      (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))
+    val broker = new MockKafkaBroker("events", (0 until 10).map(msg),
+      v2Batches = true)
+    try {
+      val c = new streaming.KafkaWire.PollConsumer("127.0.0.1",
+        broker.port, "events")
+      val b1 = c.poll()
+      assert(b1.map(_.offset) == (0L until 10L))
+      assert(b1.map(m => new String(m.value, "UTF-8")) ==
+        (0 until 10).map(i => s"v$i"))
+      // v2 batches carry real timestamps: firstTimestamp + delta
+      assert(b1.map(_.timestamp) ==
+        (0 until 10).map(i => 1700000000000L + i),
+        "v2 record timestamps not decoded")
+      // resumed poll: a NEW batch framed at baseOffset 10
+      broker.append((10 until 15).map(msg))
+      val b2 = c.poll()
+      assert(b2.map(_.offset) == (10L until 15L))
+      assert(c.poll().isEmpty && c.committedOffsets(0) == 15L)
+      // pollDf surfaces the v2 timestamp through the wire schema
+      broker.append(Seq(msg(15)))
+      val row = c.pollDf(spark).collect().head
+      assert(row.getLong(4) == 15L)
+      assert(row.getTimestamp(5).getTime == 1700000000000L + 15L)
+    } finally broker.stop()
+  }
+
   test("KafkaSource branch wires to the kafka DataSource lookup") {
     val e = intercept[Exception](StreamingIngest.eventStream(spark,
       StreamingIngest.KafkaSource("broker:9092", "events")))

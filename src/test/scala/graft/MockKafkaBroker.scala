@@ -21,7 +21,8 @@ import java.util.zip.CRC32
   * connects fail with IOException exactly like a real restart.
   */
 class MockKafkaBroker(topic: String,
-    initial: Seq[(Array[Byte], Array[Byte])]) {
+    initial: Seq[(Array[Byte], Array[Byte])],
+    v2Batches: Boolean = false) {
 
   private val log =
     scala.collection.mutable.ArrayBuffer(initial: _*)
@@ -59,7 +60,76 @@ class MockKafkaBroker(topic: String,
     if (b == null) ByteBuffer.allocate(4).putInt(-1).array()
     else ByteBuffer.allocate(4 + b.length).putInt(b.length).put(b).array()
 
+  // ---- record-batch v2 emission (magic 2, varint records, CRC32C) ----
+
+  private def uVarint(out: java.io.ByteArrayOutputStream, v0: Int): Unit = {
+    var v = v0
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+  }
+  private def zigzag(out: java.io.ByteArrayOutputStream, v: Int): Unit =
+    uVarint(out, (v << 1) ^ (v >> 31))
+  private def zigzagL(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var z = (v << 1) ^ (v >> 63)
+    while ((z & ~0x7fL) != 0) { out.write(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+    out.write(z.toInt)
+  }
+  private def varBytes(out: java.io.ByteArrayOutputStream,
+      b: Array[Byte]): Unit =
+    if (b == null) zigzag(out, -1)
+    else { zigzag(out, b.length); out.write(b) }
+
+  /** One magic-2 record batch holding the log tail from `from`:
+    * [baseOffset i64][batchLength i32][leaderEpoch i32][magic 2]
+    * [crc32c u32][attributes i16][lastOffsetDelta i32][firstTs i64]
+    * [maxTs i64][producerId i64][producerEpoch i16][baseSeq i32]
+    * [count i32][records…], timestamps = BaseTs + offset.
+    */
+  private val BaseTs = 1700000000000L
+  private def recordBatch(from: Long): (Array[Byte], Long) = {
+    val snapshot = log.synchronized { log.toVector }
+    val tail = snapshot.zipWithIndex.drop(from.toInt)
+    if (tail.isEmpty) return (Array.empty[Byte], snapshot.size.toLong)
+    val records = new java.io.ByteArrayOutputStream()
+    tail.foreach { case ((k, v), i) =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0) // record attributes
+      zigzagL(body, i - from) // timestampDelta = offsetDelta here
+      zigzag(body, (i - from).toInt)
+      varBytes(body, k)
+      varBytes(body, v)
+      zigzag(body, 0) // headers
+      zigzag(records, body.size())
+      records.write(body.toByteArray)
+    }
+    val recBytes = records.toByteArray
+    // attributes → end (CRC32C-covered region)
+    val covered = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4
+        + recBytes.length)
+      .putShort(0)                       // attributes: uncompressed
+      .putInt(tail.size - 1)             // lastOffsetDelta
+      .putLong(BaseTs + from)            // firstTimestamp
+      .putLong(BaseTs + snapshot.size - 1) // maxTimestamp
+      .putLong(-1L).putShort(-1)         // producerId/epoch
+      .putInt(-1)                        // baseSequence
+      .putInt(tail.size)
+      .put(recBytes).array()
+    val crc = new java.util.zip.CRC32C()
+    crc.update(covered)
+    val afterLength = ByteBuffer.allocate(4 + 1 + 4 + covered.length)
+      .putInt(0)                         // partitionLeaderEpoch
+      .put(2.toByte)                     // magic
+      .putInt(crc.getValue.toInt)
+      .put(covered).array()
+    val batch = ByteBuffer.allocate(8 + 4 + afterLength.length)
+      .putLong(from)                     // baseOffset
+      .putInt(afterLength.length)        // batchLength
+      .put(afterLength).array()
+    (batch, snapshot.size.toLong)
+  }
+
   private def messageSet(from: Long): (Array[Byte], Long) = {
+    if (v2Batches) return recordBatch(from)
     val snapshot = log.synchronized { log.toVector }
     val parts = snapshot.zipWithIndex.drop(from.toInt).map {
       case ((k, v), i) =>

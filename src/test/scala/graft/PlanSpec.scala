@@ -173,6 +173,31 @@ class PlanSpec extends AnyFunSuite {
     } finally { spark.conf.set(bcast, oldB); spark.conf.set(order, oldO) }
   }
 
+  test("q282 packed postings are bucketed: joins on doc_id read " +
+      "co-located buckets with zero exchange and zero sort") {
+    // Round-12 (VERDICT r11 #6): the verify stage's corpus-sized side
+    // is a bucketBy(doc_id)+sortBy table written once per fixture —
+    // the pin is the q191 shape on the postings table itself: an SMJ
+    // whose bucketed sides read with no Exchange and no Sort.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val order = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val oldB = spark.conf.get(bcast)
+    val oldO = spark.conf.get(order, "false")
+    try {
+      spark.conf.set(bcast, "-1")
+      spark.conf.set(order, "true")
+      val p = graft.operators.Similarity.packedPostings(spark, sf)
+      val joined = p.as("a").join(
+        p.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("es").as("es2")).as("b"),
+        "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(!plan.contains("Sort "), plan.take(2000))
+    } finally { spark.conf.set(bcast, oldB); spark.conf.set(order, oldO) }
+  }
+
   test("TPC-H family: pushed filters, broadcast dims, zero cartesian") {
     // Q6 is the pure-scan query: its date/discount/quantity predicates
     // must reach the parquet reader, not a post-scan Filter only.
