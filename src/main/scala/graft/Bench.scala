@@ -225,9 +225,20 @@ object Bench {
       println(writeSummary()) // incremental: a timeout still yields data
     }
 
+    // Round-12: the budget is environment-adaptive. `elapsed` includes
+    // pass 1, so on a slower box a fixed per-query constant can be
+    // consumed entirely by the cold sweep and pass 2 collapses to the
+    // exempt decile (measured this round: pass-1 ≈ 1000 s on a box
+    // running ~1.4× slower than round 10 → pass2_coverage 0.098 with
+    // the 1.9 s/query constant). Guarantee pass 2 at least 40% of the
+    // measured pass-1 cost — enough for the sub-second band plus most
+    // of the midrange, scaled to whatever the hardware actually does.
+    val pass1Elapsed = elapsed
+    val budget2 = math.max(budget, pass1Elapsed * 1.4)
+
     def rerun(name: String, fn: (SparkSession, String) => DataFrame,
         exemptBudget: Boolean): Unit =
-      if (best(name) >= 0 && (exemptBudget || elapsed < budget)) {
+      if (best(name) >= 0 && (exemptBudget || elapsed < budget2)) {
         val t = try timed(name, fn) catch { case _: Throwable => best(name) }
         best(name) = math.min(best(name), t)
         println(writeSummary())
