@@ -512,6 +512,52 @@ object DdlDml {
         s.sparkContext.parallelize(rows, 1), schema)
         .withColumn("mv_filter_pinned", org.apache.spark.sql.functions.lit(true))
         .orderBy("g1")
+    }),
+
+    // AVG derivability over the MV lattice (round-12): an MV carrying
+    // sum(m)+count(m) answers avg(m) as Sum(partial sums)/Sum(partial
+    // counts) — the remaining decomposable aggregate after
+    // SUM/COUNT/MIN/MAX. Nulls are exact (an all-null group's
+    // (null, 0) partials null the division like the base avg);
+    // DECIMAL avg is refused by design (scale re-rounding — the q300
+    // class — MvRewriteSpec pins the refusal). The measure here is
+    // integral-valued l_quantity, so the double division is
+    // bit-identical on both engines. The entry REQUIREs the plan to
+    // read the MV, not the base.
+    "q586_mv_avg_rollup" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q586")
+      eng.sql("DROP TABLE IF EXISTS mvb_q586")
+      eng.sql(
+        """CREATE TABLE mvb_q586 AS
+           SELECT l_returnflag AS g1, l_linestatus AS g2,
+                  l_quantity AS m
+           FROM lineitem""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q586 AS
+           SELECT g1, g2, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+           FROM mvb_q586 GROUP BY g1, g2""")
+      val out = eng.sql(
+        """SELECT g1, round(avg(m), 6) AS avg_m, count(m) AS n_m
+           FROM mvb_q586 GROUP BY g1""")
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }.mkString(";")
+      require(scans.contains("mv_q586") && !scans.contains("mvb_q586"),
+        s"avg roll-up was not served from the MV: $scans")
+      val rows = out.collect().toSeq // ≤3 flags — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q586")
+      eng.sql("DROP TABLE mvb_q586")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .withColumn("mv_avg_pinned", org.apache.spark.sql.functions.lit(true))
+        .orderBy("g1")
     })
   )
 
@@ -672,6 +718,10 @@ object DdlDml {
                 count(*)::BIGINT AS n, true AS mv_filter_pinned
          FROM lineitem
          WHERE l_partkey % 100 < 50 AND l_partkey % 100 <> 7
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q586_mv_avg_rollup" ->
+      """SELECT l_returnflag AS g1, round(avg(l_quantity), 6) AS avg_m,
+                count(l_quantity)::BIGINT AS n_m, true AS mv_avg_pinned
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -45,7 +45,8 @@ object MvRewrite {
       sums: Map[String, Attribute],    // base measure name -> sum col
       mins: Map[String, Attribute],
       maxs: Map[String, Attribute],
-      cnt: Option[Attribute])          // count(*) partial, if present
+      cnt: Option[Attribute],          // count(*) partial, if present
+      cnts: Map[String, Attribute])    // count(col) partials (for AVG)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Mv]()
@@ -184,6 +185,7 @@ object MvRewrite {
       var mins = Map.empty[String, Attribute]
       var maxs = Map.empty[String, Attribute]
       var cnt = Option.empty[Attribute]
+      var cnts = Map.empty[String, Attribute]
       var ok = true
       aggExprs.foreach {
         case a: AttributeReference =>
@@ -210,6 +212,13 @@ object MvRewrite {
             }
             case c: Count if c.children.forall(_.foldable) =>
               cnt = Some(scanAttr(al.name))
+            case c: Count => c.children match {
+              // count(col) partial — re-summable, and together with
+              // sum(col) it derives AVG (round-12)
+              case Seq(a: AttributeReference) =>
+                cnts += a.name -> scanAttr(al.name)
+              case _ => ok = false
+            }
             case _ => ok = false
           }
         case _ => ok = false
@@ -223,7 +232,7 @@ object MvRewrite {
       val base = stripPrune(child)
       if (ok && !base.isInstanceOf[Project]) {
         registry.put(name,
-          Mv(name, base, scanPlan, dims, sums, mins, maxs, cnt))
+          Mv(name, base, scanPlan, dims, sums, mins, maxs, cnt, cnts))
         true
       } else false
     case _ => false
@@ -336,69 +345,137 @@ object MvRewrite {
       case _ => None
     }
 
-    private def derivable(agg: Aggregate, mv: Mv): Boolean =
-      agg.aggregateExpressions.forall {
-        case a: AttributeReference => mv.dims.contains(a.name)
-        case Alias(a: AttributeReference, _) => mv.dims.contains(a.name)
-        case Alias(ae: AggregateExpression, _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          ae.aggregateFunction match {
-            case s: Sum => s.child match {
-              case a: AttributeReference => mv.sums.contains(a.name)
-              case _ => false
-            }
-            case m: Min => m.child match {
-              case a: AttributeReference => mv.mins.contains(a.name)
-              case _ => false
-            }
-            case m: Max => m.child match {
-              case a: AttributeReference => mv.maxs.contains(a.name)
-              case _ => false
-            }
-            case c: Count => c.children.forall(_.foldable) &&
-              mv.cnt.isDefined
-            case _ => false
-          }
+    /** Is this single aggregate call derivable from the MV's partials? */
+    private def derivableAgg(ae: AggregateExpression, mv: Mv): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case s: Sum => s.child match {
+          case a: AttributeReference => mv.sums.contains(a.name)
+          case _ => false
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference => mv.mins.contains(a.name)
+          case _ => false
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference => mv.maxs.contains(a.name)
+          case _ => false
+        }
+        case c: Count if c.children.forall(_.foldable) =>
+          mv.cnt.isDefined
+        case c: Count => c.children match {
+          case Seq(a: AttributeReference) => mv.cnts.contains(a.name)
+          case _ => false
+        }
+        // AVG derives as Sum(sum_m)/Sum(count_m) — sound for the
+        // double-returning numeric types (integral partial sums
+        // stay exact, and null groups contribute null/0 which the
+        // division nulls out exactly like the base avg). DECIMAL
+        // avg is REFUSED: its scale arithmetic re-rounds (the
+        // round-7 q300 class) and must keep hitting the base.
+        case a: Average => a.child match {
+          case at: AttributeReference =>
+            ae.dataType == org.apache.spark.sql.types.DoubleType &&
+              mv.sums.contains(at.name) && mv.cnts.contains(at.name)
+          case _ => false
+        }
         case _ => false
+      })
+
+    /** Output expressions may wrap derivable aggregates in arbitrary
+      * deterministic scalar expressions (round(avg(m), 6), sum(a) /
+      * sum(b), …) — the optimizer collapses such Projects INTO the
+      * Aggregate, so the rule must accept them (round-12). Sound when
+      * every aggregate call is derivable and every reference OUTSIDE
+      * the aggregate calls is a dimension.
+      */
+    private def derivable(agg: Aggregate, mv: Mv): Boolean =
+      agg.aggregateExpressions.forall { e =>
+        val aggs = e.collect { case ae: AggregateExpression => ae }
+        val outside = e.transform {
+          case _: AggregateExpression => Literal(null)
+        }.references
+        e.deterministic &&
+          e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty &&
+          aggs.forall(derivableAgg(_, mv)) &&
+          outside.forall(a => mv.dims.contains(a.name))
       }
+
+    /** The derived (re-aggregating) form of one aggregate call, cast
+      * back to the original call's dataType so the surrounding scalar
+      * expression and the output schema resolve unchanged.
+      */
+    private def deriveAgg(ae: AggregateExpression, mv: Mv): Expression = {
+      def reAgg(fn: AggregateFunction): AggregateExpression =
+        AggregateExpression(fn, Complete, isDistinct = false)
+      val mapped: Expression = ae.aggregateFunction match {
+        case s: Sum =>
+          reAgg(Sum(mv.sums(s.child
+            .asInstanceOf[AttributeReference].name)))
+        case m: Min =>
+          reAgg(Min(mv.mins(m.child
+            .asInstanceOf[AttributeReference].name)))
+        case m: Max =>
+          reAgg(Max(mv.maxs(m.child
+            .asInstanceOf[AttributeReference].name)))
+        // COUNT re-summed over an EMPTY mv scan yields NULL
+        // where the original count returns 0 (reachable for a
+        // global aggregate over a star-join base whose join is
+        // empty) — coalesce restores the count contract.
+        case c: Count if c.children.forall(_.foldable) =>
+          Coalesce(Seq(reAgg(Sum(mv.cnt.get)), Literal(0L)))
+        case c: Count =>
+          val src = mv.cnts(c.children.head
+            .asInstanceOf[AttributeReference].name)
+          Coalesce(Seq(reAgg(Sum(src)), Literal(0L)))
+        // AVG = re-sum of partial sums / re-sum of partial counts.
+        // A group whose measure was all-null carries (null, 0)
+        // and a null numerator nulls the division — exactly the
+        // base avg. Division in DOUBLE (derivableAgg already
+        // refused decimal inputs).
+        case a: Average =>
+          val n = a.child.asInstanceOf[AttributeReference].name
+          Divide(
+            Cast(reAgg(Sum(mv.sums(n))),
+              org.apache.spark.sql.types.DoubleType),
+            Cast(reAgg(Sum(mv.cnts(n))),
+              org.apache.spark.sql.types.DoubleType))
+      }
+      // Re-aggregation can widen the type (Sum over a partial sum:
+      // DecimalType precision grows +10 twice, Count re-summed is a
+      // LongType sum) — cast back so the attribute's dataType stays
+      // identical to the analyzed output schema mid-optimization.
+      if (mapped.dataType == ae.dataType) mapped
+      else Cast(mapped, ae.dataType)
+    }
 
     private def rewrite(agg: Aggregate, mv: Mv,
         dimFilter: Option[Expression]): Aggregate = {
-      def reAgg(fn: AggregateFunction): AggregateExpression =
-        AggregateExpression(fn, Complete, isDistinct = false)
       val newAggs = agg.aggregateExpressions.map {
         case a: AttributeReference =>
           Alias(mv.dims(a.name), a.name)(exprId = a.exprId)
         case al @ Alias(a: AttributeReference, n) =>
           Alias(mv.dims(a.name), n)(exprId = al.exprId)
-        case al @ Alias(ae: AggregateExpression, n) =>
-          val mapped = ae.aggregateFunction match {
-            case s: Sum =>
-              val src = mv.sums(s.child
-                .asInstanceOf[AttributeReference].name)
-              reAgg(Sum(src))
-            case m: Min =>
-              reAgg(Min(mv.mins(m.child
-                .asInstanceOf[AttributeReference].name)))
-            case m: Max =>
-              reAgg(Max(mv.maxs(m.child
-                .asInstanceOf[AttributeReference].name)))
-            // COUNT(*) re-summed over an EMPTY mv scan yields NULL
-            // where the original count returns 0 (reachable for a
-            // global aggregate over a star-join base whose join is
-            // empty) — coalesce restores the count contract.
-            case _: Count =>
-              Coalesce(Seq(reAgg(Sum(mv.cnt.get)), Literal(0L)))
+        // General case: any deterministic scalar expression over
+        // derivable aggregate calls and dims. Only the ORIGINAL
+        // aggregate-call instances swap (keyed by reference identity):
+        // transformDown descends into the derived replacement's
+        // children, and its inner re-aggregation Sums must never match
+        // the rule again (a base measure named like a partial column
+        // would otherwise re-derive without terminating).
+        case other =>
+          val derivedByRef =
+            new java.util.IdentityHashMap[AggregateExpression, Expression]()
+          other.foreach {
+            case ae: AggregateExpression =>
+              derivedByRef.put(ae, deriveAgg(ae, mv))
+            case _ => ()
           }
-          // Re-aggregation can widen the type (Sum over a partial sum:
-          // DecimalType precision grows +10 twice, Count re-summed is a
-          // LongType sum) — cast back so the attribute's dataType stays
-          // identical to the analyzed output schema mid-optimization.
-          val typed: Expression =
-            if (mapped.dataType == ae.dataType) mapped
-            else Cast(mapped, ae.dataType)
-          Alias(typed, n)(exprId = al.exprId)
-        case other => other
+          other.transformDown {
+            case ae: AggregateExpression
+                if derivedByRef.containsKey(ae) => derivedByRef.get(ae)
+            case a: AttributeReference if mv.dims.contains(a.name) =>
+              mv.dims(a.name)
+          }
       }
       val newGroupings = agg.groupingExpressions.map {
         case a: AttributeReference => mv.dims(a.name)

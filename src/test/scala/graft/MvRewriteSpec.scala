@@ -267,4 +267,58 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP MATERIALIZED VIEW mv_pf")
     eng.sql("DROP TABLE mvb_pf")
   }
+
+  test("AVG derives from an MV carrying sum(m)+count(m) — null groups " +
+      "exact; DECIMAL avg refuses the MV") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_avg")
+    eng.sql("DROP TABLE IF EXISTS mvb_avg")
+    // g='N' carries an ALL-NULL measure group: its partials are
+    // (sum=null, count=0) and the derived avg must stay null
+    eng.sql(
+      """CREATE TABLE mvb_avg AS
+         SELECT CASE WHEN l_orderkey % 7 = 0 THEN 'Z'
+                     ELSE l_returnflag END AS g,
+                l_linestatus AS g2,
+                CASE WHEN l_orderkey % 7 = 0
+                     THEN CAST(NULL AS DOUBLE)
+                     ELSE l_quantity END AS m,
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS dm
+         FROM lineitem""")
+    val expect = eng.sql(
+      "SELECT g, avg(m) AS a, count(m) AS cm FROM mvb_avg GROUP BY g")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getLong(2))).toMap
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_avg AS
+         SELECT g, g2, sum(m) AS sm, count(m) AS cm, sum(dm) AS sdm,
+                count(dm) AS cdm, count(*) AS cnt
+         FROM mvb_avg GROUP BY g, g2""")
+    val df = eng.sql(
+      "SELECT g, avg(m) AS a, count(m) AS cm FROM mvb_avg GROUP BY g")
+    val scans = scanPaths(df)
+    assert(scans.contains("mv_avg") && !scans.contains("mvb_avg"),
+      s"avg roll-up was not served from the MV: $scans")
+    val got = df.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), r.getLong(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (a, cm)) =>
+      val (ea, ecm) = expect(k)
+      assert(cm == ecm, s"count(m) mismatch for $k")
+      (a, ea) match {
+        case (None, None) => () // the all-null group stays null
+        case (Some(x: Double), Some(y: Double)) =>
+          assert(x == y, s"avg mismatch for $k: $x vs $y")
+        case other => fail(s"avg null-ness diverged for $k: $other")
+      }
+    }
+    assert(got("Z")._1.isEmpty, "all-null group must have null avg")
+    // DECIMAL avg must refuse (scale re-rounding — the q300 class)
+    val dec = eng.sql("SELECT g, avg(dm) AS a FROM mvb_avg GROUP BY g")
+    assert(scanPaths(dec).contains("mvb_avg") &&
+      !scanPaths(dec).contains("mv_avg"),
+      "DECIMAL avg was wrongly served from the MV")
+    eng.sql("DROP MATERIALIZED VIEW mv_avg")
+    eng.sql("DROP TABLE mvb_avg")
+  }
 }
