@@ -73,6 +73,18 @@ object Similarity {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Index-table name suffix = MD5 of the FULL fixture path (round-13
+    * ADVICE): the former sanitized `takeRight(48)` let two dirs sharing
+    * a 48-char suffix collide onto the same table names — the second
+    * build mode-overwrote the first fixture's index while the first
+    * cache entry still pointed at it. The hash makes the table name
+    * injective in `d`.
+    */
+  private[graft] def indexTableSuffix(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Build BOTH similarity-index tables for a fixture in one pass over
     * the shingle sets: the packed per-doc arrays bucketed by doc_id
     * (verify side) and the prefix postings bucketed by the element key
@@ -86,7 +98,7 @@ object Similarity {
       val db = "graft_bkt"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
         s"'${graft.Stage.scratchDir("graft_bucketed")}'")
-      val suffix = d.replaceAll("[^A-Za-z0-9]", "_").takeRight(48)
+      val suffix = indexTableSuffix(d)
       val postingsName = s"$db.b_postings_$suffix"
       val prefixName = s"$db.b_prefix_$suffix"
       val sets = graft.Stage(Dedup.shinglesOf(t(s, d, "documents"))

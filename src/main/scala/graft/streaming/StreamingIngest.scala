@@ -685,11 +685,18 @@ object StreamingIngest {
     * windows through `streamedWatermarkAudit` directly).
     */
   private val trioCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame, DataFrame)]()
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
 
   private def streamedTrio(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
-    trioCache.computeIfAbsent(dir, _ => {
+    // Keyed by (session identity, fixture dir) — round-13 ADVICE: a
+    // dir-only key handed staged DataFrames built on a STOPPED
+    // SparkSession to its replacement, an unusable snapshot. A fresh
+    // session re-drives the trio once (and re-stages), which also
+    // refreshes any recreated cdc_state/mv_stream/landing data for
+    // that session.
+    trioCache.computeIfAbsent(
+      (String.valueOf(System.identityHashCode(spark)), dir), _ => {
       val (cdc, mv, wm) = withStatePartitions(spark) {
         val wmH = wmStart(spark, dir, "2024-01-05", "2024-01-11")
         val cdcQ = cdcStart(spark, dir)

@@ -321,4 +321,142 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP MATERIALIZED VIEW mv_avg")
     eng.sql("DROP TABLE mvb_avg")
   }
+
+  test("same-named columns on both join sides: the MV over t2.tag " +
+      "does not answer a query grouping t1.tag (round-13 position " +
+      "check); the registered side still rewrites") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_amb")
+    eng.sql("DROP TABLE IF EXISTS amb_l")
+    eng.sql("DROP TABLE IF EXISTS amb_r")
+    // both tables expose `tag`, with DIFFERENT values per key — the
+    // two groupings genuinely differ
+    eng.sql(
+      """CREATE TABLE amb_l AS
+         SELECT o_orderkey % 100 AS k,
+                concat('L', o_orderkey % 3) AS tag,
+                o_totalprice AS m
+         FROM orders WHERE o_orderkey % 7 = 0""")
+    eng.sql(
+      """CREATE TABLE amb_r AS
+         SELECT o_orderkey % 100 AS k,
+                concat('R', o_orderkey % 5) AS tag
+         FROM orders WHERE o_orderkey % 13 = 0""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_amb AS
+         SELECT t2.tag AS g, sum(t1.m) AS sm, count(*) AS cnt
+         FROM amb_l t1 JOIN amb_r t2 ON t1.k = t2.k
+         GROUP BY t2.tag""")
+    // truth for the OTHER side's grouping
+    val expect = eng.sql(
+      """SELECT t1.tag AS g, sum(t1.m) AS s
+         FROM amb_l t1 JOIN amb_r t2 ON t1.k = t2.k
+         GROUP BY t1.tag""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val other = eng.sql(
+      """SELECT t1.tag AS g, sum(t1.m) AS s
+         FROM amb_l t1 JOIN amb_r t2 ON t1.k = t2.k
+         GROUP BY t1.tag""")
+    val scansO = scanPaths(other)
+    assert(scansO.contains("amb_l") && !scansO.contains("mv_amb"),
+      s"t1.tag grouping was wrongly served from the t2.tag MV: $scansO")
+    assert(other.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap == expect)
+    // positive control: the registered side's grouping rewrites
+    val same = eng.sql(
+      """SELECT t2.tag AS g, sum(t1.m) AS s
+         FROM amb_l t1 JOIN amb_r t2 ON t1.k = t2.k
+         GROUP BY t2.tag""")
+    assert(scanPaths(same).contains("mv_amb"),
+      s"registered-side grouping stopped rewriting: ${scanPaths(same)}")
+    eng.sql("DROP MATERIALIZED VIEW mv_amb")
+    eng.sql("DROP TABLE amb_l")
+    eng.sql("DROP TABLE amb_r")
+  }
+
+  test("an MV referencing the same name at two base positions " +
+      "(GROUP BY t1.x, sum(t2.x)) refuses registration") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_dup")
+    eng.sql("DROP TABLE IF EXISTS dup_b")
+    eng.sql(
+      """CREATE TABLE dup_b AS
+         SELECT o_orderkey % 40 AS k, CAST(o_orderkey % 9 AS DOUBLE) AS x
+         FROM orders WHERE o_orderkey % 3 = 0""")
+    val reg = eng.sql(
+      """CREATE MATERIALIZED VIEW mv_dup AS
+         SELECT t1.x, sum(t2.x) AS sx, count(*) AS cnt
+         FROM dup_b t1 JOIN dup_b t2 ON t1.k = t2.k
+         GROUP BY t1.x""").collect().head
+    assert(!reg.getAs[Boolean]("rewrite_registered"),
+      "same-name-two-positions MV must refuse rewrite registration")
+    assert(eng.sql("SELECT count(*) AS n FROM mv_dup")
+      .collect().head.getLong(0) > 0,
+      "the refused MV's table must still be queryable")
+    eng.sql("DROP MATERIALIZED VIEW mv_dup")
+    eng.sql("DROP TABLE dup_b")
+  }
+
+  test("a base dim named like an MV partial-column alias: the derived " +
+      "sum keeps reading the partial, not the dim (identity-keyed swap)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_coll")
+    eng.sql("DROP TABLE IF EXISTS coll_b")
+    // base dim is named `total`; the MV aliases sum(amount) AS total —
+    // a name-keyed dim swap would replace the derived Sum's scan
+    // attribute `total` with the dim column `d` silently.
+    eng.sql(
+      """CREATE TABLE coll_b AS
+         SELECT concat('g', o_orderkey % 4) AS total,
+                o_totalprice AS amount
+         FROM orders WHERE o_orderkey % 2 = 0""")
+    val expect = eng.sql(
+      """SELECT total AS g, round(sum(amount) / 100.0, 4) AS s
+         FROM coll_b GROUP BY total""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_coll AS
+         SELECT total AS d, sum(amount) AS total, count(*) AS cnt
+         FROM coll_b GROUP BY total""")
+    // the scalar-expression path exercises the general-case swap
+    val df = eng.sql(
+      """SELECT total AS g, round(sum(amount) / 100.0, 4) AS s
+         FROM coll_b GROUP BY total""")
+    assert(scanPaths(df).contains("mv_coll"),
+      s"collision roll-up was not served from the MV: ${scanPaths(df)}")
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect,
+      s"dim/partial-alias collision corrupted the derived sum: $got vs $expect")
+    eng.sql("DROP MATERIALIZED VIEW mv_coll")
+    eng.sql("DROP TABLE coll_b")
+  }
+
+  test("derived AVG re-sums partials in DOUBLE: a Long re-sum that " +
+      "would overflow matches the base avg instead of wrapping/failing") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_ovf")
+    eng.sql("DROP TABLE IF EXISTS ovf_b")
+    // three per-(g,g2) partial sums of 2^62 each: their exact Long
+    // re-sum (3×2^62) overflows Int64, while Average's own Double
+    // accumulator — and the fixed derived path — compute 2^62 exactly.
+    eng.sql(
+      """CREATE TABLE ovf_b AS
+         SELECT 'A' AS g, g2, CAST(4611686018427387904 AS BIGINT) AS m
+         FROM (SELECT explode(array('x','y','z')) AS g2)""")
+    val expect = eng.sql("SELECT g, avg(m) AS a FROM ovf_b GROUP BY g")
+      .collect().head.getDouble(1)
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_ovf AS
+         SELECT g, g2, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+         FROM ovf_b GROUP BY g, g2""")
+    val df = eng.sql("SELECT g, avg(m) AS a FROM ovf_b GROUP BY g")
+    assert(scanPaths(df).contains("mv_ovf"),
+      s"overflow-avg roll-up was not served from the MV: ${scanPaths(df)}")
+    val got = df.collect().head.getDouble(1)
+    assert(got == expect && got == math.pow(2, 62),
+      s"derived avg diverged from base under Long-overflow partials: " +
+        s"$got vs $expect")
+    eng.sql("DROP MATERIALIZED VIEW mv_ovf")
+    eng.sql("DROP TABLE ovf_b")
+  }
 }

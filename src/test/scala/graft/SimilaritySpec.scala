@@ -10,6 +10,26 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("similarity-index table names are injective in the fixture " +
+      "path: dirs sharing a 48-char sanitized suffix get distinct " +
+      "suffixes (round-13 ADVICE)") {
+    val tail = "x" * 48
+    val a = s"/data/fixtureA/$tail"
+    val b = s"/data/fixtureB/$tail"
+    // the old takeRight(48) collapsed these to the same table name
+    assert(a.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) ==
+      b.replaceAll("[^A-Za-z0-9]", "_").takeRight(48),
+      "fixture paths no longer collide under the OLD scheme — " +
+        "pick a longer shared tail")
+    assert(graft.operators.Similarity.indexTableSuffix(a) !=
+      graft.operators.Similarity.indexTableSuffix(b))
+    // deterministic: same dir, same suffix (the cache key contract)
+    assert(graft.operators.Similarity.indexTableSuffix(a) ==
+      graft.operators.Similarity.indexTableSuffix(a))
+    assert(graft.operators.Similarity.indexTableSuffix(a)
+      .matches("[0-9a-f]{32}"))
+  }
+
   test("prefix-filter join is COMPLETE: equals brute-force all-pairs " +
       "exact Jaccard at the same threshold") {
     // The whole point of q282 over LSH (q42): recall 1.0 by theorem.
