@@ -427,6 +427,199 @@ object Ddl {
     Option(catalog.get(name)).foreach(m =>
       plans.MvRewrite.invalidateUnder(m.baseDir))
 
+  // ---- incremental REFRESH MATERIALIZED VIEW (round-13, VERDICT #1) --
+  // Base mutations INVALIDATE registered MVs (above) — without refresh,
+  // a 100 TB warehouse would lose aggregate navigation after every
+  // ingest batch and pay a full re-create. `REFRESH MATERIALIZED VIEW`
+  // closes the loop: the MV definition + the base's file/version state
+  // at build time are recorded here; refresh computes the base DELTA
+  // since that state and applies it to the MV table via the q296 MERGE
+  // fast path, then re-registers the MV for navigation. Reference
+  // analog: the DataRecycler's invalidation-vs-reuse lifecycle
+  // (`QueryEngine/DataRecycler/`) and scheduled refresh
+  // (`Catalog/RefreshTimeCalculator.cpp`).
+  //
+  // Delta classification (per base table, exact in every mode):
+  //  - same version + recorded files all present → PURE APPEND: the
+  //    delta is ONLY the newly appended files — at 100 TB this reads
+  //    one ingest batch plus the (tiny) MV, never the standing corpus;
+  //  - version bumped (COW UPDATE/DELETE/MERGE) with the recorded
+  //    files still on disk → DIFF: inserted = cur EXCEPT ALL old,
+  //    deleted = old EXCEPT ALL cur (two scans — correct at any scale,
+  //    priced like the rewrite that caused it);
+  //  - recorded files vacuumed, multi-table base, or a definition
+  //    outside MvShape → FULL REBUILD (correct, not incremental).
+  // MIN/MAX are exact under appends (least/greatest merge) but NOT
+  // incrementally maintainable under deletes — a removed extremum
+  // cannot be reconstructed from partials — so delete-deltas on a
+  // MIN/MAX-carrying MV take the rebuild path (documented refusal).
+  // Likewise sum(m) without a paired count(m), and MVs without
+  // count(*) (needed to retire emptied groups), rebuild on deletes.
+  private case class MvDef(select: String,
+      bases: Map[String, (Int, Set[String])])
+  private val mvCatalog = new ConcurrentHashMap[String, MvDef]()
+
+  private def normPath(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:/*", "/")
+
+  private def listParquet(dir: String): Set[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Set.empty
+    else {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(q => q.toString.endsWith(".parquet") &&
+            Files.isRegularFile(q))
+          .map(_.toString).toSet
+      } finally s.close()
+    }
+  }
+
+  /** Managed tables the defining plan reads (leaf scan paths mapped
+    * back through the catalog).
+    */
+  private def managedBasesOf(defDf: DataFrame): Seq[String] = {
+    val paths = defDf.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(normPath)
+    import scala.jdk.CollectionConverters._
+    catalog.asScala.toSeq.collect {
+      case (n, m) if paths.exists(pp => pp == normPath(currentPath(m)) ||
+          pp.startsWith(normPath(m.baseDir) + "/")) => n
+    }.sorted
+  }
+
+  def refreshMatView(spark: SparkSession, name: String): DataFrame = {
+    val d = mvCatalog.get(name)
+    require(d != null, s"materialized view not found: $name")
+    d.bases.keys.foreach(b => require(catalog.get(b) != null,
+      s"base table $b of materialized view $name no longer exists"))
+    val mode = doRefresh(spark, name, d)
+    import spark.implicits._
+    Seq((name, mode)).toDF("mv_name", "refresh_mode")
+  }
+
+  private def captureBaseState(baseNames: Iterable[String])
+      : Map[String, (Int, Set[String])] =
+    baseNames.map { b =>
+      val m = catalog.get(b)
+      b -> (m.version, listParquet(currentPath(m)))
+    }.toMap
+
+  private def doRefresh(spark: SparkSession, name: String,
+      d: MvDef): String = {
+    def reRegister(): Unit = {
+      plans.MvRewrite.register(name, spark.sql(d.select),
+        table(spark, name))
+      mvCatalog.put(name,
+        MvDef(d.select, captureBaseState(d.bases.keys)))
+    }
+    def rebuild(reason: String): String = {
+      createTableAs(spark, name, spark.sql(d.select))
+      reRegister()
+      s"rebuilt ($reason)"
+    }
+    if (d.bases.size != 1) return rebuild("multi-table base")
+    val shapeOpt = plans.MvRewrite.shapeOf(spark.sql(d.select))
+    if (shapeOpt.isEmpty) return rebuild("unsupported definition shape")
+    val sh = shapeOpt.get
+    val (bName, (v0, files0)) = d.bases.head
+    val m = catalog.get(bName)
+    val curFiles = listParquet(currentPath(m))
+    val pureAppend = m.version == v0 && files0.subsetOf(curFiles)
+    val oldReadable =
+      files0.nonEmpty && files0.forall(f => Files.isRegularFile(Paths.get(f)))
+    val hasDel = !pureAppend
+    if (hasDel && !oldReadable)
+      return rebuild("base history vacuumed")
+    if (hasDel && (sh.mins.nonEmpty || sh.maxs.nonEmpty))
+      return rebuild("MIN/MAX not maintainable under deletes")
+    if (hasDel && sh.cntStar.isEmpty)
+      return rebuild("count(*) partial required under deletes")
+    if (hasDel && !sh.sums.forall { case (_, c) =>
+        sh.cnts.exists(_._2 == c) })
+      return rebuild("sum without paired count under deletes")
+
+    val baseSchema = table(spark, bName).schema
+    val (insDf, delOpt): (DataFrame, Option[DataFrame]) =
+      if (pureAppend) {
+        val newFiles = (curFiles -- files0).toSeq.sorted
+        if (newFiles.isEmpty) { reRegister(); return "noop" }
+        (spark.read.schema(baseSchema).parquet(newFiles: _*), None)
+      } else {
+        val old = spark.read.schema(baseSchema)
+          .parquet(files0.toSeq.sorted: _*)
+        val cur = table(spark, bName)
+        (cur.exceptAll(old), Some(old.exceptAll(cur)))
+      }
+    val delta0 = delOpt match {
+      case Some(del) => insDf.withColumn("__sign", lit(1L))
+        .unionByName(del.withColumn("__sign", lit(-1L)))
+      case None => insDf.withColumn("__sign", lit(1L))
+    }
+    val delta1 = sh.where.map(w => delta0.filter(expr(w)))
+      .getOrElse(delta0)
+    val sign = col("__sign")
+    // Signed delta aggregate at the MV's grain: sum(m·sign) nulls out
+    // exactly when the delta group's measure is all-null; count deltas
+    // are signed non-null indicators; MIN/MAX only reach here on the
+    // append path, where the plain extremum over new rows is exact.
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      sh.sums.map { case (out, c) =>
+        sum(col(c) * sign).as(s"__d_$out") } ++
+      sh.cnts.map { case (out, c) =>
+        sum(when(col(c).isNotNull, sign).otherwise(lit(0L)))
+          .as(s"__d_$out") } ++
+      sh.mins.map { case (out, c) => min(col(c)).as(s"__d_$out") } ++
+      sh.maxs.map { case (out, c) => max(col(c)).as(s"__d_$out") } ++
+      sh.cntStar.map(out => sum(sign).as(s"__d_$out")).toSeq
+    val deltaAgg = delta1
+      .groupBy(sh.dims.map { case (o, c) => col(c).as(o) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    // q296 MERGE fast path onto the MV table. Null-safe dim equality:
+    // a NULL dim is a real MV group and must match its delta row.
+    val onCond = sh.dims.map { case (o, _) => s"t.$o <=> s.$o" }
+      .mkString(" AND ")
+    val updates: Seq[(String, String)] =
+      sh.sums.map { case (out, c) =>
+        sh.cnts.find(_._2 == c) match {
+          case Some((cmOut, _)) if hasDel =>
+            // exact null restoration: when no non-null measure remains
+            // in the group, the sum reverts to NULL
+            out -> (s"CASE WHEN t.$cmOut + s.__d_$cmOut = 0 THEN NULL " +
+              s"ELSE coalesce(t.$out, 0) + coalesce(s.__d_$out, 0) END")
+          case _ =>
+            out -> (s"CASE WHEN t.$out IS NULL AND s.__d_$out IS NULL " +
+              s"THEN NULL " +
+              s"ELSE coalesce(t.$out, 0) + coalesce(s.__d_$out, 0) END")
+        }
+      } ++
+      sh.cnts.map { case (out, _) => out -> s"t.$out + s.__d_$out" } ++
+      sh.mins.map { case (out, _) => out -> s"least(t.$out, s.__d_$out)" } ++
+      sh.maxs.map { case (out, _) =>
+        out -> s"greatest(t.$out, s.__d_$out)" } ++
+      sh.cntStar.map(out => out -> s"t.$out + s.__d_$out").toSeq
+    val inserts: Seq[(String, String)] =
+      sh.dims.map { case (o, _) => o -> s"s.$o" } ++
+      (sh.sums ++ sh.cnts ++ sh.mins ++ sh.maxs)
+        .map { case (out, _) => out -> s"s.__d_$out" } ++
+      sh.cntStar.map(out => out -> s"s.__d_$out").toSeq
+    mergeInto(spark, name, deltaAgg, onCond, Some(updates),
+      isDelete = false, Some(inserts))
+    // groups fully emptied by deletions are retired (their partials
+    // just reached cnt = 0)
+    if (hasDel) delete(spark, name, Some(s"${sh.cntStar.get} = 0"))
+    reRegister()
+    if (hasDel) "incremental (diff)" else "incremental (append)"
+  }
+
   def dropTable(spark: SparkSession, name: String): Unit = {
     invalidateMvsOver(name)
     plans.MvRewrite.unregister(name)
@@ -446,6 +639,8 @@ object Ddl {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropMatView: Regex =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val RefreshMatView: Regex =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val CreateView: Regex =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropView: Regex =
@@ -796,10 +991,17 @@ object Ddl {
         val defDf = spark.sql(select)
         createTableAs(spark, name, defDf)
         val reg = plans.MvRewrite.register(name, defDf, table(spark, name))
+        // Record the definition + per-base (version, file set) so
+        // REFRESH can compute the exact delta since this build.
+        mvCatalog.put(name, MvDef(select,
+          captureBaseState(managedBasesOf(defDf).filterNot(_ == name))))
         import spark.implicits._
         Some(Seq((name, reg)).toDF("mv_name", "rewrite_registered"))
+      case RefreshMatView(name) =>
+        Some(refreshMatView(spark, name))
       case DropMatView(name) =>
         plans.MvRewrite.unregister(name)
+        mvCatalog.remove(name)
         if (catalog.containsKey(name)) dropTable(spark, name)
         done
       case CreateAs(name, opts, select) =>

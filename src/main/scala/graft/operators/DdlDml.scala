@@ -558,6 +558,72 @@ object DdlDml {
         s.sparkContext.parallelize(rows, 1), schema)
         .withColumn("mv_avg_pinned", org.apache.spark.sql.functions.lit(true))
         .orderBy("g1")
+    }),
+
+    // Incremental REFRESH MATERIALIZED VIEW (round-13, VERDICT #1 —
+    // closing the MV loop): base mutations invalidate aggregate
+    // navigation; REFRESH applies the base's delta to the MV table via
+    // the q296 MERGE fast path and re-registers it. The entry drives
+    // the PRODUCTION mode — an ingest batch appended with INSERT, then
+    // `REFRESH MATERIALIZED VIEW`, which reads ONLY the appended files
+    // plus the (tiny) MV: at 100 TB the refresh is priced by the batch,
+    // never the standing corpus. In-plan REQUIREs pin all three phases:
+    // the stale MV refuses to serve, the refresh reports the
+    // append-incremental mode, and the refreshed MV serves the roll-up
+    // (SUM/COUNT/MIN/MAX all merged exactly). Reference analog:
+    // DataRecycler invalidation-vs-reuse + scheduled refresh
+    // (`QueryEngine/DataRecycler/`, `Catalog/RefreshTimeCalculator.cpp`).
+    "q587_mv_incremental_refresh" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q587")
+      eng.sql("DROP TABLE IF EXISTS mvb_q587")
+      eng.sql(
+        """CREATE TABLE mvb_q587 AS
+           SELECT l_returnflag AS g1, l_linestatus AS g2, l_quantity AS m
+           FROM lineitem WHERE l_orderkey % 3 = 0""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q587 AS
+           SELECT g1, g2, sum(m) AS sm, count(m) AS cm,
+                  min(m) AS mn, max(m) AS mx, count(*) AS cnt
+           FROM mvb_q587 GROUP BY g1, g2""")
+      eng.sql(
+        """INSERT INTO mvb_q587
+           SELECT l_returnflag, l_linestatus, l_quantity + 5
+           FROM lineitem WHERE l_orderkey % 3 = 1""")
+      def scans(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+        }.mkString(";")
+      val stale = eng.sql(
+        "SELECT g1, sum(m) AS sum_m FROM mvb_q587 GROUP BY g1")
+      require(scans(stale).contains("mvb_q587") &&
+        !scans(stale).contains("mv_q587"),
+        "un-refreshed MV must not serve after a base INSERT")
+      val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_q587")
+        .collect().head.getString(1)
+      require(mode == "incremental (append)",
+        s"expected append-incremental refresh, got: $mode")
+      val out = eng.sql(
+        """SELECT g1, sum(m) AS sum_m, min(m) AS min_m, max(m) AS max_m,
+                  count(*) AS n
+           FROM mvb_q587 GROUP BY g1""")
+      require(scans(out).contains("mv_q587") &&
+        !scans(out).contains("mvb_q587"),
+        s"refreshed MV must serve the roll-up: ${scans(out)}")
+      val rows = out.collect().toSeq // ≤3 flags — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q587")
+      eng.sql("DROP TABLE mvb_q587")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .withColumn("mv_refresh_pinned",
+          org.apache.spark.sql.functions.lit(true))
+        .orderBy("g1")
     })
   )
 
@@ -722,6 +788,16 @@ object DdlDml {
     "q586_mv_avg_rollup" ->
       """SELECT l_returnflag AS g1, round(avg(l_quantity), 6) AS avg_m,
                 count(l_quantity)::BIGINT AS n_m, true AS mv_avg_pinned
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q587_mv_incremental_refresh" ->
+      """WITH b AS (
+           SELECT l_returnflag AS g1, l_quantity AS m
+           FROM lineitem WHERE l_orderkey % 3 = 0
+           UNION ALL
+           SELECT l_returnflag AS g1, l_quantity + 5 AS m
+           FROM lineitem WHERE l_orderkey % 3 = 1)
+         SELECT g1, sum(m) AS sum_m, min(m) AS min_m, max(m) AS max_m,
+                count(*)::BIGINT AS n, true AS mv_refresh_pinned
+         FROM b GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -359,8 +359,12 @@ object MvRewrite {
             case _ => ok = false
           }
           if (ok && dims.nonEmpty)
+            // qualifiers are meaningless on the freshly-read delta
+            // rows the rendered SQL is re-applied to — strip them
             Some(MvShape(dims, sums, mins, maxs, cntStar, cnts,
-              whereExpr.map(_.sql)))
+              whereExpr.map(_.transform {
+                case a: AttributeReference => a.withQualifier(Nil)
+              }.sql)))
           else None
         }
       case _ => None

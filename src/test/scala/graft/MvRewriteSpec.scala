@@ -459,4 +459,160 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP MATERIALIZED VIEW mv_ovf")
     eng.sql("DROP TABLE ovf_b")
   }
+
+  test("REFRESH after INSERT is append-incremental and exact " +
+      "(SUM/COUNT/MIN/MAX, null-sum groups); repeated REFRESH is a " +
+      "noop; the un-refreshed MV stays invalidated") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf1")
+    eng.sql("DROP TABLE IF EXISTS rfb1")
+    eng.sql(
+      """CREATE TABLE rfb1 AS
+         SELECT * FROM VALUES
+           ('a', CAST(1.0 AS DOUBLE)), ('a', CAST(2.0 AS DOUBLE)),
+           ('n', CAST(NULL AS DOUBLE))
+         AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf1 AS
+         SELECT g, sum(m) AS sm, count(m) AS cm, min(m) AS mn,
+                max(m) AS mx, count(*) AS cnt
+         FROM rfb1 GROUP BY g""")
+    // batch: extends 'a', turns the all-null 'n' non-null, adds 'z'
+    eng.sql(
+      """INSERT INTO rfb1 SELECT * FROM VALUES
+           ('a', CAST(0.5 AS DOUBLE)), ('n', CAST(7.0 AS DOUBLE)),
+           ('z', CAST(9.0 AS DOUBLE)) AS t(g, m)""")
+    val stale = eng.sql("SELECT g, sum(m) AS s FROM rfb1 GROUP BY g")
+    assert(scanPaths(stale).contains("rfb1") &&
+      !scanPaths(stale).contains("mv_rf1"),
+      "un-refreshed MV must stay invalidated after INSERT")
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf1")
+      .collect().head.getString(1)
+    assert(mode == "incremental (append)", s"mode: $mode")
+    val df = eng.sql(
+      """SELECT g, sum(m) AS s, min(m) AS mn, max(m) AS mx,
+                count(*) AS n
+         FROM rfb1 GROUP BY g""")
+    assert(scanPaths(df).contains("mv_rf1"),
+      s"refreshed MV must serve: ${scanPaths(df)}")
+    val got = df.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        r.getLong(4))).toMap
+    assert(got("a") == ((Some(3.5), Some(0.5), Some(2.0), 3L)), got("a"))
+    assert(got("n") == ((Some(7.0), Some(7.0), Some(7.0), 2L)), got("n"))
+    assert(got("z") == ((Some(9.0), Some(9.0), Some(9.0), 1L)), got("z"))
+    // unchanged base: refresh is a no-op and navigation survives
+    val mode2 = eng.sql("REFRESH MATERIALIZED VIEW mv_rf1")
+      .collect().head.getString(1)
+    assert(mode2 == "noop", s"mode2: $mode2")
+    eng.sql("DROP MATERIALIZED VIEW mv_rf1")
+    eng.sql("DROP TABLE rfb1")
+  }
+
+  test("REFRESH after DELETE takes the diff path: emptied groups " +
+      "retire, all-null groups revert to NULL sums, values exact") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf2")
+    eng.sql("DROP TABLE IF EXISTS rfb2")
+    eng.sql(
+      """CREATE TABLE rfb2 AS
+         SELECT * FROM VALUES
+           ('a', CAST(1.0 AS DOUBLE)), ('a', CAST(2.0 AS DOUBLE)),
+           ('b', CAST(3.0 AS DOUBLE)), ('b', CAST(NULL AS DOUBLE)),
+           ('c', CAST(NULL AS DOUBLE)), ('c', CAST(5.0 AS DOUBLE))
+         AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf2 AS
+         SELECT g, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+         FROM rfb2 GROUP BY g""")
+    // removes 'a' entirely; strips b's and c's non-null measures
+    eng.sql("DELETE FROM rfb2 WHERE g = 'a' OR m = 3.0 OR m = 5.0")
+    // truth while the MV is invalidated (query hits the base)
+    val truth = eng.sql(
+      "SELECT g, sum(m) AS s, count(m) AS cm, count(*) AS n " +
+        "FROM rfb2 GROUP BY g")
+    assert(scanPaths(truth).contains("rfb2"))
+    val expect = truth.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf2")
+      .collect().head.getString(1)
+    assert(mode == "incremental (diff)", s"mode: $mode")
+    // the MV table itself: 'a' retired, b/c carry (NULL, 0, 1)
+    val mv = eng.sql("SELECT g, sm, cm, cnt FROM mv_rf2 ORDER BY g")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    assert(!mv.contains("a"), s"emptied group must retire: $mv")
+    assert(mv("b") == ((None, 0L, 1L)) && mv("c") == ((None, 0L, 1L)), mv)
+    val df = eng.sql(
+      "SELECT g, sum(m) AS s, count(m) AS cm, count(*) AS n " +
+        "FROM rfb2 GROUP BY g")
+    assert(scanPaths(df).contains("mv_rf2"),
+      s"refreshed MV must serve: ${scanPaths(df)}")
+    val got = df.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"diff refresh diverged: $got vs $expect")
+    eng.sql("DROP MATERIALIZED VIEW mv_rf2")
+    eng.sql("DROP TABLE rfb2")
+  }
+
+  test("REFRESH after DELETE on a MIN/MAX-carrying MV takes the " +
+      "documented rebuild path and stays exact") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf3")
+    eng.sql("DROP TABLE IF EXISTS rfb3")
+    eng.sql(
+      """CREATE TABLE rfb3 AS
+         SELECT * FROM VALUES
+           ('a', CAST(1.0 AS DOUBLE)), ('a', CAST(9.0 AS DOUBLE)),
+           ('b', CAST(4.0 AS DOUBLE))
+         AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf3 AS
+         SELECT g, min(m) AS mn, max(m) AS mx, count(*) AS cnt
+         FROM rfb3 GROUP BY g""")
+    // removes a's maximum — unrecoverable from partials
+    eng.sql("DELETE FROM rfb3 WHERE m = 9.0")
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf3")
+      .collect().head.getString(1)
+    assert(mode.startsWith("rebuilt"), s"mode: $mode")
+    val df = eng.sql(
+      "SELECT g, min(m) AS mn, max(m) AS mx FROM rfb3 GROUP BY g")
+    assert(scanPaths(df).contains("mv_rf3"),
+      s"rebuilt MV must serve: ${scanPaths(df)}")
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> ((1.0, 1.0)), "b" -> ((4.0, 4.0))), got)
+    eng.sql("DROP MATERIALIZED VIEW mv_rf3")
+    eng.sql("DROP TABLE rfb3")
+  }
+
+  test("REFRESH of a filtered MV applies the defining WHERE to the " +
+      "delta batch (rows outside the filter never reach the MV)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf4")
+    eng.sql("DROP TABLE IF EXISTS rfb4")
+    eng.sql(
+      """CREATE TABLE rfb4 AS
+         SELECT * FROM VALUES
+           ('a', CAST(1.0 AS DOUBLE)), ('a', CAST(-5.0 AS DOUBLE)),
+           ('b', CAST(2.0 AS DOUBLE))
+         AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf4 AS
+         SELECT g, sum(m) AS sm, count(*) AS cnt
+         FROM rfb4 WHERE m > 0 GROUP BY g""")
+    eng.sql(
+      """INSERT INTO rfb4 SELECT * FROM VALUES
+           ('a', CAST(10.0 AS DOUBLE)), ('a', CAST(-100.0 AS DOUBLE))
+         AS t(g, m)""")
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf4")
+      .collect().head.getString(1)
+    assert(mode == "incremental (append)", s"mode: $mode")
+    val mv = eng.sql("SELECT g, sm, cnt FROM mv_rf4 ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(mv.toSeq == Seq(("a", 11.0, 2L), ("b", 2.0, 1L)),
+      s"filtered delta leaked rows outside the MV's WHERE: ${mv.toSeq}")
+    eng.sql("DROP MATERIALIZED VIEW mv_rf4")
+    eng.sql("DROP TABLE rfb4")
+  }
 }
