@@ -56,6 +56,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable exact-dup document fingerprint: md5 of the lowercased
+    * text with non-alphanumerics stripped and runs of spaces collapsed
+    * — the identity key of the q207 ingest-dedup chain (DuckDB
+    * computes the identical md5 in the oracle).
+    */
+  private[graft] def docFingerprint(c: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(c),
+      "[^a-z0-9 ]", ""), " +", " "))
+
+  /** STANDING corpus fingerprint index (round-13, VERDICT #2 — the
+    * stated 100 TB production shape for q207). The corpus's distinct
+    * exact-dup fingerprints are written ONCE per (fixture, JVM) as a
+    * bucketBy(fp) + sortBy table — the q282/q191 maintained-index
+    * machinery — so classifying an ingest batch against the corpus is
+    * a join that reads the corpus side bucket-aligned with NO Exchange
+    * at ANY corpus size: only the (small) batch shuffles, to the
+    * bucket count. At 100 TB this table is appended batch-over-batch
+    * (each batch's novel fingerprints MERGE in after admission, the
+    * q587 refresh discipline) rather than re-derived; the per-fixture
+    * build here stands in for that standing index. Replaces the
+    * round-12 broadcast-hinted fingerprint set, which capped out at
+    * driver/executor memory (~1M fps at sf10) — the documented
+    * scale-killer caveat this index retires. PlanSpec pins the
+    * exchange-free corpus side of the q207 join.
+    */
+  private val fpIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def corpusFpIndex(s: SparkSession, d: String): DataFrame = {
+    val tbl = fpIndexCache.computeIfAbsent(d, _ => {
+      val db = "graft_bkt"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
+        s"'${graft.Stage.scratchDir("graft_bucketed")}'")
+      val name = s"$db.b_corpfp_${Similarity.indexTableSuffix(d)}"
+      // bucket count = session parallelism (the q282 measurement:
+      // fewer buckets than cores halves the probe join's parallelism)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      t(s, d, "documents")
+        .filter(col("source") =!= "src19")
+        .select(docFingerprint(col("text")).as("fp"))
+        .distinct()
+        .repartition(buckets, col("fp"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(name)
+      name
+    })
+    s.table(tbl)
+  }
+
   /** Engine-portable 60-bit hash: first 15 hex chars of md5, read as a
     * long. DuckDB computes the identical value via
     * `('0x' || substr(md5(x),1,15))::BIGINT`, which is what lets

@@ -572,16 +572,19 @@ object TextAnalysis {
     // partition plays the new feed, plus re-keyed verbatim copies of
     // every 40th corpus doc (must classify dup_of_corpus) and of every
     // 3rd batch doc (must classify dup_within_batch — the batch's own
-    // min-id copy stays canonical). Shape: the corpus side reduces to
-    // DISTINCT fingerprints once (at scale: a bucketed fingerprint
-    // index, appended batch-over-batch); the batch joins it hash-keyed
-    // — no corpus rescan per document, no all-pairs anywhere.
+    // min-id copy stays canonical). Shape (round-13): the corpus side
+    // is the STANDING bucketed fingerprint index
+    // (Dedup.corpusFpIndex — bucketBy(fp), built once, appended
+    // batch-over-batch at scale), so classification is a merge join
+    // that reads the corpus bucket-aligned with NO corpus-side
+    // Exchange at any corpus size; only the batch shuffles, to the
+    // bucket count. No corpus rescan per document, no broadcast of a
+    // corpus-sized set, no all-pairs anywhere. PlanSpec pins the
+    // exchange-free corpus side.
     "q207_incremental_ingest" -> ((s, d) => {
       val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
-        md5(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", ""), " +", " ")).as("fp"))
-      val corpus = fp.filter(col("source") =!= "src19")
-        .select(col("fp")).distinct()
+        Dedup.docFingerprint(col("text")).as("fp"))
+      val corpus = Dedup.corpusFpIndex(s, d)
         .withColumn("in_corpus", lit(1))
       val feed = fp.filter(col("source") === "src19")
         .select(col("doc_id"), col("fp"))
@@ -593,7 +596,7 @@ object TextAnalysis {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
       val canon = batch.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("first_id"))
-      batch.join(broadcast(corpus), Seq("fp"), "left")
+      batch.join(corpus.hint("merge"), Seq("fp"), "left")
         .join(canon, Seq("fp"))
         .select(col("doc_id"),
           when(col("in_corpus").isNotNull, "dup_of_corpus")

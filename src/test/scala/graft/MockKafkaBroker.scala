@@ -22,7 +22,8 @@ import java.util.zip.CRC32
   */
 class MockKafkaBroker(topic: String,
     initial: Seq[(Array[Byte], Array[Byte])],
-    v2Batches: Boolean = false) {
+    v2Batches: Boolean = false,
+    codec: Int = 0) { // 0=none, 1=gzip, 2=snappy, 4=zstd (v2 only)
 
   private val log =
     scala.collection.mutable.ArrayBuffer(initial: _*)
@@ -102,11 +103,29 @@ class MockKafkaBroker(topic: String,
       zigzag(records, body.size())
       records.write(body.toByteArray)
     }
-    val recBytes = records.toByteArray
+    // the records section compresses as ONE stream in the batch codec
+    // (kafka.apache.org/protocol: attributes bits 0-2); CRC32C covers
+    // the compressed form
+    val recBytes = codec match {
+      case 0 => records.toByteArray
+      case 1 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(records.toByteArray); z.close(); bos.toByteArray
+      case 2 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new org.xerial.snappy.SnappyOutputStream(bos)
+        z.write(records.toByteArray); z.close(); bos.toByteArray
+      case 4 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+        z.write(records.toByteArray); z.close(); bos.toByteArray
+      case c => throw new IllegalArgumentException(s"codec $c")
+    }
     // attributes → end (CRC32C-covered region)
     val covered = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4
         + recBytes.length)
-      .putShort(0)                       // attributes: uncompressed
+      .putShort(codec.toShort)           // attributes: compression bits
       .putInt(tail.size - 1)             // lastOffsetDelta
       .putLong(BaseTs + from)            // firstTimestamp
       .putLong(BaseTs + snapshot.size - 1) // maxTimestamp

@@ -198,6 +198,43 @@ class PlanSpec extends AnyFunSuite {
     } finally { spark.conf.set(bcast, oldB); spark.conf.set(order, oldO) }
   }
 
+  test("q207 corpus fingerprints are a standing bucketed index: the " +
+      "batch-classification join reads the corpus side with zero " +
+      "exchange") {
+    // Round-13 (VERDICT #2): the stated 100 TB production mode — the
+    // corpus side of the ingest-dedup join must be the maintained
+    // bucketBy(fp) table read bucket-aligned (no Exchange under the
+    // SMJ's corpus subtree); only the batch side shuffles. AQE off so
+    // the static executedPlan exposes the join nodes to collect.
+    val adaptive = "spark.sql.adaptive.enabled"
+    val oldA = spark.conf.get(adaptive)
+    try {
+      spark.conf.set(adaptive, "false")
+      val df = SparkEntry.queries("q207_incremental_ingest")(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.right.toString.contains("b_corpfp_") => j
+      }
+      assert(smjs.nonEmpty,
+        s"corpus join is not an SMJ over the bucketed index:\n" +
+          plan.toString.take(3000))
+      smjs.foreach { j =>
+        val exch = j.right.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exch.isEmpty,
+          s"corpus side of the q207 join shuffles:\n${j.right.toString.take(2000)}")
+      }
+      // and no plan node broadcasts the corpus-sized index
+      val bcastCorpus = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if b.toString.contains("b_corpfp_") => b
+      }
+      assert(bcastCorpus.isEmpty, "corpus index must never broadcast")
+    } finally spark.conf.set(adaptive, oldA)
+  }
+
   test("TPC-H family: pushed filters, broadcast dims, zero cartesian") {
     // Q6 is the pure-scan query: its date/discount/quantity predicates
     // must reach the parquet reader, not a post-scan Filter only.

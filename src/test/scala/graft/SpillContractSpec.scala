@@ -88,4 +88,16 @@ class SpillContractSpec extends AnyFunSuite {
       "result and wall intact") {
     contract("q282_exact_similarity_join")
   }
+
+  test("q500 label propagation (superstep loop) spills under a " +
+      "bounded 2g/4-core budget, result and wall intact") {
+    // Round-13 (VERDICT #7): the iterative family's loop-carried
+    // cache/persist pattern — each superstep joins the label frontier
+    // back to the edge relation — must also spill-not-grow: the
+    // per-iteration sorts/aggregations go through the same
+    // UnsafeExternalSorter path the one-shot heavies do, and a loop
+    // that ACCUMULATED memory across supersteps would OOM here even
+    // though each individual step fits.
+    contract("q500_label_propagation")
+  }
 }
