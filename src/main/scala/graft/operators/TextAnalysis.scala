@@ -607,6 +607,61 @@ object TextAnalysis {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Day-2 ingest against a MAINTAINED standing index (round-13 —
+    // makes the q207 scaladoc's "appended batch-over-batch" lifecycle
+    // real): day 1 classifies a batch against the standing bucketed
+    // fingerprint index, ADMITS its novel fingerprints as appended
+    // bucketed files (no rebuild, no rewrite — the index stays
+    // bucket-aligned forever; admission is an idempotent anti-join so
+    // a replayed batch double-admits nothing), then day 2's batch —
+    // containing re-keyed copies of day 1's documents — classifies
+    // against the GROWN index: yesterday's novel docs are today's
+    // dup_of_corpus. The index is reset to day-0 state per run so the
+    // two-day replay is deterministic across bench passes.
+    "q588_fp_index_day2_ingest" -> ((s, d) => {
+      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
+        Dedup.docFingerprint(col("text")).as("fp"))
+      val feed = fp.filter(col("source") === "src19")
+        .select(col("doc_id"), col("fp"))
+      // src19 ids are 19 + 20k — split the feed into two days on the
+      // alternating %40 residue (19 vs 39), both non-empty at every SF
+      val b1base = feed.filter(col("doc_id") % 40 === 19)
+      val b1 = b1base.unionAll(b1base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+      val idx = Dedup.rebuildFpIndex(s, d, "corpfp2", Dedup.corpusFps(s, d))
+      def classify(batch: org.apache.spark.sql.DataFrame, day: Int)
+          : org.apache.spark.sql.DataFrame = {
+        val canon = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("first_id"))
+        batch
+          .join(s.table(idx).withColumn("in_corpus", lit(1)).hint("merge"),
+            Seq("fp"), "left")
+          .join(canon, Seq("fp"))
+          .select(lit(day).as("day"), col("doc_id"),
+            when(col("in_corpus").isNotNull, "dup_of_corpus")
+              .when(col("doc_id") > col("first_id"), "dup_within_batch")
+              .otherwise("new").as("status"))
+          .groupBy(col("day"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+      }
+      // day 1 must MATERIALIZE before admission — a lazy plan read
+      // after the append would classify against the grown index
+      val day1 = classify(b1, 1)
+      val day1Rows = day1.collect().toSeq // ≤3 statuses — bounded
+      Dedup.admitToFpIndex(s, idx, b1)
+      val odd = feed.filter(col("doc_id") % 40 === 39)
+      val b2 = odd
+        .unionAll(b1base.select((col("doc_id") + 3000000L).as("doc_id"),
+          col("fp")))
+        .unionAll(odd.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("fp")))
+      classify(b2, 2)
+        .unionAll(s.createDataFrame(
+          s.sparkContext.parallelize(day1Rows, 1), day1.schema))
+        .orderBy(col("day"), col("status"))
+    }),
+
     // UP-sampling with stochastic rounding — the third member of the
     // mixture family: q183 down-samples majorities, q197 tempers rates,
     // this REPLICATES minorities to majority parity (epoch repetition
@@ -1517,6 +1572,52 @@ object TextAnalysis {
          SELECT status, count(*)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM cls GROUP BY status""",
+    "q588_fp_index_day2_ingest" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (SELECT doc_id, fp FROM fp WHERE source = 'src19'),
+         b1base AS (SELECT doc_id, fp FROM feed WHERE doc_id % 40 = 19),
+         b1 AS (
+           SELECT doc_id, fp FROM b1base
+           UNION ALL
+           SELECT doc_id + 2000000, fp FROM b1base WHERE doc_id % 3 = 0),
+         canon1 AS (
+           SELECT fp, min(doc_id) AS first_id FROM b1 GROUP BY fp),
+         day1 AS (
+           SELECT 1 AS day, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b1 b
+           LEFT JOIN corpus0 c ON c.fp = b.fp
+           JOIN canon1 k ON k.fp = b.fp),
+         corpus1 AS (
+           SELECT fp FROM corpus0 UNION SELECT fp FROM b1),
+         b2 AS (
+           SELECT doc_id, fp FROM feed WHERE doc_id % 40 = 39
+           UNION ALL
+           SELECT doc_id + 3000000, fp FROM b1base
+           UNION ALL
+           SELECT doc_id + 4000000, fp FROM feed
+           WHERE doc_id % 40 = 39 AND doc_id % 3 = 0),
+         canon2 AS (
+           SELECT fp, min(doc_id) AS first_id FROM b2 GROUP BY fp),
+         day2 AS (
+           SELECT 2 AS day, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b2 b
+           LEFT JOIN corpus1 c ON c.fp = b.fp
+           JOIN canon2 k ON k.fp = b.fp),
+         u AS (SELECT * FROM day1 UNION ALL SELECT * FROM day2)
+         SELECT day::INT AS day, status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     "q203_vocab_coverage" ->
       """WITH toks AS (
            SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
