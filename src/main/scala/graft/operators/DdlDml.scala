@@ -624,6 +624,60 @@ object DdlDml {
         .withColumn("mv_refresh_pinned",
           org.apache.spark.sql.functions.lit(true))
         .orderBy("g1")
+    }),
+
+    // REFRESH after a copy-on-write DELETE — the DIFF mode of the
+    // incremental refresh (round-13): the delta is
+    // inserted = cur EXCEPT ALL old / deleted = old EXCEPT ALL cur
+    // against the recorded file snapshot, signed-aggregated at the
+    // MV's grain and MERGEd into the MV table. The entry REQUIREs the
+    // diff-incremental mode (not a rebuild) and that the refreshed MV
+    // serves the post-delete roll-up.
+    "q589_mv_refresh_after_delete" -> ((s, d) => {
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_q589")
+      eng.sql("DROP TABLE IF EXISTS mvb_q589")
+      // integral measure (floored money): the diff path's partial-sum
+      // arithmetic is then EXACT, so t.sm + delta equals a direct
+      // recompute bit-for-bit on both engines
+      eng.sql(
+        """CREATE TABLE mvb_q589 AS
+           SELECT o_orderkey AS k, o_orderpriority AS g,
+                  CAST(floor(o_totalprice) AS BIGINT) AS m
+           FROM orders""")
+      eng.sql(
+        """CREATE MATERIALIZED VIEW mv_q589 AS
+           SELECT g, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+           FROM mvb_q589 GROUP BY g""")
+      eng.sql("DELETE FROM mvb_q589 WHERE k % 7 = 0")
+      val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_q589")
+        .collect().head.getString(1)
+      require(mode == "incremental (diff)",
+        s"expected diff-incremental refresh, got: $mode")
+      val out = eng.sql(
+        """SELECT g, sum(m) AS sum_m, count(*) AS n
+           FROM mvb_q589 GROUP BY g""")
+      def scans(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+        }.mkString(";")
+      require(scans(out).contains("mv_q589") &&
+        !scans(out).contains("mvb_q589"),
+        s"diff-refreshed MV must serve the roll-up: ${scans(out)}")
+      val rows = out.collect().toSeq // ≤5 priorities — bounded
+      val schema = out.schema
+      eng.sql("DROP MATERIALIZED VIEW mv_q589")
+      eng.sql("DROP TABLE mvb_q589")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+        .withColumn("mv_diff_pinned",
+          org.apache.spark.sql.functions.lit(true))
+        .orderBy("g")
     })
   )
 
@@ -798,6 +852,12 @@ object DdlDml {
            FROM lineitem WHERE l_orderkey % 3 = 1)
          SELECT g1, sum(m) AS sum_m, min(m) AS min_m, max(m) AS max_m,
                 count(*)::BIGINT AS n, true AS mv_refresh_pinned
-         FROM b GROUP BY 1 ORDER BY 1"""
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q589_mv_refresh_after_delete" ->
+      """SELECT o_orderpriority AS g,
+                sum(CAST(floor(o_totalprice) AS BIGINT))::BIGINT AS sum_m,
+                count(*)::BIGINT AS n, true AS mv_diff_pinned
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY 1 ORDER BY 1"""
   )
 }
