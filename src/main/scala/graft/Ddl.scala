@@ -456,7 +456,9 @@ object Ddl {
   // Likewise sum(m) without a paired count(m), and MVs without
   // count(*) (needed to retire emptied groups), rebuild on deletes.
   private case class MvDef(select: String,
-      bases: Map[String, (Int, Set[String])])
+      bases: Map[String, (Int, Set[String])],
+      refreshIntervalMs: Option[Long] = None,
+      lastRefreshMs: Long = 0L)
   private val mvCatalog = new ConcurrentHashMap[String, MvDef]()
 
   private def normPath(p: String): String =
@@ -496,14 +498,36 @@ object Ddl {
     }.sorted
   }
 
-  def refreshMatView(spark: SparkSession, name: String): DataFrame = {
+  def refreshMatView(spark: SparkSession, name: String,
+      nowMs: Long = System.currentTimeMillis()): DataFrame = {
     val d = mvCatalog.get(name)
     require(d != null, s"materialized view not found: $name")
     d.bases.keys.foreach(b => require(catalog.get(b) != null,
       s"base table $b of materialized view $name no longer exists"))
-    val mode = doRefresh(spark, name, d)
+    val mode = doRefresh(spark, name, d, nowMs)
     import spark.implicits._
     Seq((name, mode)).toDF("mv_name", "refresh_mode")
+  }
+
+  /** Scheduled-refresh sweep for MATERIALIZED VIEWS — the exact
+    * counterpart of `refreshDueForeignTables` (reference:
+    * `Catalog/RefreshTimeCalculator.cpp`): refresh every MV created
+    * WITH (refresh_interval_s=N) whose interval has elapsed; returns
+    * the refreshed names sorted. Deterministic via the explicit clock
+    * for tests; a production deployment drives this from any scheduler
+    * tick, and each due MV pays only its delta (append-incremental for
+    * ingest batches), so the sweep's cost is the day's ingest, not the
+    * warehouse.
+    */
+  def refreshDueMatViews(spark: SparkSession,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    mvCatalog.asScala.toSeq.collect {
+      case (name, d) if d.refreshIntervalMs.exists(iv =>
+          nowMs - d.lastRefreshMs >= iv) =>
+        refreshMatView(spark, name, nowMs)
+        name
+    }.sorted
   }
 
   private def captureBaseState(baseNames: Iterable[String])
@@ -514,12 +538,12 @@ object Ddl {
     }.toMap
 
   private def doRefresh(spark: SparkSession, name: String,
-      d: MvDef): String = {
+      d: MvDef, nowMs: Long): String = {
     def reRegister(): Unit = {
       plans.MvRewrite.register(name, spark.sql(d.select),
         table(spark, name))
-      mvCatalog.put(name,
-        MvDef(d.select, captureBaseState(d.bases.keys)))
+      mvCatalog.put(name, d.copy(bases = captureBaseState(d.bases.keys),
+        lastRefreshMs = nowMs))
     }
     def rebuild(reason: String): String = {
       createTableAs(spark, name, spark.sql(d.select))
@@ -636,7 +660,7 @@ object Ddl {
   // rewrite (plans/MvRewrite.scala): later queries aggregating the base
   // table on a subset of the MV's dimensions re-aggregate the MV scan.
   private val CreateMatView: Regex =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*)""".r
   private val DropMatView: Regex =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val RefreshMatView: Regex =
@@ -987,14 +1011,19 @@ object Ddl {
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
-      case CreateMatView(name, select) =>
+      case CreateMatView(name, opts, select) =>
         val defDf = spark.sql(select)
         createTableAs(spark, name, defDf)
         val reg = plans.MvRewrite.register(name, defDf, table(spark, name))
         // Record the definition + per-base (version, file set) so
-        // REFRESH can compute the exact delta since this build.
+        // REFRESH can compute the exact delta since this build; an
+        // optional refresh_interval_s option opts the MV into the
+        // scheduled sweep (refreshDueMatViews).
         mvCatalog.put(name, MvDef(select,
-          captureBaseState(managedBasesOf(defDf).filterNot(_ == name))))
+          captureBaseState(managedBasesOf(defDf).filterNot(_ == name)),
+          parseOptions(opts).get("refresh_interval_s")
+            .map(_.toLong * 1000L),
+          System.currentTimeMillis()))
         import spark.implicits._
         Some(Seq((name, reg)).toDF("mv_name", "rewrite_registered"))
       case RefreshMatView(name) =>

@@ -586,6 +586,110 @@ class MvRewriteSpec extends AnyFunSuite {
     eng.sql("DROP TABLE rfb3")
   }
 
+  test("scheduled MV refresh: an MV created WITH refresh_interval_s " +
+      "is swept by refreshDueMatViews when due, applying its delta " +
+      "and restoring navigation; not-due MVs are untouched") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf5")
+    eng.sql("DROP TABLE IF EXISTS rfb5")
+    eng.sql(
+      """CREATE TABLE rfb5 AS
+         SELECT * FROM VALUES ('a', CAST(1.0 AS DOUBLE)),
+           ('b', CAST(2.0 AS DOUBLE)) AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf5 WITH (refresh_interval_s=60)
+         AS SELECT g, sum(m) AS sm, count(*) AS cnt
+         FROM rfb5 GROUP BY g""")
+    eng.sql(
+      """INSERT INTO rfb5 SELECT * FROM VALUES
+           ('a', CAST(4.0 AS DOUBLE)) AS t(g, m)""")
+    // not yet due: nothing refreshes, navigation stays withdrawn
+    val early = System.currentTimeMillis() + 1000L
+    assert(!Ddl.refreshDueMatViews(spark, nowMs = early).contains("mv_rf5"))
+    val stale = eng.sql("SELECT g, sum(m) AS s FROM rfb5 GROUP BY g")
+    assert(scanPaths(stale).contains("rfb5"),
+      "not-due MV must stay invalidated")
+    // due: the sweep refreshes incrementally and navigation returns
+    val due = System.currentTimeMillis() + 61000L
+    assert(Ddl.refreshDueMatViews(spark, nowMs = due).contains("mv_rf5"))
+    val df = eng.sql("SELECT g, sum(m) AS s FROM rfb5 GROUP BY g")
+    assert(scanPaths(df).contains("mv_rf5"),
+      s"swept MV must serve: ${scanPaths(df)}")
+    assert(df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      == Map("a" -> 5.0, "b" -> 2.0))
+    // immediately after the sweep the MV is no longer due
+    assert(!Ddl.refreshDueMatViews(spark, nowMs = due + 1000L)
+      .contains("mv_rf5"))
+    eng.sql("DROP MATERIALIZED VIEW mv_rf5")
+    eng.sql("DROP TABLE rfb5")
+  }
+
+  test("REFRESH after VACUUM of the base's history takes the rebuild " +
+      "path (the recorded snapshot is gone) and stays exact") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf6")
+    eng.sql("DROP TABLE IF EXISTS rfb6")
+    eng.sql(
+      """CREATE TABLE rfb6 AS
+         SELECT * FROM VALUES ('a', CAST(1.0 AS DOUBLE)),
+           ('a', CAST(2.0 AS DOUBLE)), ('b', CAST(3.0 AS DOUBLE))
+         AS t(g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf6 AS
+         SELECT g, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+         FROM rfb6 GROUP BY g""")
+    // COW rewrite bumps the version, then VACUUM removes the old one —
+    // the diff path's snapshot is gone
+    eng.sql("DELETE FROM rfb6 WHERE m = 1.0")
+    eng.sql("VACUUM rfb6")
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf6")
+      .collect().head.getString(1)
+    assert(mode.startsWith("rebuilt"), s"mode: $mode")
+    val df = eng.sql("SELECT g, sum(m) AS s FROM rfb6 GROUP BY g")
+    assert(scanPaths(df).contains("mv_rf6"),
+      s"rebuilt MV must serve: ${scanPaths(df)}")
+    assert(df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      == Map("a" -> 2.0, "b" -> 3.0))
+    eng.sql("DROP MATERIALIZED VIEW mv_rf6")
+    eng.sql("DROP TABLE rfb6")
+  }
+
+  test("REFRESH after MERGE INTO the base takes the diff path and " +
+      "is exact (update + insert mutations in one delta)") {
+    val eng = HeavyEngine(spark, sf)
+    eng.sql("DROP MATERIALIZED VIEW IF EXISTS mv_rf7")
+    eng.sql("DROP TABLE IF EXISTS rfb7")
+    eng.sql(
+      """CREATE TABLE rfb7 AS
+         SELECT * FROM VALUES (1, 'a', CAST(10 AS BIGINT)),
+           (2, 'a', CAST(20 AS BIGINT)), (3, 'b', CAST(30 AS BIGINT))
+         AS t(k, g, m)""")
+    eng.sql(
+      """CREATE MATERIALIZED VIEW mv_rf7 AS
+         SELECT g, sum(m) AS sm, count(m) AS cm, count(*) AS cnt
+         FROM rfb7 GROUP BY g""")
+    // MERGE: bump k=2's measure, insert a new 'c' row
+    eng.sql(
+      """MERGE INTO rfb7 t USING (
+           SELECT * FROM VALUES (2, 'a', CAST(25 AS BIGINT)),
+             (9, 'c', CAST(90 AS BIGINT)) AS v(k, g, m)) s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET m = s.m
+         WHEN NOT MATCHED THEN INSERT (k, g, m) VALUES (s.k, s.g, s.m)""")
+    val mode = eng.sql("REFRESH MATERIALIZED VIEW mv_rf7")
+      .collect().head.getString(1)
+    assert(mode == "incremental (diff)", s"mode: $mode")
+    val df = eng.sql(
+      "SELECT g, sum(m) AS s, count(*) AS n FROM rfb7 GROUP BY g")
+    assert(scanPaths(df).contains("mv_rf7"),
+      s"refreshed MV must serve: ${scanPaths(df)}")
+    assert(df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap ==
+      Map("a" -> ((35L, 2L)), "b" -> ((30L, 1L)), "c" -> ((90L, 1L))))
+    eng.sql("DROP MATERIALIZED VIEW mv_rf7")
+    eng.sql("DROP TABLE rfb7")
+  }
+
   test("REFRESH of a filtered MV applies the defining WHERE to the " +
       "delta batch (rows outside the filter never reach the MV)") {
     val eng = HeavyEngine(spark, sf)
