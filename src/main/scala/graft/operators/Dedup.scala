@@ -151,7 +151,16 @@ object Dedup {
 
   private[graft] def admitToFpIndex(s: SparkSession, tableName: String,
       batchFps: DataFrame): Unit = {
-    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // bucket count comes from the EXISTING table's spec, not session
+    // conf — an admit running under a different shuffle-partition
+    // setting (the streaming harness pins 8) must append with the
+    // index's own layout or the write is rejected
+    val Array(db, tbl) = tableName.split("\\.", 2)
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
     val novel = batchFps.select(col("fp")).distinct()
       .join(s.table(tableName), Seq("fp"), "left_anti")
     novel

@@ -479,7 +479,104 @@ object StreamingIngest {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING ingest dedup (q590, round-13) — the q207/q588 standing-
+    * index lifecycle as the actual front door: documents arrive as
+    * THREE micro-batches (files land in the source dir between
+    * processAllAvailable calls — the q403 landing protocol, so batch
+    * order is exact); each micro-batch classifies against the standing
+    * bucketed fingerprint index (dup_of_corpus / dup_within_batch /
+    * new) and then ADMITS its fingerprints (idempotent bucketed
+    * append), so a document duplicating one from an EARLIER batch is
+    * dup_of_corpus by the time it arrives. Per-batch results are
+    * bounded status aggregates (≤3 rows each); the corpus-sized side
+    * of every classify join is the bucket-aligned index, never
+    * broadcast, never re-derived. The index resets to day-0 per run so
+    * bench re-passes replay identically; the DuckDB oracle replays the
+    * three-batch evolution set-algebraically.
+    */
+  private def streamedIngestDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    // staged per-slice batch payloads: base docs (src19, sliced by
+    // doc_id % 60), within-batch copies (+6e6), and copies of the
+    // PREVIOUS slice's docs (+5e6) that must come back dup_of_corpus
+    val staged = cachedLanding(s"q590|$d") { p =>
+      val base = graft.Tables.t(s, d, "documents")
+        .filter(col("source") === "src19")
+        .select(col("doc_id"), Dedup.docFingerprint(col("text")).as("fp"))
+        .withColumn("slice",
+          when(col("doc_id") % 60 === 19, 0)
+            .when(col("doc_id") % 60 === 39, 1).otherwise(2))
+      val self = base.filter(col("doc_id") % 40 === 19)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("fp"),
+          col("slice"))
+      val prev = base.filter(col("slice") < 2)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("fp"),
+          (col("slice") + 1).as("slice"))
+      val all = base.unionByName(self).unionByName(prev)
+      (0 to 2).foreach(k => all.filter(col("slice") === k).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/s$k"))
+    }
+    val idx = Dedup.rebuildFpIndex(s, d, "corpfp3", Dedup.corpusFps(s, d))
+    val results =
+      new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    val landing = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      "graft_q590_landing").toString
+    val schema = s.read.parquet(s"$staged/s0").schema
+    withStatePartitions(s) {
+      val q = s.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckptDir("graft_q590_ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch
+            val k = b.agg(max(col("slice"))).collect()(0).getInt(0)
+            val canon = b.groupBy(col("fp"))
+              .agg(min(col("doc_id")).as("first_id"))
+            val cls = b
+              .join(s.table(idx).withColumn("in_corpus", lit(1))
+                .hint("merge"), Seq("fp"), "left")
+              .join(canon, Seq("fp"))
+              .select(col("doc_id"),
+                when(col("in_corpus").isNotNull, "dup_of_corpus")
+                  .when(col("doc_id") > col("first_id"),
+                    "dup_within_batch")
+                  .otherwise("new").as("status"))
+              .groupBy(col("status"))
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("doc_id")).cast("long").as("id_sum"))
+            results.synchronized {
+              results ++= cls.collect().map(r =>
+                (k, r.getString(0), r.getLong(1), r.getLong(2)))
+            }
+            Dedup.admitToFpIndex(s, idx, b.select(col("fp")))
+          }
+        }
+        .start()
+      try {
+        (0 to 2).foreach { k =>
+          // land slice k's file, then drain — ONE ordered micro-batch
+          val src = java.nio.file.Paths.get(s"$staged/s$k")
+          val stream = java.nio.file.Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala
+              .filter(_.toString.endsWith(".parquet"))
+              .foreach(f => java.nio.file.Files.copy(f,
+                java.nio.file.Paths.get(landing,
+                  s"slice_${k}_" + f.getFileName.toString)))
+          } finally stream.close()
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    import s.implicits._
+    results.toSeq.toDF("slice", "status", "n_docs", "id_sum")
+      .orderBy(col("slice"), col("status"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q590_stream_ingest_dedup" -> ((s, d) => streamedIngestDedup(s, d)),
     "q70_stream_hourly_agg" -> ((s, d) => streamedHourlyAgg(s, d)),
     "q94_stream_sessionize" -> ((s, d) => streamedSessionize(s, d)),
     "q153_stream_dedup" -> ((s, d) => streamedDedup(s, d)),
@@ -720,6 +817,46 @@ object StreamingIngest {
     * µs on both sides).
     */
   val oracles: Seq[(String, String)] = Seq(
+    // q590: replay the three-batch standing-index evolution set-
+    // algebraically — a doc is dup_of_corpus if its fingerprint was in
+    // the pristine corpus OR arrived in an EARLIER micro-batch;
+    // within-batch canonicalization is min(doc_id) per (fp, slice).
+    "q590_stream_ingest_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (SELECT doc_id, fp FROM fp WHERE source = 'src19'),
+         base AS (
+           SELECT doc_id, fp,
+                  CASE WHEN doc_id % 60 = 19 THEN 0
+                       WHEN doc_id % 60 = 39 THEN 1 ELSE 2 END AS slice
+           FROM feed),
+         allb AS (
+           SELECT doc_id, fp, slice FROM base
+           UNION ALL
+           SELECT doc_id + 6000000, fp, slice FROM base
+           WHERE doc_id % 40 = 19
+           UNION ALL
+           SELECT doc_id + 5000000, fp, slice + 1 FROM base
+           WHERE slice < 2),
+         cls AS (
+           SELECT b.slice, b.doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM corpus0 c WHERE c.fp = b.fp)
+                    OR EXISTS (SELECT 1 FROM allb p
+                               WHERE p.fp = b.fp AND p.slice < b.slice)
+                  THEN 'dup_of_corpus'
+                  WHEN b.doc_id > (SELECT min(doc_id) FROM allb w
+                                   WHERE w.fp = b.fp
+                                     AND w.slice = b.slice)
+                  THEN 'dup_within_batch'
+                  ELSE 'new' END AS status
+           FROM allb b)
+         SELECT slice::INT AS slice, status,
+                count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
+         FROM cls GROUP BY 1, 2 ORDER BY 1, 2""",
     "q70_stream_hourly_agg" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS win_start,
                 event_type, count(*) AS n_events,
