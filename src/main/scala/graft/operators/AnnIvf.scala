@@ -38,6 +38,12 @@ object AnnIvf {
   private val TOPK = 10
   /** q303: leading dims kept in the matryoshka-truncated ranking. */
   private val TruncDims = 16
+  /** q591: sign bits of the leading dims form the deterministic coarse
+    * quantizer (2^SignDims cells) — axis-aligned hyperplane LSH
+    * (Charikar 2002), portable to the oracle because cell id is pure
+    * arithmetic on the vector, unlike q99's k-means centroids.
+    */
+  private val SignDims = 4
 
   /** Write-once staging (shared graft.Stage util): the candidate set
     * feeds both the ranking and the scan-fraction stat; staging avoids a
@@ -45,6 +51,49 @@ object AnnIvf {
     */
   private def stage(df: DataFrame, name: String): DataFrame =
     graft.Stage(df, name)
+
+  /** Corpus with the deterministic cell assignment and squared norm —
+    * the projection that feeds both the standing index write and the
+    * ground-truth ranking. cid = Σ 2^i·[x_{i+1} > 0] over the leading
+    * SignDims dims; n2 = Σ x_i² in the same sequential-fold spelling
+    * the oracle replays (q202/q303 proved the fold bit-parity).
+    */
+  private[graft] def assignedVectors(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("x"))
+      .withColumn("cid", (0 until SignDims).map(i =>
+          when(element_at(col("x"), i + 1) > lit(0.0), lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _))
+      .withColumn("n2",
+        aggregate(transform(col("x"), v => v * v), lit(0.0), _ + _))
+
+  private val vecIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STANDING partitioned vector index (round-13 — the q207/q588
+    * ingest lifecycle applied to embeddings). Built once per (session,
+    * fixture, JVM): the day-0 corpus (vec_id % 10 != 0) is written
+    * partitionBy(cid) — one directory per coarse-quantizer cell — and
+    * the day-2 batch (vec_id % 10 == 0) is then APPENDED with the SAME
+    * assignment: no retrain, no rewrite; the append touches only the
+    * batch's own cell directories. At 100 TB this is the daily vector
+    * ingest path: assign (a pure projection), append to the touched
+    * cells, and every probe keeps reading nprobe/2^SignDims of the
+    * corpus via partition pruning (IvfLayoutSpec pins prunedFiles ⊆
+    * probed cells on this very layout).
+    */
+  private[graft] def vectorIndexDir(s: SparkSession, d: String): String =
+    vecIndexCache.computeIfAbsent(
+      System.identityHashCode(s) + ":" + d, _ => {
+        val dir = graft.Stage.scratchDir("vecidx")
+        val a = assignedVectors(s, d)
+        a.filter(col("vec_id") % 10 =!= 0)
+          .write.mode("overwrite").partitionBy("cid").parquet(dir)
+        a.filter(col("vec_id") % 10 === 0)
+          .write.mode("append").partitionBy("cid").parquet(dir)
+        dir
+      })
 
   val queries: Seq[(String, Q)] = Seq(
     "q99_ann_ivf" -> ((s, d) => {
@@ -251,6 +300,70 @@ object AnnIvf {
         .select(col("p_id").as("probe_id"), col("n_top10_kept"),
           col("rr_top1_scaled"))
         .orderBy(col("probe_id"))
+    }),
+
+    // Standing partitioned vector index + day-2 ingest (round-13
+    // continuation — the q207/q588 standing-index lifecycle for
+    // EMBEDDINGS). Day 0 writes the corpus partitioned by its
+    // deterministic coarse-quantizer cell (sign bits of the leading 4
+    // dims — 16 cells); day 2's batch is assigned by the SAME quantizer
+    // (a projection — no retrain, no corpus rescan) and appended,
+    // touching only its own cell directories. Probes multiprobe their
+    // own cell plus its 4 Hamming-1 neighbors (5 of 16 cells), and the
+    // probed-cell set becomes a STATIC partition filter, so the index
+    // scan physically reads only the probed directories — the property
+    // that makes probe cost ~nprobe/K of the corpus at any size.
+    // Output per probe: candidate count (sublinearity), recall@10 vs
+    // exact brute force over corpus∪batch, and how many of the top-10
+    // come from the day-2 batch (proves appended vectors are served
+    // without any index rebuild). Fully replayed by the DuckDB oracle:
+    // cells, multiprobe, cosine ranking are all portable arithmetic.
+    "q591_vector_index_day2" -> ((s, d) => {
+      def dotp(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+      val idx = s.read.parquet(vectorIndexDir(s, d))
+      val probes = assignedVectors(s, d).filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("p_id"), col("x").as("px"),
+          col("n2").as("p_n2"), col("cid").as("p_cid"))
+      val probeCells = broadcast(probes
+        .select(col("p_id"), col("px"), col("p_n2"),
+          explode(array(col("p_cid") +: (0 until SignDims).map(i =>
+            col("p_cid").bitwiseXOR(lit(1 << i))): _*)).as("cid")))
+      // Bounded metadata collect (≤ n_probes·(SignDims+1), and ≤ 2^SignDims
+      // distinct ints): the probed-cell set becomes a static partition
+      // filter on the index scan — partition pruning, not a post-scan
+      // filter (IvfLayoutSpec pins prunedFiles ⊆ probed cells).
+      val cellSet = probeCells.select(col("cid")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cand = stage(idx.filter(col("cid").isin(cellSet: _*))
+        .join(probeCells, "cid")
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id"),
+          (dotp(col("px"), col("x")) / sqrt(col("p_n2") * col("n2")))
+            .as("sim")), "q591_cand")
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val approx = cand.withColumn("r", row_number().over(w))
+        .filter(col("r") <= TOPK).select(col("p_id"), col("vec_id"))
+      val exact = assignedVectors(s, d).crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select(col("p_id"), col("vec_id"),
+          (dotp(col("px"), col("x")) / sqrt(col("p_n2") * col("n2")))
+            .as("sim"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= TOPK).select(col("p_id"), col("vec_id"))
+      val nc = cand.groupBy(col("p_id")).agg(count(lit(1)).as("n_cand"))
+      val ap = approx.groupBy(col("p_id"))
+        .agg(sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L))
+          .as("n_day2_in_top10"))
+      val rec = approx.join(exact, Seq("p_id", "vec_id"))
+        .groupBy(col("p_id"))
+        .agg((count(lit(1)) / lit(10.0)).as("recall_at_10"))
+      nc.join(ap, Seq("p_id")).join(rec, Seq("p_id"), "left")
+        .select(col("p_id").as("probe_id"), col("n_cand"),
+          coalesce(col("recall_at_10"), lit(0.0)).as("recall_at_10"),
+          col("n_day2_in_top10"))
+        .orderBy(col("probe_id"))
     })
   )
 
@@ -281,6 +394,62 @@ object AnnIvf {
     dequantized(x, scaleFor(x, levels), levels)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q591_vector_index_day2" ->
+      s"""WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         n AS (
+           SELECT vec_id, x,
+                  list_aggregate(list_transform(x, v -> v * v), 'sum') AS n2,
+                  (CASE WHEN x[1] > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN x[2] > 0 THEN 2 ELSE 0 END
+                   + CASE WHEN x[3] > 0 THEN 4 ELSE 0 END
+                   + CASE WHEN x[4] > 0 THEN 8 ELSE 0 END) AS cid
+           FROM base),
+         probes AS (
+           SELECT vec_id AS p_id, x AS px, n2 AS p_n2, cid AS p_cid
+           FROM n WHERE vec_id % 125 = 0),
+         pcells AS (
+           SELECT p_id, px, p_n2,
+                  unnest([p_cid, xor(p_cid, 1), xor(p_cid, 2),
+                          xor(p_cid, 4), xor(p_cid, 8)]) AS cid
+           FROM probes),
+         cand AS (
+           SELECT p.p_id, e.vec_id,
+                  list_aggregate(list_transform(list_zip(p.px, e.x),
+                      z -> z[1] * z[2]), 'sum') / sqrt(p.p_n2 * e.n2)
+                    AS sim
+           FROM n e JOIN pcells p
+             ON e.cid = p.cid AND e.vec_id <> p.p_id),
+         approx AS (
+           SELECT p_id, vec_id FROM (
+             SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+               ORDER BY sim DESC, vec_id) AS r FROM cand)
+           WHERE r <= $TOPK),
+         ex AS (
+           SELECT p_id, vec_id FROM (
+             SELECT p.p_id, e.vec_id, row_number() OVER (
+               PARTITION BY p.p_id ORDER BY
+                 list_aggregate(list_transform(list_zip(p.px, e.x),
+                     z -> z[1] * z[2]), 'sum') / sqrt(p.p_n2 * e.n2)
+                 DESC, e.vec_id) AS r
+             FROM n e JOIN probes p ON e.vec_id <> p.p_id)
+           WHERE r <= $TOPK),
+         nc AS (
+           SELECT p_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY p_id),
+         ap AS (
+           SELECT p_id, sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+                    ::BIGINT AS n_day2_in_top10
+           FROM approx GROUP BY p_id),
+         rec AS (
+           SELECT a.p_id, (count(*) / 10.0) AS recall_at_10
+           FROM approx a JOIN ex e
+             ON e.p_id = a.p_id AND e.vec_id = a.vec_id
+           GROUP BY a.p_id)
+         SELECT nc.p_id AS probe_id, nc.n_cand,
+                coalesce(rec.recall_at_10, 0.0)::DOUBLE AS recall_at_10,
+                ap.n_day2_in_top10
+         FROM nc JOIN ap ON ap.p_id = nc.p_id
+         LEFT JOIN rec ON rec.p_id = nc.p_id""",
     "q303_matryoshka_eval" ->
       s"""WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS x,

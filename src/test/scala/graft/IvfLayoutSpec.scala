@@ -39,4 +39,32 @@ class IvfLayoutSpec extends AnyFunSuite {
     assert(probed.count() == 1000)
     assert(probed.select(countDistinct(col("cid"))).as[Long].head() == 2L)
   }
+
+  test("q591 standing index: day-2 rows are appended in place and the " +
+      "probe scan prunes to the probed cell directories") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = operators.AnnIvf.vectorIndexDir(spark, sf)
+    val idx = spark.read.parquet(dir)
+    // the index holds day-0 corpus ∪ day-2 batch — the append made the
+    // batch visible without any rebuild
+    val nAll = spark.read.parquet(sf + "/embeddings.parquet").count()
+    assert(idx.count() == nAll)
+    assert(idx.filter(col("vec_id") % 10 === 0).count() > 0,
+      "day-2 batch rows missing from the standing index")
+    // partition pruning on the REAL index layout: pick two cells that
+    // exist and pin that the pruned file selection contains only them
+    val cids = idx.select(col("cid")).distinct().orderBy(col("cid"))
+      .limit(2).as[Int].collect()
+    assert(cids.length == 2)
+    val probed = idx.filter(col("cid").isin(cids.toSeq: _*))
+    val files =
+      org.apache.spark.sql.graftbridge.ScanIntrospect.prunedFiles(probed)
+    assert(files.nonEmpty)
+    assert(files.forall(f => cids.exists(c => f.contains(s"cid=$c"))),
+      files.take(3).mkString(", "))
+    val all = spark.read.parquet(dir).inputFiles
+    assert(all.exists(f => !cids.exists(c => f.contains(s"cid=$c"))),
+      "fixture degenerate: fewer than 3 populated cells")
+  }
 }
