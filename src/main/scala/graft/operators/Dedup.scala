@@ -149,6 +149,49 @@ object Dedup {
     name
   }
 
+  /** COMPACT a standing bucketed fingerprint index in place (q592 —
+    * the day-N maintenance step of the q207/q588/q590 lifecycle).
+    * Admission appends one file set per touched bucket per batch, so
+    * after N batches a bucket holds up to N+1 small files; at 100 TB
+    * the accumulated small-file count is itself a scan-cost problem
+    * (every classify join opens every file of every bucket). The
+    * compaction rewrites the table to ONE file set while preserving
+    * the bucketBy(fp)+sortBy layout — same table name, same bucket
+    * spec, so classification plans keep their zero-corpus-side-
+    * Exchange property untouched. The rewrite stages into a side
+    * table and swaps via DROP + RENAME (the OPTIMIZE dance): readers
+    * before the swap see the old files, after it the compacted ones.
+    */
+  private[graft] def compactFpIndex(s: SparkSession,
+      tableName: String): Unit = {
+    val Array(db, tbl) = tableName.split("\\.", 2)
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val tmp = s"$db.${tbl}_compact"
+    // Read the fragmented table with bucketed scanning OFF: a bucketed
+    // scan advertises HashPartitioning(fp, buckets), which lets the
+    // planner elide the repartition — and the writer then emits one
+    // file per bucket per SCAN task (file-bin-packed, not bucket-
+    // aligned), i.e. the same fragmentation we're removing. With a
+    // plain scan the repartition survives, every write task holds
+    // exactly its own bucket, and the output is one file per bucket.
+    val bucketingConf = "spark.sql.sources.bucketing.enabled"
+    val prev = s.conf.get(bucketingConf)
+    try {
+      s.conf.set(bucketingConf, "false")
+      s.table(tableName).repartition(buckets, col("fp"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(tmp)
+    } finally s.conf.set(bucketingConf, prev)
+    s.sql(s"DROP TABLE $tableName")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    s.catalog.refreshTable(tableName)
+  }
+
   private[graft] def admitToFpIndex(s: SparkSession, tableName: String,
       batchFps: DataFrame): Unit = {
     // bucket count comes from the EXISTING table's spec, not session

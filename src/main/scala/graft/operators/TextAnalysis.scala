@@ -662,6 +662,72 @@ object TextAnalysis {
         .orderBy(col("day"), col("status"))
     }),
 
+    // Standing-index COMPACTION (round-13 — the day-N maintenance step
+    // the q588/q590 lifecycle accumulates toward): two admitted batches
+    // leave each touched bucket with up to three small file sets; the
+    // compaction rewrites the index to one file set per bucket while
+    // preserving the bucketBy(fp) layout (Dedup.compactFpIndex — side
+    // table + DROP/RENAME swap, the OPTIMIZE dance). The entry proves
+    // the rewrite is SEMANTICALLY FREE: day-3 classification against
+    // the index is materialized before the compaction, re-run after,
+    // and the result rows must be identical (stable_after_compaction),
+    // while the physical file count strictly drops
+    // (compacted_fewer_files). The oracle replays the day-3
+    // classification set-algebraically; the two physical booleans are
+    // the in-plan assertions.
+    "q592_fp_index_compaction" -> ((s, d) => {
+      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
+        Dedup.docFingerprint(col("text")).as("fp"))
+      val feed = fp.filter(col("source") === "src19")
+        .select(col("doc_id"), col("fp"))
+      // three day-slices on the %60 residue of the src19 id lattice
+      // (19 + 20k → residues 19/39/59, all non-empty at every SF)
+      val b1 = feed.filter(col("doc_id") % 60 === 19)
+      val b2 = feed.filter(col("doc_id") % 60 === 39)
+      val b3base = feed.filter(col("doc_id") % 60 === 59)
+      val b3 = b3base
+        .unionAll(b1.select((col("doc_id") + 3000000L).as("doc_id"),
+          col("fp")))
+        // %120==59 is every other b3base doc (the %60 lattice is ≡2
+        // mod 3, so a %3 filter would be empty): their +4e6 re-keys
+        // are the dup_within_batch class
+        .unionAll(b3base.filter(col("doc_id") % 120 === 59)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("fp")))
+      val idx = Dedup.rebuildFpIndex(s, d, "corpfp4", Dedup.corpusFps(s, d))
+      Dedup.admitToFpIndex(s, idx, b1)
+      Dedup.admitToFpIndex(s, idx, b2)
+      def classify(batch: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val canon = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("first_id"))
+        batch
+          .join(s.table(idx).withColumn("in_corpus", lit(1)).hint("merge"),
+            Seq("fp"), "left")
+          .join(canon, Seq("fp"))
+          .select(col("doc_id"),
+            when(col("in_corpus").isNotNull, "dup_of_corpus")
+              .when(col("doc_id") > col("first_id"), "dup_within_batch")
+              .otherwise("new").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+      }
+      // pre-compaction truth MUST materialize before the swap (a lazy
+      // plan read later would scan the compacted files)
+      val before = classify(b3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val filesBefore = s.table(idx).inputFiles.length
+      Dedup.compactFpIndex(s, idx)
+      val filesAfter = s.table(idx).inputFiles.length
+      val after = classify(b3)
+      val afterRows = after.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      after
+        .withColumn("compacted_fewer_files", lit(filesAfter < filesBefore))
+        .withColumn("stable_after_compaction", lit(afterRows == before))
+        .orderBy(col("status"))
+    }),
+
     // UP-sampling with stochastic rounding — the third member of the
     // mixture family: q183 down-samples majorities, q197 tempers rates,
     // this REPLICATES minorities to majority parity (epoch repetition
@@ -1618,6 +1684,46 @@ object TextAnalysis {
          SELECT day::INT AS day, status, count(*)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum
          FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q592: day-3 classification against corpus ∪ batch1 ∪ batch2
+    // fingerprints — the physical compaction between the two in-engine
+    // runs must not change it, so the oracle replays the semantics once
+    // and the two physical assertions are literal trues.
+    "q592_fp_index_compaction" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (SELECT doc_id, fp FROM fp WHERE source = 'src19'),
+         b1 AS (SELECT doc_id, fp FROM feed WHERE doc_id % 60 = 19),
+         b2 AS (SELECT doc_id, fp FROM feed WHERE doc_id % 60 = 39),
+         b3base AS (SELECT doc_id, fp FROM feed WHERE doc_id % 60 = 59),
+         b3 AS (
+           SELECT doc_id, fp FROM b3base
+           UNION ALL
+           SELECT doc_id + 3000000, fp FROM b1
+           UNION ALL
+           SELECT doc_id + 4000000, fp FROM b3base WHERE doc_id % 120 = 59),
+         idx AS (
+           SELECT fp FROM corpus0
+           UNION SELECT fp FROM b1
+           UNION SELECT fp FROM b2),
+         canon AS (
+           SELECT fp, min(doc_id) AS first_id FROM b3 GROUP BY fp),
+         cls AS (
+           SELECT b.doc_id,
+                  CASE WHEN i.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b3 b
+           LEFT JOIN idx i ON i.fp = b.fp
+           JOIN canon k ON k.fp = b.fp)
+         SELECT status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum,
+                true AS compacted_fewer_files,
+                true AS stable_after_compaction
+         FROM cls GROUP BY status ORDER BY status""",
     "q203_vocab_coverage" ->
       """WITH toks AS (
            SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok

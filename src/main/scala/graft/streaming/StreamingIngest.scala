@@ -519,9 +519,10 @@ object StreamingIngest {
     val idx = Dedup.rebuildFpIndex(s, d, "corpfp3", Dedup.corpusFps(s, d))
     val results =
       new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-    val landing = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-      "graft_q590_landing").toString
+    // fresh per RUN (the file source's checkpoint tracks seen files, so
+    // a reused dir would collapse the three slices into one batch), but
+    // under the reclaimed Stage root so re-passes don't leak dirs
+    val landing = graft.Stage.scratchDir("graft_q590_landing")
     val schema = s.read.parquet(s"$staged/s0").schema
     withStatePartitions(s) {
       val q = s.readStream.schema(schema).parquet(landing)

@@ -235,6 +235,54 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(adaptive, oldA)
   }
 
+  test("q592 compaction preserves the fp index's bucket layout: fewer " +
+      "files, same bucket spec, classify join still exchange-free") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.Dedup
+    val idx = ops.rebuildFpIndex(spark, sf, "corpfp_planspec",
+      ops.corpusFps(spark, sf))
+    // salt the batch fingerprints: at sf0.001 every src19 fp already
+    // exists in the corpus (planted cross-source dups), which would
+    // make admission a no-op and leave nothing to compact
+    val batch = graft.Tables.t(spark, sf, "documents")
+      .filter(col("source") === "src19")
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit("#planspec"))).as("fp"))
+    val rows0 = spark.table(idx).count()
+    ops.admitToFpIndex(spark, idx, batch)
+    assert(spark.table(idx).count() > rows0, "admission appended no rows")
+    val Array(db, tbl) = idx.split("\\.", 2)
+    def meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
+    val specBefore = meta.bucketSpec
+    val filesBefore = spark.table(idx).inputFiles.length
+    ops.compactFpIndex(spark, idx)
+    // one file per bucket exactly — the aligned-write contract
+    assert(spark.table(idx).inputFiles.length ==
+      specBefore.map(_.numBuckets).getOrElse(0))
+    assert(spark.table(idx).inputFiles.length < filesBefore)
+    assert(meta.bucketSpec == specBefore,
+      s"bucket spec changed: $specBefore -> ${meta.bucketSpec}")
+    // the classify join still reads the index side with zero Exchange
+    val adaptive = "spark.sql.adaptive.enabled"
+    val oldA = spark.conf.get(adaptive)
+    try {
+      spark.conf.set(adaptive, "false")
+      val j = batch.join(spark.table(idx).hint("merge"), Seq("fp"), "left")
+      val smjs = j.queryExecution.executedPlan.collect {
+        case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x
+      }
+      assert(smjs.nonEmpty)
+      smjs.foreach { x =>
+        val exch = x.right.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exch.isEmpty,
+          s"compacted index side shuffles:\n${x.right.toString.take(1500)}")
+      }
+    } finally spark.conf.set(adaptive, oldA)
+  }
+
   test("TPC-H family: pushed filters, broadcast dims, zero cartesian") {
     // Q6 is the pure-scan query: its date/discount/quantity predicates
     // must reach the parquet reader, not a post-scan Filter only.
