@@ -144,6 +144,10 @@ object Dedup {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(name)
+    // day-0 reset clears any tombstones from a previous run's
+    // retractions — a rebuilt index starts with nothing retracted
+    if (s.catalog.tableExists(tombstoneTableOf(name)))
+      s.sql(s"DROP TABLE ${tombstoneTableOf(name)}")
     fpIndexCache.put((d, tag), name)
     s.catalog.refreshTable(name)
     name
@@ -163,13 +167,25 @@ object Dedup {
     * before the swap see the old files, after it the compacted ones.
     */
   private[graft] def compactFpIndex(s: SparkSession,
-      tableName: String): Unit = {
+      tableName: String): Unit =
+    rewriteBucketed(s, tableName, s.table(tableName))
+
+  private def indexBuckets(s: SparkSession, tableName: String): Int = {
     val Array(db, tbl) = tableName.split("\\.", 2)
-    val buckets = s.sessionState.catalog
+    s.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** Rewrite a bucketed index table in place from `input` rows,
+    * preserving the bucket spec — side table + DROP/RENAME swap.
+    */
+  private def rewriteBucketed(s: SparkSession, tableName: String,
+      input: DataFrame): Unit = {
+    val Array(db, tbl) = tableName.split("\\.", 2)
+    val buckets = indexBuckets(s, tableName)
     val tmp = s"$db.${tbl}_compact"
     // Read the fragmented table with bucketed scanning OFF: a bucketed
     // scan advertises HashPartitioning(fp, buckets), which lets the
@@ -182,7 +198,7 @@ object Dedup {
     val prev = s.conf.get(bucketingConf)
     try {
       s.conf.set(bucketingConf, "false")
-      s.table(tableName).repartition(buckets, col("fp"))
+      input.repartition(buckets, col("fp"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "fp").sortBy("fp")
         .saveAsTable(tmp)
@@ -190,6 +206,66 @@ object Dedup {
     s.sql(s"DROP TABLE $tableName")
     s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     s.catalog.refreshTable(tableName)
+  }
+
+  /** Tombstone table of a standing index — bucketed by fp with the
+    * index's own layout, so the retained view's anti-join is
+    * bucket-aligned on BOTH corpus-sized sides (zero exchange).
+    */
+  private[graft] def tombstoneTableOf(idx: String): String = idx + "_ts"
+
+  /** RETRACT fingerprints from a standing index without rewriting it
+    * (q593 — the GDPR/erasure path of the q207/q588 lifecycle). A
+    * 100 TB index cannot afford a rewrite per erasure request; instead
+    * the retracted fingerprints append to a tombstone side table
+    * bucketed identically, and every classification reads the index
+    * THROUGH `retainedFpIndex` (index ANTI tombstones — co-located
+    * merge join, no shuffle on either corpus-sized side). Idempotent
+    * like admission: an already-tombstoned fp appends nothing.
+    * `gcFpIndex` later applies the tombstones physically (the
+    * delete-vector + compaction-GC discipline of lakehouse deletes).
+    */
+  private[graft] def retractFromFpIndex(s: SparkSession, idx: String,
+      fps: DataFrame): Unit = {
+    val ts = tombstoneTableOf(idx)
+    val buckets = indexBuckets(s, idx)
+    if (!s.catalog.tableExists(ts))
+      s.table(idx).limit(0)
+        .write.format("parquet")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(ts)
+    val novel = fps.select(col("fp")).distinct()
+      .join(s.table(ts), Seq("fp"), "left_anti")
+    novel
+      .repartition(buckets, col("fp"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(ts)
+    s.catalog.refreshTable(ts)
+  }
+
+  /** The index minus its tombstones — what every classification join
+    * must read once retraction exists. Both sides are bucketBy(fp)
+    * tables with the same bucket count, so the anti-join is a
+    * co-located merge join: zero Exchange at any index size.
+    */
+  private[graft] def retainedFpIndex(s: SparkSession, idx: String): DataFrame =
+    if (s.catalog.tableExists(tombstoneTableOf(idx)))
+      s.table(idx)
+        .join(s.table(tombstoneTableOf(idx)).hint("merge"),
+          Seq("fp"), "left_anti")
+    else s.table(idx)
+
+  /** Apply tombstones physically: rewrite the index to its retained
+    * rows (one file per bucket, layout preserved) and drop the
+    * tombstone table. Classification results must be identical before
+    * and after — GC is semantically free, it only reclaims the
+    * tombstoned bytes and restores the one-file-per-bucket scan shape.
+    */
+  private[graft] def gcFpIndex(s: SparkSession, idx: String): Unit = {
+    rewriteBucketed(s, idx, retainedFpIndex(s, idx))
+    if (s.catalog.tableExists(tombstoneTableOf(idx)))
+      s.sql(s"DROP TABLE ${tombstoneTableOf(idx)}")
   }
 
   private[graft] def admitToFpIndex(s: SparkSession, tableName: String,

@@ -728,6 +728,79 @@ object TextAnalysis {
         .orderBy(col("status"))
     }),
 
+    // RETRACTION from the standing index (round-13 — the GDPR/erasure
+    // leg of the q207/q588/q592 lifecycle). A source demands erasure:
+    // its exclusive fingerprints (those no other corpus source
+    // carries) are tombstoned — an appended bucketed side table, NOT
+    // an index rewrite — and classification reads the index through
+    // the retained view (index ANTI tombstones, a co-located merge
+    // join with zero exchange on either corpus-sized side). Batch
+    // copies of the erased source's documents flip dup_of_corpus →
+    // new at the b_retracted stage; a later GC applies the tombstones
+    // physically (bucket-aligned rewrite + tombstone drop, the
+    // delete-vector discipline) and MUST NOT change classification
+    // (gc_invariant). The oracle replays all three stages
+    // set-algebraically.
+    "q593_fp_index_retraction" -> ((s, d) => {
+      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
+        Dedup.docFingerprint(col("text")).as("fp"))
+      val feed = fp.filter(col("source") === "src19" &&
+          col("doc_id") % 40 === 19)
+        .select(col("doc_id"), col("fp"))
+      // re-keyed copies of src3 + src7 corpus docs: dup_of_corpus
+      // until src3's fingerprints are retracted
+      val copies = fp.filter(col("source") =!= "src19" &&
+          (col("doc_id") % 20 === 3 || col("doc_id") % 20 === 7))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("fp"))
+      val batch = feed.unionAll(copies)
+        .unionAll(feed.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+      val idx = Dedup.rebuildFpIndex(s, d, "corpfp5", Dedup.corpusFps(s, d))
+      def classify(stage: String): org.apache.spark.sql.DataFrame = {
+        val canon = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("first_id"))
+        batch
+          .join(Dedup.retainedFpIndex(s, idx)
+            .withColumn("in_corpus", lit(1)).hint("merge"),
+            Seq("fp"), "left")
+          .join(canon, Seq("fp"))
+          .select(lit(stage).as("stage"), col("doc_id"),
+            when(col("in_corpus").isNotNull, "dup_of_corpus")
+              .when(col("doc_id") > col("first_id"), "dup_within_batch")
+              .otherwise("new").as("status"))
+          .groupBy(col("stage"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+      }
+      // each stage MATERIALIZES before the next mutation
+      val pre = classify("a_pre").collect()
+      // GDPR: src3 erased — retract the fingerprints no OTHER corpus
+      // source carries (shared fingerprints stay: another source still
+      // legitimately holds that content)
+      val retract = fp.filter(col("source") === "src3")
+        .select(col("fp")).distinct()
+        .join(fp.filter(col("source") =!= "src3" &&
+            col("source") =!= "src19")
+          .select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      Dedup.retractFromFpIndex(s, idx, retract)
+      val post = classify("b_retracted").collect()
+      Dedup.gcFpIndex(s, idx)
+      val gcDf = classify("c_gc")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(1), r.getLong(2), r.getLong(3))
+      val gcSet = gcDf.collect().map(key).toSet
+      val invariant = gcSet == post.map(key).toSet
+      val spark = s
+      import spark.implicits._
+      (pre ++ post).toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+        .toDF("stage", "status", "n_docs", "id_sum")
+        .unionAll(gcDf)
+        .withColumn("gc_invariant", lit(invariant))
+        .orderBy(col("stage"), col("status"))
+    }),
+
     // UP-sampling with stochastic rounding — the third member of the
     // mixture family: q183 down-samples majorities, q197 tempers rates,
     // this REPLICATES minorities to majority parity (epoch repetition
@@ -1724,6 +1797,61 @@ object TextAnalysis {
                 true AS compacted_fewer_files,
                 true AS stable_after_compaction
          FROM cls GROUP BY status ORDER BY status""",
+    // q593: three-stage retraction replay — a_pre classifies against
+    // the full corpus fingerprints, b_retracted and c_gc against the
+    // retained set (corpus minus src3-exclusive fps); GC must be
+    // semantically invisible, so c_gc duplicates b_retracted and the
+    // physical boolean is a literal true.
+    "q593_fp_index_retraction" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (
+           SELECT doc_id, fp FROM fp
+           WHERE source = 'src19' AND doc_id % 40 = 19),
+         batch AS (
+           SELECT doc_id, fp FROM feed
+           UNION ALL
+           SELECT doc_id + 1000000, fp FROM fp
+           WHERE source <> 'src19' AND doc_id % 20 IN (3, 7)
+           UNION ALL
+           SELECT doc_id + 2000000, fp FROM feed WHERE doc_id % 3 = 0),
+         retract AS (
+           SELECT DISTINCT a.fp FROM fp a
+           WHERE a.source = 'src3' AND NOT EXISTS (
+             SELECT 1 FROM fp b WHERE b.fp = a.fp
+               AND b.source <> 'src3' AND b.source <> 'src19')),
+         retained AS (
+           SELECT fp FROM corpus0
+           WHERE fp NOT IN (SELECT fp FROM retract)),
+         canon AS (
+           SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp),
+         pre AS (
+           SELECT 'a_pre' AS stage, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM batch b
+           LEFT JOIN corpus0 c ON c.fp = b.fp
+           JOIN canon k ON k.fp = b.fp),
+         post AS (
+           SELECT 'b_retracted' AS stage, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM batch b
+           LEFT JOIN retained c ON c.fp = b.fp
+           JOIN canon k ON k.fp = b.fp),
+         u AS (
+           SELECT * FROM pre
+           UNION ALL SELECT * FROM post
+           UNION ALL SELECT 'c_gc' AS stage, doc_id, status FROM post)
+         SELECT stage, status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum, true AS gc_invariant
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
     "q203_vocab_coverage" ->
       """WITH toks AS (
            SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -283,6 +283,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(adaptive, oldA)
   }
 
+  test("q593 retained view: the index-minus-tombstones anti-join is " +
+      "co-located — zero exchange on either corpus-sized side") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.Dedup
+    val idx = ops.rebuildFpIndex(spark, sf, "corpfp_ts_planspec",
+      ops.corpusFps(spark, sf))
+    ops.retractFromFpIndex(spark, idx, spark.table(idx).limit(5))
+    val adaptive = "spark.sql.adaptive.enabled"
+    val oldA = spark.conf.get(adaptive)
+    try {
+      spark.conf.set(adaptive, "false")
+      val plan = ops.retainedFpIndex(spark, idx)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, plan.toString.take(2000))
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exch.isEmpty,
+        s"retained-view anti-join shuffles:\n${plan.toString.take(2000)}")
+    } finally spark.conf.set(adaptive, oldA)
+  }
+
   test("TPC-H family: pushed filters, broadcast dims, zero cartesian") {
     // Q6 is the pure-scan query: its date/discount/quantity predicates
     // must reach the parquet reader, not a post-scan Filter only.
