@@ -322,7 +322,12 @@ object AnnIvf {
       def dotp(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
       val idx = s.read.parquet(vectorIndexDir(s, d))
-      val probes = assignedVectors(s, d).filter(col("vec_id") % 125 === 0)
+      // fixed probe workload: the %125 lattice capped to the base id
+      // range, so the probe count does NOT grow with corpus copies in
+      // scaled fixtures (the exact-audit side would otherwise be
+      // quadratic — probes × corpus — at sf10)
+      val probes = assignedVectors(s, d)
+        .filter(col("vec_id") % 125 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("p_id"), col("x").as("px"),
           col("n2").as("p_n2"), col("cid").as("p_cid"))
       val probeCells = broadcast(probes
@@ -407,7 +412,7 @@ object AnnIvf {
            FROM base),
          probes AS (
            SELECT vec_id AS p_id, x AS px, n2 AS p_n2, cid AS p_cid
-           FROM n WHERE vec_id % 125 = 0),
+           FROM n WHERE vec_id % 125 = 0 AND vec_id < 5000),
          pcells AS (
            SELECT p_id, px, p_n2,
                   unnest([p_cid, xor(p_cid, 1), xor(p_cid, 2),
