@@ -665,6 +665,29 @@ object Ddl {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val RefreshMatView: Regex =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  // ---- fingerprint dedup index (round-13, q594) ----------------------
+  // The standing exact-dup index lifecycle (q207/q588/q590-q593) as
+  // first-class DDL: a named index over any table's text column,
+  // maintained by ADMIT (idempotent bucketed append), RETRACT
+  // (tombstones — the GDPR path), OPTIMIZE (tombstone GC + one file
+  // per bucket), and queried by CLASSIFY (per-row dup status via the
+  // co-located retained view). Reference analog: the DDL-managed
+  // index/dictionary surfaces of `Parser/ParserNode.h` — re-expressed
+  // for the dedup-index shape a 100 TB ingest pipeline actually needs.
+  private val CreateFpIndex: Regex =
+    """(?is)\s*CREATE\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val AlterFpIndexAdmit: Regex =
+    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ADMIT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val AlterFpIndexRetract: Regex =
+    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+RETRACT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val OptimizeFpIndex: Regex =
+    """(?is)\s*OPTIMIZE\s+FINGERPRINT\s+INDEX\s+(\w+)\s*""".r
+  private val DropFpIndex: Regex =
+    """(?is)\s*DROP\s+FINGERPRINT\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val ShowFpIndexes: Regex =
+    """(?is)\s*SHOW\s+FINGERPRINT\s+INDEXES\s*""".r
+  private val ClassifyAgainst: Regex =
+    """(?is)\s*CLASSIFY\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AGAINST\s+(\w+)\s*""".r
   private val CreateView: Regex =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropView: Regex =
@@ -1008,9 +1031,90 @@ object Ddl {
   }
 
   /** Route a statement; None means "not DDL/DML — plain query". */
+  // ---- fingerprint-index registry + helpers ---------------------------
+  private case class FpIdx(table: String, srcTable: String, srcCol: String)
+  private val fpIndexes = new ConcurrentHashMap[String, FpIdx]()
+
+  private def fpIdx(name: String): FpIdx = {
+    val ix = fpIndexes.get(name.toLowerCase)
+    require(ix != null, s"fingerprint index not found: $name")
+    ix
+  }
+
+  /** Source rows for index DDL: a managed table if registered, else any
+    * session-visible table/view (fixture views, temp views).
+    */
+  private def sourceDf(spark: SparkSession, name: String): DataFrame =
+    if (catalog.containsKey(name)) table(spark, name)
+    else spark.table(name)
+
+  private def fpsOf(spark: SparkSession, src: String,
+      colName: String): DataFrame =
+    sourceDf(spark, src)
+      .select(operators.Dedup.docFingerprint(col(colName)).as("fp"))
+      .distinct()
+
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
+      case CreateFpIndex(name, src, colName) =>
+        val tbl =
+          s"${operators.Dedup.bucketDb(spark)}.fpi_${name.toLowerCase}"
+        operators.Dedup.writeFpTable(spark, tbl, fpsOf(spark, src, colName))
+        fpIndexes.put(name.toLowerCase, FpIdx(tbl, src, colName))
+        import spark.implicits._
+        Some(Seq((name, tbl)).toDF("index_name", "index_table"))
+      case AlterFpIndexAdmit(name, src, colName) =>
+        operators.Dedup.admitToFpIndex(spark, fpIdx(name).table,
+          fpsOf(spark, src, colName))
+        done
+      case AlterFpIndexRetract(name, src, colName) =>
+        operators.Dedup.retractFromFpIndex(spark, fpIdx(name).table,
+          fpsOf(spark, src, colName))
+        done
+      case OptimizeFpIndex(name) =>
+        operators.Dedup.gcFpIndex(spark, fpIdx(name).table); done
+      case DropFpIndex(name) =>
+        fpIndexes.remove(name.toLowerCase) match {
+          case null => () // IF EXISTS semantics: absent is a no-op
+          case ix =>
+            spark.sql(s"DROP TABLE IF EXISTS ${ix.table}")
+            spark.sql(s"DROP TABLE IF EXISTS " +
+              operators.Dedup.tombstoneTableOf(ix.table))
+        }
+        done
+      case ShowFpIndexes() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        // bounded: one row per registered index, counts are index-side
+        // aggregates (never collected corpus rows)
+        val rows = fpIndexes.asScala.toSeq.sortBy(_._1).map {
+          case (name, ix) =>
+            val ts = operators.Dedup.tombstoneTableOf(ix.table)
+            val nTs =
+              if (spark.catalog.tableExists(ts)) spark.table(ts).count()
+              else 0L
+            (name, ix.srcTable, ix.srcCol, spark.table(ix.table).count(),
+              nTs, spark.table(ix.table).inputFiles.length)
+        }
+        Some(rows.toDF("index_name", "src_table", "src_col",
+          "n_fingerprints", "n_tombstones", "n_files"))
+      case ClassifyAgainst(src, idCol, colName, name) =>
+        val ix = fpIdx(name)
+        val b = sourceDf(spark, src)
+          .select(col(idCol).as("item_id"),
+            operators.Dedup.docFingerprint(col(colName)).as("fp"))
+        val canon = b.groupBy(col("fp"))
+          .agg(min(col("item_id")).as("first_id"))
+        Some(b
+          .join(operators.Dedup.retainedFpIndex(spark, ix.table)
+            .withColumn("in_corpus", lit(1)).hint("merge"),
+            Seq("fp"), "left")
+          .join(canon, Seq("fp"))
+          .select(col("item_id"),
+            when(col("in_corpus").isNotNull, "dup_of_corpus")
+              .when(col("item_id") > col("first_id"), "dup_within_batch")
+              .otherwise("new").as("status")))
       case CreateMatView(name, opts, select) =>
         val defDf = spark.sql(select)
         createTableAs(spark, name, defDf)

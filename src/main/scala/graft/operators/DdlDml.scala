@@ -678,6 +678,83 @@ object DdlDml {
         .withColumn("mv_diff_pinned",
           org.apache.spark.sql.functions.lit(true))
         .orderBy("g")
+    }),
+
+    // The fingerprint-index lifecycle as pure SQL (round-13 — the DDL
+    // surface over the q207/q588/q592/q593 machinery): CREATE
+    // FINGERPRINT INDEX builds the standing bucketed index from a
+    // managed corpus table; CLASSIFY runs the co-located dup-status
+    // join; ALTER ... ADMIT grows the index idempotently; ALTER ...
+    // RETRACT tombstones an erased source; OPTIMIZE applies tombstones
+    // and compacts to one file per bucket; SHOW FINGERPRINT INDEXES
+    // reports the physical state (the two boolean columns pin
+    // tombstone-GC + compaction in-plan). Four classification stages,
+    // each collected before the next mutation; the oracle replays the
+    // whole evolution set-algebraically.
+    "q594_fp_index_ddl" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP FINGERPRINT INDEX IF EXISTS fidx")
+      eng.sql("DROP TABLE IF EXISTS fp_corpus")
+      eng.sql("DROP TABLE IF EXISTS fp_batch")
+      eng.sql("DROP TABLE IF EXISTS fp_batch2")
+      eng.sql("DROP TABLE IF EXISTS fp_src3")
+      eng.sql("""CREATE TABLE fp_corpus AS
+                 SELECT doc_id, text, source FROM documents
+                 WHERE source <> 'src19'""")
+      eng.sql("CREATE FINGERPRINT INDEX fidx ON fp_corpus(text)")
+      eng.sql("""CREATE TABLE fp_batch AS
+                 SELECT doc_id, text FROM documents
+                 WHERE source = 'src19' AND doc_id % 40 = 19
+                 UNION ALL
+                 SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                 WHERE source <> 'src19' AND doc_id % 20 IN (3, 7)""")
+      def cls(stage: String): org.apache.spark.sql.DataFrame = {
+        val b = if (stage == "a_day1") "fp_batch" else "fp_batch2"
+        eng.sql(s"CLASSIFY $b(doc_id, text) AGAINST fidx")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("item_id")).cast("long").as("id_sum"))
+          .select(lit(stage).as("stage"), col("status"), col("n_docs"),
+            col("id_sum"))
+      }
+      val a = cls("a_day1").collect()
+      eng.sql("ALTER FINGERPRINT INDEX fidx ADMIT FROM fp_batch(text)")
+      eng.sql("""CREATE TABLE fp_batch2 AS
+                 SELECT doc_id + 2000000 AS doc_id, text FROM fp_batch
+                 UNION ALL
+                 SELECT doc_id, text FROM documents
+                 WHERE source = 'src19' AND doc_id % 40 = 39
+                 UNION ALL
+                 SELECT doc_id + 2500000 AS doc_id, text FROM documents
+                 WHERE source = 'src19' AND doc_id % 120 = 39""")
+      val b = cls("b_admitted").collect()
+      eng.sql("""CREATE TABLE fp_src3 AS
+                 SELECT doc_id, text FROM documents
+                 WHERE source = 'src3'""")
+      eng.sql("ALTER FINGERPRINT INDEX fidx RETRACT FROM fp_src3(text)")
+      val c = cls("c_retracted").collect()
+      def show(): org.apache.spark.sql.Row =
+        eng.sql("SHOW FINGERPRINT INDEXES")
+          .filter(col("index_name") === "fidx").collect()(0)
+      val showBefore = show()
+      eng.sql("OPTIMIZE FINGERPRINT INDEX fidx")
+      val showAfter = show()
+      val dDf = cls("d_gc")
+      val spark2 = s
+      import spark2.implicits._
+      (a ++ b ++ c).toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+        .toDF("stage", "status", "n_docs", "id_sum")
+        .unionAll(dDf)
+        .withColumn("tombstones_cleared",
+          lit(showBefore.getAs[Long]("n_tombstones") > 0L &&
+            showAfter.getAs[Long]("n_tombstones") == 0L))
+        .withColumn("compacted",
+          lit(showAfter.getAs[Int]("n_files") <
+            showBefore.getAs[Int]("n_files")))
+        .orderBy(col("stage"), col("status"))
     })
   )
 
@@ -858,6 +935,69 @@ object DdlDml {
                 sum(CAST(floor(o_totalprice) AS BIGINT))::BIGINT AS sum_m,
                 count(*)::BIGINT AS n, true AS mv_diff_pinned
          FROM orders WHERE o_orderkey % 7 <> 0
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // q594: the four-stage index evolution replayed set-algebraically —
+    // a_day1 vs the pristine corpus fps, b_admitted vs corpus ∪ day-1
+    // batch, c_retracted/d_gc vs that minus src3's fps; the two
+    // physical booleans (tombstone GC, compaction) are literal trues.
+    "q594_fp_index_ddl" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         b1 AS (
+           SELECT doc_id, fp FROM fp
+           WHERE source = 'src19' AND doc_id % 40 = 19
+           UNION ALL
+           SELECT doc_id + 1000000, fp FROM fp
+           WHERE source <> 'src19' AND doc_id % 20 IN (3, 7)),
+         admitted AS (
+           SELECT fp FROM corpus0 UNION SELECT fp FROM b1),
+         b2 AS (
+           SELECT doc_id + 2000000 AS doc_id, fp FROM b1
+           UNION ALL
+           SELECT doc_id, fp FROM fp
+           WHERE source = 'src19' AND doc_id % 40 = 39
+           UNION ALL
+           SELECT doc_id + 2500000, fp FROM fp
+           WHERE source = 'src19' AND doc_id % 120 = 39),
+         retained AS (
+           SELECT fp FROM admitted WHERE fp NOT IN (
+             SELECT fp FROM fp WHERE source = 'src3')),
+         canon1 AS (
+           SELECT fp, min(doc_id) AS first_id FROM b1 GROUP BY fp),
+         canon2 AS (
+           SELECT fp, min(doc_id) AS first_id FROM b2 GROUP BY fp),
+         sa AS (
+           SELECT 'a_day1' AS stage, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b1 b LEFT JOIN corpus0 c ON c.fp = b.fp
+           JOIN canon1 k ON k.fp = b.fp),
+         sb AS (
+           SELECT 'b_admitted' AS stage, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b2 b LEFT JOIN admitted c ON c.fp = b.fp
+           JOIN canon2 k ON k.fp = b.fp),
+         sc AS (
+           SELECT 'c_retracted' AS stage, b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'dup_within_batch'
+                       ELSE 'new' END AS status
+           FROM b2 b LEFT JOIN retained c ON c.fp = b.fp
+           JOIN canon2 k ON k.fp = b.fp),
+         u AS (
+           SELECT * FROM sa UNION ALL SELECT * FROM sb
+           UNION ALL SELECT * FROM sc
+           UNION ALL SELECT 'd_gc' AS stage, doc_id, status FROM sc)
+         SELECT stage, status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum,
+                true AS tombstones_cleared, true AS compacted
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -134,23 +134,37 @@ object Dedup {
     */
   private[graft] def rebuildFpIndex(s: SparkSession, d: String,
       tag: String, corpus: DataFrame): String = {
+    val name = s"${bucketDb(s)}.b_${tag}_${Similarity.indexTableSuffix(d)}"
+    writeFpTable(s, name, corpus)
+    fpIndexCache.put((d, tag), name)
+    name
+  }
+
+  /** The shared bucketed-index database (created on first use). */
+  private[graft] def bucketDb(s: SparkSession): String = {
     val db = "graft_bkt"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION " +
       s"'${graft.Stage.scratchDir("graft_bucketed")}'")
-    val name = s"$db.b_${tag}_${Similarity.indexTableSuffix(d)}"
+    db
+  }
+
+  /** (Over)write a bucketed fingerprint table at `name` from `corpus`
+    * (a one-column `fp` DataFrame) and clear any tombstones attached to
+    * it — a rebuilt index starts with nothing retracted. Bucket count =
+    * session parallelism (the q282 measurement: fewer buckets than
+    * cores halves every probe join's parallelism).
+    */
+  private[graft] def writeFpTable(s: SparkSession, name: String,
+      corpus: DataFrame): Unit = {
     val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
     corpus
       .repartition(buckets, col("fp"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "fp").sortBy("fp")
       .saveAsTable(name)
-    // day-0 reset clears any tombstones from a previous run's
-    // retractions — a rebuilt index starts with nothing retracted
     if (s.catalog.tableExists(tombstoneTableOf(name)))
       s.sql(s"DROP TABLE ${tombstoneTableOf(name)}")
-    fpIndexCache.put((d, tag), name)
     s.catalog.refreshTable(name)
-    name
   }
 
   /** COMPACT a standing bucketed fingerprint index in place (q592 —

@@ -735,4 +735,46 @@ class DdlSpec extends AnyFunSuite {
       .getAs[Long]("n_versions_removed") == 0L)
     eng.sql("DROP TABLE t_vac")
   }
+
+  test("fingerprint index DDL: refusals, IF EXISTS, idempotent admit, " +
+      "re-create overwrites") {
+    val eng = HeavyEngine(spark, sf)
+    // refusals name the missing index
+    for (stmt <- Seq(
+        "ALTER FINGERPRINT INDEX nope ADMIT FROM documents(text)",
+        "ALTER FINGERPRINT INDEX nope RETRACT FROM documents(text)",
+        "OPTIMIZE FINGERPRINT INDEX nope",
+        "CLASSIFY documents(doc_id, text) AGAINST nope")) {
+      val e = intercept[IllegalArgumentException](eng.sql(stmt))
+      assert(e.getMessage.contains("fingerprint index not found"),
+        s"$stmt -> ${e.getMessage}")
+    }
+    // DROP IF EXISTS of an absent index is a no-op
+    eng.sql("DROP FINGERPRINT INDEX IF EXISTS nope")
+    eng.sql("DROP FINGERPRINT INDEX IF EXISTS spec_fidx")
+    eng.sql("CREATE FINGERPRINT INDEX spec_fidx ON documents(text)")
+    val n0 = eng.sql("SHOW FINGERPRINT INDEXES")
+      .filter(org.apache.spark.sql.functions.col("index_name") ===
+        "spec_fidx")
+      .collect().head.getAs[Long]("n_fingerprints")
+    assert(n0 > 0)
+    // admitting the same rows is a no-op (idempotent anti-join)
+    eng.sql("ALTER FINGERPRINT INDEX spec_fidx ADMIT FROM documents(text)")
+    val n1 = eng.sql("SHOW FINGERPRINT INDEXES")
+      .filter(org.apache.spark.sql.functions.col("index_name") ===
+        "spec_fidx")
+      .collect().head.getAs[Long]("n_fingerprints")
+    assert(n1 == n0, s"replayed admit changed the index: $n0 -> $n1")
+    // CREATE again overwrites (day-0 rebuild), not appends
+    eng.sql("CREATE FINGERPRINT INDEX spec_fidx ON documents(text)")
+    val n2 = eng.sql("SHOW FINGERPRINT INDEXES")
+      .filter(org.apache.spark.sql.functions.col("index_name") ===
+        "spec_fidx")
+      .collect().head.getAs[Long]("n_fingerprints")
+    assert(n2 == n0)
+    eng.sql("DROP FINGERPRINT INDEX spec_fidx")
+    assert(eng.sql("SHOW FINGERPRINT INDEXES")
+      .filter(org.apache.spark.sql.functions.col("index_name") ===
+        "spec_fidx").count() == 0)
+  }
 }
