@@ -518,6 +518,76 @@ object Dedup {
   }
 
   val queries: Seq[(String, Q)] = Seq(
+    // The composed ingest FRONT DOOR (round-13 — the cascade a 100 TB
+    // pipeline runs per batch): exact fingerprint classification
+    // against the standing bucketed index FIRST (cheap, catches every
+    // verbatim copy), then SEMANTIC near-dup detection — q192's
+    // sign-bucket candidates + high-threshold cosine against the
+    // corpus embedding space — run ONLY over the exact-new survivors.
+    // The funnel is the scale argument: stage-2 (the expensive vector
+    // stage) costs proportional to what stage 1 could not dismiss,
+    // and its candidates are bucket-bounded, never all-pairs. Planted
+    // structure: batch docs with doc_id % 7 == 0 carry a corpus
+    // vector verbatim (semantic dups at cosine 1.0); the rest carry
+    // its negation (cosine ≤ ~0.5 against anything — kept). τ = 0.9
+    // is threshold-robust across engines: every planted pair scores
+    // exactly 1, iid 64-dim background concentrates near 0.
+    "q595_dedup_cascade" -> ((s, d) => {
+      import graft.functions.GraftFunctions.cosine_similarity
+      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
+        docFingerprint(col("text")).as("fp"))
+      val feed = fp.filter(col("source") === "src19")
+        .select(col("doc_id"), col("fp"))
+      val batch = feed
+        .unionAll(fp.filter(col("source") =!= "src19" &&
+            col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("fp")))
+        .unionAll(feed.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("fp")))
+      val corpus = corpusFpIndex(s, d).withColumn("in_corpus", lit(1))
+      val canon = batch.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("first_id"))
+      val staged = stage(batch
+        .join(corpus.hint("merge"), Seq("fp"), "left")
+        .join(canon, Seq("fp"))
+        .select(col("doc_id"),
+          when(col("in_corpus").isNotNull, "exact_dup_corpus")
+            .when(col("doc_id") > col("first_id"), "exact_dup_batch")
+            .otherwise("new").as("st1")), "q595_stage1")
+      val emb = t(s, d, "embeddings")
+      val nEmb = emb.agg(count(lit(1)).as("n_emb"))
+      val newDocs = staged.filter(col("st1") === "new")
+        .crossJoin(broadcast(nEmb))
+        .select(col("doc_id"),
+          (col("doc_id") % col("n_emb")).as("vec_id"),
+          (col("doc_id") % 7 === 0).as("planted"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("doc_id"),
+          when(col("planted"), col("embedding"))
+            .otherwise(transform(col("embedding"), x => -x)).as("e"))
+      def bucketOf(e: Column): Column = (0 until SignBits).map(j =>
+        when(e.getItem(j) >= lit(0f), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val corpusB = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_e"))
+        .withColumn("bucket", bucketOf(col("c_e")))
+      val sem = newDocs.withColumn("bucket", bucketOf(col("e")))
+        .join(corpusB, Seq("bucket"))
+        .filter(cosine_similarity(col("e"), col("c_e")) > lit(0.9))
+        .select(col("doc_id")).distinct()
+        .withColumn("sem", lit(1))
+      staged.join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("st1") === "new" && col("sem").isNotNull,
+            "semantic_dup")
+            .when(col("st1") === "new", "kept")
+            .otherwise(col("st1")).as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("status"))
+    }),
+
     // Exact dedup: group by content hash, keep lowest doc_id
     // (hash-groupBy; at scale this is one shuffle on the md5 key).
     "q40_dedup_exact" -> ((s, d) => {
@@ -943,6 +1013,70 @@ object Dedup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // q595: the cascade replayed set-algebraically — stage 1 against
+    // the corpus fingerprint set, stage 2's sign-bucket + cosine
+    // verify only over stage-1 'new' survivors.
+    "q595_dedup_cascade" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+           FROM documents),
+         corpus0 AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src19'),
+         feed AS (SELECT doc_id, fp FROM fp WHERE source = 'src19'),
+         batch AS (
+           SELECT doc_id, fp FROM feed
+           UNION ALL
+           SELECT doc_id + 1000000, fp FROM fp
+           WHERE source <> 'src19' AND doc_id % 25 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, fp FROM feed WHERE doc_id % 3 = 0),
+         canon AS (
+           SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp),
+         s1 AS (
+           SELECT b.doc_id,
+                  CASE WHEN c.fp IS NOT NULL THEN 'exact_dup_corpus'
+                       WHEN b.doc_id > k.first_id THEN 'exact_dup_batch'
+                       ELSE 'new' END AS st1
+           FROM batch b
+           LEFT JOIN corpus0 c ON c.fp = b.fp
+           JOIN canon k ON k.fp = b.fp),
+         nemb AS (SELECT count(*) AS n FROM embeddings),
+         newd AS (
+           SELECT s.doc_id,
+                  CASE WHEN s.doc_id % 7 = 0 THEN e.embedding
+                       ELSE list_transform(e.embedding, x -> -x)
+                  END AS e
+           FROM s1 s CROSS JOIN nemb n
+           JOIN embeddings e ON e.vec_id = s.doc_id % n.n
+           WHERE s.st1 = 'new'),
+         newb AS (
+           SELECT doc_id, e,
+                  list_sum(list_transform([0,1,2,3,4,5,6,7], j ->
+                    CASE WHEN e[j+1] >= 0 THEN 1<<j ELSE 0 END))
+                    ::INT AS bucket
+           FROM newd),
+         corpb AS (
+           SELECT vec_id, embedding,
+                  list_sum(list_transform([0,1,2,3,4,5,6,7], j ->
+                    CASE WHEN embedding[j+1] >= 0 THEN 1<<j ELSE 0 END))
+                    ::INT AS bucket
+           FROM embeddings),
+         sem AS (
+           SELECT DISTINCT nb.doc_id
+           FROM newb nb JOIN corpb cb ON cb.bucket = nb.bucket
+           WHERE list_cosine_similarity(nb.e::DOUBLE[],
+                   cb.embedding::DOUBLE[]) > 0.9),
+         final AS (
+           SELECT s.doc_id,
+                  CASE WHEN s.st1 = 'new' AND m.doc_id IS NOT NULL
+                         THEN 'semantic_dup'
+                       WHEN s.st1 = 'new' THEN 'kept'
+                       ELSE s.st1 END AS status
+           FROM s1 s LEFT JOIN sem m ON m.doc_id = s.doc_id)
+         SELECT status, count(*)::BIGINT AS n_docs,
+                sum(doc_id)::BIGINT AS id_sum
+         FROM final GROUP BY status ORDER BY status""",
     "q40_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,
                 count(*) AS n_copies
