@@ -688,6 +688,23 @@ object Ddl {
     """(?is)\s*SHOW\s+FINGERPRINT\s+INDEXES\s*""".r
   private val ClassifyAgainst: Regex =
     """(?is)\s*CLASSIFY\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AGAINST\s+(\w+)\s*""".r
+  // ---- vector index (round-13, q596) ---------------------------------
+  // The q591 standing partitioned vector index as DDL: CREATE builds
+  // the partitioned-by-cell layout under the deterministic sign-bit
+  // coarse quantizer; ADMIT assigns a batch with the SAME quantizer (a
+  // projection — no retrain) and appends idempotently, touching only
+  // the batch's own cell directories; SEARCH is the multiprobe top-k
+  // (own cell + Hamming-1 neighbors as a static partition filter).
+  private val CreateVecIndex: Regex =
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*""".r
+  private val AlterVecIndexAdmit: Regex =
+    """(?is)\s*ALTER\s+VECTOR\s+INDEX\s+(\w+)\s+ADMIT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*""".r
+  private val DropVecIndex: Regex =
+    """(?is)\s*DROP\s+VECTOR\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val ShowVecIndexes: Regex =
+    """(?is)\s*SHOW\s+VECTOR\s+INDEXES\s*""".r
+  private val SearchAgainst: Regex =
+    """(?is)\s*SEARCH\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AGAINST\s+(\w+)\s+TOP\s+(\d+)\s*""".r
   private val CreateView: Regex =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)""".r
   private val DropView: Regex =
@@ -1054,6 +1071,24 @@ object Ddl {
       .select(operators.Dedup.docFingerprint(col(colName)).as("fp"))
       .distinct()
 
+  // ---- vector-index registry + helpers --------------------------------
+  private case class VecIdx(dir: String, srcTable: String, idCol: String,
+      vecCol: String)
+  private val vecIndexes = new ConcurrentHashMap[String, VecIdx]()
+
+  private def vecIdx(name: String): VecIdx = {
+    val ix = vecIndexes.get(name.toLowerCase)
+    require(ix != null, s"vector index not found: $name")
+    ix
+  }
+
+  /** Distinct cell ids of an assigned batch — bounded metadata
+    * (≤ 2^SignDims = 16 ints) collected to form the static partition
+    * filter for cell-local reads.
+    */
+  private def cellsOf(assigned: DataFrame): Seq[Int] =
+    assigned.select(col("cid")).distinct().collect().map(_.getInt(0)).toSeq
+
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
@@ -1099,6 +1134,69 @@ object Ddl {
         }
         Some(rows.toDF("index_name", "src_table", "src_col",
           "n_fingerprints", "n_tombstones", "n_files"))
+      case CreateVecIndex(name, src, idCol, vecCol) =>
+        val dir = Stage.scratchDir("vecidx_ddl")
+        operators.AnnIvf.assignVectors(sourceDf(spark, src), idCol, vecCol)
+          .write.mode("overwrite").partitionBy("cid").parquet(dir)
+        vecIndexes.put(name.toLowerCase, VecIdx(dir, src, idCol, vecCol))
+        import spark.implicits._
+        Some(Seq((name, dir)).toDF("index_name", "index_dir"))
+      case AlterVecIndexAdmit(name, src, idCol, vecCol) =>
+        val ix = vecIdx(name)
+        val assigned =
+          operators.AnnIvf.assignVectors(sourceDf(spark, src), idCol, vecCol)
+        // idempotent: drop ids already present, checking ONLY the
+        // batch's own cell partitions (partition-pruned read)
+        val cells = cellsOf(assigned)
+        val existing = spark.read.parquet(ix.dir)
+          .filter(col("cid").isin(cells: _*)).select(col("vec_id"))
+        assigned.join(existing, Seq("vec_id"), "left_anti")
+          .write.mode("append").partitionBy("cid").parquet(ix.dir)
+        done
+      case DropVecIndex(name) =>
+        vecIndexes.remove(name.toLowerCase) // dir reclaimed by Stage root
+        done
+      case ShowVecIndexes() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val rows = vecIndexes.asScala.toSeq.sortBy(_._1).map {
+          case (name, ix) =>
+            val idx = spark.read.parquet(ix.dir)
+            (name, ix.srcTable, ix.vecCol, idx.count(),
+              idx.select(countDistinct(col("cid"))).head().getLong(0),
+              idx.inputFiles.length)
+        }
+        Some(rows.toDF("index_name", "src_table", "vec_col", "n_vectors",
+          "n_cells", "n_files"))
+      case SearchAgainst(src, idCol, vecCol, name, kStr) =>
+        val ix = vecIdx(name)
+        val k = kStr.toInt
+        def dotp(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, (u, v) => u * v), lit(0.0), _ + _)
+        val probes = broadcast(
+          operators.AnnIvf.assignVectors(sourceDf(spark, src), idCol,
+            vecCol)
+          .select(col("vec_id").as("p_id"), col("x").as("px"),
+            col("n2").as("p_n2"), col("cid").as("p_cid")))
+        val probeCells = probes.select(col("p_id"), col("px"),
+          col("p_n2"),
+          explode(operators.AnnIvf.probeCellsExpr(col("p_cid")))
+            .as("cid"))
+        val cells = cellsOf(probeCells)
+        val cand = spark.read.parquet(ix.dir)
+          .filter(col("cid").isin(cells: _*))
+          .join(probeCells, "cid")
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"),
+            (dotp(col("px"), col("x")) / sqrt(col("p_n2") * col("n2")))
+              .as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_id")).orderBy(col("sim").desc, col("vec_id"))
+        Some(cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("p_id").as("probe_id"), col("rank"),
+            col("vec_id").as("n_id")))
       case ClassifyAgainst(src, idCol, colName, name) =>
         val ix = fpIdx(name)
         val b = sourceDf(spark, src)

@@ -59,14 +59,27 @@ object AnnIvf {
     * the oracle replays (q202/q303 proved the fold bit-parity).
     */
   private[graft] def assignedVectors(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("x"))
+    assignVectors(t(s, d, "embeddings"), "vec_id", "embedding")
+
+  /** Generic form (the DDL surface builds indexes over arbitrary
+    * (id, vector) tables — Ddl's CREATE VECTOR INDEX).
+    */
+  private[graft] def assignVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("x"))
       .withColumn("cid", (0 until SignDims).map(i =>
           when(element_at(col("x"), i + 1) > lit(0.0), lit(1 << i))
             .otherwise(lit(0))).reduce(_ + _))
       .withColumn("n2",
         aggregate(transform(col("x"), v => v * v), lit(0.0), _ + _))
+
+  /** Multiprobe cell set of an assigned probe: own cell + its
+    * SignDims Hamming-1 neighbors.
+    */
+  private[graft] def probeCellsExpr(cid: Column): Column =
+    array(cid +: (0 until SignDims).map(i =>
+      cid.bitwiseXOR(lit(1 << i))): _*)
 
   private val vecIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -755,6 +755,44 @@ object DdlDml {
           lit(showAfter.getAs[Int]("n_files") <
             showBefore.getAs[Int]("n_files")))
         .orderBy(col("stage"), col("status"))
+    }),
+
+    // The standing VECTOR index as DDL (round-13 — q591's lifecycle
+    // through the SQL surface, the vector sibling of q594): CREATE
+    // VECTOR INDEX partitions the corpus by its sign-bit cell; ALTER
+    // … ADMIT assigns the day-2 batch with the same quantizer and
+    // appends idempotently (a REPLAYED admit adds nothing — pinned by
+    // the in-plan boolean from SHOW counts); SEARCH … TOP 10 is the
+    // multiprobe top-k whose candidate read is partition-pruned to
+    // the probed cells. The oracle replays the full ranking.
+    "q596_vector_index_ddl" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val eng = HeavyEngine(s, d)
+      eng.sql("DROP VECTOR INDEX IF EXISTS vidx")
+      eng.sql("DROP TABLE IF EXISTS vec_corpus")
+      eng.sql("DROP TABLE IF EXISTS vec_batch")
+      eng.sql("DROP TABLE IF EXISTS vec_probes")
+      eng.sql("""CREATE TABLE vec_corpus AS
+                 SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 <> 0""")
+      eng.sql("""CREATE TABLE vec_batch AS
+                 SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 10 = 0""")
+      eng.sql("CREATE VECTOR INDEX vidx ON vec_corpus(vec_id, embedding)")
+      eng.sql("ALTER VECTOR INDEX vidx ADMIT FROM vec_batch(vec_id, embedding)")
+      def nVecs(): Long = eng.sql("SHOW VECTOR INDEXES")
+        .filter(col("index_name") === "vidx")
+        .collect()(0).getAs[Long]("n_vectors")
+      val n1 = nVecs()
+      // a replayed admit must add nothing
+      eng.sql("ALTER VECTOR INDEX vidx ADMIT FROM vec_batch(vec_id, embedding)")
+      val n2 = nVecs()
+      eng.sql("""CREATE TABLE vec_probes AS
+                 SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 125 = 0 AND vec_id < 5000""")
+      eng.sql("SEARCH vec_probes(vec_id, embedding) AGAINST vidx TOP 10")
+        .withColumn("admit_idempotent", lit(n1 == n2 && n1 > 0L))
+        .orderBy(col("probe_id"), col("rank"))
     })
   )
 
@@ -998,6 +1036,42 @@ object DdlDml {
          SELECT stage, status, count(*)::BIGINT AS n_docs,
                 sum(doc_id)::BIGINT AS id_sum,
                 true AS tombstones_cleared, true AS compacted
-         FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q596: the multiprobe top-10 replayed over corpus ∪ batch (the
+    // admitted index), q591's cand/rank recipe; the idempotency
+    // boolean is a literal true.
+    "q596_vector_index_ddl" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         n AS (
+           SELECT vec_id, x,
+                  list_aggregate(list_transform(x, v -> v * v), 'sum')
+                    AS n2,
+                  (CASE WHEN x[1] > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN x[2] > 0 THEN 2 ELSE 0 END
+                   + CASE WHEN x[3] > 0 THEN 4 ELSE 0 END
+                   + CASE WHEN x[4] > 0 THEN 8 ELSE 0 END) AS cid
+           FROM base),
+         probes AS (
+           SELECT vec_id AS p_id, x AS px, n2 AS p_n2, cid AS p_cid
+           FROM n WHERE vec_id % 125 = 0 AND vec_id < 5000),
+         pcells AS (
+           SELECT p_id, px, p_n2,
+                  unnest([p_cid, xor(p_cid, 1), xor(p_cid, 2),
+                          xor(p_cid, 4), xor(p_cid, 8)]) AS cid
+           FROM probes),
+         cand AS (
+           SELECT p.p_id, e.vec_id,
+                  list_aggregate(list_transform(list_zip(p.px, e.x),
+                      z -> z[1] * z[2]), 'sum') / sqrt(p.p_n2 * e.n2)
+                    AS sim
+           FROM n e JOIN pcells p
+             ON e.cid = p.cid AND e.vec_id <> p.p_id)
+         SELECT p_id AS probe_id, rank::INT AS rank, vec_id AS n_id,
+                true AS admit_idempotent
+         FROM (
+           SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+             ORDER BY sim DESC, vec_id) AS rank FROM cand)
+         WHERE rank <= 10 ORDER BY 1, 2"""
   )
 }

@@ -777,4 +777,33 @@ class DdlSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("index_name") ===
         "spec_fidx").count() == 0)
   }
+
+  test("vector index DDL: refusals, idempotent admit, partition layout") {
+    import org.apache.spark.sql.functions._
+    val eng = HeavyEngine(spark, sf)
+    for (stmt <- Seq(
+        "ALTER VECTOR INDEX nope ADMIT FROM embeddings(vec_id, embedding)",
+        "SEARCH embeddings(vec_id, embedding) AGAINST nope TOP 5")) {
+      val e = intercept[IllegalArgumentException](eng.sql(stmt))
+      assert(e.getMessage.contains("vector index not found"))
+    }
+    eng.sql("DROP VECTOR INDEX IF EXISTS spec_vidx")
+    eng.sql("CREATE VECTOR INDEX spec_vidx ON embeddings(vec_id, embedding)")
+    def stats() = eng.sql("SHOW VECTOR INDEXES")
+      .filter(col("index_name") === "spec_vidx").collect().head
+    val n0 = stats().getAs[Long]("n_vectors")
+    assert(n0 > 0 && stats().getAs[Long]("n_cells") > 1)
+    // replayed admit of already-present vectors adds nothing
+    eng.sql("ALTER VECTOR INDEX spec_vidx ADMIT FROM embeddings(vec_id, embedding)")
+    assert(stats().getAs[Long]("n_vectors") == n0)
+    // the SEARCH candidate scan is partition-pruned (cid=... dirs only)
+    val res = eng.sql(
+      "SEARCH embeddings(vec_id, embedding) AGAINST spec_vidx TOP 3")
+    assert(res.columns.toSeq == Seq("probe_id", "rank", "n_id"))
+    assert(res.groupBy(col("probe_id")).count()
+      .agg(max(col("count"))).head().getLong(0) <= 3)
+    eng.sql("DROP VECTOR INDEX spec_vidx")
+    assert(eng.sql("SHOW VECTOR INDEXES")
+      .filter(col("index_name") === "spec_vidx").count() == 0)
+  }
 }
