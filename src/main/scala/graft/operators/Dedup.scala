@@ -194,7 +194,15 @@ object Dedup {
   }
 
   /** Rewrite a bucketed index table in place from `input` rows,
-    * preserving the bucket spec — side table + DROP/RENAME swap.
+    * preserving the bucket spec — side table + rename swap.
+    *
+    * Crash ordering: the old table is renamed ASIDE before the new one
+    * takes the name, and only then dropped — a crash at any point
+    * leaves at least one complete copy on disk (`_compact` or `_old`),
+    * never zero. The name itself is briefly absent between the two
+    * renames; a single-user embedded engine has no concurrent reader
+    * to race (a multi-writer deployment would swap a catalog pointer,
+    * the COW-version discipline Ddl's managed tables already use).
     */
   private def rewriteBucketed(s: SparkSession, tableName: String,
       input: DataFrame): Unit = {
@@ -217,8 +225,11 @@ object Dedup {
         .bucketBy(buckets, "fp").sortBy("fp")
         .saveAsTable(tmp)
     } finally s.conf.set(bucketingConf, prev)
-    s.sql(s"DROP TABLE $tableName")
+    val old = s"$db.${tbl}_old"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $tableName RENAME TO $old")
     s.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    s.sql(s"DROP TABLE $old")
     s.catalog.refreshTable(tableName)
   }
 
