@@ -345,8 +345,7 @@ object AnnIvf {
           col("n2").as("p_n2"), col("cid").as("p_cid"))
       val probeCells = broadcast(probes
         .select(col("p_id"), col("px"), col("p_n2"),
-          explode(array(col("p_cid") +: (0 until SignDims).map(i =>
-            col("p_cid").bitwiseXOR(lit(1 << i))): _*)).as("cid")))
+          explode(probeCellsExpr(col("p_cid"))).as("cid")))
       // Bounded metadata collect (≤ n_probes·(SignDims+1), and ≤ 2^SignDims
       // distinct ints): the probed-cell set becomes a static partition
       // filter on the index scan — partition pruning, not a post-scan
