@@ -674,12 +674,18 @@ object Ddl {
   // co-located retained view). Reference analog: the DDL-managed
   // index/dictionary surfaces of `Parser/ParserNode.h` — re-expressed
   // for the dedup-index shape a 100 TB ingest pipeline actually needs.
+  // ADMIT/RETRACT/CLASSIFY accept an optional trailing WHERE over the
+  // source table (handed to Catalyst via expr — statement shape only),
+  // so "erase source X" / "classify today's slice" need no staging
+  // CTAS. CREATE accepts WITH (buckets=N) to size the index layout
+  // (default: session parallelism — the q282 guidance; a smaller count
+  // trades probe-join parallelism for fewer files per maintenance op).
   private val CreateFpIndex: Regex =
-    """(?is)\s*CREATE\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+    """(?is)\s*CREATE\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*(?:WHERE\s+(.+?)\s*)??(?:WITH\s*\(([^)]*)\)\s*)?""".r
   private val AlterFpIndexAdmit: Regex =
-    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ADMIT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+ADMIT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val AlterFpIndexRetract: Regex =
-    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+RETRACT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+    """(?is)\s*ALTER\s+FINGERPRINT\s+INDEX\s+(\w+)\s+RETRACT\s+FROM\s+(\w+)\s*\(\s*(\w+)\s*\)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val OptimizeFpIndex: Regex =
     """(?is)\s*OPTIMIZE\s+FINGERPRINT\s+INDEX\s+(\w+)\s*""".r
   private val DropFpIndex: Regex =
@@ -687,7 +693,7 @@ object Ddl {
   private val ShowFpIndexes: Regex =
     """(?is)\s*SHOW\s+FINGERPRINT\s+INDEXES\s*""".r
   private val ClassifyAgainst: Regex =
-    """(?is)\s*CLASSIFY\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AGAINST\s+(\w+)\s*""".r
+    """(?is)\s*CLASSIFY\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+AGAINST\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   // ---- vector index (round-13, q596) ---------------------------------
   // The q591 standing partitioned vector index as DDL: CREATE builds
   // the partitioned-by-cell layout under the deterministic sign-bit
@@ -1065,9 +1071,15 @@ object Ddl {
     if (catalog.containsKey(name)) table(spark, name)
     else spark.table(name)
 
-  private def fpsOf(spark: SparkSession, src: String,
-      colName: String): DataFrame =
-    sourceDf(spark, src)
+  private def filteredSource(spark: SparkSession, src: String,
+      where: String): DataFrame = {
+    val base = sourceDf(spark, src)
+    Option(where).map(w => base.filter(expr(w))).getOrElse(base)
+  }
+
+  private def fpsOf(spark: SparkSession, src: String, colName: String,
+      where: String = null): DataFrame =
+    filteredSource(spark, src, where)
       .select(operators.Dedup.docFingerprint(col(colName)).as("fp"))
       .distinct()
 
@@ -1092,20 +1104,22 @@ object Ddl {
   def route(spark: SparkSession, stmt: String): Option[DataFrame] = {
     def done: Option[DataFrame] = Some(spark.emptyDataFrame)
     stmt match {
-      case CreateFpIndex(name, src, colName) =>
+      case CreateFpIndex(name, src, colName, where, opts) =>
         val tbl =
           s"${operators.Dedup.bucketDb(spark)}.fpi_${name.toLowerCase}"
-        operators.Dedup.writeFpTable(spark, tbl, fpsOf(spark, src, colName))
+        val buckets = parseOptions(opts).get("buckets").map(_.toInt)
+        operators.Dedup.writeFpTable(spark, tbl,
+          fpsOf(spark, src, colName, where), buckets)
         fpIndexes.put(name.toLowerCase, FpIdx(tbl, src, colName))
         import spark.implicits._
         Some(Seq((name, tbl)).toDF("index_name", "index_table"))
-      case AlterFpIndexAdmit(name, src, colName) =>
+      case AlterFpIndexAdmit(name, src, colName, where) =>
         operators.Dedup.admitToFpIndex(spark, fpIdx(name).table,
-          fpsOf(spark, src, colName))
+          fpsOf(spark, src, colName, where))
         done
-      case AlterFpIndexRetract(name, src, colName) =>
+      case AlterFpIndexRetract(name, src, colName, where) =>
         operators.Dedup.retractFromFpIndex(spark, fpIdx(name).table,
-          fpsOf(spark, src, colName))
+          fpsOf(spark, src, colName, where))
         done
       case OptimizeFpIndex(name) =>
         operators.Dedup.gcFpIndex(spark, fpIdx(name).table); done
@@ -1197,9 +1211,9 @@ object Ddl {
           .filter(col("rank") <= k)
           .select(col("p_id").as("probe_id"), col("rank"),
             col("vec_id").as("n_id")))
-      case ClassifyAgainst(src, idCol, colName, name) =>
+      case ClassifyAgainst(src, idCol, colName, name, where) =>
         val ix = fpIdx(name)
-        val b = sourceDf(spark, src)
+        val b = filteredSource(spark, src, where)
           .select(col(idCol).as("item_id"),
             operators.Dedup.docFingerprint(col(colName)).as("fp"))
         val canon = b.groupBy(col("fp"))

@@ -695,14 +695,13 @@ object DdlDml {
       import org.apache.spark.sql.functions._
       val eng = HeavyEngine(s, d)
       eng.sql("DROP FINGERPRINT INDEX IF EXISTS fidx")
-      eng.sql("DROP TABLE IF EXISTS fp_corpus")
       eng.sql("DROP TABLE IF EXISTS fp_batch")
       eng.sql("DROP TABLE IF EXISTS fp_batch2")
-      eng.sql("DROP TABLE IF EXISTS fp_src3")
-      eng.sql("""CREATE TABLE fp_corpus AS
-                 SELECT doc_id, text, source FROM documents
-                 WHERE source <> 'src19'""")
-      eng.sql("CREATE FINGERPRINT INDEX fidx ON fp_corpus(text)")
+      // WHERE builds the corpus index straight off the source table
+      // (no staging CTAS); buckets=8 sizes the layout for the fixture
+      // (production default = session parallelism, see Ddl scaladoc)
+      eng.sql("""CREATE FINGERPRINT INDEX fidx ON documents(text)
+                 WHERE source <> 'src19' WITH (buckets=8)""")
       eng.sql("""CREATE TABLE fp_batch AS
                  SELECT doc_id, text FROM documents
                  WHERE source = 'src19' AND doc_id % 40 = 19
@@ -729,10 +728,8 @@ object DdlDml {
                  SELECT doc_id + 2500000 AS doc_id, text FROM documents
                  WHERE source = 'src19' AND doc_id % 120 = 39""")
       val b = cls("b_admitted").collect()
-      eng.sql("""CREATE TABLE fp_src3 AS
-                 SELECT doc_id, text FROM documents
-                 WHERE source = 'src3'""")
-      eng.sql("ALTER FINGERPRINT INDEX fidx RETRACT FROM fp_src3(text)")
+      eng.sql("""ALTER FINGERPRINT INDEX fidx RETRACT FROM
+                 documents(text) WHERE source = 'src3'""")
       val c = cls("c_retracted").collect()
       def show(): org.apache.spark.sql.Row =
         eng.sql("SHOW FINGERPRINT INDEXES")

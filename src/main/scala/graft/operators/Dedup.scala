@@ -155,8 +155,9 @@ object Dedup {
     * cores halves every probe join's parallelism).
     */
   private[graft] def writeFpTable(s: SparkSession, name: String,
-      corpus: DataFrame): Unit = {
-    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      corpus: DataFrame, bucketsOpt: Option[Int] = None): Unit = {
+    val buckets = bucketsOpt.getOrElse(
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
     corpus
       .repartition(buckets, col("fp"))
       .write.mode("overwrite").format("parquet")
