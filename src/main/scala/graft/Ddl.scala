@@ -665,6 +665,8 @@ object Ddl {
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val RefreshMatView: Regex =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  private val RefreshDueMatViews: Regex =
+    """(?is)\s*REFRESH\s+DUE\s+MATERIALIZED\s+VIEWS\s*""".r
   // ---- fingerprint dedup index (round-13, q594) ----------------------
   // The standing exact-dup index lifecycle (q207/q588/q590-q593) as
   // first-class DDL: a named index over any table's text column,
@@ -1244,6 +1246,11 @@ object Ddl {
         Some(Seq((name, reg)).toDF("mv_name", "rewrite_registered"))
       case RefreshMatView(name) =>
         Some(refreshMatView(spark, name))
+      case RefreshDueMatViews() =>
+        // the scheduler tick as a statement: refresh every MV whose
+        // WITH (refresh_interval_s=N) interval has elapsed
+        import spark.implicits._
+        Some(refreshDueMatViews(spark).toDF("mv_name"))
       case DropMatView(name) =>
         plans.MvRewrite.unregister(name)
         mvCatalog.remove(name)

@@ -620,6 +620,10 @@ class MvRewriteSpec extends AnyFunSuite {
     // immediately after the sweep the MV is no longer due
     assert(!Ddl.refreshDueMatViews(spark, nowMs = due + 1000L)
       .contains("mv_rf5"))
+    // the SQL form of the tick routes and returns refreshed names
+    // (nothing is due right now, so the sweep is empty)
+    assert(eng.sql("REFRESH DUE MATERIALIZED VIEWS").columns.toSeq
+      == Seq("mv_name"))
     eng.sql("DROP MATERIALIZED VIEW mv_rf5")
     eng.sql("DROP TABLE rfb5")
   }
