@@ -1005,6 +1005,8 @@ object Sequential {
     "q528_markov_stationary" -> ((s, d) => {
       val wU = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // Corpus-scale work ends here: one window + two-level aggregate
+      // down to the event-type-enum-bounded (src,dst,cnt) matrix.
       val trans = t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("src"))
@@ -1012,24 +1014,40 @@ object Sequential {
         .filter(col("dst").isNotNull)
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
-      val totals = trans.groupBy(col("src"))
-        .agg(sum(col("cnt")).as("tot"))
-      val p = trans.join(broadcast(totals), Seq("src"))
-        .withColumn("prob", col("cnt").cast("double") / col("tot"))
-        .select(col("src"), col("dst"), col("prob"))
-      val states = p.select(col("src").as("state")).distinct()
-      val k = states.count() // vocab-bounded (5 event types)
-      var vec = states.withColumn("pv", lit(1.0) / k.toDouble)
+      // The 8-round power iteration is METADATA-scale (≤|types|² rows):
+      // collect the matrix and solve locally — the q577 driver-side
+      // Jacobi idiom, with the identical arithmetic the distributed
+      // rounds used (prob = cnt/tot, pv' = round(Σ prob·pv, 12); r12
+      // absorbs sum-order ulps exactly as it did between engines). The
+      // previous 8 chained DataFrame rounds re-embedded the events
+      // window+aggregate subtree once per round — ~9 corpus passes in
+      // one plan; this is one.
+      val rows = trans.collect() // ≤|event types|² — bounded metadata
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      def r12(x: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      val totals: Map[String, Long] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p = rows.map { case (src, dst, cnt) =>
+        (src, dst, cnt.toDouble / totals(src)) }
+      val k = totals.size // vocab-bounded (5 event types)
+      var vec: Map[String, Double] = totals.keys.map(_ -> 1.0 / k).toMap
       for (_ <- 1 to 8) {
-        vec = p.join(broadcast(vec), p("src") === vec("state"))
-          .groupBy(col("dst"))
-          .agg(round(sum(col("prob") * col("pv")), 12).as("pv"))
-          .select(col("dst").as("state"), col("pv"))
+        // mirror the join+groupBy exactly: rows whose src is absent
+        // from the current vector contribute no group at all
+        vec = p.filter { case (src, _, _) => vec.contains(src) }
+          .groupBy(_._2).view.mapValues { g =>
+            r12(g.map { case (src, _, prob) => prob * vec(src) }.sum)
+          }.toMap
       }
-      vec.join(broadcast(totals.withColumnRenamed("src", "state")),
-          Seq("state"))
-        .select(col("state"), col("tot").as("n_out_transitions"),
-          floor(col("pv") * 1e6).cast("long").as("pi_ppm"))
+      val out = vec.toSeq.collect {
+        case (state, pv) if totals.contains(state) =>
+          (state, totals(state), math.floor(pv * 1e6).toLong)
+      }.sortBy(_._1)
+      s.createDataFrame(out)
+        .toDF("state", "n_out_transitions", "pi_ppm")
         .orderBy(col("state"))
     })
   )

@@ -362,32 +362,43 @@ object Motifs {
         .filter(col("src") =!= "purchase") // purchase absorbs
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
-      val totals = trans.groupBy(col("src"))
-        .agg(sum(col("cnt")).as("tot"))
-      val p = trans.join(broadcast(totals), Seq("src"))
-        .withColumn("prob", col("cnt").cast("double") / col("tot"))
-        .select(col("src"), col("dst"), col("prob"))
-      // 8 Jacobi rounds over the vocab-bounded vector; each round
-      // rounded to 1e-12 so engine sum order can't drift a boundary
-      val absorbing = p.sparkSession.createDataFrame(Seq(
-        ("purchase", 1.0), ("exit", 0.0))).toDF("state", "pv")
-      var vec = p.select(col("src").as("state")).distinct()
-        .select(col("state"), lit(0.0).as("pv"))
-        .unionByName(absorbing)
+      // 8 Jacobi rounds over the vocab-bounded vector, each rounded to
+      // 1e-12 so sum order can't drift a boundary. METADATA-scale after
+      // the (src,dst,cnt) aggregate (≤|types|² rows): collect the matrix
+      // and solve locally (the q577/q528 driver-side Jacobi idiom). The
+      // previous 8 chained DataFrame rounds re-embedded the events
+      // window+aggregate subtree once per round — ~9 corpus passes in
+      // one plan; this is one.
+      val rows = trans.collect() // ≤|event types|² — bounded metadata
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      def r12(x: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      val totals: Map[String, Long] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p = rows.map { case (src, dst, cnt) =>
+        (src, dst, cnt.toDouble / totals(src)) }
+      val absorbing = Map("purchase" -> 1.0, "exit" -> 0.0)
+      var vec: Map[String, Double] =
+        totals.keys.map(_ -> 0.0).toMap ++ absorbing
       for (_ <- 1 to 8) {
-        val stepped = p.join(broadcast(vec),
-            p("dst") === vec("state"))
-          .groupBy(col("src"))
-          .agg(round(sum(col("prob") * col("pv")), 12).as("pv"))
-          .select(col("src").as("state"), col("pv"))
-        vec = stepped.unionByName(absorbing)
+        // mirror the join+groupBy exactly: rows whose dst is absent
+        // from the current vector contribute no group at all
+        val stepped = p.filter { case (_, dst, _) => vec.contains(dst) }
+          .groupBy(_._1).view.mapValues { g =>
+            r12(g.map { case (_, dst, prob) => prob * vec(dst) }.sum)
+          }.toMap
+        vec = stepped ++ absorbing
       }
-      vec.filter(!col("state").isin("purchase", "exit"))
-        .join(broadcast(totals.withColumnRenamed("src", "state")),
-          Seq("state"))
-        .select(col("state").as("start_state"),
-          col("tot").as("n_transitions"),
-          floor(col("pv") * 1e6).cast("long").as("p_convert_ppm"))
+      val out = vec.toSeq.collect {
+        case (state, pv)
+            if state != "purchase" && state != "exit" &&
+              totals.contains(state) =>
+          (state, totals(state), math.floor(pv * 1e6).toLong)
+      }.sortBy(_._1)
+      s.createDataFrame(out)
+        .toDF("start_state", "n_transitions", "p_convert_ppm")
         .orderBy(col("start_state"))
     }),
 

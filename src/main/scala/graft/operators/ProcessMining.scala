@@ -120,14 +120,20 @@ object ProcessMining {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = grain.withColumn("cw", sum(col("w")).over(wR))
         .join(broadcast(tot), Seq("rf"))
-      def quant(num: Int, den: Int, name: String): DataFrame =
-        cum.filter(col("cw") * den >= col("tw") * num)
-          .groupBy(col("rf"))
-          .agg(min(col("v")).as(name))
-      tot.join(quant(1, 4, "wp25_cents"), Seq("rf"))
-        .join(quant(1, 2, "wmedian_cents"), Seq("rf"))
-        .join(quant(3, 4, "wp75_cents"), Seq("rf"))
-        .select(col("rf"), col("tw").as("total_weight"),
+      // All three weighted quantiles in ONE conditional aggregate over
+      // the cumulative pass: min(v | cw·den ≥ tw·num) ≡ the old
+      // per-quantile filter+min, but the previous shape re-ran the
+      // window subtree once per quantile plus three joins (4 corpus
+      // window passes in one plan — guide §1.2 "don't compute things
+      // you throw away"); this is one window + one aggregate.
+      def quant(num: Int, den: Int): Column =
+        min(when(col("cw") * den >= col("tw") * num, col("v")))
+      cum.groupBy(col("rf"))
+        .agg(max(col("tw")).as("total_weight"),
+          quant(1, 4).as("wp25_cents"),
+          quant(1, 2).as("wmedian_cents"),
+          quant(3, 4).as("wp75_cents"))
+        .select(col("rf"), col("total_weight"),
           col("wp25_cents"), col("wmedian_cents"), col("wp75_cents"))
         .orderBy(col("rf"))
     })
