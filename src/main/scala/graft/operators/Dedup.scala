@@ -107,10 +107,24 @@ object Dedup {
       name
     })
 
+  /** Session-staged (doc_id, source, fp) fingerprint projection of the
+    * documents corpus — the shared input of the ingest/index-lifecycle
+    * family (q207/q588/q592/q593/q595 and corpusFps below). The
+    * md5+regex fingerprint pass is the family's cost center, and each
+    * entry's plan re-embeds it once per filter/union branch per
+    * materialization (projection subtrees are not exchange boundaries,
+    * so ReuseExchange cannot dedup them); staging makes it ONE corpus
+    * pass per session, after which every branch reads the narrow
+    * 3-column stage (guide §1.2 — the round-3 staging lesson).
+    */
+  private[graft] def docFps(s: SparkSession, d: String): DataFrame =
+    graft.Stage(t(s, d, "documents").select(col("doc_id"), col("source"),
+      docFingerprint(col("text")).as("fp")), "docfp")
+
   private[graft] def corpusFps(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    docFps(s, d)
       .filter(col("source") =!= "src19")
-      .select(docFingerprint(col("text")).as("fp"))
+      .select(col("fp"))
       .distinct()
 
   private[graft] def corpusFpIndex(s: SparkSession, d: String): DataFrame =
@@ -546,8 +560,7 @@ object Dedup {
     // exactly 1, iid 64-dim background concentrates near 0.
     "q595_dedup_cascade" -> ((s, d) => {
       import graft.functions.GraftFunctions.cosine_similarity
-      val fp = t(s, d, "documents").select(col("doc_id"), col("source"),
-        docFingerprint(col("text")).as("fp"))
+      val fp = docFps(s, d) // staged once per session (scaladoc above)
       val feed = fp.filter(col("source") === "src19")
         .select(col("doc_id"), col("fp"))
       val batch = feed
