@@ -69,6 +69,41 @@ object Stage {
     }
   }
 
+  /** Like apply(), but materializes as a bucketBy(key)+sortBy(key)
+    * catalog table so every downstream equi-join/aggregation on `key`
+    * reads co-located, pre-sorted buckets with NO Exchange on this side
+    * (guide §2.4 — bucketed tables persist a partitioning across jobs;
+    * the iterative graph loops re-join the same edge table every
+    * superstep, so the one-time bucketed write removes one corpus-sized
+    * exchange per iteration). Bucket count defaults to session
+    * parallelism (the q282 measurement: fewer buckets than cores halves
+    * probe-join parallelism); the repartition before the write keeps
+    * one file per bucket, preserving the sort for merge joins.
+    */
+  def bucketed(df: DataFrame, name: String, key: String,
+      bucketsOpt: Option[Int] = None): DataFrame = synchronized {
+    val s = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    val cacheKey = System.identityHashCode(s) + ":bkt:" + name
+    val entries = cache.getOrDefault(cacheKey, Nil)
+    entries.find(_.plan.sameResult(plan)) match {
+      case Some(e) => e.df
+      case None =>
+        import org.apache.spark.sql.functions.col
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION " +
+          s"'${scratchDir("graft_bucketed")}'")
+        val buckets = bucketsOpt.getOrElse(
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+        val tbl = s"graft_bkt.stg_${name}_${entries.size}"
+        df.repartition(buckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+        val out = s.table(tbl)
+        cache.put(cacheKey, Entry(plan, out) :: entries)
+        out
+    }
+  }
+
   /** Drop all cached materializations (staged parquet stays on disk
     * until the shutdown hook; only the reuse index is reset). Used by
     * the scale harness to measure a full chain rebuild with warm JIT.

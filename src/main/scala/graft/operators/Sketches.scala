@@ -385,21 +385,36 @@ object Bloom {
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct(),
         "q500_pairs")
-      val edges = graft.Stage(pairs.unionByName(
+      // bucketed by the propagation key: each of the 4 supersteps joins
+      // edges on v, so the co-located bucket scan removes one
+      // corpus-sized Exchange+Sort per iteration (guide §2.4)
+      val edges = graft.Stage.bucketed(pairs.unionByName(
         pairs.select(col("v").as("u"), col("u").as("v"))),
-        "q500_edges")
+        "q500_edges", "v")
       var labels = edges.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to 4) {
+        // merge-hint the propagation join: without it the planner
+        // broadcasts the CORPUS-SIZED bucketed edge table per
+        // iteration (labels, a fresh aggregate, has no stats, so the
+        // known-small catalog table wins the build side — backwards at
+        // any scale). SMJ reads the bucketed edge side co-located and
+        // pre-sorted (no Exchange, no Sort); only the node-bounded
+        // label vector shuffles per superstep (guide §3.1).
         val votes = edges
-          .join(labels, edges("v") === labels("node"))
+          .join(labels.hint("merge"), edges("v") === labels("node"))
           .groupBy(col("u"), col("lbl"))
           .agg(count(lit(1)).as("cnt"))
-        val w = Window.partitionBy(col("u"))
-          .orderBy(col("cnt").desc, col("lbl").asc)
-        labels = votes.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("u").as("node"), col("lbl"))
+        // argmax by (cnt desc, lbl asc) as a plain hash aggregate:
+        // max(struct(cnt, -lbl)) picks the same winner the old
+        // row_number window did, without the per-iteration window
+        // sort+exchange (4 iterations × WindowExec at corpus grain —
+        // guide §4: prefer codegen'd DeclarativeAggregates; labels are
+        // positive part keys so -lbl is a safe tiebreak).
+        labels = votes
+          .groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
       }
       labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_members"))

@@ -316,6 +316,11 @@ object TextAnalysis {
         transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
       val nLines = size(lines)
       val tk = split(trim(col("text")), "\\s+")
+      def bgsOf(t: Column): Column =
+        when(size(t) >= 2,
+          sort_array(transform(sequence(lit(0), size(t) - 2),
+            i => xxhash64(element_at(t, i + 1), element_at(t, i + 2)))))
+          .otherwise(array().cast("array<bigint>"))
       val base = docs.select(col("doc_id"),
         nLines.as("n_lines"),
         // Zero-guard: an empty/whitespace-only doc has n_lines = 0 and
@@ -326,26 +331,35 @@ object TextAnalysis {
           .as("dup_line_frac"),
         (regexp_count(col("text"), lit("[#…]|\\.\\.\\."))
           .cast("double") / size(tk).cast("double"))
-          .as("symbol_word_ratio"))
-      // Bigrams are carried as 64-bit hashes, not strings: the
-      // (doc_id, bigram) partial-aggregate shuffle is the query's cost
-      // center and an 8-byte key cuts its width ~4× vs concatenated
-      // token pairs. top_bigram_frac only needs per-distinct counts, so
-      // the identity of the bigram never leaves the executor (a 2^-64
+          .as("symbol_word_ratio"),
+        bgsOf(tk).as("bgs"))
+      // Bigrams are carried as 64-bit hashes, not strings (a 2^-64
       // in-doc collision would merge two counts; corpus-irrelevant).
-      val bigrams = docs.select(col("doc_id"),
-        explode(when(size(tk) >= 2,
-          transform(sequence(lit(0), size(tk) - 2),
-            i => xxhash64(element_at(tk, i + 1), element_at(tk, i + 2))))
-          .otherwise(array().cast("array<bigint>"))).as("bg"))
-      val top = bigrams.groupBy(col("doc_id"), col("bg"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-          .as("top_bigram_frac"))
-      base.join(top, Seq("doc_id"), "left")
+      // top_bigram_frac is a PER-DOC statistic, so it never needs the
+      // (doc_id, bigram) shuffle the round-12 shape paid (the query's
+      // cost center — ~6M exploded rows through a two-level aggregate
+      // at sf0.1): max multiplicity = longest run in the doc's SORTED
+      // hash array, total = array length, both computable row-local
+      // with codegen'd array ops. Zero shuffle, zero join —
+      // embarrassingly parallel at 100 TB (guide §2.4: remove shuffles
+      // outright; §1.1 first-principles — no cross-row dependency
+      // exists).
+      val maxRun = expr(
+        """aggregate(bgs,
+             struct(CAST(NULL AS BIGINT) AS prev, 0L AS run, 0L AS best),
+             (a, x) -> struct(x AS prev,
+               CASE WHEN a.prev IS NOT NULL AND x = a.prev
+                    THEN a.run + 1 ELSE 1L END AS run,
+               GREATEST(a.best,
+                 CASE WHEN a.prev IS NOT NULL AND x = a.prev
+                      THEN a.run + 1 ELSE 1L END) AS best),
+             a -> a.best)""")
+      base
         .withColumn("top_bigram_frac",
-          coalesce(col("top_bigram_frac"), lit(0.0)))
+          when(size(col("bgs")) > 0,
+            maxRun.cast("double") / size(col("bgs")).cast("double"))
+            .otherwise(lit(0.0)))
+        .drop("bgs")
         .withColumn("rep_keep",
           col("dup_line_frac") <= 0.30 && col("top_bigram_frac") <= 0.20 &&
             col("symbol_word_ratio") <= 0.10)
