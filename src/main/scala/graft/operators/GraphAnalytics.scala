@@ -55,8 +55,12 @@ object GraphAnalytics {
         .unionAll(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")), "q306_deg")
       // Degree-ordered orientation: s -> t iff (deg_s, s) < (deg_t, t).
-      // Staged: consumed three times (both wedge sides + closing probe).
-      val dir = graft.Stage(und
+      // Staged BUCKETED by the wedge source s: consumed three times —
+      // both wedge sides (self-join on s) and the closing semi-join on
+      // (s,tt), whose ClusteredDistribution(s,tt) is satisfied by
+      // hashpartitioning(s) — so none of the three corpus-sized reads
+      // pays an Exchange (guide §2.4 bucketed tables).
+      val dir = graft.Stage.bucketed(und
         .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
         .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
         .select(
@@ -67,7 +71,7 @@ object GraphAnalytics {
             .otherwise(struct(col("v").as("s"), col("u").as("tt"),
                    col("du").as("dt"))).as("e"))
         .select(col("e.s").as("s"), col("e.tt").as("tt"),
-                col("e.dt").as("dt")), "q306_dir")
+                col("e.dt").as("dt")), "q306_dir", "s")
       // Wedges from a shared source, endpoints ordered by the SAME total
       // order — so the closing edge, if present, is directed exactly
       // (t1 -> t2) and the semi-join below finds it in one probe.

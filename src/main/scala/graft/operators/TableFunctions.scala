@@ -543,8 +543,16 @@ object TableFunctions {
     // order is engine-checked. The reference materializes the whole
     // grid driver-side; here everything stays distributed.
     "q181_slope_path" -> ((s, d) => {
-      import s.implicits._
       val binSize = 5.0
+      // Corpus-scale work ends at the raster aggregate: the bin space
+      // is VALUE-bounded (p_size ∈ 1..50, price%50 ∈ [0,50) → ≤ ~110
+      // cells at every scale factor), so the 16 Bellman-Ford
+      // supersteps over it were pure scheduler latency (the q577/q528
+      // driver-side idiom; guide §1.2). Collect the grid, build the
+      // 8-neighbor slope edges and relax locally with EXACTLY the
+      // engine's semantics: dist accumulates in path order, each
+      // frontier is the (dist, path) struct-min per cell — a total
+      // order, so there is no sum-order ambiguity to absorb.
       val grid = t(s, d, "part").select(
           (col("p_size").cast("double") - 25.0).as("x"),
           (col("p_retailprice") % 50.0).as("y"),
@@ -552,49 +560,39 @@ object TableFunctions {
         .groupBy(floor(col("x") / binSize).cast("int").as("bx"),
           floor(col("y") / binSize).cast("int").as("by"))
         .agg(avg(col("z")).as("z"))
+      val cells = grid.collect() // value-bounded (≤ ~110 rows)
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      val zmap = cells.toMap
       val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
-        (0, 1), (1, -1), (1, 0), (1, 1)).toDF("dx", "dy")
-      val dd = sqrt(lit(25.0) *
-        (col("dx") * col("dx") + col("dy") * col("dy")).cast("double"))
-      val slope = (col("z2") - col("z1")) / col("dd")
-      val edges = grid.join(broadcast(offs))
-        .select(col("bx").as("sx"), col("by").as("sy"),
-          col("z").as("z1"),
-          (col("bx") + col("dx")).as("tx"),
-          (col("by") + col("dy")).as("ty"), dd.as("dd"))
-        .join(grid.select(col("bx").as("tx"), col("by").as("ty"),
-          col("z").as("z2")), Seq("tx", "ty"))
-        .withColumn("slope", slope)
-        .filter(col("slope") * 100.0 <= SlopeMaxPct)
-        .select(col("sx"), col("sy"), col("tx"), col("ty"),
-          (col("dd") * pow(lit(1.0) + abs(col("slope")),
-            lit(SlopeExponent))).as("w"))
-        // Materialize ONCE: the superstep loop joins this every round —
-        // without the checkpoint each round re-aggregates the raster.
-        .localCheckpoint()
-      val origin = grid.orderBy(col("bx").asc, col("by").asc).limit(1)
-      var lab = origin.select(col("bx"), col("by"), lit(0.0).as("dist"),
-        concat(lit("("), col("bx"), lit(","), col("by"), lit(")"))
-          .as("path"))
-      for (step <- 1 to SlopeIters) {
-        val ex = lab.join(edges,
-            lab("bx") === edges("sx") && lab("by") === edges("sy"))
-          .select(col("tx").as("bx"), col("ty").as("by"),
-            (col("dist") + col("w")).as("dist"),
-            concat(col("path"), lit("->("), col("tx"), lit(","),
-              col("ty"), lit(")")).as("path"))
-        lab = lab.unionAll(ex).groupBy(col("bx"), col("by"))
-          .agg(min(struct(col("dist"), col("path"))).as("m"))
-          .select(col("bx"), col("by"), col("m.dist").as("dist"),
-            col("m.path").as("path"))
-        if (step % 3 == 0) lab = lab.localCheckpoint()
+        (0, 1), (1, -1), (1, 0), (1, 1))
+      val bySrc = (for {
+        ((bx, by), z1) <- cells.toSeq
+        (dx, dy) <- offs
+        z2 <- zmap.get((bx + dx, by + dy)).toSeq
+        dd = math.sqrt(25.0 * (dx * dx + dy * dy))
+        slope = (z2 - z1) / dd
+        if slope * 100.0 <= SlopeMaxPct
+      } yield ((bx, by), ((bx + dx, by + dy),
+        dd * math.pow(1.0 + math.abs(slope), SlopeExponent))))
+        .groupBy(_._1)
+      implicit val distPathOrd: Ordering[(Double, String)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+      val origin = cells.map(_._1).min
+      val dest = cells.map(_._1).max
+      var lab: Map[(Int, Int), (Double, String)] =
+        Map(origin -> ((0.0, s"(${origin._1},${origin._2})")))
+      for (_ <- 1 to SlopeIters) {
+        val ex = lab.toSeq.flatMap { case (src, (dist, path)) =>
+          bySrc.getOrElse(src, Nil).map { case (_, (tgt, w)) =>
+            tgt -> ((dist + w, path + s"->(${tgt._1},${tgt._2})")) }
+        }
+        lab = (lab.toSeq ++ ex).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
       }
-      val dest = grid.orderBy(col("bx").desc, col("by").desc).limit(1)
-        .select(col("bx").as("dbx"), col("by").as("dby"))
-      lab.join(dest,
-          lab("bx") === dest("dbx") && lab("by") === dest("dby"))
-        .select(col("bx"), col("by"), col("dist").as("total_cost"),
-          (size(split(col("path"), "->")) - 1).as("n_steps"), col("path"))
+      val rows = lab.get(dest).toSeq.map { case (tc, path) =>
+        (dest._1, dest._2, tc, path.split("->").length - 1, path) }
+      s.createDataFrame(rows)
+        .toDF("bx", "by", "total_cost", "n_steps", "path")
     })
   )
 
