@@ -1245,12 +1245,14 @@ object Behavior {
     }),
 
     "q473_brand_cooccurrence" -> ((s, d) => {
-      val edges = t(s, d, "orders")
+      // Staged once: deg + both self-join sides otherwise re-run the
+      // 3-table join + distinct three times per materialization.
+      val edges = graft.Stage(t(s, d, "orders")
         .join(t(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-        .distinct()
+        .distinct(), "q473_edges")
       val deg = edges.groupBy(col("brand"))
         .agg(count(lit(1)).as("deg"))
       val a = edges.select(col("cust"), col("brand").as("ba"))

@@ -220,8 +220,13 @@ object DataOps {
         .select(col("doc_id").as("pair_id"), col("a").as("ca"))
       val ref = docs.filter(col("doc_id") % 2 === 1)
         .select((col("doc_id") - 1).as("pair_id"), col("a").as("ra"))
-      val pairs = cand.join(ref, Seq("pair_id"))
-        .filter(size(col("ca")) > 0 && size(col("ra")) > 0)
+      // Staged once: the main select and both overlap passes (each of
+      // which references it twice) otherwise re-embed the tokenize+join
+      // subtree five times per materialization — tokenization is the
+      // cost center and projections are not exchange-deduped.
+      val pairs = graft.Stage(cand.join(ref, Seq("pair_id"))
+        .filter(size(col("ca")) > 0 && size(col("ra")) > 0),
+        "q257_pairs")
       def bigrams(c: Column): Column =
         zip_with(slice(c, lit(1), size(c) - 1), slice(c, lit(2), size(c) - 1),
           (x, y) => concat_ws(" ", x, y))

@@ -64,21 +64,28 @@ object TableFunctions {
     */
   def shortestPathsFrom(edges: DataFrame, seeds: DataFrame, maxHops: Int)
       : DataFrame = {
-    var dist = seeds.select(col("src_node"), col("node"),
-      lit(0).as("dist"))
-    for (hop <- 1 to maxHops) {
-      val expanded = dist.join(edges, dist("node") === edges("src"))
-        .select(col("src_node"), col("dst").as("node"),
-          (col("dist") + 1).as("dist"))
-      dist = dist.unionAll(expanded)
-        .groupBy(col("src_node"), col("node"))
-        .agg(min(col("dist")).as("dist"))
-      // Truncate lineage every few supersteps: without this the plan
-      // doubles per hop and recomputation/optimizer cost explodes at
-      // larger hop counts (Pregel-style iteration hygiene).
-      if (hop % 3 == 0) dist = dist.localCheckpoint()
+    // Both call sites run over the event-type transition graph, which
+    // is vocabulary-bounded (≤|types|² edges, ≤|types| seeds), so the
+    // BFS supersteps were pure scheduler latency (the q577/q528
+    // driver-side idiom); hop counts are exact integers, so there is
+    // no arithmetic ambiguity to mirror. The corpus-scale work — the
+    // window+distinct building the edge list — stays distributed.
+    val spark = edges.sparkSession
+    val adj = edges.select(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.select(col("src_node"), col("node")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), 0)).toMap
+    for (_ <- 1 to maxHops) {
+      val expanded = dist.toSeq.flatMap { case ((s0, n), dd) =>
+        adj.getOrElse(n, Array.empty[String])
+          .map(m => ((s0, m), dd + 1)) }
+      dist = (dist.toSeq ++ expanded).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
     }
-    dist
+    spark.createDataFrame(
+      dist.toSeq.map { case ((s0, n), dd) => (s0, n, dd) })
+      .toDF("src_node", "node", "dist")
   }
 
   val queries: Seq[(String, Q)] = Seq(

@@ -332,9 +332,14 @@ object TextModels {
     }),
 
     "q548_naive_bayes_langid" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // Staged once: train statistics (term freqs, totals, vocab,
+      // priors) and the test scoring each re-embed the tokenized
+      // projection — 4-5 regex tokenization passes per
+      // materialization without the stage.
+      val docs = graft.Stage(t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          expr(s"filter($sparkTok, x -> x <> '')").as("arr"))
+          expr(s"filter($sparkTok, x -> x <> '')").as("arr")),
+        "q548_docs")
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val test = docs.filter(col("doc_id") % 5 === 0)
       val trainToks = train.select(col("lang"),
