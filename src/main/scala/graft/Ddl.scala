@@ -1178,8 +1178,10 @@ object Ddl {
         val rows = vecIndexes.asScala.toSeq.sortBy(_._1).map {
           case (name, ix) =>
             val idx = spark.read.parquet(ix.dir)
-            (name, ix.srcTable, ix.vecCol, idx.count(),
-              idx.select(countDistinct(col("cid"))).head().getLong(0),
+            // one aggregate job for both counts (was two)
+            val c = idx.agg(count(lit(1)),
+              countDistinct(col("cid"))).head()
+            (name, ix.srcTable, ix.vecCol, c.getLong(0), c.getLong(1),
               idx.inputFiles.length)
         }
         Some(rows.toDF("index_name", "src_table", "vec_col", "n_vectors",

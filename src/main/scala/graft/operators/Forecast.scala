@@ -723,12 +723,17 @@ object Spectral {
         val cum = h.withColumn("cum", sum(col("c")).over(wc))
           .crossJoin(broadcast(
             h.agg(sum(col("c")).as("nn"))))
-        val ks = (1 to 9).map { k =>
-          cum.filter(col("cum") * 10 >= col("nn") * k)
-            .agg(min(col("v")).as(qn))
-            .select(lit(k.toLong).as("k"), col(qn))
-        }
-        ks.reduce(_ unionByName _)
+        // all nine deciles from ONE pass over the cumulative grain:
+        // min(v | cum·10 ≥ nn·k) ≡ the old per-k filter+min, which
+        // re-embedded the window subtree nine times per source
+        // (the q570 fix applied here)
+        val aggd = cum.agg(
+          min(when(col("cum") * 10 >= col("nn") * 1, col("v"))).as("q1"),
+          (2 to 9).map(k => min(when(col("cum") * 10 >= col("nn") * k,
+            col("v"))).as(s"q$k")): _*)
+        val stackArgs = (1 to 9)
+          .map(k => s"CAST($k AS BIGINT), q$k").mkString(", ")
+        aggd.select(expr(s"stack(9, $stackArgs) AS (k, $qn)"))
       }
       val qq = deciles("src0", "qa").join(deciles("src1", "qb"), Seq("k"))
       qq.agg(count(lit(1)).as("n_points"),

@@ -59,17 +59,24 @@ object Planner {
           .as("max_price_cents"))
       val metrics = Seq("n_rows", "n_custkeys", "n_priorities",
         "mean_price_milli", "min_price_cents", "max_price_cents")
-      val long = metrics.map { m =>
-        prof.select(lit(m).as("metric"), col("snap"), col(m).as("v"))
-      }.reduce(_ unionByName _)
-      val a = long.filter(col("snap") === "a")
-        .select(col("metric"), col("v").as("val_a"))
-      val b = long.filter(col("snap") === "b")
-        .select(col("metric"), col("v").as("val_b"))
-      a.join(b, Seq("metric"))
-        .select(col("metric"), col("val_a"), col("val_b"),
-          expr("abs(val_b - val_a) * 1000000 DIV greatest(abs(val_a), 1)")
-            .as("drift_ppm"))
+      // The profile is 2 rows (snapshot grain) and all-integer: pivot
+      // it to the metric grain locally instead of re-embedding the
+      // corpus aggregate once per (metric, snap) branch — the old
+      // union-of-12-selects shape re-ran the orders profile subtree
+      // per branch (12 scans in the before plan).
+      val bySnap = prof.collect().map(r => r.getString(0) -> r).toMap
+      val out = for {
+        ra <- bySnap.get("a").toSeq
+        rb <- bySnap.get("b").toSeq
+        m <- metrics
+      } yield {
+        val va = ra.getLong(ra.fieldIndex(m))
+        val vb = rb.getLong(rb.fieldIndex(m))
+        (m, va, vb,
+          math.abs(vb - va) * 1000000L / math.max(math.abs(va), 1L))
+      }
+      s.createDataFrame(out)
+        .toDF("metric", "val_a", "val_b", "drift_ppm")
         .orderBy(col("metric"))
     }),
 

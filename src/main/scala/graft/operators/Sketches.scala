@@ -653,45 +653,47 @@ object Synopsis {
           floor(col("l_extendedprice") / 412).cast("long"))).as("i"),
         floor(col("l_extendedprice") * 100).cast("long").as("c"))
       val binned = cents.groupBy(col("i")).agg(sum(col("c")).as("a"))
-      val dense = graft.Stage(
-        s.range(256).toDF("i").join(binned, Seq("i"), "left")
-          .select(col("i"), coalesce(col("a"), lit(0L)).as("a")),
-        "q422_dense")
-      var cur = dense
-      val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      // Everything below the 256-bin histogram aggregate is
+      // metadata-scale AND integer-exact (long sums/differences — no
+      // float ambiguity): the previous shape ran the 8-level pyramid,
+      // the top-24 selection and the reconstruction as ~80 shuffles
+      // over ≤256-row frames (pure scheduler latency, the q577/q528
+      // driver-side idiom). Collect the histogram, compute locally.
+      val hist = Array.fill(256)(0L)
+      binned.collect() // 256-bin bounded
+        .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
+      var cur = hist
+      val parts = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
       for (k <- 1 to 8) {
-        val lev = cur.groupBy(expr("i DIV 2").as("i"))
-          .agg(sum(col("a")).as("a"),
-            sum(when(expr("i % 2 = 0"), col("a")).otherwise(-col("a")))
-              .as("d"))
-        parts += lev.select(lit(k).as("k"), col("i").as("idx"), col("d"))
-        cur = lev.select(col("i"), col("a"))
+        val half = cur.length / 2
+        val next = Array.tabulate(half)(j => cur(2 * j) + cur(2 * j + 1))
+        (0 until half).foreach { j =>
+          parts += ((k, j.toLong, cur(2 * j) - cur(2 * j + 1))) }
+        cur = next
       }
-      val coeffs = parts.reduce(_ union _)
-      val kept = coeffs
-        .withColumn("w", expr("abs(d) * shiftleft(1L, 8 - k)"))
-        .orderBy(col("w").desc, col("k"), col("idx")).limit(24)
-      val total = cur.select(col("a").as("a8")) // single row
-      val recon = dense.crossJoin(broadcast(total))
-        .join(broadcast(kept),
-          expr("(i DIV shiftleft(1L, k)) = idx"), "left")
-        .withColumn("contrib", expr(
-          """CASE WHEN k IS NULL THEN 0L
-                  WHEN (i DIV shiftleft(1L, k - 1)) % 2 = 0
-                    THEN d * shiftleft(1L, 8 - k)
-                  ELSE -d * shiftleft(1L, 8 - k) END"""))
-        .groupBy(col("i"), col("a"), col("a8"))
-        .agg(sum(col("contrib")).as("adj"))
-        .select(col("i"), col("a"), col("a8"),
-          (col("a8") + col("adj")).as("r"))
-      val keptSum = kept.agg(count(lit(1)).as("n_kept"),
-        sum(col("w")).as("kept_weight"))
-      recon.agg(max(col("a8")).as("total_cents"),
-          expr("sum(abs(a * 256 - r)) DIV 256").as("l1_err_cents"),
-          expr("max(abs(a * 256 - r)) DIV 256").as("max_err_cents"))
-        .crossJoin(broadcast(keptSum))
-        .select(col("total_cents"), col("n_kept"), col("kept_weight"),
-          col("l1_err_cents"), col("max_err_cents"))
+      val a8 = cur(0)
+      val kept = parts.toSeq
+        .map { case (k, idx, dd) =>
+          (k, idx, dd, math.abs(dd) * (1L << (8 - k))) }
+        .sortBy { case (k, idx, _, w) => (-w, k, idx) }
+        .take(24)
+      val nKept = kept.size.toLong
+      val keptWeight = kept.map(_._4).sum
+      var l1 = 0L
+      var mx = 0L
+      for (i <- 0 until 256) {
+        val adj = kept.iterator.map { case (k, idx, dd, _) =>
+          if ((i >> k) == idx)
+            (if (((i >> (k - 1)) & 1) == 0) dd else -dd) * (1L << (8 - k))
+          else 0L
+        }.sum
+        val err = math.abs(hist(i) * 256 - (a8 + adj))
+        l1 += err
+        if (err > mx) mx = err
+      }
+      s.createDataFrame(Seq((a8, nKept, keptWeight, l1 / 256, mx / 256)))
+        .toDF("total_cents", "n_kept", "kept_weight",
+          "l1_err_cents", "max_err_cents")
     }),
 
     // EWMA control chart per event-type day-grain series: z_t =
