@@ -1535,40 +1535,35 @@ object SysTelemetry {
         .filter(col("dst").isNotNull)
         .groupBy(col("event_type").as("src"), col("dst"))
         .agg(count(lit(1)).as("cnt")), "q402_edges")
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-      var hub = nodes.select(col("node"), lit(HitsScale).as("h"))
-        .localCheckpoint(true)
-      var auth: DataFrame = null
+      // The transition graph is type-bounded (≤|types|² edges) and the
+      // HITS arithmetic is integer fixed-point (sums and truncating
+      // DIVs — exact, order-free), so the 3 unrolled iterations with
+      // their 6 localCheckpoint jobs were pure scheduler latency (the
+      // q577/q528 driver-side idiom). The events window+aggregate
+      // stays distributed; the fixed point runs on the collected
+      // matrix.
+      val em = edges.collect() // ≤|event types|² — bounded metadata
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodes = (em.map(_._1) ++ em.map(_._2)).distinct.sorted
+      var hub: Map[String, Long] = nodes.map(_ -> HitsScale).toMap
+      var auth: Map[String, Long] = Map.empty
       for (_ <- 1 to HitsIters) {
-        val rawA = nodes.join(
-            hub.join(edges, hub("node") === edges("src"))
-              .groupBy(col("dst"))
-              .agg(sum(col("h") * col("cnt")).as("ra")),
-            nodes("node") === col("dst"), "left")
-          .select(col("node"), coalesce(col("ra"), lit(0L)).as("ra"))
-        val aTot = rawA.agg(sum(col("ra")).as("ta"))
-        auth = rawA.crossJoin(broadcast(aTot))
-          .select(col("node"),
-            expr(s"ra DIV (ta DIV ${HitsScale}L)").as("a"))
-          .localCheckpoint(true)
-        val rawH = nodes.join(
-            auth.join(edges, auth("node") === edges("dst"))
-              .groupBy(col("src"))
-              .agg(sum(col("a") * col("cnt")).as("rh")),
-            nodes("node") === col("src"), "left")
-          .select(col("node"), coalesce(col("rh"), lit(0L)).as("rh"))
-        val hTot = rawH.agg(sum(col("rh")).as("th"))
-        hub = rawH.crossJoin(broadcast(hTot))
-          .select(col("node"),
-            expr(s"rh DIV (th DIV ${HitsScale}L)").as("h"))
-          .localCheckpoint(true)
+        val ra = nodes.map(n => n -> em.collect {
+          case (s0, dst, cnt) if dst == n => hub(s0) * cnt }.sum).toMap
+        val ta = ra.valuesIterator.sum
+        auth = ra.view.mapValues(_ / (ta / HitsScale)).toMap
+        val rh = nodes.map(n => n -> em.collect {
+          case (src, dst, cnt) if src == n => auth(dst) * cnt }.sum).toMap
+        val th = rh.valuesIterator.sum
+        hub = rh.view.mapValues(_ / (th / HitsScale)).toMap
       }
-      hub.join(auth, "node")
-        .select(col("node"), col("h").as("hub_scaled"),
-          col("a").as("auth_scaled"),
-          round(col("h") / lit(HitsScale.toDouble), 6).as("hub"),
-          round(col("a") / lit(HitsScale.toDouble), 6).as("auth"))
+      def r6(x: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val out = nodes.map(n => (n, hub(n), auth(n),
+        r6(hub(n) / HitsScale.toDouble), r6(auth(n) / HitsScale.toDouble)))
+      s.createDataFrame(out.toSeq)
+        .toDF("node", "hub_scaled", "auth_scaled", "hub", "auth")
         .orderBy(col("node"))
     }),
 

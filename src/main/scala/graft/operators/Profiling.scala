@@ -174,29 +174,34 @@ object Profiling {
         .filter(col("dst").isNotNull)
         .groupBy(col("event_type").as("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
-      val outW = edges.groupBy(col("src")).agg(sum(col("cnt")).as("w_out"))
+      // Type-bounded graph, integer fixed-point arithmetic (truncating
+      // DIVs, order-free sums): the 3 distributed iterations + their
+      // checkpoint jobs were scheduler latency, and each iteration
+      // re-embedded the events window+aggregate subtree. Collect the
+      // ≤|types|² matrix and run the fixed point locally (q577/q528
+      // idiom); the two corpus passes (edge aggregate, node distinct)
+      // stay distributed.
+      val em = edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val outW = em.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
       val nodes = t(s, d, "events").select(col("event_type").as("node"))
-        .distinct()
-      val n = nodes.agg(count(lit(1)).as("n_nodes"))
-      var pr = nodes.crossJoin(broadcast(n))
-        .select(col("node"), col("n_nodes"),
-          expr(s"${PrScale}L DIV n_nodes").as("p"))
-        .localCheckpoint(true)
+        .distinct().collect().map(_.getString(0)).sorted
+      val n = nodes.length.toLong
+      var pr: Map[String, Long] = nodes.map(_ -> PrScale / n).toMap
       for (_ <- 1 to PrIters) {
-        val contrib = pr
-          .join(edges, pr("node") === edges("src"))
-          .join(outW, "src")
-          .select(col("dst"),
-            expr(s"((p * 17) DIV 20) * cnt DIV w_out").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        pr = pr.join(contrib, pr("node") === contrib("dst"), "left")
-          .select(col("node"), col("n_nodes"),
-            (expr(s"(${PrScale}L * 3 DIV 20) DIV n_nodes") +
-              coalesce(col("inflow"), lit(0L))).as("p"))
-          .localCheckpoint(true)
+        val inflow = em
+          .map { case (src, dst, cnt) =>
+            dst -> (pr(src) * 17 / 20) * cnt / outW(src) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        pr = nodes.map(nd =>
+          nd -> (PrScale * 3 / 20 / n + inflow.getOrElse(nd, 0L))).toMap
       }
-      pr.select(col("node"), col("p").as("pr_scaled"),
-        round(col("p") / lit(PrScale.toDouble), 6).as("pr"))
+      def r6(x: Double): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      s.createDataFrame(nodes.toSeq.map(nd =>
+          (nd, pr(nd), r6(pr(nd) / PrScale.toDouble))))
+        .toDF("node", "pr_scaled", "pr")
     })
   )
 
