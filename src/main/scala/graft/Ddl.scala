@@ -78,14 +78,32 @@ object Ddl {
     } finally s.close()
   }
 
-  /** Rows (parquet-footer count — metadata-only job) + on-disk bytes. */
+  /** Exact row count from the parquet footers, read driver-side — no
+    * Spark job. Every CTAS/mutation recomputes basic stats, so the old
+    * `spark.read.parquet(dir).count()` scheduled one count job per DDL
+    * statement across the whole DDL-lifecycle bench class; the footer
+    * block counts are the same number the vectorized count reads,
+    * without the scan tasks (guide §5 — keep the driver out of data
+    * work, but metadata IS driver work).
+    */
+  private def dirParquetRows(dir: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    listParquet(dir).toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Rows (parquet-footer count, driver-side) + on-disk bytes. */
   private def computeBasicStats(spark: SparkSession, name: String)
       : TableStats = {
     val m = catalog.get(name)
     require(m != null, s"table not found: $name")
     val dir = currentPath(m)
     val prev = Option(tableStats.get(name))
-    val st = TableStats(spark.read.parquet(dir).count(),
+    val st = TableStats(dirParquetRows(dir),
       dirParquetBytes(dir),
       prev.map(_.cols).getOrElse(Map.empty))
     tableStats.put(name, st)

@@ -388,41 +388,40 @@ object Assoc {
         pmod(unix_date(col("ts").cast("date")), lit(7)).as("dow"),
         least(floor(col("value") / 80), lit(4L)).cast("long")
           .as("vbucket")), "q406_base")
-      def v(name: String, a: String, b: String): DataFrame = {
+      // One aggregate per pair down to the contingency cells (value-
+      // bounded, ≤ |types|·7 rows of exact integer counts), then the
+      // margins, full-grid chi² and Cramér's V locally — the old shape
+      // ran 4 aggregates + a grid join per pair over the staged events
+      // grain (12 corpus-grain passes). The chi² double sum is
+      // order-arbitrary in BOTH engines already; round(·,4)/round(·,6)
+      // absorb the ulps exactly as they did between Spark and DuckDB.
+      def r(x: Double, sc: Int): Double =
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+      def v(name: String, a: String, b: String)
+          : (String, Long, Double, Double) = {
         val cells = base.groupBy(col(a).as("ka"), col(b).as("kb"))
           .agg(count(lit(1)).as("o"))
-        val rows = cells.groupBy(col("ka").as("ra"))
-          .agg(sum(col("o")).as("rt"))
-        val cols_ = cells.groupBy(col("kb").as("cb"))
-          .agg(sum(col("o")).as("ct"))
-        val n = cells.agg(sum(col("o")).as("n"),
-          countDistinct(col("ka")).as("r"),
-          countDistinct(col("kb")).as("c"))
-        // Full grid incl. zero cells: expected counts exist for every
-        // (row, col) combination even when observed = 0.
-        rows.crossJoin(cols_)
-          .join(cells, col("ra") === col("ka") && col("cb") === col("kb"),
-            "left")
-          .select(col("ra"), col("cb"), col("rt"), col("ct"),
-            coalesce(col("o"), lit(0L)).as("o"))
-          .crossJoin(broadcast(n))
-          .select((((col("o") - col("rt") * col("ct")
-            / col("n").cast("double"))
-            * (col("o") - col("rt") * col("ct") / col("n").cast("double")))
-            / (col("rt") * col("ct") / col("n").cast("double")))
-            .as("term"),
-            col("n"), col("r"), col("c"))
-          .groupBy(col("n"), col("r"), col("c"))
-          .agg(sum(col("term")).as("chi2"))
-          .select(lit(name).as("dims"), col("n"),
-            round(col("chi2"), 4).as("chi2"),
-            round(sqrt(col("chi2")
-              / (col("n") * (least(col("r"), col("c")) - 1))), 6)
-              .as("cramers_v"))
+          .collect().map(row => ((row.get(0), row.get(1)), row.getLong(2)))
+        val cellMap = cells.toMap
+        val rt = cells.groupBy(_._1._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        val ct = cells.groupBy(_._1._2).view
+          .mapValues(_.map(_._2).sum).toMap
+        val n = cells.map(_._2).sum
+        val chi2 = (for (ra <- rt.keys.toSeq; cb <- ct.keys.toSeq) yield {
+          val o = cellMap.getOrElse((ra, cb), 0L).toDouble
+          val e = rt(ra) * ct(cb) / n.toDouble
+          (o - e) * (o - e) / e
+        }).sum
+        (name, n, r(chi2, 4),
+          r(math.sqrt(chi2 / (n * (math.min(rt.size, ct.size) - 1))), 6))
       }
-      v("event_type_x_dow", "event_type", "dow")
-        .unionByName(v("event_type_x_vbucket", "event_type", "vbucket"))
-        .unionByName(v("dow_x_vbucket", "dow", "vbucket"))
+      s.createDataFrame(Seq(
+          v("event_type_x_dow", "event_type", "dow"),
+          v("event_type_x_vbucket", "event_type", "vbucket"),
+          v("dow_x_vbucket", "dow", "vbucket")))
+        .toDF("dims", "n", "chi2", "cramers_v")
         .orderBy(col("dims"))
     }),
 

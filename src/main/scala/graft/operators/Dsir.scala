@@ -48,8 +48,11 @@ object Dsir {
     // smoothing; a document's score sums the weights of its token
     // instances. Top-20 most-target-like documents.
     "q246_dsir_importance" -> ((s, d) => {
-      val tk = toks(s, d)
+      // staged once: the bucket stats and the per-doc scoring pass
+      // otherwise each re-run the tokenize+md5-bucket projection
+      val tk = graft.Stage(toks(s, d)
         .withColumn("b", pmod(Dedup.hash60(col("w")), lit(Buckets.toLong)))
+        .select(col("doc_id"), col("lang"), col("b")), "q246_tk")
       val bs = tk.groupBy(col("b")).agg(
         count(lit(1)).as("cr"),
         count(when(col("lang") === "en", 1)).as("ct"))
