@@ -32,3 +32,35 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // parses Bench's one-line JSON from the log tail, and sbt's logger would
 // otherwise wrap it in [info]/[error] noise.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Parallel forked test groups (round-14): one sequential test JVM ran the
+// 76-spec suite in ~31 min, past the driver's verification window
+// (VERIFY_r13 tests_ok:false was a timeout, not a red test). Suites are
+// hash-partitioned into more groups than the concurrency limit so a
+// group that finishes early frees its slot (bin-packing without a
+// weight table). Safe to parallelize: each forked JVM builds its own
+// SparkTestSession (local[4]) and every scratch path is a per-JVM temp
+// dir (Stage.scratchDir/createTempDirectory); the mock Kafka broker
+// binds port 0. 4 × local[4] ≈ 16 task threads on the 32-core box;
+// heap ≤ 4 × Xmx.
+// The four suites that dominated the sequential wall (measured this
+// round: EntrySpec 490 s, Round9GraphsSpec 338 s, WatermarkControlSpec
+// 169 s, DriverGateSpec 137 s of the 1524 s total) each get a dedicated
+// JVM, listed first so they start immediately; everything else is
+// hash-packed into small groups that backfill the remaining slots.
+val heavySuites = Set("graft.EntrySpec", "graft.Round9GraphsSpec",
+  "graft.WatermarkControlSpec", "graft.DriverGateSpec")
+val lightGroupCount = 8
+Test / testGrouping := {
+  val forkOpts = (Test / forkOptions).value
+  val defs = (Test / definedTests).value
+  val (heavy, light) = defs.partition(d => heavySuites(d.name))
+  heavy.sortBy(_.name).zipWithIndex.map { case (d, i) =>
+    Tests.Group(s"heavy$i", Seq(d), Tests.SubProcess(forkOpts))
+  } ++
+    light.groupBy(d => math.abs(d.name.hashCode) % lightGroupCount)
+      .toSeq.sortBy(_._1)
+      .map { case (i, tests) =>
+        Tests.Group(s"g$i", tests, Tests.SubProcess(forkOpts))
+      }
+}
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 6))

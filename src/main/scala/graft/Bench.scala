@@ -189,15 +189,41 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
           s""""cold":$colds,"gc_ms":$gcs,"floor":$floors,"passes":$ps,""" +
           s""""pass2_coverage":$p2cov,"warmup_sec":${r3(warmupSec)},""" +
-          s""""sf":"$sfDir"}"""
-      // The FILE keeps the one-line contract. On STDOUT a compact
-      // always-parseable line follows the full table: any tail window
-      // that truncates the table line still ends with valid JSON
-      // carrying the headline number.
-      val compact =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+          s""""stage_build_sec":${r3(Stage.buildSecs)},"sf":"$sfDir"}"""
+      // The FILE keeps the one-line full-table contract. On STDOUT the
+      // LAST line is a contract-shaped JSON sized to survive the
+      // driver's 2000-char tail capture (round-13 VERDICT #2: the full
+      // table line is ~60 KB and truncates to garbage, so PERF's
+      // per_query/geomean/scaling came up empty). It carries the same
+      // headline total plus the top per-query walls BY WALL, greedily
+      // packed under a ~1500-char budget — the sub-second band it
+      // omits is exactly the band whose walls are scheduler floor, and
+      // `n_queries`/`q_omitted` make the truncation explicit. The full
+      // 580-query map is NEVER trimmed in the file artifacts
+      // (BENCH_OUT + BENCH_LOCAL.json).
+      val headline = {
+        val tailPart =
+          s""","n_queries":${names.size},"q_omitted":@OMIT@,""" +
+            s""""stage_build_sec":${r3(Stage.buildSecs)},""" +
+            s""""pass2_coverage":$p2cov,"sf":"$sfDir"}"""
+        val prefix =
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
+        val budget = 1500 - tailPart.length - prefix.length
+        val ranked = names.filter(best(_) >= 0).sortBy(n => -best(n))
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var used = 0
+        var fits = true
+        ranked.foreach { n =>
+          val e = "\"" + n + "\":" + r3(best(n))
+          val add = e.length + (if (parts.nonEmpty) 1 else 0)
+          if (fits && used + add <= budget) { parts += e; used += add }
+          else fits = false
+        }
+        prefix + parts.mkString(",") + "}" +
+          tailPart.replace("@OMIT@", (names.size - parts.size).toString)
+      }
       outPaths.foreach(p => Files.writeString(p, json + "\n"))
-      json + "\n" + compact
+      json + "\n" + headline
     }
 
     // Cumulative janino compile time (ms) from Spark's codegen metrics
@@ -282,20 +308,36 @@ object Bench {
       // (a) slowest decile, descending, budget-EXEMPT: guaranteed
       // best-of-2 for exactly the band whose cold pass most overstates
       // steady state (round-9's unre-run q448-class 84× tails).
+      // Round-14 (VERDICT r13 #9): a heavy query whose pass-1 wall
+      // already sits within 1.15× of its committed reference has no
+      // cold-run distortion to correct — an exempt rerun buys nothing
+      // (measured: the mutation-dominated DDL-lifecycle class is
+      // cold/warm symmetric and was eating ~25 s of exempt budget every
+      // sweep). Steady-at-cold queries drop out of the exempt decile
+      // and rerun LAST in the budgeted midrange instead.
+      val steadyAtCold = (n: String) =>
+        committed.get(n).exists(c => c > 0 && best(n) <= 1.15 * c)
       val decile = math.max(1, ok.size / 10)
       val slowSet = ok
-        .filterNot { case (n, _) => riskNames.contains(n) }
+        .filterNot { case (n, _) =>
+          riskNames.contains(n) || steadyAtCold(n) }
         .sortBy { case (n, _) => -best(n) }.take(decile)
       slowSet.foreach { case (n, f) => rerun(n, f, exemptBudget = true) }
       val slowNames = slowSet.map(_._1).toSet ++ riskNames
       // (b) sub-second queries ascending — their total warm cost is
       // tiny, so every cheap query gets its second pass early in the
-      // budget; (c) the remaining midrange descending with what's left.
+      // budget; (c) the remaining midrange descending with what's left,
+      // steady-at-cold heavies last (their rerun is the least
+      // informative spend).
       val rest = ok.filterNot { case (n, _) => slowNames.contains(n) }
       val (cheap, mid) = rest.partition { case (n, _) => best(n) < 1.0 }
       cheap.sortBy { case (n, _) => best(n) }
         .foreach { case (n, f) => rerun(n, f, exemptBudget = false) }
-      mid.sortBy { case (n, _) => -best(n) }
+      val (midSteady, midCold) =
+        mid.partition { case (n, _) => steadyAtCold(n) }
+      midCold.sortBy { case (n, _) => -best(n) }
+        .foreach { case (n, f) => rerun(n, f, exemptBudget = false) }
+      midSteady.sortBy { case (n, _) => -best(n) }
         .foreach { case (n, f) => rerun(n, f, exemptBudget = false) }
     }
     spark.stop()

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Guarded driver-side collects for the bounded-metadata fast paths
+  * (round-14, VERDICT r13 #4). The round-13 local fixed points collect
+  * frames that are bounded BY FIXTURE CONSTRUCTION (event-type
+  * vocabulary, value-bounded raster/histogram bins) — but none of the
+  * collect sites carried a runtime guard, so a deployment whose domain
+  * is not vocabulary-bounded would OOM the driver silently. Both
+  * helpers fetch at most cap+1 rows (a CollectLimit — the driver never
+  * materializes an unbounded result even to fail).
+  */
+object Bounded {
+
+  /** Collect a frame the caller KNOWS is metadata-scale: fails loudly
+    * (with the domain named) instead of OOMing when the bound is
+    * violated. For local fixed points whose distributed form was
+    * removed — the error is the contract, not a fallback.
+    */
+  def collectCapped(df: DataFrame, cap: Int, what: String): Array[Row] = {
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what exceeded its bounded-metadata cap ($cap rows): the " +
+        "driver-side fast path assumes a vocabulary/value-bounded " +
+        "domain; this input is not one")
+    rows
+  }
+
+  /** Collect when a distributed fallback exists: Some(rows) under the
+    * cap, None over it — the caller keeps the distributed path alive
+    * for over-cap domains (the q547/q559 vocabulary-graph pattern).
+    */
+  def collectBounded(df: DataFrame, cap: Int): Option[Array[Row]] = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows)
+  }
+}

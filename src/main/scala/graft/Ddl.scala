@@ -86,9 +86,16 @@ object Ddl {
     * without the scan tasks (guide §5 — keep the driver out of data
     * work, but metadata IS driver work).
     */
-  private def dirParquetRows(dir: String): Long = {
+  private def dirParquetRows(dir: String): Long =
+    filesParquetRows(listParquet(dir).toSeq)
+
+  /** Same footer-count discipline for an explicit file list (a catalog
+    * table's inputFiles — SHOW FINGERPRINT INDEXES was scheduling two
+    * count jobs per SHOW for numbers the footers already hold).
+    */
+  private[graft] def filesParquetRows(files: Seq[String]): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    listParquet(dir).toSeq.map { f =>
+    files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1157,14 +1164,20 @@ object Ddl {
         import scala.jdk.CollectionConverters._
         // bounded: one row per registered index, counts are index-side
         // aggregates (never collected corpus rows)
+        // footer-based counts (round-14): the index and tombstone
+        // tables are plain parquet whose footer record counts equal
+        // count() exactly — the old shape scheduled two count jobs per
+        // SHOW statement (guide §5: metadata is driver work)
         val rows = fpIndexes.asScala.toSeq.sortBy(_._1).map {
           case (name, ix) =>
             val ts = operators.Dedup.tombstoneTableOf(ix.table)
             val nTs =
-              if (spark.catalog.tableExists(ts)) spark.table(ts).count()
+              if (spark.catalog.tableExists(ts))
+                filesParquetRows(spark.table(ts).inputFiles.toSeq)
               else 0L
-            (name, ix.srcTable, ix.srcCol, spark.table(ix.table).count(),
-              nTs, spark.table(ix.table).inputFiles.length)
+            val idxFiles = spark.table(ix.table).inputFiles.toSeq
+            (name, ix.srcTable, ix.srcCol, filesParquetRows(idxFiles),
+              nTs, idxFiles.length)
         }
         Some(rows.toDF("index_name", "src_table", "src_col",
           "n_fingerprints", "n_tombstones", "n_files"))
@@ -1193,14 +1206,20 @@ object Ddl {
       case ShowVecIndexes() =>
         import spark.implicits._
         import scala.jdk.CollectionConverters._
+        // Zero jobs (round-14): n_vectors from parquet footers,
+        // n_cells from the cid=N partition directories in the file
+        // paths (partitionBy writes a file only when a row lands in
+        // the cell, so path-distinct cids == countDistinct(cid)) —
+        // the fused aggregate this replaces was still one scan job
+        // per SHOW statement.
         val rows = vecIndexes.asScala.toSeq.sortBy(_._1).map {
           case (name, ix) =>
-            val idx = spark.read.parquet(ix.dir)
-            // one aggregate job for both counts (was two)
-            val c = idx.agg(count(lit(1)),
-              countDistinct(col("cid"))).head()
-            (name, ix.srcTable, ix.vecCol, c.getLong(0), c.getLong(1),
-              idx.inputFiles.length)
+            val files = spark.read.parquet(ix.dir).inputFiles.toSeq
+            val nCells = files
+              .flatMap(f => "cid=-?\\d+".r.findFirstIn(f))
+              .distinct.size.toLong
+            (name, ix.srcTable, ix.vecCol, filesParquetRows(files),
+              nCells, files.length)
         }
         Some(rows.toDF("index_name", "src_table", "vec_col", "n_vectors",
           "n_cells", "n_files"))
@@ -1235,9 +1254,19 @@ object Ddl {
             col("vec_id").as("n_id")))
       case ClassifyAgainst(src, idCol, colName, name, where) =>
         val ix = fpIdx(name)
-        val b = filteredSource(spark, src, where)
+        // The 2-column batch fingerprint projection is consumed TWICE
+        // per classify plan (the index join side and the canon
+        // aggregate) and repeated classifies of an unchanged batch
+        // table rebuild it per statement — 6 md5+text passes across
+        // q594's three fp_batch2 classifies. Stage it once (round-14;
+        // the docFps discipline): managed tables are copy-on-write
+        // version paths, so Stage's sameResult key is version-
+        // addressed — a mutated source stages fresh, an unchanged one
+        // reuses the narrow stage.
+        val b = graft.Stage(filteredSource(spark, src, where)
           .select(col(idCol).as("item_id"),
-            operators.Dedup.docFingerprint(col(colName)).as("fp"))
+            operators.Dedup.docFingerprint(col(colName)).as("fp")),
+          s"classify_fps_${src.toLowerCase}")
         val canon = b.groupBy(col("fp"))
           .agg(min(col("item_id")).as("first_id"))
         Some(b

@@ -51,6 +51,26 @@ object Stage {
   private case class Entry(plan: LogicalPlan, df: DataFrame)
   private val cache = new ConcurrentHashMap[String, List[Entry]]()
 
+  // Cumulative wall spent MATERIALIZING stages this JVM (nanos). The
+  // bench's best-of-passes methodology charges a stage build to
+  // whichever pass first touches it and never to the reported "best"
+  // wall, so the cost was invisible in the summary (round-13 VERDICT
+  // "what's wrong" #4). Bench reads `buildSecs` and emits it as
+  // `stage_build_sec` so the headline total's excluded class is
+  // visible. Never reset by clearCache(): it is a per-JVM meter, not
+  // part of the reuse index.
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong
+  def buildSecs: Double = buildNanos.get / 1e9
+
+  // Global uniquifier for bucketed catalog-table names (round-13
+  // ADVICE): entries.size is unique only within one (session, name)
+  // cache list — sessions share the catalog, and clearCache() +
+  // re-stage would overwrite stg_<name>_0 in place while previously
+  // returned DataFrames still scan it. A monotonic counter gives the
+  // same uniqueness guarantee Stage.apply gets from
+  // createTempDirectory.
+  private val bucketedSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Materialize df as parquet under the session staging root and return
     * a scan of it; an identical (session, name, plan) is staged once.
     */
@@ -62,7 +82,9 @@ object Stage {
       case Some(e) => e.df
       case None =>
         val dir = Files.createTempDirectory(root, name).toString
+        val t0 = System.nanoTime()
         df.write.mode("overwrite").parquet(dir)
+        buildNanos.addAndGet(System.nanoTime() - t0)
         val out = df.sparkSession.read.parquet(dir)
         cache.put(key, Entry(plan, out) :: entries)
         out
@@ -94,10 +116,12 @@ object Stage {
           s"'${scratchDir("graft_bucketed")}'")
         val buckets = bucketsOpt.getOrElse(
           s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val tbl = s"graft_bkt.stg_${name}_${entries.size}"
+        val tbl = s"graft_bkt.stg_${name}_${bucketedSeq.incrementAndGet()}"
+        val t0 = System.nanoTime()
         df.repartition(buckets, col(key))
           .write.mode("overwrite").format("parquet")
           .bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+        buildNanos.addAndGet(System.nanoTime() - t0)
         val out = s.table(tbl)
         cache.put(cacheKey, Entry(plan, out) :: entries)
         out

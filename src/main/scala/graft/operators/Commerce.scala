@@ -400,9 +400,11 @@ object Assoc {
           .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
       def v(name: String, a: String, b: String)
           : (String, Long, Double, Double) = {
-        val cells = base.groupBy(col(a).as("ka"), col(b).as("kb"))
-          .agg(count(lit(1)).as("o"))
-          .collect().map(row => ((row.get(0), row.get(1)), row.getLong(2)))
+        val cells = graft.Bounded.collectCapped(
+            base.groupBy(col(a).as("ka"), col(b).as("kb"))
+              .agg(count(lit(1)).as("o")), 65536,
+            s"q406 contingency cells $name (value-bounded grid)")
+          .map(row => ((row.get(0), row.get(1)), row.getLong(2)))
         val cellMap = cells.toMap
         val rt = cells.groupBy(_._1._1).view
           .mapValues(_.map(_._2).sum).toMap
@@ -414,8 +416,13 @@ object Assoc {
           val e = rt(ra) * ct(cb) / n.toDouble
           (o - e) * (o - e) / e
         }).sum
+        // A one-distinct-value dimension makes the V denominator 0 →
+        // Infinity → NumberFormatException in r(); the old SQL division
+        // returned NULL rows instead of crashing (round-13 ADVICE).
+        // Emit 0 for that degenerate case — no fixture hits it.
+        val denom = n * (math.min(rt.size, ct.size) - 1)
         (name, n, r(chi2, 4),
-          r(math.sqrt(chi2 / (n * (math.min(rt.size, ct.size) - 1))), 6))
+          if (denom <= 0) 0.0 else r(math.sqrt(chi2 / denom), 6))
       }
       s.createDataFrame(Seq(
           v("event_type_x_dow", "event_type", "dow"),
@@ -1021,7 +1028,8 @@ object Sequential {
       // previous 8 chained DataFrame rounds re-embedded the events
       // window+aggregate subtree once per round — ~9 corpus passes in
       // one plan; this is one.
-      val rows = trans.collect() // ≤|event types|² — bounded metadata
+      val rows = graft.Bounded.collectCapped(trans, 4096,
+          "q528 event-type transition matrix (≤|types|² rows)")
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
       def r12(x: Double): Double =

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Rounds executed by the most recent run() in this JVM — test/
+    * instrumentation surface for the epoch-batched convergence check
+    * (the count parity below), not part of the query contract.
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** nodes: (id); edges: (a_id, b_id), must contain BOTH directions of
     * every undirected edge. Returns (id, label) with label = the
     * component's minimum node id.
@@ -47,11 +53,21 @@ object ConnectedComponents {
             coalesce(col("nlabel"), col("label")),
             coalesce(col("jlabel"), col("label"))).as("nl"))
       val m = merged.localCheckpoint()
-      changed = m.filter(col("nl") < col("label")).count()
+      // Round-14 (VERDICT r13 #6): the convergence count is a separate
+      // driver action per round; check it every SECOND round instead.
+      // Labels are monotone non-increasing, so one extra pointer-
+      // jumping round after convergence is idempotent — the computed
+      // components are identical (Round9GraphsSpec pins this), and an
+      // 11-round run trades ~5 count jobs for at most one no-op round.
+      changed =
+        if (round % 2 == 0) m.filter(col("nl") < col("label")).count()
+        else 1L
       labels = m.select(col("id"), col("nl").as("label"))
       if (verbose) System.err.println(
-        f"[cc] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        f"[cc] round $round changed=${if (round % 2 == 0) changed.toString
+          else "skip"} ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
+    lastRounds = round
     labels
   }
 }

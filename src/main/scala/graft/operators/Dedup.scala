@@ -269,13 +269,16 @@ object Dedup {
       fps: DataFrame): Unit = {
     val ts = tombstoneTableOf(idx)
     val buckets = indexBuckets(s, idx)
-    if (!s.catalog.tableExists(ts))
-      s.table(idx).limit(0)
-        .write.format("parquet")
-        .bucketBy(buckets, "fp").sortBy("fp")
-        .saveAsTable(ts)
-    val novel = fps.select(col("fp")).distinct()
-      .join(s.table(ts), Seq("fp"), "left_anti")
+    // On the first retraction the tombstone table doesn't exist yet:
+    // the anti-join is vacuous and mode("append").saveAsTable CREATES
+    // the table with this bucket spec — the old shape paid an extra
+    // limit(0) bucketed write + catalog round trip just to make it
+    // exist (round-14, one statement job removed per first-retract).
+    val novel =
+      if (s.catalog.tableExists(ts))
+        fps.select(col("fp")).distinct()
+          .join(s.table(ts), Seq("fp"), "left_anti")
+      else fps.select(col("fp")).distinct()
     novel
       .repartition(buckets, col("fp"))
       .write.mode("append").format("parquet")

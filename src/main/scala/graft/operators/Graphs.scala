@@ -369,7 +369,8 @@ object Motifs {
       // previous 8 chained DataFrame rounds re-embedded the events
       // window+aggregate subtree once per round — ~9 corpus passes in
       // one plan; this is one.
-      val rows = trans.collect() // ≤|event types|² — bounded metadata
+      val rows = graft.Bounded.collectCapped(trans, 4096,
+          "q497 event-type transition matrix (≤|types|² rows)")
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
       def r12(x: Double): Double =
@@ -380,6 +381,16 @@ object Motifs {
       val p = rows.map { case (src, dst, cnt) =>
         (src, dst, cnt.toDouble / totals(src)) }
       val absorbing = Map("purchase" -> 1.0, "exit" -> 0.0)
+      // `vec = stepped ++ absorbing` overwrites any computed entry for
+      // the absorbing states, where the old unionByName (and the
+      // oracle's UNION ALL) kept duplicate rows. Equivalent ONLY while
+      // no real event_type is literally 'exit' (it is synthetic — the
+      // lead() default). Assert it so a domain change fails loudly
+      // instead of silently diverging from the oracle (round-13
+      // ADVICE).
+      require(!totals.contains("exit"),
+        "q497: event_type domain contains literal 'exit', which " +
+          "collides with the synthetic absorbing state")
       var vec: Map[String, Double] =
         totals.keys.map(_ -> 0.0).toMap ++ absorbing
       for (_ <- 1 to 8) {
@@ -641,52 +652,100 @@ object Communities {
       val strongUp = up.withColumn("pr", row_number().over(wP))
         .filter(col("pr") <= 300)
         .select(col("i"), col("j"), col("c"))
-      val edges = graft.Stage(strongUp.unionByName(
-        strongUp.select(col("j").as("i"), col("i").as("j"),
-          col("c"))), "q559_edges")
-      val deg = edges.groupBy(col("i").as("v"))
-        .agg(sum(col("c")).as("dg"))
-      var lab = deg.select(col("v"), col("v").as("lb"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 4) {
-        // lab/nb are node-bounded (≤|items| rows) — broadcast both
-        // sides of the propagation so each round is map-side
-        val nb = edges.join(broadcast(lab), edges("j") === lab("v"))
-          .groupBy(edges("i").as("u"))
-          .agg(min(col("lb")).as("nlb"))
-        lab = lab.join(broadcast(nb), lab("v") === nb("u"), "left")
-          .select(col("v"),
-            least(col("lb"), coalesce(col("nlb"), col("lb")))
-              .as("lb"))
-          .localCheckpoint(true) // node-bounded rows, cut lineage
+      // Round-14 (VERDICT r13 #5): the edge list is capped at 300
+      // pairs BY CONSTRUCTION (the top-300 window above), and every
+      // step after it — 4 min-label rounds, the modularity sums, the
+      // ppm cross-multiplication — is exact integer arithmetic over
+      // that bounded frame. The 4 distributed propagation rounds with
+      // their localCheckpoints were pure scheduler latency (the
+      // q528/q497 driver-side idiom, with zero float ambiguity here).
+      // One corpus pass (basket self-join + window) stays distributed;
+      // the guarded collect keeps a distributed fallback for an
+      // over-cap edge rule change.
+      graft.Bounded.collectBounded(strongUp, 4096) match {
+        case Some(upRows) =>
+          val up = upRows
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val em = up ++ up.map(t => (t._2, t._1, t._3)) // symmetric
+          val deg = em.groupBy(_._1).view
+            .mapValues(_.map(_._3).sum).toMap
+          var lab: Map[Long, Long] = deg.keys.map(v => v -> v).toMap
+          for (_ <- 1 to 4) {
+            // mirror the join+groupBy: min neighbor label per i, then
+            // least(own, coalesce(neighbor-min, own))
+            val nb = em.groupBy(_._1).view
+              .mapValues(_.map(e => lab(e._2)).min).toMap
+            lab = lab.map { case (v, lb) =>
+              v -> math.min(lb, nb.getOrElse(v, lb)) }
+          }
+          val m2 = em.map(_._3).sum // = 2m (symmetric)
+          val sinM = em.filter(e => lab(e._1) == lab(e._2))
+            .groupBy(e => lab(e._1)).view
+            .mapValues(_.map(_._3).sum).toMap
+          val stotM = deg.toSeq.groupBy { case (v, _) => lab(v) }.view
+            .mapValues(ds => (ds.map(_._2).sum, ds.size.toLong)).toMap
+          // DECIMAL(38,0) cross-multiplication with truncating DIV —
+          // BigInt./ truncates toward zero exactly like Spark's
+          // IntegralDivide on decimals
+          val per = stotM.toSeq.map { case (comm, (stot, nNodes)) =>
+            val sin = sinM.getOrElse(comm, 0L)
+            val qPpm = ((BigInt(sin) * m2 - BigInt(stot) * stot)
+              * 1000000 / (BigInt(m2) * m2)).toLong
+            (comm, nNodes, sin, stot, qPpm)
+          }.sortBy(_._1)
+          val total = (-1L, per.map(_._2).sum, per.map(_._3).sum,
+            per.map(_._4).sum, per.map(_._5).sum)
+          s.createDataFrame(per :+ total)
+            .toDF("comm", "n_nodes", "sin", "stot", "q_ppm")
+            .orderBy(col("comm"))
+        case None =>
+          val edges = graft.Stage(strongUp.unionByName(
+            strongUp.select(col("j").as("i"), col("i").as("j"),
+              col("c"))), "q559_edges")
+          val deg = edges.groupBy(col("i").as("v"))
+            .agg(sum(col("c")).as("dg"))
+          var lab = deg.select(col("v"), col("v").as("lb"))
+            .localCheckpoint(true)
+          for (_ <- 1 to 4) {
+            // lab/nb are node-bounded (≤|items| rows) — broadcast both
+            // sides of the propagation so each round is map-side
+            val nb = edges.join(broadcast(lab), edges("j") === lab("v"))
+              .groupBy(edges("i").as("u"))
+              .agg(min(col("lb")).as("nlb"))
+            lab = lab.join(broadcast(nb), lab("v") === nb("u"), "left")
+              .select(col("v"),
+                least(col("lb"), coalesce(col("nlb"), col("lb")))
+                  .as("lb"))
+              .localCheckpoint(true) // node-bounded rows, cut lineage
+          }
+          val m2 = edges.agg(sum(col("c")).as("m2")) // = 2m (symmetric)
+          val sin = edges
+            .join(lab.select(col("v").as("i"), col("lb").as("li")),
+              Seq("i"))
+            .join(lab.select(col("v").as("j"), col("lb").as("lj")),
+              Seq("j"))
+            .filter(col("li") === col("lj"))
+            .groupBy(col("li").as("comm"))
+            .agg(sum(col("c")).as("sin"))
+          val stot = deg.join(lab, Seq("v"))
+            .groupBy(col("lb").as("comm"))
+            .agg(sum(col("dg")).as("stot"), count(lit(1)).as("n_nodes"))
+          val per = stot.join(sin, Seq("comm"), "left")
+            .na.fill(0L, Seq("sin"))
+            .crossJoin(broadcast(m2))
+            .select(col("comm"), col("n_nodes"), col("sin"), col("stot"),
+              expr("""CAST((CAST(sin AS DECIMAL(38,0)) * m2
+                      - CAST(stot AS DECIMAL(38,0)) * stot) * 1000000
+                      DIV (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)""")
+                .as("q_ppm"))
+          val total = per.agg(sum(col("q_ppm")).as("q_ppm"),
+            sum(col("n_nodes")).as("n_nodes"),
+            sum(col("sin")).as("sin"), sum(col("stot")).as("stot"))
+            .select(lit(-1L).as("comm"), col("n_nodes"), col("sin"),
+              col("stot"), col("q_ppm"))
+          per.unionByName(total)
+            .orderBy(col("comm"))
       }
-      val m2 = edges.agg(sum(col("c")).as("m2")) // = 2m (symmetric)
-      val sin = edges
-        .join(lab.select(col("v").as("i"), col("lb").as("li")),
-          Seq("i"))
-        .join(lab.select(col("v").as("j"), col("lb").as("lj")),
-          Seq("j"))
-        .filter(col("li") === col("lj"))
-        .groupBy(col("li").as("comm"))
-        .agg(sum(col("c")).as("sin"))
-      val stot = deg.join(lab, Seq("v"))
-        .groupBy(col("lb").as("comm"))
-        .agg(sum(col("dg")).as("stot"), count(lit(1)).as("n_nodes"))
-      val per = stot.join(sin, Seq("comm"), "left")
-        .na.fill(0L, Seq("sin"))
-        .crossJoin(broadcast(m2))
-        .select(col("comm"), col("n_nodes"), col("sin"), col("stot"),
-          expr("""CAST((CAST(sin AS DECIMAL(38,0)) * m2
-                  - CAST(stot AS DECIMAL(38,0)) * stot) * 1000000
-                  DIV (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)""")
-            .as("q_ppm"))
-      val total = per.agg(sum(col("q_ppm")).as("q_ppm"),
-        sum(col("n_nodes")).as("n_nodes"),
-        sum(col("sin")).as("sin"), sum(col("stot")).as("stot"))
-        .select(lit(-1L).as("comm"), col("n_nodes"), col("sin"),
-          col("stot"), col("q_ppm"))
-      per.unionByName(total)
-        .orderBy(col("comm"))
     }),
 
     "q560_nelson_aalen" -> ((s, d) => {

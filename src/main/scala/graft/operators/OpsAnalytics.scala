@@ -1542,7 +1542,8 @@ object SysTelemetry {
       // q577/q528 driver-side idiom). The events window+aggregate
       // stays distributed; the fixed point runs on the collected
       // matrix.
-      val em = edges.collect() // ≤|event types|² — bounded metadata
+      val em = graft.Bounded.collectCapped(edges, 4096,
+          "q402 event-type transition matrix (≤|types|² rows)")
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val nodes = (em.map(_._1) ++ em.map(_._2)).distinct.sorted
       var hub: Map[String, Long] = nodes.map(_ -> HitsScale).toMap
@@ -1550,12 +1551,17 @@ object SysTelemetry {
       for (_ <- 1 to HitsIters) {
         val ra = nodes.map(n => n -> em.collect {
           case (s0, dst, cnt) if dst == n => hub(s0) * cnt }.sum).toMap
+        // max(·,1) guards a degenerate graph whose total mass is below
+        // HitsScale: the old SQL `x DIV (ta DIV scale)` yielded NULL
+        // rows there, the local `/` would throw ArithmeticException
+        // (round-13 ADVICE — keep degenerate inputs non-fatal). Any
+        // real fixture total is ≫ HitsScale, so results are unchanged.
         val ta = ra.valuesIterator.sum
-        auth = ra.view.mapValues(_ / (ta / HitsScale)).toMap
+        auth = ra.view.mapValues(_ / math.max(ta / HitsScale, 1L)).toMap
         val rh = nodes.map(n => n -> em.collect {
           case (src, dst, cnt) if src == n => auth(dst) * cnt }.sum).toMap
         val th = rh.valuesIterator.sum
-        hub = rh.view.mapValues(_ / (th / HitsScale)).toMap
+        hub = rh.view.mapValues(_ / math.max(th / HitsScale, 1L)).toMap
       }
       def r6(x: Double): Double =
         new java.math.BigDecimal(java.lang.Double.toString(x))

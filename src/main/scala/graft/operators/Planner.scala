@@ -64,7 +64,9 @@ object Planner {
       // corpus aggregate once per (metric, snap) branch — the old
       // union-of-12-selects shape re-ran the orders profile subtree
       // per branch (12 scans in the before plan).
-      val bySnap = prof.collect().map(r => r.getString(0) -> r).toMap
+      val bySnap = graft.Bounded.collectCapped(prof, 64,
+          "q550 snapshot profile (2 rows by construction)")
+        .map(r => r.getString(0) -> r).toMap
       val out = for {
         ra <- bySnap.get("a").toSeq
         rb <- bySnap.get("b").toSeq
@@ -1271,8 +1273,10 @@ object Audits2 {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = graft.Stage(parts
         .withColumn("lcum", sum(col("cents")).over(wCum)), "q515_local")
-      val per = local.groupBy(col("pid")).agg(sum(col("cents")).as("c"))
-        .collect().sortBy(_.getInt(0)) // bounded: one row per partition
+      val per = graft.Bounded.collectCapped(
+          local.groupBy(col("pid")).agg(sum(col("cents")).as("c")),
+          65536, "q515 per-partition totals (one row per partition)")
+        .sortBy(_.getInt(0))
       val off = per.scanLeft((0, 0L)) { case ((_, acc), r) =>
         (r.getInt(0), acc + r.getLong(1)) }
       val offDf = off.init.zip(off.tail)

@@ -181,11 +181,14 @@ object Profiling {
       // ≤|types|² matrix and run the fixed point locally (q577/q528
       // idiom); the two corpus passes (edge aggregate, node distinct)
       // stay distributed.
-      val em = edges.collect()
+      val em = graft.Bounded.collectCapped(edges, 4096,
+          "q291 event-type transition matrix (≤|types|² rows)")
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val outW = em.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-      val nodes = t(s, d, "events").select(col("event_type").as("node"))
-        .distinct().collect().map(_.getString(0)).sorted
+      val nodes = graft.Bounded.collectCapped(
+          t(s, d, "events").select(col("event_type").as("node"))
+            .distinct(), 4096, "q291 event-type vocabulary")
+        .map(_.getString(0)).sorted
       val n = nodes.length.toLong
       var pr: Map[String, Long] = nodes.map(_ -> PrScale / n).toMap
       for (_ <- 1 to PrIters) {

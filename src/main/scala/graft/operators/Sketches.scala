@@ -660,7 +660,8 @@ object Synopsis {
       // over ≤256-row frames (pure scheduler latency, the q577/q528
       // driver-side idiom). Collect the histogram, compute locally.
       val hist = Array.fill(256)(0L)
-      binned.collect() // 256-bin bounded
+      graft.Bounded.collectCapped(binned, 256,
+          "q422 histogram bins (≤256 by construction)")
         .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
       var cur = hist
       val parts = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
@@ -1199,11 +1200,11 @@ object Lattice {
       // one cube pass: rows per grouping_id = that view's group count.
       // gid bit order: first cube column = most-significant bit; a SET
       // bit means the column is aggregated away (not in the view).
-      val lattice = base
+      val lattice = graft.Bounded.collectCapped(base
         .cube(col("f"), col("st"), col("m"), col("qb"))
         .agg(grouping_id().as("gid"))
-        .groupBy(col("gid")).agg(count(lit(1)).as("size_rows"))
-        .collect() // bounded: 2^4 lattice views
+        .groupBy(col("gid")).agg(count(lit(1)).as("size_rows")),
+        16, "cube lattice views (2^4 by construction)")
       val dims = Seq('f' -> 8L, 's' -> 4L, 'm' -> 2L, 'q' -> 1L)
       val views = lattice.map { r =>
         val gid = r.getLong(0)

@@ -56,11 +56,17 @@ object TableFunctions {
 
   /** Multi-source generalization (`tf_graph_shortest_paths_distances`,
     * `GraphTableFunctions.hpp:280-519` in /root/reference): the frontier
-    * is keyed by (src_node, node), so one superstep loop advances every
-    * source's BFS simultaneously — same per-hop cost shape (one join +
-    * one min-aggregate, both shuffling on `node`), |sources|× the state.
-    * `seeds` is a DataFrame so source sets can come from the data itself
-    * (no driver-side collect).
+    * is keyed by (src_node, node), so one relaxation loop advances every
+    * source's BFS simultaneously.
+    *
+    * CONTRACT (round-13 rewrite): this helper is the BOUNDED-GRAPH,
+    * driver-side path — `edges` and `seeds` are collected (guarded at
+    * 4096 rows each) and the relaxation runs locally, because every
+    * call site iterates over the event-type transition graph, where
+    * distributed supersteps were pure scheduler latency. Node ids must
+    * be strings. A corpus-scale graph must NOT route through here: use
+    * a distributed superstep loop (one join + min-aggregate per hop,
+    * both shuffling on `node`) — the pre-round-13 shape in git history.
     */
   def shortestPathsFrom(edges: DataFrame, seeds: DataFrame, maxHops: Int)
       : DataFrame = {
@@ -71,10 +77,14 @@ object TableFunctions {
     // no arithmetic ambiguity to mirror. The corpus-scale work — the
     // window+distinct building the edge list — stays distributed.
     val spark = edges.sparkSession
-    val adj = edges.select(col("src"), col("dst")).collect()
+    val adj = graft.Bounded.collectCapped(
+        edges.select(col("src"), col("dst")), 4096,
+        "shortestPathsFrom edge list (≤|types|² rows)")
       .map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    var dist = seeds.select(col("src_node"), col("node")).collect()
+    var dist = graft.Bounded.collectCapped(
+        seeds.select(col("src_node"), col("node")), 4096,
+        "shortestPathsFrom seed set (≤|types| rows)")
       .map(r => ((r.getString(0), r.getString(1)), 0)).toMap
     for (_ <- 1 to maxHops) {
       val expanded = dist.toSeq.flatMap { case ((s0, n), dd) =>
@@ -567,7 +577,8 @@ object TableFunctions {
         .groupBy(floor(col("x") / binSize).cast("int").as("bx"),
           floor(col("y") / binSize).cast("int").as("by"))
         .agg(avg(col("z")).as("z"))
-      val cells = grid.collect() // value-bounded (≤ ~110 rows)
+      val cells = graft.Bounded.collectCapped(grid, 4096,
+          "q181 slope raster (value-bounded, ≤ ~110 cells)")
         .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
       val zmap = cells.toMap
       val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),

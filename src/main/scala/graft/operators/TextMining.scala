@@ -293,42 +293,83 @@ object TextModels {
                       slice(arr, 2, size(arr) - 1))""")).as("z"))
         .select(col("z.0").as("u"), col("z.1").as("v"))
         .filter(col("u") =!= col("v"))
-      val edges = graft.Stage(
-        pairs.unionByName(pairs.select(col("v").as("u"),
-            col("u").as("v")))
-          .groupBy(col("u"), col("v"))
-          .agg(count(lit(1)).cast("double").as("w")), "q547_edges")
-      val wdeg = edges.groupBy(col("u"))
-        .agg(sum(col("w")).as("wd"))
-      val nodes = wdeg.select(col("u").as("node"))
-      val nN = nodes.agg(count(lit(1)).as("nn"))
-      var pr = nodes.crossJoin(broadcast(nN))
-        .select(col("node"), (lit(1.0) / col("nn")).as("p"))
-        .localCheckpoint(true)
-      for (_ <- 1 to 8) {
-        val contrib = edges
-          .join(broadcast(wdeg), Seq("u"))
-          .join(broadcast(pr), edges("u") === pr("node"))
-          .groupBy(col("v"))
-          .agg(sum(col("p") * col("w") / col("wd")).as("inp"))
-        pr = nodes.crossJoin(broadcast(nN))
-          .join(contrib, col("node") === col("v"), "left")
-          .select(col("node"),
-            round(lit(0.15) / col("nn")
-              + lit(0.85) * coalesce(col("inp"), lit(0.0)), 12)
-              .as("p"))
-          .localCheckpoint(true) // vocab-bounded rows, cut lineage
+      val edgesDf = pairs.unionByName(pairs.select(col("v").as("u"),
+          col("u").as("v")))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      // Round-14 (VERDICT r13 #5): the token CO-OCCURRENCE vocabulary
+      // is content-bounded (552 distinct pairs / 24 content tokens at
+      // sf0.1 — the fixture's token vocabulary does not grow with
+      // corpus size), so the 8 damped PageRank rounds over it were
+      // scheduler latency (the q528/q497/q291 driver-side idiom). One
+      // corpus pass builds the weighted edge aggregate; UNDER the cap
+      // the fixed point runs locally with arithmetic mirroring the
+      // DataFrame loop term-for-term (per-edge p·w/wd, per-node
+      // round(0.15/nn + 0.85·Σ, 12) — r12 absorbs sum-order ulps
+      // exactly as it did between Spark and DuckDB); OVER the cap the
+      // distributed superstep loop below is the 100 TB path.
+      graft.Bounded.collectBounded(edgesDf, 65536) match {
+        case Some(eRows) =>
+          val em = eRows
+            .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+            .sortBy(t => (t._1, t._2))
+          val wd = em.groupBy(_._1).view
+            .mapValues(_.map(_._3).sum).toMap
+          val nodes = wd.keys.toSeq.sorted
+          val nn = nodes.size.toLong
+          def r12(x: Double): Double =
+            new java.math.BigDecimal(java.lang.Double.toString(x))
+              .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+          var p: Map[String, Double] = nodes.map(_ -> 1.0 / nn).toMap
+          for (_ <- 1 to 8) {
+            val contrib = em
+              .map { case (u, v, w) => v -> p(u) * w / wd(u) }
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            p = nodes.map(nd => nd ->
+              r12(0.15 / nn + 0.85 * contrib.getOrElse(nd, 0.0))).toMap
+          }
+          // ascii-only tokens: Scala string order == Spark UTF8 order
+          val ranked = nodes
+            .map(nd => (nd, math.floor(p(nd) * 1e9).toLong))
+            .sortBy { case (k, pp) => (-pp, k) }.take(20)
+            .zipWithIndex
+            .map { case ((k, pp), i) => (k, pp, (i + 1).toLong) }
+          s.createDataFrame(ranked).toDF("keyword", "pr_ppb", "rk")
+            .orderBy(col("rk"))
+        case None =>
+          val edges = graft.Stage(edgesDf, "q547_edges")
+          val wdeg = edges.groupBy(col("u"))
+            .agg(sum(col("w")).as("wd"))
+          val nodes = wdeg.select(col("u").as("node"))
+          val nN = nodes.agg(count(lit(1)).as("nn"))
+          var pr = nodes.crossJoin(broadcast(nN))
+            .select(col("node"), (lit(1.0) / col("nn")).as("p"))
+            .localCheckpoint(true)
+          for (_ <- 1 to 8) {
+            val contrib = edges
+              .join(broadcast(wdeg), Seq("u"))
+              .join(broadcast(pr), edges("u") === pr("node"))
+              .groupBy(col("v"))
+              .agg(sum(col("p") * col("w") / col("wd")).as("inp"))
+            pr = nodes.crossJoin(broadcast(nN))
+              .join(contrib, col("node") === col("v"), "left")
+              .select(col("node"),
+                round(lit(0.15) / col("nn")
+                  + lit(0.85) * coalesce(col("inp"), lit(0.0)), 12)
+                  .as("p"))
+              .localCheckpoint(true) // vocab-bounded rows, cut lineage
+          }
+          val ranked = pr
+            .select(col("node").as("keyword"),
+              floor(col("p") * 1e9).cast("long").as("pr_ppb"))
+          val wAll = Window.orderBy(col("pr_ppb").desc, col("keyword"))
+          // vocabulary-bounded window (distinct content tokens)
+          ranked.withColumn("rk", row_number().over(wAll))
+            .filter(col("rk") <= 20)
+            .select(col("keyword"), col("pr_ppb"),
+              col("rk").cast("long").as("rk"))
+            .orderBy(col("rk"))
       }
-      val ranked = pr
-        .select(col("node").as("keyword"),
-          floor(col("p") * 1e9).cast("long").as("pr_ppb"))
-      val wAll = Window.orderBy(col("pr_ppb").desc, col("keyword"))
-      // vocabulary-bounded window (distinct content tokens), not corpus
-      ranked.withColumn("rk", row_number().over(wAll))
-        .filter(col("rk") <= 20)
-        .select(col("keyword"), col("pr_ppb"),
-          col("rk").cast("long").as("rk"))
-        .orderBy(col("rk"))
     }),
 
     "q548_naive_bayes_langid" -> ((s, d) => {
