@@ -13,13 +13,34 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Bounded {
 
+  /** limit(n).collect() without Spark's progressive partition
+    * evaluation: executeTake starts at limitInitialNumPartitions
+    * (default 1) and scales up 4× per step, so a guarded collect of a
+    * 32-partition aggregate was costing 3-4 small jobs where the old
+    * raw collect() ran one (measured +0.1-0.25 s per fixed-point query
+    * at sf0.1). Pinning the initial partition count to MaxValue makes
+    * the guarded collect a single all-partition job again, still
+    * fetching at most n rows to the driver.
+    */
+  private def limitedCollect(df: DataFrame, n: Int): Array[Row] = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = conf.getOption(key)
+    conf.set(key, Int.MaxValue.toString)
+    try df.limit(n).collect()
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Collect a frame the caller KNOWS is metadata-scale: fails loudly
     * (with the domain named) instead of OOMing when the bound is
     * violated. For local fixed points whose distributed form was
     * removed — the error is the contract, not a fallback.
     */
   def collectCapped(df: DataFrame, cap: Int, what: String): Array[Row] = {
-    val rows = df.limit(cap + 1).collect()
+    val rows = limitedCollect(df, cap + 1)
     require(rows.length <= cap,
       s"$what exceeded its bounded-metadata cap ($cap rows): the " +
         "driver-side fast path assumes a vocabulary/value-bounded " +
@@ -32,7 +53,7 @@ object Bounded {
     * for over-cap domains (the q547/q559 vocabulary-graph pattern).
     */
   def collectBounded(df: DataFrame, cap: Int): Option[Array[Row]] = {
-    val rows = df.limit(cap + 1).collect()
+    val rows = limitedCollect(df, cap + 1)
     if (rows.length > cap) None else Some(rows)
   }
 }

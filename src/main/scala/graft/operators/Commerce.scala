@@ -216,14 +216,19 @@ object Market {
   val queries: Seq[(String, Q)] = Seq(
 
     "q487_vwap_twap" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
+      // The joined fills projection is consumed twice per plan (the
+      // horizon aggregate and the window pass each re-run the
+      // lineitem⋈part join — aggregate/window subtrees shuffle
+      // differently, so ReuseExchange cannot dedup them); staged once
+      // (round-14, the q473/q257 discipline).
+      val li = graft.Stage(t(s, d, "lineitem")
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"),
           col("l_shipdate").cast("timestamp").as("ft"),
           col("l_orderkey"), col("l_linenumber"),
           floor(col("l_extendedprice") / col("l_quantity") * 100)
             .cast("long").as("px_cents"),
-          col("l_quantity").cast("long").as("qty"))
+          col("l_quantity").cast("long").as("qty")), "q487_fills")
       val hz = li.agg(max(col("ft")).as("hmax"))
       val wB = Window.partitionBy(col("brand"))
         .orderBy(col("ft"), col("l_orderkey"), col("l_linenumber"))

@@ -1602,14 +1602,20 @@ object SysTelemetry {
     // distribution functions every SQL dialect spells this way. DuckDB
     // replays with quantile_cont/quantile_disc (same interpolation
     // semantics).
+    // Round-14: the two percentile_cont calls on the SAME column each
+    // built their own full per-group value buffer (Percentile is a
+    // TypedImperativeAggregate holding every value); the array form is
+    // the identical function evaluated once — percentile_cont(p)
+    // WITHIN GROUP (ORDER BY x) is sugar for percentile(x, p), so the
+    // values are bit-identical (oracle hash unchanged).
     "q405_within_group" -> ((s, d) =>
       graft.HeavyEngine(s, d).sql(
         """SELECT l_returnflag,
-                  round(percentile_cont(0.5)
-                    WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                  round(element_at(
+                    percentile(l_extendedprice, array(0.5D, 0.9D)), 1), 4)
                     AS median_price,
-                  round(percentile_cont(0.9)
-                    WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                  round(element_at(
+                    percentile(l_extendedprice, array(0.5D, 0.9D)), 2), 4)
                     AS p90_price,
                   percentile_disc(0.5)
                     WITHIN GROUP (ORDER BY l_quantity) AS median_qty_disc,

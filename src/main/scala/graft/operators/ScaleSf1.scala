@@ -83,8 +83,17 @@ object GenScaled {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 64 output files per table, hash-placed on the table's lead key
+    // (deterministic row→file map). The union-of-copies plan otherwise
+    // writes one file per copy (10 at mult=10), and a 10-file corpus
+    // caps every scan stage at 10 tasks — measured round-14: the
+    // 32-core sf1 probe showed ≤2.2× over 8 cores on scan-bound
+    // queries purely from idle cores during the scan (guide §6 input
+    // splits; parquet row-group granularity makes minPartitionNum
+    // ineffective on single-row-group files).
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val laid = df.repartition(64, col(df.columns.head))
+      laid.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 

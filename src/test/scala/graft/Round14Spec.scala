@@ -36,13 +36,13 @@ class BoundedSpec extends AnyFunSuite {
 class CcEpochSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  /** Chain 0-1-…-9 (diameter 9, converges at an ODD pointer-jumping
-    * round count under the old per-round check) plus a 3-clique
-    * {100,101,102}: the epoch-batched check (count every 2nd round)
-    * must compute identical components — the extra post-convergence
-    * round is idempotent because labels are monotone non-increasing.
+  /** Chain 0-1-…-9 (diameter 9) plus a 3-clique {100,101,102}: the
+    * accumulator-fused convergence check (the changed-count rides
+    * inside each round's checkpoint job instead of a separate count
+    * job) must compute identical components and stop at the first
+    * unchanged round — pointer jumping stays O(log diameter).
     */
-  test("epoch-batched convergence computes the same components") {
+  test("fused convergence check computes the same components") {
     import spark.implicits._
     val chain = (0L until 9L).map(i => (i, i + 1))
     val clique = Seq((100L, 101L), (100L, 102L), (101L, 102L))
@@ -55,10 +55,10 @@ class CcEpochSpec extends AnyFunSuite {
     val want = ((0L to 9L).map(_ -> 0L) ++
       (100L to 102L).map(_ -> 100L)).toMap
     assert(got == want)
-    // convergence is only ever DETECTED on an even round now
-    assert(operators.ConnectedComponents.lastRounds % 2 == 0)
     // pointer jumping stays O(log diameter): the 10-chain must not
-    // regress toward one round per hop
+    // regress toward one round per hop, and the loop stops at the
+    // first unchanged round (no trailing idempotent rounds)
+    assert(operators.ConnectedComponents.lastRounds >= 2)
     assert(operators.ConnectedComponents.lastRounds <= 8)
   }
 }
